@@ -1,13 +1,241 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query here is paired with ANSI SQL in [[oracleSql]] that DuckDB
+  * runs over the same parquet tables. Cross-engine determinism rules used
+  * throughout (SURVEY.md §7.6):
+  *   - every floating-point output column is `round(x, 6)` on BOTH sides;
+  *   - ranks/orderings over floats are computed on the rounded values;
+  *   - every query ends in a deterministic total ORDER BY;
+  *   - big money sums go through DECIMAL (exact, order-independent);
+  *   - aggregate output columns carry identical names on both sides.
+  */
 object SparkEntry {
+
+  private def r6(c: Column): Column = round(c, 6)
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+
+  private def cleanEvents(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).filter(Cleaning.notMissing(col("value")))
+
+  private def withDay(df: DataFrame): DataFrame =
+    df.withColumn("day", date_format(col("ts_utc"), "yyyy-MM-dd"))
+
+  /** The reference's "missing means NULL or NaN" predicate, SQL form. */
+  private val sqlClean = "value IS NOT NULL AND NOT isnan(value)"
+
+  // ---------------------------------------------------------------- parity
+
+  /** Q1 — lap-weighted average per driver (reference:
+    * src/processing/mongo_avg_laptime_by_driver.py:33-41). */
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    cleanEvents(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), avg(col("value")).as("avg_value"))
+      .select(col("user_id"), col("n_events"), r6(col("avg_value")).as("avg_value"))
+      .orderBy(r6(col("avg_value")).asc, col("user_id").asc)
+
+  /** Q1 equal-weight-per-race variant — two-level agg, avg of per-day avgs
+    * (reference: notebook cell 9). */
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    Aggregates.twoLevelStats(withDay(cleanEvents(s, dir)),
+        coarseKeys = Seq("user_id"), fineKeys = Seq("day"),
+        measure = "value", minPerFine = 1, minFine = 1)
+      .select(col("user_id"), col("n_groups").as("n_days"),
+        r6(col("avg_of_avgs")).as("avg_value_eq"))
+      .orderBy(col("user_id").asc)
+
+  /** Q2A — lap-weighted speed + consistency (count/avg/stddev_pop, HAVING)
+    * (reference: src/processing/fastest_vs_most_consistent_drivers.py:90-106). */
+  private def q03(s: SparkSession, dir: String): DataFrame =
+    Aggregates.groupedStats(cleanEvents(s, dir), Seq("user_id"), "value", minN = 30)
+      .select(col("user_id"), col("n").as("n_events"),
+        r6(col("avg_value")).as("avg_value"),
+        r6(col("stddev_value")).as("stddev_value"))
+      .orderBy(r6(col("avg_value")).asc, col("user_id").asc)
+
+  /** Q2B — race-normalized two-level stats with per-level HAVING
+    * (reference: fastest_vs_most_consistent_drivers.py:109-142). */
+  private def q04(s: SparkSession, dir: String): DataFrame =
+    Aggregates.twoLevelStats(withDay(cleanEvents(s, dir)),
+        coarseKeys = Seq("user_id"), fineKeys = Seq("day"),
+        measure = "value", minPerFine = 3, minFine = 5)
+      .select(col("user_id"), col("n_groups").as("n_days"),
+        r6(col("avg_of_avgs")).as("avg_value_norm"),
+        r6(col("avg_of_stddevs")).as("stddev_norm"))
+      .orderBy(col("user_id").asc)
+
+  /** Q2 Pareto — dense_rank speed + consistency, composite rank, top-15
+    * (reference: fastest_vs_most_consistent_drivers.py:145-163). */
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    val stats = Aggregates.groupedStats(cleanEvents(s, dir), Seq("user_id"), "value", minN = 30)
+    Ranking.paretoTopK(stats, "avg_value", "stddev_value", Seq("user_id"), k = 15)
+      .select(col("user_id"), col("n").as("n_events"),
+        r6(col("avg_value")).as("avg_value"),
+        r6(col("stddev_value")).as("stddev_value"),
+        col("rank_speed").cast("long").as("rank_speed"),
+        col("rank_consistency").cast("long").as("rank_consistency"),
+        col("rank_sum").cast("long").as("rank_sum"))
+  }
+
+  /** Q3 — grouped OLS slope via explicit moment aggregates; x is the
+    * per-(user,type) occurrence index (deterministic integer regressor)
+    * (reference: src/processing/tyre_degradation_by_stint.py:54-84). */
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type")).orderBy(col("event_id").asc)
+    val indexed = cleanEvents(s, dir).withColumn("x", row_number().over(w))
+    SlopeOLS.slopeByMoments(indexed, Seq("user_id", "event_type"),
+        col("x"), col("value"), minN = 8)
+      .select(col("user_id"), col("event_type"), col("n_obs"),
+        col("min_x"), col("max_x"), r6(col("slope")).as("slope"))
+      .orderBy(col("user_id").asc, col("event_type").asc)
+  }
+
+  /** Q3 built-in form — covar_pop/var_pop slope on the star-schema fact
+    * (price vs quantity per supplier × returnflag). */
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    SlopeOLS.slopeByCovar(Sources.table(s, dir, "lineitem"),
+        Seq("l_suppkey", "l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"), minN = 8)
+      .select(col("l_suppkey"), col("l_returnflag"), col("n_obs"),
+        r6(col("slope")).as("slope"))
+      .orderBy(col("l_suppkey").asc, col("l_returnflag").asc)
+
+  /** Duplicate-key audit (reference: src/ingest/check_duplicates.py:15-33). */
+  private def q08(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateKeys(events(s, dir), Seq("user_id", "event_type", "value"))
+      .agg(count(lit(1)).as("dup_key_count"))
+
+  /** Upsert/latest-wins dedup by logical key (reference unique index +
+    * upsert: src/ingest/create_indexes.py:13-23). */
+  private def q09(s: SparkSession, dir: String): DataFrame =
+    Dedup.latestByKey(events(s, dir), Seq("user_id", "event_type"), Seq(col("event_id")))
+      .select(col("user_id"), col("event_type"),
+        r6(col("value")).as("last_value"), col("event_id").as("last_event_id"))
+      .orderBy(col("user_id").asc, col("event_type").asc)
+
+  /** Integrity audit: counts / distincts / missing-field counts
+    * (reference: src/ingest/check_counts.py:19-44). */
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    Aggregates.integrity(events(s, dir),
+      distinctCols = Seq("user_id", "event_type"), missingCols = Seq("value"))
+
+  // ------------------------------------------------------------- contract
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    q01(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_avg_value_by_user" -> (q01 _),
+    "q02_equal_weight_by_day" -> (q02 _),
+    "q03_speed_consistency" -> (q03 _),
+    "q04_day_normalized" -> (q04 _),
+    "q05_pareto_rank" -> (q05 _),
+    "q06_slope_by_user_type" -> (q06 _),
+    "q07_slope_price_qty" -> (q07 _),
+    "q08_dup_keys" -> (q08 _),
+    "q09_dedup_latest" -> (q09 _),
+    "q10_integrity_events" -> (q10 _))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_avg_value_by_user" ->
+      s"""SELECT user_id, count(*) AS n_events, round(avg(value), 6) AS avg_value
+          FROM events WHERE $sqlClean
+          GROUP BY user_id
+          ORDER BY round(avg(value), 6) ASC, user_id ASC""",
+    "q02_equal_weight_by_day" ->
+      s"""WITH per_day AS (
+            SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, avg(value) AS group_avg
+            FROM events WHERE $sqlClean GROUP BY 1, 2)
+          SELECT user_id, count(*) AS n_days, round(avg(group_avg), 6) AS avg_value_eq
+          FROM per_day GROUP BY user_id ORDER BY user_id ASC""",
+    "q03_speed_consistency" ->
+      s"""SELECT user_id, count(*) AS n_events, round(avg(value), 6) AS avg_value,
+                 round(stddev_pop(value), 6) AS stddev_value
+          FROM events WHERE $sqlClean
+          GROUP BY user_id HAVING count(*) >= 30
+          ORDER BY round(avg(value), 6) ASC, user_id ASC""",
+    "q04_day_normalized" ->
+      s"""WITH per_day AS (
+            SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_in_group,
+                   avg(value) AS group_avg, stddev_pop(value) AS group_stddev
+            FROM events WHERE $sqlClean GROUP BY 1, 2 HAVING count(*) >= 3)
+          SELECT user_id, count(*) AS n_days, round(avg(group_avg), 6) AS avg_value_norm,
+                 round(avg(group_stddev), 6) AS stddev_norm
+          FROM per_day GROUP BY user_id HAVING count(*) >= 5
+          ORDER BY user_id ASC""",
+    "q05_pareto_rank" ->
+      s"""WITH stats AS (
+            SELECT user_id, count(*) AS n_events, avg(value) AS avg_value,
+                   stddev_pop(value) AS stddev_value
+            FROM events WHERE $sqlClean
+            GROUP BY user_id HAVING count(*) >= 30),
+          ranked AS (
+            SELECT user_id, n_events, avg_value, stddev_value,
+                   dense_rank() OVER (ORDER BY round(avg_value, 6) ASC) AS rank_speed,
+                   dense_rank() OVER (ORDER BY round(stddev_value, 6) ASC) AS rank_consistency
+            FROM stats)
+          SELECT user_id, n_events, round(avg_value, 6) AS avg_value,
+                 round(stddev_value, 6) AS stddev_value,
+                 rank_speed, rank_consistency,
+                 rank_speed + rank_consistency AS rank_sum
+          FROM ranked
+          ORDER BY rank_sum ASC, round(avg_value, 6) ASC,
+                   round(stddev_value, 6) ASC, user_id ASC
+          LIMIT 15""",
+    "q06_slope_by_user_type" ->
+      s"""WITH base AS (
+            SELECT user_id, event_type, value,
+                   CAST(row_number() OVER (
+                     PARTITION BY user_id, event_type ORDER BY event_id ASC) AS DOUBLE) AS x
+            FROM events WHERE $sqlClean),
+          m AS (
+            SELECT user_id, event_type, count(*) AS n_obs,
+                   avg(x) AS x_mean, avg(value) AS y_mean,
+                   avg(x * value) AS xy_mean, avg(x * x) AS xx_mean,
+                   min(x) AS min_x, max(x) AS max_x
+            FROM base GROUP BY 1, 2 HAVING count(*) >= 8)
+          SELECT user_id, event_type, n_obs, min_x, max_x,
+                 round(CASE WHEN xx_mean - x_mean * x_mean = 0 THEN NULL
+                       ELSE (xy_mean - x_mean * y_mean) / (xx_mean - x_mean * x_mean)
+                       END, 6) AS slope
+          FROM m ORDER BY user_id ASC, event_type ASC""",
+    "q07_slope_price_qty" ->
+      s"""SELECT l_suppkey, l_returnflag, count(*) AS n_obs,
+                 round(CASE WHEN var_pop(l_quantity) = 0 THEN NULL
+                       ELSE covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity)
+                       END, 6) AS slope
+          FROM lineitem
+          GROUP BY l_suppkey, l_returnflag HAVING count(*) >= 8
+          ORDER BY l_suppkey ASC, l_returnflag ASC""",
+    "q08_dup_keys" ->
+      s"""SELECT count(*) AS dup_key_count FROM (
+            SELECT user_id, event_type, value FROM events
+            GROUP BY 1, 2, 3 HAVING count(*) > 1)""",
+    "q09_dedup_latest" ->
+      s"""SELECT user_id, event_type, round(value, 6) AS last_value,
+                 event_id AS last_event_id
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+                FROM events)
+          WHERE rn = 1 ORDER BY user_id ASC, event_type ASC""",
+    "q10_integrity_events" ->
+      s"""SELECT count(*) AS n_rows,
+                 count(DISTINCT user_id) AS n_distinct_user_id,
+                 count(DISTINCT event_type) AS n_distinct_event_type,
+                 count(CASE WHEN value IS NULL OR isnan(value) THEN 1 END) AS n_missing_value
+          FROM events""")
 }

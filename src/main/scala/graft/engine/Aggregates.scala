@@ -1,0 +1,81 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Grouped-statistics operators — the heart of the reference's analytics
+  * ("MapReduce-style", reference: README.md:33).
+  *
+  * Scale notes (100 TB): every `groupBy().agg()` here compiles to
+  * partial (map-side) + final HashAggregate with one shuffle on the group
+  * key — the partial pass collapses per-key cardinality before the
+  * exchange, so network cost is O(distinct keys), not O(rows). Post-agg
+  * HAVING filters run after the final agg on the already-tiny result.
+  * Nothing in this file touches the driver.
+  */
+object Aggregates {
+
+  /** Lap-weighted grouped stats: count / avg / population stddev per key,
+    * with a HAVING-style min-count filter.
+    * Reference: src/processing/fastest_vs_most_consistent_drivers.py:97-105
+    * (note stddev_pop, NOT sample stddev — a deliberate reference choice).
+    */
+  def groupedStats(df: DataFrame, keys: Seq[String], measure: String,
+                   minN: Long = 0): DataFrame = {
+    val out = df
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        avg(col(measure)).as("avg_value"),
+        stddev_pop(col(measure)).as("stddev_value"))
+    if (minN > 0) out.filter(col("n") >= minN) else out
+  }
+
+  /** Two-level (hierarchical) re-aggregation: per-fine-group stats, then
+    * re-aggregated per coarse key with equal weight per fine group.
+    * Deliberately NOT the same math as one-level aggregation — the
+    * reference computes both side-by-side to expose weighting bias
+    * (reference: src/processing/fastest_vs_most_consistent_drivers.py:109-142;
+    * notebook cells 10/14/25/27). Must never be "optimized" into one level.
+    *
+    * Both levels are shuffle-partitioned on their keys; level 2's input is
+    * already only O(fine groups) rows.
+    */
+  def twoLevelStats(df: DataFrame, coarseKeys: Seq[String], fineKeys: Seq[String],
+                    measure: String, minPerFine: Long, minFine: Long): DataFrame = {
+    val fine = df
+      .groupBy((coarseKeys ++ fineKeys).map(col): _*)
+      .agg(
+        count(lit(1)).as("n_in_group"),
+        avg(col(measure)).as("group_avg"),
+        stddev_pop(col(measure)).as("group_stddev"))
+      .filter(col("n_in_group") >= minPerFine)
+    fine
+      .groupBy(coarseKeys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_groups"),
+        avg(col("group_avg")).as("avg_of_avgs"),
+        avg(col("group_stddev")).as("avg_of_stddevs"))
+      .filter(col("n_groups") >= minFine)
+  }
+
+  /** Order-independent money sum: cast each term to DECIMAL before SUM so
+    * the aggregation is exact integer arithmetic — the result is identical
+    * regardless of partial-agg combining order (double sums are not), which
+    * makes results reproducible run-to-run at any cluster size AND
+    * bit-identical to external oracles. */
+  def exactSum(term: Column, precision: Int = 18, scale: Int = 6): Column =
+    sum(term.cast(org.apache.spark.sql.types.DecimalType(precision, scale)))
+
+  /** Integrity audit over any table: total rows, per-column distinct counts
+    * and missing(null-or-NaN) counts — the engine analog of the reference's
+    * check_counts.py (reference: src/ingest/check_counts.py:19-44). */
+  def integrity(df: DataFrame, distinctCols: Seq[String],
+                missingCols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n_rows")) ++
+        distinctCols.map(c => countDistinct(col(c)).as(s"n_distinct_$c")) ++
+        missingCols.map(c => count(when(Cleaning.isMissing(col(c)), 1)).as(s"n_missing_$c"))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Grouped least-squares slope via moment aggregates — the reference's Q3
+  * ("tyre degradation per stint"):
+  *   slope = (E[xy] − E[x]·E[y]) / (E[x²] − E[x]²)  =  covar_pop / var_pop
+  * computed entirely inside one hash aggregation (4 extra `avg`s), never
+  * collecting points to the driver.
+  * Reference: src/processing/tyre_degradation_by_stint.py:54-84.
+  *
+  * Scale: one shuffle on the group key; the per-group state is O(1)
+  * (five running moments), so this regresses billions of points across
+  * millions of groups in a single partial+final agg pass.
+  */
+object SlopeOLS {
+
+  /** Explicit-moment form — mirrors the reference formula term by term.
+    * Emits keys + n + slope (+ x range). `when(var=0, null)` guards the
+    * degenerate vertical-line group exactly like the reference
+    * (tyre_degradation_by_stint.py:77). */
+  def slopeByMoments(df: DataFrame, keys: Seq[String], x: Column, y: Column,
+                     minN: Long): DataFrame = {
+    val xd = x.cast("double")
+    val yd = y.cast("double")
+    val m = df
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_obs"),
+        avg(xd).as("x_mean"),
+        avg(yd).as("y_mean"),
+        avg(xd * yd).as("xy_mean"),
+        avg(xd * xd).as("xx_mean"),
+        min(xd).as("min_x"),
+        max(xd).as("max_x"))
+      .filter(col("n_obs") >= minN)
+    val covXY = col("xy_mean") - col("x_mean") * col("y_mean")
+    val varX = col("xx_mean") - col("x_mean") * col("x_mean")
+    m.withColumn("slope",
+      when(varX === 0d, lit(null)).otherwise(covXY / varX))
+  }
+
+  /** Built-in-aggregate form: covar_pop/var_pop are the 1:1 Catalyst
+    * built-ins for the same math (SURVEY.md §2.4). */
+  def slopeByCovar(df: DataFrame, keys: Seq[String], x: Column, y: Column,
+                   minN: Long): DataFrame = {
+    val xd = x.cast("double")
+    val yd = y.cast("double")
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_obs"),
+        covar_pop(xd, yd).as("cov_xy"),
+        var_pop(xd).as("var_x"))
+      .filter(col("n_obs") >= minN)
+      .withColumn("slope",
+        when(col("var_x") === 0d, lit(null)).otherwise(col("cov_xy") / col("var_x")))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Typed scans over the driver fixtures (`TESTDATA.md`, `FIXTURES.md`).
+  *
+  * Schemas are explicit, not inferred: at 100 TB a scan must not pay
+  * file-footer sampling or schema merge, and a pinned `StructType` gives
+  * Catalyst exact types/nullability for pruning and pushdown. This replaces
+  * the reference's schema-inferring Mongo connector scan
+  * (reference: src/processing/mongo_avg_laptime_by_driver.py:30).
+  */
+object Sources {
+
+  val lineitem: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType),
+    StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType)))
+
+  val orders: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  val customer: StructType = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  val supplier: StructType = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  val part: StructType = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  val nation: StructType = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  val region: StructType = StructType(Seq(
+    StructField("r_regionkey", IntegerType),
+    StructField("r_name", StringType)))
+
+  /** `ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader only
+    * accepts as a nanos-since-epoch LONG (spark.sql.legacy.parquet.nanosAsLong).
+    * [[table]] sets that conf and adds a derived micros-precision `ts_utc`
+    * TimestampType column via integer division (ns values exceed 2^53, so
+    * double division would corrupt them). */
+  val events: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val documents: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  val embeddings: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  private val schemas: Map[String, StructType] = Map(
+    "lineitem" -> lineitem, "orders" -> orders, "customer" -> customer,
+    "supplier" -> supplier, "part" -> part, "nation" -> nation,
+    "region" -> region, "events" -> events, "documents" -> documents,
+    "embeddings" -> embeddings)
+
+  /** Scan one fixture table with its pinned schema. For `events`, reads the
+    * nanos timestamp as LONG and derives `ts_utc: timestamp` (micros). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts_utc", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine._
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Unit tests over tiny literal frames — the upgraded analog of the
+  * reference's smoke test (reference: src/processing/spark_test.py:23-26). */
+class EngineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("groupBy-avg smoke (reference spark_test values)") {
+    val df = Seq(("HAM", 1.2), ("VER", 1.1), ("HAM", 1.3)).toDF("driver", "lap")
+    val got = df.groupBy($"driver").agg(avg($"lap").as("a"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got("HAM") - 1.25) < 1e-12)
+    assert(math.abs(got("VER") - 1.1) < 1e-12)
+  }
+
+  test("isMissing treats NULL and NaN identically") {
+    val df = Seq[(Int, java.lang.Double)]((1, 1.0), (2, null), (3, Double.NaN))
+      .toDF("id", "v")
+    assert(df.filter(Cleaning.notMissing($"v")).count() === 1)
+    assert(df.filter(Cleaning.isMissing($"v")).count() === 2)
+  }
+
+  test("groupedStats uses population stddev, not sample") {
+    val df = Seq(("a", 1.0), ("a", 3.0)).toDF("k", "v")
+    val r = Aggregates.groupedStats(df, Seq("k"), "v").collect().head
+    // stddev_pop([1,3]) = 1.0; sample stddev would be sqrt(2)
+    assert(math.abs(r.getAs[Double]("stddev_value") - 1.0) < 1e-12)
+  }
+
+  test("two-level agg gives equal weight per fine group") {
+    // group a: values 0,0,0,4 → lap-weighted avg 1.0
+    // per-day: day1 [0,0,0] avg 0; day2 [4] avg 4 → equal-weight avg 2.0
+    val df = Seq(("u", "d1", 0.0), ("u", "d1", 0.0), ("u", "d1", 0.0), ("u", "d2", 4.0))
+      .toDF("user", "day", "v")
+    val r = Aggregates.twoLevelStats(df, Seq("user"), Seq("day"), "v", 1, 1).collect().head
+    assert(math.abs(r.getAs[Double]("avg_of_avgs") - 2.0) < 1e-12)
+    val lapWeighted = Aggregates.groupedStats(df, Seq("user"), "v").collect().head
+    assert(math.abs(lapWeighted.getAs[Double]("avg_value") - 1.0) < 1e-12)
+  }
+
+  test("slope via moments matches closed form and covar form") {
+    // y = 3x + 2 exactly → slope 3
+    val pts = (1 to 10).map(x => ("g", x.toDouble, 3.0 * x + 2))
+    val df = pts.toDF("k", "x", "y")
+    val m = SlopeOLS.slopeByMoments(df, Seq("k"), $"x", $"y", minN = 1).collect().head
+    assert(math.abs(m.getAs[Double]("slope") - 3.0) < 1e-9)
+    val c = SlopeOLS.slopeByCovar(df, Seq("k"), $"x", $"y", minN = 1).collect().head
+    assert(math.abs(c.getAs[Double]("slope") - 3.0) < 1e-9)
+  }
+
+  test("slope guards zero variance with null") {
+    val df = Seq(("g", 2.0, 1.0), ("g", 2.0, 5.0)).toDF("k", "x", "y")
+    val m = SlopeOLS.slopeByMoments(df, Seq("k"), $"x", $"y", minN = 1).collect().head
+    assert(m.isNullAt(m.fieldIndex("slope")))
+  }
+
+  test("latestByKey keeps exactly the newest row per key (upsert semantics)") {
+    val df = Seq((1L, "a", 10.0, 1L), (2L, "a", 20.0, 1L), (3L, "b", 30.0, 2L))
+      .toDF("event_id", "t", "v", "u")
+    val out = Dedup.latestByKey(df, Seq("u", "t"), Seq($"event_id"))
+      .collect().map(r => (r.getAs[Long]("u"), r.getAs[String]("t")) -> r.getAs[Long]("event_id")).toMap
+    assert(out((1L, "a")) === 2L)
+    assert(out((2L, "b")) === 3L)
+  }
+
+  test("duplicateKeys finds only keys with >1 row") {
+    val df = Seq((1, "x"), (1, "x"), (2, "y")).toDF("a", "b")
+    val dups = Dedup.duplicateKeys(df, Seq("a", "b")).collect()
+    assert(dups.length === 1 && dups.head.getAs[Long]("n_dups") === 2L)
+  }
+
+  test("paretoTopK composite rank ordering") {
+    val df = Seq(("A", 1.0, 5.0), ("B", 2.0, 1.0), ("C", 3.0, 3.0))
+      .toDF("k", "speed", "cons")
+    val out = Ranking.paretoTopK(df, "speed", "cons", Seq("k"), 3).collect()
+    // rank sums: A=1+3=4, B=2+1=3, C=3+2=5 → order B, A, C
+    assert(out.map(_.getAs[String]("k")).toSeq === Seq("B", "A", "C"))
+  }
+}
+
+/** End-to-end: every declared query runs on the sf0.001 fixtures and the
+  * oracle map stays in sync with the query map. */
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs on sf0.001 without error") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+
+  test("every oracle key has a query (no orphan oracles)") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+}

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+
+For every query dumped by graft.Verify, runs the paired oracle SQL in
+DuckDB over the same parquet fixtures, sorts columns by name, and
+compares shape + values (exact for non-floats, tiny tolerance report for
+floats so knife-edge rounding shows up before the real gate runs).
+"""
+import json, sys, math
+import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
+import glob, os
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def load_result(path):
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    return pq.ParquetDataset(files).read().to_pandas()
+
+def main(out_dir, sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        try:
+            exp = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1; continue
+        try:
+            got = load_result(os.path.join(out_dir, name))
+        except Exception as e:
+            print(f"FAIL {name}: no spark result ({e})")
+            n_fail += 1; continue
+        exp = exp.reindex(sorted(exp.columns), axis=1)
+        got = got.reindex(sorted(got.columns), axis=1)
+        if list(exp.columns) != list(got.columns):
+            print(f"FAIL {name}: columns differ\n  oracle: {list(exp.columns)}\n  spark : {list(got.columns)}")
+            n_fail += 1; continue
+        if len(exp) != len(got):
+            print(f"FAIL {name}: rows {len(got)} (spark) vs {len(exp)} (oracle)")
+            n_fail += 1; continue
+        bad = 0
+        for c in exp.columns:
+            ev, gv = exp[c].tolist(), got[c].tolist()
+            for i, (a, b) in enumerate(zip(ev, gv)):
+                if a is None and b is None: continue
+                an = isinstance(a, float) and math.isnan(a)
+                bn = isinstance(b, float) and math.isnan(b)
+                if (a is None or an) and (b is None or bn): continue
+                if isinstance(a, float) or isinstance(b, float):
+                    if a != b:
+                        if bad < 3:
+                            print(f"  {name}.{c}[{i}]: spark={b!r} oracle={a!r}")
+                        bad += 1
+                elif a != b:
+                    if bad < 3:
+                        print(f"  {name}.{c}[{i}]: spark={b!r} oracle={a!r}")
+                    bad += 1
+        if bad:
+            print(f"FAIL {name}: {bad} value mismatches ({len(exp)} rows)")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(exp)} rows, {len(exp.columns)} cols)")
+            n_pass += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
