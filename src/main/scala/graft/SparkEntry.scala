@@ -129,6 +129,98 @@ object SparkEntry {
     Aggregates.integrity(events(s, dir),
       distinctCols = Seq("user_id", "event_type"), missingCols = Seq("value"))
 
+  // ---------------------------------------------- star-schema extensions
+
+  /** Star join: fact ⋈ orders (shuffle/AQE) ⋈ broadcast dims, then grouped
+    * revenue with an exact (order-independent) DECIMAL sum. */
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val li = Sources.table(s, dir, "lineitem")
+    val o = Sources.table(s, dir, "orders")
+    val joined = Joins.starBroadcast(
+      li.join(o, col("l_orderkey") === col("o_orderkey")),
+      Seq(
+        Sources.table(s, dir, "customer") -> (col("o_custkey") === col("c_custkey")),
+        Sources.table(s, dir, "nation") -> (col("c_nationkey") === col("n_nationkey")),
+        Sources.table(s, dir, "region") -> (col("n_regionkey") === col("r_regionkey"))))
+    joined
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        Aggregates.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .select(col("r_name"), col("n_name"), col("n_items"),
+        round(col("rev").cast("double"), 2).as("revenue"))
+      .orderBy(col("r_name").asc, col("n_name").asc)
+  }
+
+  /** Left-semi join (EXISTS): suppliers with a heavy lineitem. */
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    Joins.semi(Sources.table(s, dir, "supplier"),
+        Sources.table(s, dir, "lineitem").filter(col("l_quantity") >= 45),
+        col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey").asc)
+
+  /** Left-anti join (NOT EXISTS): customers with no finalized orders. */
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    Joins.anti(Sources.table(s, dir, "customer"),
+        Sources.table(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey").asc)
+
+  /** Global top-k (TakeOrderedAndProject): most expensive orders. */
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    Ranking.topK(Sources.table(s, dir, "orders"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 20)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+
+  /** Partitioned window functions: row_number / lag / running sum per
+    * supplier. The running sum is over integral-valued doubles, so it is
+    * exact under any frame-evaluation order. (l_orderkey, l_linenumber) is
+    * NOT unique in the fixtures, so the window order extends through
+    * partkey/quantity/extendedprice — remaining ties produce identical
+    * output rows, keeping the result deterministic. */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val orderCols = Seq(col("l_orderkey").asc, col("l_linenumber").asc,
+      col("l_partkey").asc, col("l_quantity").asc, col("l_extendedprice").asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_suppkey"))
+      .orderBy(orderCols: _*)
+    Sources.table(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"),
+        row_number().over(w).cast("long").as("rn"),
+        lag(col("l_quantity"), 1).over(w).as("lag_qty"),
+        sum(col("l_quantity"))
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+          .as("run_qty"))
+      .orderBy(col("l_suppkey").asc +: orderCols: _*)
+      .drop("l_quantity")
+  }
+
+  /** Set operations: (high-value purchasers ∪ signups) ∖ high-value
+    * error-users, all distinct. */
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    def users(t: String) = ev
+      .filter(col("event_type") === t && col("value") > 150)
+      .select(col("user_id"))
+    users("purchase").union(users("signup")).distinct()
+      .except(users("error"))
+      .orderBy(col("user_id").asc)
+  }
+
+  /** Tumbling one-hour time windows over the event stream (batch form of
+    * the Structured Streaming aggregation). */
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), avg(col("value")).as("avg_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_events"), r6(col("avg_value")).as("avg_value"))
+      .orderBy(col("hour_start").asc, col("event_type").asc)
+
   // ------------------------------------------------------------- contract
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -146,7 +238,14 @@ object SparkEntry {
     "q07_slope_price_qty" -> (q07 _),
     "q08_dup_keys" -> (q08 _),
     "q09_dedup_latest" -> (q09 _),
-    "q10_integrity_events" -> (q10 _))
+    "q10_integrity_events" -> (q10 _),
+    "q11_star_revenue" -> (q11 _),
+    "q12_semi_join" -> (q12 _),
+    "q13_anti_join" -> (q13 _),
+    "q14_topk_orders" -> (q14 _),
+    "q15_window_running" -> (q15 _),
+    "q16_set_ops" -> (q16 _),
+    "q17_hourly_window" -> (q17 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -237,5 +336,59 @@ object SparkEntry {
                  count(DISTINCT user_id) AS n_distinct_user_id,
                  count(DISTINCT event_type) AS n_distinct_event_type,
                  count(CASE WHEN value IS NULL OR isnan(value) THEN 1 END) AS n_missing_value
-          FROM events""")
+          FROM events""",
+    "q11_star_revenue" ->
+      s"""SELECT r_name, n_name, count(*) AS n_items,
+                 round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name, n_name
+          ORDER BY r_name ASC, n_name ASC""",
+    "q12_semi_join" ->
+      s"""SELECT s_suppkey, s_name FROM supplier
+          WHERE EXISTS (SELECT 1 FROM lineitem
+                        WHERE l_suppkey = s_suppkey AND l_quantity >= 45)
+          ORDER BY s_suppkey ASC""",
+    "q13_anti_join" ->
+      s"""SELECT c_custkey, c_name FROM customer
+          WHERE NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+          ORDER BY c_custkey ASC""",
+    "q14_topk_orders" ->
+      s"""WITH top AS (
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20)
+          SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+          FROM top ORDER BY round(o_totalprice, 2) DESC, o_orderkey ASC""",
+    "q15_window_running" ->
+      s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+                 row_number() OVER (PARTITION BY l_suppkey
+                   ORDER BY l_orderkey ASC, l_linenumber ASC, l_partkey ASC,
+                            l_quantity ASC, l_extendedprice ASC) AS rn,
+                 lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
+                   ORDER BY l_orderkey ASC, l_linenumber ASC, l_partkey ASC,
+                            l_quantity ASC, l_extendedprice ASC) AS lag_qty,
+                 sum(l_quantity) OVER (PARTITION BY l_suppkey
+                   ORDER BY l_orderkey ASC, l_linenumber ASC, l_partkey ASC,
+                            l_quantity ASC, l_extendedprice ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
+          FROM lineitem
+          ORDER BY l_suppkey ASC, l_orderkey ASC, l_linenumber ASC,
+                   l_partkey ASC, l_quantity ASC, l_extendedprice ASC""",
+    "q16_set_ops" ->
+      s"""SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase' AND value > 150
+          UNION
+          SELECT user_id FROM events WHERE event_type = 'signup' AND value > 150
+          EXCEPT
+          SELECT user_id FROM events WHERE event_type = 'error' AND value > 150
+          ORDER BY user_id ASC""",
+    "q17_hourly_window" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+                 event_type, count(*) AS n_events, round(avg(value), 6) AS avg_value
+          FROM events GROUP BY 1, 2
+          ORDER BY hour_start ASC, event_type ASC""")
 }
