@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine._
+import graft.operators.{Multimodal, NearDup, Similarity, TextAnalysis}
+import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -221,6 +223,164 @@ object SparkEntry {
         col("event_type"), col("n_events"), r6(col("avg_value")).as("avg_value"))
       .orderBy(col("hour_start").asc, col("event_type").asc)
 
+  // ------------------------------------- LLM-data-pipeline extensions
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "documents")
+
+  /** MinHash/LSH shape parameters (shared with the generated oracle SQL). */
+  private val MinhashK = 12
+  private val LshBands = 4
+  private val LshRows = 3
+
+  /** Per-document text-quality stats. */
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.textStats(docs(s, dir), TextAnalysis.stopwords("en"))
+      .select(col("doc_id"), col("n_tokens"), col("n_stopwords"),
+        r6(col("stopword_ratio")).as("stopword_ratio"),
+        r6(col("avg_token_len")).as("avg_token_len"))
+      .orderBy(col("doc_id").asc)
+
+  /** Corpus composition per (lang, source). */
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langSourceStats(docs(s, dir))
+      .select(col("lang"), col("source"), col("n_docs"),
+        r6(col("avg_chars")).as("avg_chars"), col("min_chars"), col("max_chars"))
+      .orderBy(col("lang").asc, col("source").asc)
+
+  /** Exact content dedup summary (md5 hash groups). */
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedupSummary(docs(s, dir), col("text"))
+
+  /** MinHash + LSH near-duplicate candidate pairs. */
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    NearDup.minHashCandidates(docs(s, dir), MinhashK, LshBands, LshRows)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+
+  /** SimHash 16-bit fingerprints per document. */
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    NearDup.simHash(docs(s, dir)).orderBy(col("doc_id").asc)
+
+  /** SimHash near-dup pairs at Hamming distance ≤ 3. */
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    NearDup.simHashPairs(NearDup.simHash(docs(s, dir)), maxHamming = 3)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+
+  /** Exact 3-gram Jaccard over source-blocked candidate pairs. */
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    NearDup.ngramJaccardPairs(docs(s, dir), "source", minJaccard = 0.02)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        r6(col("jaccard")).as("jaccard"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+
+  /** Brute-force cosine top-5 neighbours for the first 10 vectors. */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.table(s, dir, "embeddings")
+    Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .withColumnRenamed("rank", "knn_rank")
+      .orderBy(col("q_vec").asc, col("knn_rank").asc)
+  }
+
+  /** Per-vector L2 norms / dimensionality. */
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    Similarity.norms(Sources.table(s, dir, "embeddings"))
+      .select(col("vec_id"), col("dim"), r6(col("l2_norm")).as("l2_norm"))
+      .orderBy(col("vec_id").asc)
+
+  /** Stopword-profile language-ID confusion matrix. */
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langIdConfusion(docs(s, dir))
+      .orderBy(col("lang").asc, col("pred_lang").asc)
+
+  /** Winnowing-style document fingerprints (4 smallest shingle hashes). */
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(docs(s, dir), k = 4)
+      .orderBy(col("doc_id").asc)
+
+  /** Multimodal binary-column plumbing with a stub decoder. */
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeatures(s, docs(s, dir))
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"), col("aspect"))
+      .orderBy(col("doc_id").asc)
+
+  /** Structured Streaming tumbling-window agg, run to completion over the
+    * fixture batch — must equal the batch q17 result. */
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    EventStream.runHourlyOnce(s, dir)
+
+  /** LSH-bucketed approximate KNN (scale path; approximate by design, so
+    * no SQL oracle — driver records the rows-only check). */
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.table(s, dir, "embeddings")
+    Similarity.lshBucketedKnn(emb, emb.filter(col("vec_id") < 10), k = 5, planes = 4)
+      .withColumnRenamed("rank", "knn_rank")
+      .orderBy(col("q_vec").asc, col("knn_rank").asc)
+  }
+
+  // ----------------------------------------------- generated oracle SQL
+
+  private val sqlShingles =
+    """tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id, source,
+                unnest(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+              FROM tok WHERE len(t) >= 3)"""
+
+  private def sqlStopHits(set: Seq[String]): String = {
+    val inList = set.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), x -> x IN ($inList)))"
+  }
+
+  private val minhashOracle: String = {
+    val sigCols = (0 until MinhashK)
+      .map(i => s"min(md5('$i|' || shingle)) AS s$i").mkString(", ")
+    val bands = (0 until LshBands).map { b =>
+      val parts = (0 until LshRows).map(r => s"s${b * LshRows + r}")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH $sqlShingles,
+        sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+        bk AS ($bands)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+          AND a.doc_id < b.doc_id
+        ORDER BY doc_a ASC, doc_b ASC"""
+  }
+
+  /** Shared CTE prefix computing the per-doc 16-bit simhash. */
+  private val simhashCte: String = {
+    val nibs = (1 to 4)
+      .map(j => s"strpos('0123456789abcdef', substr(h, $j, 1)) - 1 AS nib$j")
+      .mkString(", ")
+    val sums = (0 until 16).map { b =>
+      s"sum(CASE WHEN (nib${b / 4 + 1} >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(", ")
+    val fp = (0 until 16)
+      .map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+        h AS (SELECT doc_id, md5(tk) AS h FROM tok),
+        nib AS (SELECT doc_id, $nibs FROM h),
+        sums AS (SELECT doc_id, $sums FROM nib GROUP BY doc_id),
+        fpt AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums)"""
+  }
+
+  private val langIdOracle: String = {
+    val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+    val hitCols = langs
+      .map(l => s"${sqlStopHits(TextAnalysis.stopwords(l))} AS hits_$l")
+      .mkString(", ")
+    val g = langs.map(l => s"hits_$l").mkString("greatest(", ", ", ")")
+    val cases = langs
+      .map(l => s"WHEN hits_$l = g AND g > 0 THEN '$l'").mkString(" ")
+    s"""WITH sc AS (SELECT doc_id, lang, $hitCols FROM documents),
+        p AS (SELECT lang, CASE $cases ELSE 'und' END AS pred_lang
+              FROM (SELECT *, $g AS g FROM sc))
+        SELECT lang, pred_lang, count(*) AS n_docs
+        FROM p GROUP BY lang, pred_lang ORDER BY lang ASC, pred_lang ASC"""
+  }
+
   // ------------------------------------------------------------- contract
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -245,7 +405,21 @@ object SparkEntry {
     "q14_topk_orders" -> (q14 _),
     "q15_window_running" -> (q15 _),
     "q16_set_ops" -> (q16 _),
-    "q17_hourly_window" -> (q17 _))
+    "q17_hourly_window" -> (q17 _),
+    "q18_text_stats" -> (q18 _),
+    "q19_lang_source_stats" -> (q19 _),
+    "q20_exact_dedup" -> (q20 _),
+    "q21_minhash_lsh" -> (q21 _),
+    "q22_simhash" -> (q22 _),
+    "q23_simhash_pairs" -> (q23 _),
+    "q24_ngram_jaccard" -> (q24 _),
+    "q25_knn_cosine" -> (q25 _),
+    "q26_embedding_norms" -> (q26 _),
+    "q27_lang_id_confusion" -> (q27 _),
+    "q28_fingerprints" -> (q28 _),
+    "q29_multimodal_stub" -> (q29 _),
+    "q30_stream_hourly" -> (q30 _),
+    "q31_knn_lsh_bucketed" -> (q31 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -387,6 +561,86 @@ object SparkEntry {
           SELECT user_id FROM events WHERE event_type = 'error' AND value > 150
           ORDER BY user_id ASC""",
     "q17_hourly_window" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+                 event_type, count(*) AS n_events, round(avg(value), 6) AS avg_value
+          FROM events GROUP BY 1, 2
+          ORDER BY hour_start ASC, event_type ASC""",
+    "q18_text_stats" -> {
+      val stop = sqlStopHits(TextAnalysis.stopwords("en"))
+      s"""SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 $stop AS n_stopwords,
+                 round($stop / len(string_split(text, ' ')), 6) AS stopword_ratio,
+                 round(length(replace(text, ' ', '')) / len(string_split(text, ' ')), 6)
+                   AS avg_token_len
+          FROM documents ORDER BY doc_id ASC"""
+    },
+    "q19_lang_source_stats" ->
+      s"""SELECT lang, source, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars,
+                 min(n_chars) AS min_chars, max(n_chars) AS max_chars
+          FROM documents GROUP BY lang, source ORDER BY lang ASC, source ASC""",
+    "q20_exact_dedup" ->
+      s"""SELECT count(*) AS n_rows, count(DISTINCT md5(text)) AS n_distinct,
+                 count(*) - count(DISTINCT md5(text)) AS n_duplicates
+          FROM documents""",
+    "q21_minhash_lsh" -> minhashOracle,
+    "q22_simhash" ->
+      s"""WITH $simhashCte
+          SELECT doc_id, simhash FROM fpt ORDER BY doc_id ASC""",
+    "q23_simhash_pairs" ->
+      s"""WITH $simhashCte
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          FROM fpt a JOIN fpt b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          ORDER BY doc_a ASC, doc_b ASC""",
+    "q24_ngram_jaccard" ->
+      s"""WITH $sqlShingles,
+          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                    FROM sh a JOIN sh b ON a.source = b.source
+                      AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT doc_a, doc_b, n_common,
+                 round(n_common / (x.n + y.n - n_common), 6) AS jaccard
+          FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+          WHERE n_common / (x.n + y.n - n_common) >= 0.02
+          ORDER BY doc_a ASC, doc_b ASC""",
+    "q25_knn_cosine" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          q AS (SELECT vec_id AS q_vec, v AS qv FROM e WHERE vec_id < 10),
+          scored AS (
+            SELECT q_vec, e.vec_id AS n_vec,
+                   round(list_dot_product(qv, v) /
+                     (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+                     AS cosine
+            FROM q, e WHERE e.vec_id <> q_vec),
+          r AS (SELECT *, row_number() OVER (
+                  PARTITION BY q_vec ORDER BY cosine DESC, n_vec ASC) AS knn_rank
+                FROM scored)
+          SELECT q_vec, n_vec, cosine, knn_rank FROM r WHERE knn_rank <= 5
+          ORDER BY q_vec ASC, knn_rank ASC""",
+    "q26_embedding_norms" ->
+      s"""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+                 round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+          FROM embeddings ORDER BY vec_id ASC""",
+    "q27_lang_id_confusion" -> langIdOracle,
+    "q28_fingerprints" ->
+      s"""WITH $sqlShingles,
+          h AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+          r AS (SELECT doc_id, h, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY h ASC) AS rn FROM h)
+          SELECT doc_id, string_agg(h, '' ORDER BY h ASC) AS fingerprint
+          FROM r WHERE rn <= 4 GROUP BY doc_id ORDER BY doc_id ASC""",
+    "q29_multimodal_stub" ->
+      s"""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                 320 + octet_length(encode(text)) % 320 AS width,
+                 240 + octet_length(encode(text)) % 240 AS height,
+                 round((320 + octet_length(encode(text)) % 320) /
+                       (240 + octet_length(encode(text)) % 240), 6) AS aspect
+          FROM documents ORDER BY doc_id ASC""",
+    "q30_stream_hourly" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
                  event_type, count(*) AS n_events, round(avg(value), 6) AS avg_value
           FROM events GROUP BY 1, 2

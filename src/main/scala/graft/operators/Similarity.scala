@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set
+  * against the full corpus; per-partition scoring, global rank per query.
+  * Scale path: [[lshBucketedKnn]] pre-buckets vectors by random-hyperplane
+  * signs so each query only scores its bucket (candidate set shrinks by
+  * ~2^bits), the standard sub-linear ANN shape when the corpus no longer
+  * fits a cross join.
+  *
+  * Dot products use `zip_with` + `aggregate` (codegen'd HOFs, sequential
+  * fold → deterministic, engine-portable float order). Elements are cast
+  * float→double (exact) before any arithmetic.
+  */
+object Similarity {
+
+  /** embedding column cast to Array[Double] (exact widening). */
+  def asDouble(vec: Column): Column = vec.cast(ArrayType(DoubleType))
+
+  /** Sequential-fold dot product of two equal-length double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(vec: Column): Column = sqrt(dot(vec, vec))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Per-vector L2 norms and dimensionality. */
+  def norms(emb: DataFrame): DataFrame = {
+    val v = asDouble(col("embedding"))
+    emb.select(col("vec_id"), size(col("embedding")).cast("long").as("dim"),
+      l2norm(v).as("l2_norm"))
+  }
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self excluded). Ranks are computed on cosine rounded
+    * to 6 decimals with vec_id tie-break, so results are reproducible. */
+  def bruteForceKnn(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_vec"),
+      asDouble(col("embedding")).as("q_emb"))
+    val c = emb.select(col("vec_id").as("n_vec"),
+      asDouble(col("embedding")).as("n_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_vec") =!= col("n_vec"))
+      .withColumn("cosine", round(cosine(col("q_emb"), col("n_emb")), 6))
+    val w = Window.partitionBy(col("q_vec"))
+      .orderBy(col("cosine").desc, col("n_vec").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_vec"), col("n_vec"), col("cosine"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN: sign-bit signature over `planes` pseudo-random
+    * hyperplanes (deterministic from the vector itself via index-seeded
+    * element signs), queries scored only against same-bucket vectors.
+    * Approximate by construction; at 100 TB the bucket join replaces the
+    * cross join and candidate counts drop by ~2^planes. */
+  def lshBucketedKnn(emb: DataFrame, queries: DataFrame, k: Int, planes: Int): DataFrame = {
+    def bucket(vec: Column): Column = {
+      // plane p: sign of sum over elements of v(i) * hash01(p, i), where
+      // hash01 is a deterministic ±1 pattern from (p * 31 + i) % 3 - 1
+      val sig = (0 until planes).map { p =>
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, i) => x * ((i * lit(2 * p + 3)) % 7 - 3).cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      sig.reduce(_ + _)
+    }
+    val c = emb.select(col("vec_id").as("n_vec"),
+      asDouble(col("embedding")).as("n_emb"))
+      .withColumn("bucket", bucket(col("n_emb")))
+    val q = queries.select(col("vec_id").as("q_vec"),
+      asDouble(col("embedding")).as("q_emb"))
+      .withColumn("bucket", bucket(col("q_emb")))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_vec") =!= col("n_vec"))
+      .withColumn("cosine", round(cosine(col("q_emb"), col("n_emb")), 6))
+    val w = Window.partitionBy(col("q_vec"))
+      .orderBy(col("cosine").desc, col("n_vec").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_vec"), col("n_vec"), col("cosine"), col("rank"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns._
+
+/** Text analysis for a training-data pipeline: per-document quality stats,
+  * corpus composition, n-gram-heuristic language ID, and rolling-hash
+  * document fingerprints. All operators are single-pass, partition-parallel
+  * map/agg pipelines (no driver-side loops, no UDFs).
+  */
+object TextAnalysis {
+
+  /** Tiny built-in stopword profiles for the language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de"),
+    "es" -> Seq("el", "la", "los", "que", "y", "es", "un", "una"))
+
+  /** Per-document quality stats: token count, stopword ratio, average token
+    * length — the cheap text-quality signals a filtering pipeline keys on. */
+  def textStats(docs: DataFrame, stopSet: Seq[String]): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      hitCount(toks, stopSet).as("n_stopwords"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("n_letters"))
+      .withColumn("stopword_ratio", col("n_stopwords") / col("n_tokens"))
+      .withColumn("avg_token_len", col("n_letters") / col("n_tokens"))
+  }
+
+  /** Corpus composition: per (lang, source) counts and length stats. */
+  def langSourceStats(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        avg(col("n_chars")).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+
+  /** N-gram (stopword-profile) language ID: score each document against
+    * each language's stopword list; predict the best-scoring language or
+    * 'und' when nothing hits. Deterministic tie-break by language code. */
+  def langIdPredictions(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val hitCols = stopwords.toSeq.sortBy(_._1).map { case (l, set) =>
+      hitCount(toks, set).as(s"hits_$l")
+    }
+    val scored = docs.select(col("doc_id") +: col("lang") +: hitCols: _*)
+    // argmax over the per-language hit counts; ties go to the
+    // lexicographically first language; all-zero → 'und'
+    val langs = stopwords.keys.toSeq.sorted
+    val best = langs.map(l => col(s"hits_$l")).reduce((a, b) => greatest(a, b))
+    val pred = langs.reverse.foldLeft(lit("und")) { case (acc, l) =>
+      when(col(s"hits_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    scored.withColumn("pred_lang", pred).drop(langs.map(l => s"hits_$l"): _*)
+  }
+
+  /** Language-ID confusion matrix: actual lang × predicted lang counts. */
+  def langIdConfusion(docs: DataFrame): DataFrame =
+    langIdPredictions(docs)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Document fingerprint: concatenation of the k lexicographically
+    * smallest shingle hashes (winnowing-style content signature, robust to
+    * local edits). One explode + one agg; fingerprint is 32·k hex chars. */
+  def fingerprints(docs: DataFrame, k: Int): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+        explode(array_distinct(shingles3(tokens(col("text"))))).as("shingle"))
+      .select(col("doc_id"), md5(col("shingle")).as("h"))
+    sh.groupBy(col("doc_id"))
+      .agg(concat_ws("", slice(sort_array(collect_list(col("h"))), 1, k))
+        .as("fingerprint"))
+  }
+}

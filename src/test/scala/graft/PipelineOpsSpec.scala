@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Sources
+import graft.operators._
+import graft.streaming.EventStream
+
+/** Tests for the LLM-data-pipeline operators (dedup, similarity, text
+  * analysis, multimodal, streaming) over literal frames + sf0.001 fixtures. */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  val sfDir = "/root/testdata/sf0.001"
+
+  private def docsOf(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text").withColumn("source", lit("s"))
+      .withColumn("lang", lit("en"))
+
+  test("minhash LSH flags identical and near-identical docs, not disjoint ones") {
+    val d = docsOf(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",  // exact dup
+      3L -> "one two three four five six seven eight nine")   // disjoint
+    val pairs = NearDup.minHashCandidates(d, 12, 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH recalls every high-jaccard pair in the fixtures") {
+    val d = Sources.table(spark, sfDir, "documents")
+    val candidates = NearDup.minHashCandidates(d, 12, 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val groundTruth = NearDup.ngramJaccardPairs(d.withColumn("blk", lit(1)), "blk", 0.9)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(groundTruth.nonEmpty, "fixtures should contain planted near-dups")
+    assert(groundTruth.subsetOf(candidates),
+      s"missed: ${groundTruth -- candidates}; candidates=$candidates")
+  }
+
+  test("simhash: identical docs get identical fingerprints; hamming 0") {
+    val d = docsOf(1L -> "spark scale shuffle join agg", 2L -> "spark scale shuffle join agg")
+    val fps = NearDup.simHash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) === fps(2L))
+    val pairs = NearDup.simHashPairs(NearDup.simHash(d), 0).collect()
+    assert(pairs.length === 1 && pairs.head.getAs[Long]("hamming") === 0L)
+  }
+
+  test("ngram jaccard is 1.0 for identical docs") {
+    val d = docsOf(1L -> "a b c d e", 2L -> "a b c d e")
+    val r = NearDup.ngramJaccardPairs(d, "source", 0.5).collect()
+    assert(r.length === 1 && math.abs(r.head.getAs[Double]("jaccard") - 1.0) < 1e-12)
+  }
+
+  test("knn: nearest neighbour of a vector is its duplicate, self excluded") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f, 0.0f), 0),  // identical to 1
+      (3L, Array(0.0f, 1.0f, 0.0f), 1),
+      (4L, Array(0.7f, 0.7f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val knn = Similarity.bruteForceKnn(emb, emb.filter($"vec_id" === 1), k = 3)
+      .collect().sortBy(_.getAs[Long]("rank"))
+    assert(knn.head.getAs[Long]("n_vec") === 2L)
+    assert(math.abs(knn.head.getAs[Double]("cosine") - 1.0) < 1e-9)
+    assert(knn.forall(_.getAs[Long]("n_vec") != 1L))
+  }
+
+  test("lsh-bucketed knn returns a subset of brute-force candidates with same scoring") {
+    val emb = Sources.table(spark, sfDir, "embeddings")
+    val q = emb.filter($"vec_id" < 3)
+    val approx = Similarity.lshBucketedKnn(emb, q, 5, 4).collect()
+    val exact = Similarity.bruteForceKnn(emb, q, 500).collect()
+      .map(r => (r.getAs[Long]("q_vec"), r.getAs[Long]("n_vec")) -> r.getAs[Double]("cosine")).toMap
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val key = (r.getAs[Long]("q_vec"), r.getAs[Long]("n_vec"))
+      assert(math.abs(exact(key) - r.getAs[Double]("cosine")) < 1e-9)
+    }
+  }
+
+  test("language ID predicts en for English stopword-rich text") {
+    val d = docsOf(1L -> "the cat of the house and a dog", 2L -> "der hund ist nicht ein katze")
+    val preds = TextAnalysis.langIdPredictions(d)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(preds(1L) === "en")
+    assert(preds(2L) === "de")
+  }
+
+  test("text stats: token counts and ratios") {
+    val d = docsOf(1L -> "the quick fox")
+    val r = TextAnalysis.textStats(d, Seq("the")).collect().head
+    assert(r.getAs[Long]("n_tokens") === 3L)
+    assert(r.getAs[Long]("n_stopwords") === 1L)
+    assert(math.abs(r.getAs[Double]("avg_token_len") - 11.0 / 3) < 1e-12)
+  }
+
+  test("fingerprints are stable and order-independent") {
+    val d = docsOf(1L -> "a b c d e f g")
+    val f1 = TextAnalysis.fingerprints(d, 4).collect().head.getAs[String]("fingerprint")
+    assert(f1.length === 4 * 32)
+    val f2 = TextAnalysis.fingerprints(d.repartition(7), 4).collect().head.getAs[String]("fingerprint")
+    assert(f1 === f2)
+  }
+
+  test("multimodal stub decode is deterministic and partition-parallel") {
+    val d = Sources.table(spark, sfDir, "documents").limit(50)
+    val a = Multimodal.decodeFeatures(spark, d).orderBy("doc_id").collect()
+    val b = Multimodal.decodeFeatures(spark, d.repartition(13)).orderBy("doc_id").collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.forall(r => r.getAs[Long]("width") === 320 + r.getAs[Long]("n_bytes") % 320))
+  }
+
+  test("streaming hourly agg equals batch hourly agg") {
+    val streamed = EventStream.runHourlyOnce(spark, sfDir)
+    val batch = SparkEntry.queries("q17_hourly_window")(spark, sfDir)
+    assert(streamed.collect().toSeq === batch.collect().toSeq)
+  }
+
+  test("watermarked streaming agg runs (state-bounded variant)") {
+    val agg = EventStream.hourlyAgg(EventStream.readEvents(spark, sfDir), withWatermark = true)
+    val name = "wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    // append mode emits only watermark-closed windows; with a 2h watermark
+    // all but the final windows close
+    assert(spark.table(name).count() > 0)
+  }
+}
