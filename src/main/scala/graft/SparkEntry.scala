@@ -332,15 +332,21 @@ object SparkEntry {
   }
 
   private val minhashOracle: String = {
+    val p = NearDup.MinHashP
     val sigCols = (0 until MinhashK)
-      .map(i => s"min(md5('$i|' || shingle)) AS s$i").mkString(", ")
+      .map(i => s"min((h1 + $i * h2) % $p) AS s$i")
+      .mkString(", ")
     val bands = (0 until LshBands).map { b =>
-      val parts = (0 until LshRows).map(r => s"s${b * LshRows + r}")
+      val parts = (0 until LshRows).map(r => s"CAST(s${b * LshRows + r} AS VARCHAR)")
         .mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($parts) AS bucket FROM sig"
     }.mkString(" UNION ALL ")
     s"""WITH $sqlShingles,
-        sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+        hh AS (SELECT doc_id,
+                 ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $p AS h1,
+                 ('0x' || substr(md5(shingle), 16, 15))::BIGINT % $p AS h2
+               FROM sh),
+        sig AS (SELECT doc_id, $sigCols FROM hh GROUP BY doc_id),
         bk AS ($bands)
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
@@ -348,15 +354,16 @@ object SparkEntry {
         ORDER BY doc_a ASC, doc_b ASC"""
   }
 
-  /** Shared CTE prefix computing the per-doc 16-bit simhash. */
+  /** Shared CTE prefix computing the per-doc 32-bit simhash. */
   private val simhashCte: String = {
-    val nibs = (1 to 4)
+    val bits = NearDup.SimHashBits
+    val nibs = (1 to bits / 4)
       .map(j => s"strpos('0123456789abcdef', substr(h, $j, 1)) - 1 AS nib$j")
       .mkString(", ")
-    val sums = (0 until 16).map { b =>
+    val sums = (0 until bits).map { b =>
       s"sum(CASE WHEN (nib${b / 4 + 1} >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
     }.mkString(", ")
-    val fp = (0 until 16)
+    val fp = (0 until bits)
       .map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END")
       .mkString(" + ")
     s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
@@ -383,9 +390,10 @@ object SparkEntry {
 
   // ------------------------------------------------------------- contract
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full star join + broadcast dims + exact decimal revenue rollup. */
   def entry(spark: SparkSession): DataFrame =
-    q01(spark, "/root/testdata/sf0.001")
+    q11(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -21,20 +21,25 @@ import graft.functions.TextFns._
   */
 object NearDup {
 
-  /** Distinct (doc_id, shingle) pairs; blockCols are carried through. */
-  private def shingleTable(docs: DataFrame, blockCols: Seq[String]): DataFrame =
-    docs.select((col("doc_id") +: blockCols.map(col)) :+
-        explode(array_distinct(shingles3(tokens(col("text"))))).as("shingle"): _*)
-      .distinct()
+  /** Modulus of the 2-universal min-hash family (2^31 − 1, prime). */
+  val MinHashP = 2147483647L
 
   /** MinHash signatures: one row per doc, k min-hash columns s0..s(k-1).
-    * Computed as k `min` aggregates in ONE hash aggregation (no seed
-    * explosion): per-group state is k strings, shuffle is O(docs). */
+    *
+    * One md5 per shingle, not k: the k hash functions are the 2-universal
+    * affine family h_i = (h1 + i·h2) mod p over two 60-bit halves of the
+    * single md5 (p = 2^31−1, so i·h2 stays far from long overflow). The k
+    * `min`s run in ONE hash aggregation with k primitive LONG buffers —
+    * codegen'd HashAggregate (string buffers would fall back to the
+    * sort-based path) and an O(docs)-size shuffle. */
   def minHashSignatures(docs: DataFrame, k: Int): DataFrame = {
-    val sh = shingleTable(docs, Nil)
-    sh.groupBy(col("doc_id"))
-      .agg(min(seededHash(0, col("shingle"))).as("s0"),
-        (1 until k).map(i => min(seededHash(i, col("shingle"))).as(s"s$i")): _*)
+    val sh = Shingles.table(docs)
+    val withHash = sh
+      .withColumn("md5h", md5(col("shingle")))
+      .withColumn("h1", conv(substring(col("md5h"), 1, 15), 16, 10).cast("long") % MinHashP)
+      .withColumn("h2", conv(substring(col("md5h"), 16, 15), 16, 10).cast("long") % MinHashP)
+    def sig(i: Int) = min((col("h1") + lit(i.toLong) * col("h2")) % MinHashP).as(s"s$i")
+    withHash.groupBy(col("doc_id")).agg(sig(0), (1 until k).map(sig): _*)
   }
 
   /** LSH band buckets: `bands` rows per doc, bucket = md5 of the band's
@@ -51,7 +56,10 @@ object NearDup {
   /** Candidate near-dup pairs: docs sharing any LSH bucket (doc_a < doc_b). */
   def minHashCandidates(docs: DataFrame, k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     require(bands * rowsPerBand <= k)
-    val bk = lshBuckets(minHashSignatures(docs, k), bands, rowsPerBand)
+    // bucket table is referenced twice (both join sides) → persist so the
+    // signature computation runs once
+    val bk = Shingles.shared(
+      lshBuckets(minHashSignatures(docs, k), bands, rowsPerBand))
     val a = bk.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val b = bk.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "bucket"))
@@ -60,7 +68,10 @@ object NearDup {
       .distinct()
   }
 
-  /** 16-bit SimHash fingerprint per document. Tokens keep multiplicity
+  /** SimHash bit width (32 bits = 8 md5 hex digits per token). */
+  val SimHashBits = 32
+
+  /** 32-bit SimHash fingerprint per document. Tokens keep multiplicity
     * (multiplicity = weight). Bit b of the fingerprint is set iff the sum
     * over tokens of ±1 (by bit b of the token's md5 prefix) is positive. */
   def simHash(docs: DataFrame): DataFrame = {
@@ -68,10 +79,10 @@ object NearDup {
       explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("h"))
     val withNibbles = tok.select(col("doc_id") +:
-      (1 to 4).map(j => hexNibble(col("h"), j).as(s"nib$j")): _*)
+      (1 to SimHashBits / 4).map(j => hexNibble(col("h"), j).as(s"nib$j")): _*)
     val sums = withNibbles.groupBy(col("doc_id")).agg(
-      sumBit(0).as("b0"), (1 until 16).map(b => sumBit(b).as(s"b$b")): _*)
-    val fp = (0 until 16).map(b =>
+      sumBit(0).as("b0"), (1 until SimHashBits).map(b => sumBit(b).as(s"b$b")): _*)
+    val fp = (0 until SimHashBits).map(b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
     sums.select(col("doc_id"), fp.as("simhash"))
   }
@@ -84,13 +95,34 @@ object NearDup {
   }
 
   /** Pairs of documents within `maxHamming` SimHash bits of each other.
-    * O(n²) compare — at scale, pre-block on fingerprint prefix bands
-    * before this comparison (same LSH idea as MinHash). */
+    *
+    * Never a cross join: the 32-bit fingerprint splits into 4 bands of 8
+    * bits; by pigeonhole, any pair within Hamming distance < 4 agrees on
+    * at least one whole band, so an equi-join on (band, band-value)
+    * generates ALL qualifying pairs (exact recall), and the cheap
+    * bit_count verify filters false candidates. Candidate volume scales
+    * with band-bucket collisions, not n². */
   def simHashPairs(fingerprints: DataFrame, maxHamming: Int): DataFrame = {
-    val a = fingerprints.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a"))
-    val b = fingerprints.select(col("doc_id").as("doc_b"), col("simhash").as("fp_b"))
-    a.crossJoin(b)
+    val bands = 4
+    require(maxHamming < bands,
+      s"band-join recall guarantee needs maxHamming < $bands")
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bv"))
+    }
+    val banded = Shingles.shared(
+      fingerprints.select(col("doc_id"), col("simhash"),
+          explode(array(bandStructs: _*)).as("x"))
+        .select(col("doc_id"), col("simhash"),
+          col("x.band").as("band"), col("x.bv").as("bv")))
+    val a = banded.select(col("band"), col("bv"),
+      col("doc_id").as("doc_a"), col("simhash").as("fp_a"))
+    val b = banded.select(col("band"), col("bv"),
+      col("doc_id").as("doc_b"), col("simhash").as("fp_b"))
+    a.join(b, Seq("band", "bv"))
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("fp_a"), col("fp_b"))
+      .distinct()
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
@@ -100,7 +132,8 @@ object NearDup {
     * at least one shingle. Shingle equi-join (shuffle on shingle hash),
     * never a cross join. */
   def ngramJaccardPairs(docs: DataFrame, blockCol: String, minJaccard: Double): DataFrame = {
-    val sh = shingleTable(docs, Seq(blockCol))
+    // referenced three times below (both join sides + sizes) → persist
+    val sh = Shingles.shared(Shingles.table(docs, Some(blockCol)))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val a = sh.select(col(blockCol), col("shingle"), col("doc_id").as("doc_a"))
     val b = sh.select(col(blockCol), col("shingle"), col("doc_id").as("doc_b"))

@@ -23,9 +23,11 @@ object Similarity {
   /** embedding column cast to Array[Double] (exact widening). */
   def asDouble(vec: Column): Column = vec.cast(ArrayType(DoubleType))
 
-  /** Sequential-fold dot product of two equal-length double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product via the custom codegen'd Catalyst expression
+    * ([[graft.functions.DotProduct]]): the HOF form
+    * (aggregate ∘ zip_with) evaluates interpreted and breaks whole-stage
+    * codegen on the KNN hot path. Same left-to-right summation order. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dot(a, b)
 
   def l2norm(vec: Column): Column = sqrt(dot(vec, vec))
 

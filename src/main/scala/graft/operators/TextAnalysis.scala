@@ -69,8 +69,7 @@ object TextAnalysis {
     * smallest shingle hashes (winnowing-style content signature, robust to
     * local edits). One explode + one agg; fingerprint is 32·k hex chars. */
   def fingerprints(docs: DataFrame, k: Int): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-        explode(array_distinct(shingles3(tokens(col("text"))))).as("shingle"))
+    val sh = Shingles.table(docs)
       .select(col("doc_id"), md5(col("shingle")).as("h"))
     sh.groupBy(col("doc_id"))
       .agg(concat_ws("", slice(sort_array(collect_list(col("h"))), 1, k))
