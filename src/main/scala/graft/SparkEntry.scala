@@ -317,6 +317,53 @@ object SparkEntry {
       .orderBy(col("q_vec").asc, col("knn_rank").asc)
   }
 
+  /** The reference's schema-adaptive "clean laps" filter chain
+    * (load_clean_laps: null/NaN guard, set membership, equality, range,
+    * optional columns probed before filtering), then a multi-key grouped
+    * aggregate with HAVING (reference:
+    * src/processing/fastest_vs_most_consistent_drivers.py:53-106). */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val base = withDay(events(s, dir))
+      .withColumn("hour", hour(col("ts_utc")).cast("long"))
+    val cleaned = Seq[DataFrame => DataFrame](
+      df => df.filter(Cleaning.notMissing(col("value"))),
+      df => df.filter(col("event_type").isin("click", "view", "purchase")),
+      df => Cleaning.filterIfPresent(df, "user_id")(_.isNotNull),
+      df => Cleaning.filterIfPresent(df, "props")(_.isNotNull),
+      df => df.filter(col("value").cast("double") >= 5.0),
+      // schema-adaptive no-op: column absent in this fixture, probed first
+      df => Cleaning.filterIfPresent(df, "is_accurate")(_ === lit(true))
+    ).foldLeft(base) { case (df, f) => f(df) }
+    cleaned
+      .groupBy(col("user_id"), col("event_type"), col("day"), col("hour"))
+      .agg(count(lit(1)).as("n_events"), avg(col("value")).as("avg_value"))
+      .filter(col("n_events") >= 2)
+      .select(col("user_id"), col("event_type"), col("day"), col("hour"),
+        col("n_events"), r6(col("avg_value")).as("avg_value"))
+      .orderBy(col("user_id").asc, col("event_type").asc, col("day").asc,
+        col("hour").asc)
+  }
+
+  /** Grouped OLS slope via the typed Aggregator UDAF — same math and
+    * oracle shape as q06, exercised through Dataset.groupByKey.agg. */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type")).orderBy(col("event_id").asc)
+    val pts = cleanEvents(s, dir)
+      .withColumn("x", row_number().over(w).cast("double"))
+      .select(col("user_id"), col("event_type"), col("x"), col("value"))
+      .as[(Long, String, Double, Double)]
+    pts.groupByKey { case (u, t, _, _) => (u, t) }
+      .mapValues { case (_, _, x, y) => (x, y) }
+      .agg(SlopeAggregator.agg.toColumn.name("out"))
+      .toDF("key", "out")
+      .select(col("key._1").as("user_id"), col("key._2").as("event_type"),
+        col("out.n_obs").as("n_obs"), r6(col("out.slope")).as("slope"))
+      .filter(col("n_obs") >= 8)
+      .orderBy(col("user_id").asc, col("event_type").asc)
+  }
+
   // ----------------------------------------------- generated oracle SQL
 
   private val sqlShingles =
@@ -427,7 +474,9 @@ object SparkEntry {
     "q28_fingerprints" -> (q28 _),
     "q29_multimodal_stub" -> (q29 _),
     "q30_stream_hourly" -> (q30 _),
-    "q31_knn_lsh_bucketed" -> (q31 _))
+    "q31_knn_lsh_bucketed" -> (q31 _),
+    "q32_clean_filter_chain" -> (q32 _),
+    "q33_slope_aggregator" -> (q33 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -652,5 +701,32 @@ object SparkEntry {
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
                  event_type, count(*) AS n_events, round(avg(value), 6) AS avg_value
           FROM events GROUP BY 1, 2
-          ORDER BY hour_start ASC, event_type ASC""")
+          ORDER BY hour_start ASC, event_type ASC""",
+    "q32_clean_filter_chain" ->
+      s"""SELECT user_id, event_type, strftime(ts, '%Y-%m-%d') AS day,
+                 CAST(hour(ts) AS BIGINT) AS hour,
+                 count(*) AS n_events, round(avg(value), 6) AS avg_value
+          FROM events
+          WHERE $sqlClean
+            AND event_type IN ('click', 'view', 'purchase')
+            AND user_id IS NOT NULL AND props IS NOT NULL
+            AND CAST(value AS DOUBLE) >= 5.0
+          GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2
+          ORDER BY user_id ASC, event_type ASC, day ASC, hour ASC""",
+    "q33_slope_aggregator" ->
+      s"""WITH base AS (
+            SELECT user_id, event_type, value,
+                   CAST(row_number() OVER (
+                     PARTITION BY user_id, event_type ORDER BY event_id ASC) AS DOUBLE) AS x
+            FROM events WHERE $sqlClean),
+          m AS (
+            SELECT user_id, event_type, count(*) AS n_obs,
+                   avg(x) AS x_mean, avg(value) AS y_mean,
+                   avg(x * value) AS xy_mean, avg(x * x) AS xx_mean
+            FROM base GROUP BY 1, 2 HAVING count(*) >= 8)
+          SELECT user_id, event_type, n_obs,
+                 round(CASE WHEN xx_mean - x_mean * x_mean = 0 THEN NULL
+                       ELSE (xy_mean - x_mean * y_mean) / (xx_mean - x_mean * x_mean)
+                       END, 6) AS slope
+          FROM m ORDER BY user_id ASC, event_type ASC""")
 }

@@ -95,6 +95,18 @@ object Sources {
     "region" -> region, "events" -> events, "documents" -> documents,
     "embeddings" -> embeddings)
 
+  /** Idempotent keyed write — the engine analog of the reference's
+    * unique-index + bulk-upsert ingest (reference:
+    * src/ingest/ingest_laps.py:57-68): dedup to the latest row per key,
+    * then overwrite the target. Re-running the same ingest produces an
+    * identical table (re-run ≡ upsert). At scale the target would be
+    * partitioned (`partitionBy`) so an incremental run only rewrites the
+    * affected partitions. */
+  def idempotentWrite(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+                      versionCol: String, path: String): Unit =
+    Dedup.latestByKey(df, keys, Seq(org.apache.spark.sql.functions.col(versionCol)))
+      .write.mode("overwrite").parquet(path)
+
   /** Scan one fixture table with its pinned schema. For `events`, reads the
     * nanos timestamp as LONG and derives `ts_utc: timestamp` (micros). */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {

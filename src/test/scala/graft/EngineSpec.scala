@@ -89,6 +89,37 @@ class EngineSpec extends AnyFunSuite {
     assert(dups.length === 1 && dups.head.getAs[Long]("n_dups") === 2L)
   }
 
+  test("typed SlopeAggregator matches the moment formula") {
+    val pts = (1 to 10).map(x => (("g", 1L), (x.toDouble, 2.5 * x - 7)))
+    val ds = pts.toDS()
+    val out = ds.groupByKey(_._1).mapValues(_._2)
+      .agg(SlopeAggregator.agg.toColumn.name("out"))
+      .collect().head._2
+    assert(out.n_obs === 10L)
+    assert(math.abs(out.slope.get - 2.5) < 1e-9)
+  }
+
+  test("SlopeAggregator returns None for zero-variance x") {
+    val ds = Seq((("g", 1L), (3.0, 1.0)), (("g", 1L), (3.0, 9.0))).toDS()
+    val out = ds.groupByKey(_._1).mapValues(_._2)
+      .agg(SlopeAggregator.agg.toColumn.name("out"))
+      .collect().head._2
+    assert(out.slope.isEmpty)
+  }
+
+  test("idempotentWrite: re-running the same ingest is a no-op (upsert semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val v1 = Seq((1L, "a", 10.0, 1L), (1L, "a", 11.0, 2L), (2L, "b", 20.0, 1L))
+      .toDF("k", "t", "v", "version")
+    Sources.idempotentWrite(v1, Seq("k", "t"), "version", dir)
+    val first = spark.read.parquet(dir).orderBy("k").collect().toSeq
+    Sources.idempotentWrite(v1, Seq("k", "t"), "version", dir)
+    val second = spark.read.parquet(dir).orderBy("k").collect().toSeq
+    assert(first === second)
+    assert(first.size === 2)  // latest version per key survives
+    assert(first.find(_.getAs[Long]("k") == 1L).get.getAs[Double]("v") === 11.0)
+  }
+
   test("paretoTopK composite rank ordering") {
     val df = Seq(("A", 1.0, 5.0), ("B", 2.0, 1.0), ("C", 3.0, 3.0))
       .toDF("k", "speed", "cons")
