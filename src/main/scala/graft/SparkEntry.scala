@@ -364,6 +364,27 @@ object SparkEntry {
       .orderBy(col("user_id").asc, col("event_type").asc)
   }
 
+  /** As-of join: each 'view' event matched to the user's latest
+    * prior-or-equal 'click' (composed operator — Spark has no native
+    * as-of join; DuckDB's native ASOF JOIN is the oracle). Times compared
+    * on the raw nanosecond longs so both engines see identical ordering. */
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    // note: no time-delta output — DuckDB rounds the ns parquet timestamps
+    // to µs on read, so a derived lag would differ in the last digits even
+    // though the matches themselves are identical
+    graft.operators.AsOfJoin.asofLeft(views, clicks,
+        keys = Seq("user_id"), timeCol = "ts",
+        carry = Map("event_id" -> "click_event_id", "value" -> "click_value"))
+      .select(col("event_id"), col("user_id"),
+        col("click_event_id"), r6(col("click_value")).as("click_value"))
+      .orderBy(col("event_id").asc)
+  }
+
   // ----------------------------------------------- generated oracle SQL
 
   private val sqlShingles =
@@ -476,7 +497,8 @@ object SparkEntry {
     "q30_stream_hourly" -> (q30 _),
     "q31_knn_lsh_bucketed" -> (q31 _),
     "q32_clean_filter_chain" -> (q32 _),
-    "q33_slope_aggregator" -> (q33 _))
+    "q33_slope_aggregator" -> (q33 _),
+    "q34_asof_join" -> (q34 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -728,5 +750,14 @@ object SparkEntry {
                  round(CASE WHEN xx_mean - x_mean * x_mean = 0 THEN NULL
                        ELSE (xy_mean - x_mean * y_mean) / (xx_mean - x_mean * x_mean)
                        END, 6) AS slope
-          FROM m ORDER BY user_id ASC, event_type ASC""")
+          FROM m ORDER BY user_id ASC, event_type ASC""",
+    "q34_asof_join" ->
+      s"""SELECT v.event_id, v.user_id, c.event_id AS click_event_id,
+                 round(c.value, 6) AS click_value
+          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+          ASOF LEFT JOIN
+               (SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'click') c
+            ON v.user_id = c.user_id AND v.ts >= c.ts
+          ORDER BY v.event_id ASC""")
 }

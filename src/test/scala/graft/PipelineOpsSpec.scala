@@ -113,6 +113,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a.forall(r => r.getAs[Long]("width") === 320 + r.getAs[Long]("n_bytes") % 320))
   }
 
+  test("asof join picks the latest prior-or-equal right row per key") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 20L, 50L))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((91L, 10L, 100L, 1.0), (92L, 10L, 200L, 2.0), (93L, 99L, 1L, 9.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = AsOfJoin.asofLeft(left, right, Seq("user_id"), "ts",
+        Map("event_id" -> "r_id", "value" -> "r_value"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(r.fieldIndex("r_id"))) None else Some(r.getAs[Long]("r_id")))).toMap
+    assert(out(1L) === Some(91L))  // equal time matches (inclusive)
+    assert(out(2L) === Some(92L))  // later left row sees the newer right row
+    assert(out(3L) === None)       // no right rows for that key
+  }
+
+  test("salted join equals plain join") {
+    val fact = (1 to 500).map(i => (i.toLong % 3, i.toLong)).toDF("k", "payload")
+    val dim = Seq((0L, "zero"), (1L, "one"), (2L, "two")).toDF("k", "name")
+    val plain = fact.join(dim, "k").select("k", "payload", "name")
+      .collect().map(_.toSeq).toSet
+    val salted = graft.engine.Joins.saltedJoin(fact, dim, "k", 8, col("payload"))
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    assert(salted === plain)
+  }
+
   test("streaming hourly agg equals batch hourly agg") {
     val streamed = EventStream.runHourlyOnce(spark, sfDir)
     val batch = SparkEntry.queries("q17_hourly_window")(spark, sfDir)
