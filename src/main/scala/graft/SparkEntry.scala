@@ -385,6 +385,30 @@ object SparkEntry {
       .orderBy(col("event_id").asc)
   }
 
+  /** Exact interpolated quantiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`) + exact distinct counts per group. */
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("median_raw"),
+        expr("percentile(value, 0.9)").as("p90_raw"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("event_type"), r6(col("median_raw")).as("median_value"),
+        r6(col("p90_raw")).as("p90_value"), col("n_users"))
+      .orderBy(col("event_type").asc)
+
+  /** Sketch aggregates (HLL++ distinct, approximate quantiles): sketch
+    * internals differ between engines, so this query has no SQL oracle —
+    * the driver records the rows-only check. At 100 TB these replace their
+    * exact counterparts: fixed-size state, one pass, mergeable. */
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        approx_count_distinct(col("value"), 0.01).as("approx_values"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median"))
+      .orderBy(col("event_type").asc)
+
   // ----------------------------------------------- generated oracle SQL
 
   private val sqlShingles =
@@ -498,7 +522,9 @@ object SparkEntry {
     "q31_knn_lsh_bucketed" -> (q31 _),
     "q32_clean_filter_chain" -> (q32 _),
     "q33_slope_aggregator" -> (q33 _),
-    "q34_asof_join" -> (q34 _))
+    "q34_asof_join" -> (q34 _),
+    "q35_quantiles" -> (q35 _),
+    "q36_approx_sketches" -> (q36 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -759,5 +785,11 @@ object SparkEntry {
                (SELECT event_id, user_id, ts, value FROM events
                 WHERE event_type = 'click') c
             ON v.user_id = c.user_id AND v.ts >= c.ts
-          ORDER BY v.event_id ASC""")
+          ORDER BY v.event_id ASC""",
+    "q35_quantiles" ->
+      s"""SELECT event_type,
+                 round(quantile_cont(value, 0.5), 6) AS median_value,
+                 round(quantile_cont(value, 0.9), 6) AS p90_value,
+                 count(DISTINCT user_id) AS n_users
+          FROM events GROUP BY event_type ORDER BY event_type ASC""")
 }
