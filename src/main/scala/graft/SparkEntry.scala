@@ -409,6 +409,31 @@ object SparkEntry {
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median"))
       .orderBy(col("event_type").asc)
 
+  /** Gap-based sessionization with Spark's native `session_window`
+    * (1-hour inactivity gap), oracle'd by the equivalent lag/cumulative-sum
+    * formulation in SQL. Output uses per-user session ordinals instead of
+    * timestamps (engines round the ns fixtures differently at µs). */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val sess = events(s, dir)
+      .groupBy(session_window(col("ts_utc"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), avg(col("value")).as("avg_value"))
+      .select(col("user_id"), col("session_window.start").as("st"),
+        col("n_events"), col("avg_value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("st").asc)
+    sess.withColumn("session_ordinal", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_ordinal"), col("n_events"),
+        r6(col("avg_value")).as("avg_value"))
+      .orderBy(col("user_id").asc, col("session_ordinal").asc)
+  }
+
+  /** Star-fact integrity audit (counts / distincts / missing) — the
+    * check_counts analog over lineitem. */
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    Aggregates.integrity(Sources.table(s, dir, "lineitem"),
+      distinctCols = Seq("l_suppkey", "l_partkey", "l_returnflag"),
+      missingCols = Seq("l_quantity", "l_extendedprice"))
+
   // ----------------------------------------------- generated oracle SQL
 
   private val sqlShingles =
@@ -524,7 +549,9 @@ object SparkEntry {
     "q33_slope_aggregator" -> (q33 _),
     "q34_asof_join" -> (q34 _),
     "q35_quantiles" -> (q35 _),
-    "q36_approx_sketches" -> (q36 _))
+    "q36_approx_sketches" -> (q36 _),
+    "q37_sessionization" -> (q37 _),
+    "q38_integrity_lineitem" -> (q38 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -791,5 +818,32 @@ object SparkEntry {
                  round(quantile_cont(value, 0.5), 6) AS median_value,
                  round(quantile_cont(value, 0.9), 6) AS p90_value,
                  count(DISTINCT user_id) AS n_users
-          FROM events GROUP BY event_type ORDER BY event_type ASC""")
+          FROM events GROUP BY event_type ORDER BY event_type ASC""",
+    "q37_sessionization" ->
+      s"""WITH o AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                          OR epoch_ns(ts) - epoch_ns(lag(ts) OVER (
+                               PARTITION BY user_id ORDER BY ts)) > 3600000000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events),
+          sess AS (
+            SELECT user_id, value,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session_ordinal
+            FROM o)
+          SELECT user_id, session_ordinal, count(*) AS n_events,
+                 round(avg(value), 6) AS avg_value
+          FROM sess GROUP BY user_id, session_ordinal
+          ORDER BY user_id ASC, session_ordinal ASC""",
+    "q38_integrity_lineitem" ->
+      s"""SELECT count(*) AS n_rows,
+                 count(DISTINCT l_suppkey) AS n_distinct_l_suppkey,
+                 count(DISTINCT l_partkey) AS n_distinct_l_partkey,
+                 count(DISTINCT l_returnflag) AS n_distinct_l_returnflag,
+                 count(CASE WHEN l_quantity IS NULL OR isnan(l_quantity) THEN 1 END)
+                   AS n_missing_l_quantity,
+                 count(CASE WHEN l_extendedprice IS NULL OR isnan(l_extendedprice) THEN 1 END)
+                   AS n_missing_l_extendedprice
+          FROM lineitem""")
 }

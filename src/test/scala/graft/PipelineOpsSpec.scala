@@ -143,6 +143,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(streamed.collect().toSeq === batch.collect().toSeq)
   }
 
+  test("streaming session_window agg runs with watermark (stateful sessions)") {
+    val stream = EventStream.readEvents(spark, sfDir)
+      .withWatermark("ts_utc", "2 hours")
+      .groupBy(session_window(col("ts_utc"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val name = "sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = stream.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table(name).count() > 0)
+  }
+
   test("watermarked streaming agg runs (state-bounded variant)") {
     val agg = EventStream.hourlyAgg(EventStream.readEvents(spark, sfDir), withWatermark = true)
     val name = "wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
