@@ -127,6 +127,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(3L) === None)       // no right rows for that key
   }
 
+  test("graft_dot is callable from SQL after registration") {
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "graft_dot",
+      exprs => graft.functions.DotProduct(exprs(0), exprs(1)))
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect().head
+    assert(math.abs(r.getDouble(0) - 11.0) < 1e-12)
+  }
+
+  test("bucketed co-located join plans without a shuffle exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Sources.table(spark, sfDir, "lineitem")
+      val ord = Sources.table(spark, sfDir, "orders")
+      li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/li_b").mode("overwrite").saveAsTable("li_b")
+      ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/ord_b").mode("overwrite").saveAsTable("ord_b")
+      val j = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      assert(j.count() > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+
   test("salted join equals plain join") {
     val fact = (1 to 500).map(i => (i.toLong % 3, i.toLong)).toDF("k", "payload")
     val dim = Seq((0L, "zero"), (1L, "one"), (2L, "two")).toDF("k", "name")
