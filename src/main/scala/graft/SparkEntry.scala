@@ -434,6 +434,30 @@ object SparkEntry {
       distinctCols = Seq("l_suppkey", "l_partkey", "l_returnflag"),
       missingCols = Seq("l_quantity", "l_extendedprice"))
 
+  /** ROLLUP subtotal hierarchy over the fact table (grouping-set surface;
+    * NULLS FIRST pinned on both sides — Spark's asc default vs DuckDB's
+    * NULLS LAST default would otherwise reorder subtotal rows). */
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        Aggregates.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n_items"),
+        round(col("rev").cast("double"), 2).as("revenue"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Static pivot: per-user average value by event type (CASE-based
+    * equivalent in the oracle keeps it engine-portable). */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    cleanEvents(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(avg(col("value")))
+      .select(col("user_id") +: types.map(t => r6(col(t)).as(s"avg_$t")): _*)
+      .orderBy(col("user_id").asc)
+  }
+
   // ----------------------------------------------- generated oracle SQL
 
   private val sqlShingles =
@@ -551,7 +575,9 @@ object SparkEntry {
     "q35_quantiles" -> (q35 _),
     "q36_approx_sketches" -> (q36 _),
     "q37_sessionization" -> (q37 _),
-    "q38_integrity_lineitem" -> (q38 _))
+    "q38_integrity_lineitem" -> (q38 _),
+    "q39_rollup_revenue" -> (q39 _),
+    "q40_pivot_by_type" -> (q40 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -845,5 +871,19 @@ object SparkEntry {
                    AS n_missing_l_quantity,
                  count(CASE WHEN l_extendedprice IS NULL OR isnan(l_extendedprice) THEN 1 END)
                    AS n_missing_l_extendedprice
-          FROM lineitem""")
+          FROM lineitem""",
+    "q39_rollup_revenue" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+                 round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+          FROM lineitem
+          GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q40_pivot_by_type" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cols = types.map(t =>
+        s"round(avg(CASE WHEN event_type = '$t' THEN value END), 6) AS avg_$t")
+        .mkString(", ")
+      s"""SELECT user_id, $cols FROM events WHERE $sqlClean
+          GROUP BY user_id ORDER BY user_id ASC"""
+    })
 }
