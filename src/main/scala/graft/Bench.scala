@@ -14,6 +14,9 @@ object Bench {
     // startup; touches no benchmark data.
     spark.range(1000000).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // each query measured from a clean cache: operators persist
+      // intra-plan intermediates, which must not bleed into later timings
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -458,6 +458,24 @@ object SparkEntry {
       .orderBy(col("user_id").asc)
   }
 
+  /** Per-label embedding centroids (IVF coarse-quantizer shape). */
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroids(Sources.table(s, dir, "embeddings"))
+      .select(col("label"), col("dim"), r6(col("centroid")).as("centroid"))
+      .orderBy(col("label").asc, col("dim").asc)
+
+  /** JSON scalar extraction from the event props payload (json-function
+    * surface — absent in the reference, standard pipeline need). */
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"), avg(col("k")).as("avg_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .select(col("event_type"), col("n_with_k"), r6(col("avg_k")).as("avg_k"),
+        col("min_k"), col("max_k"))
+      .orderBy(col("event_type").asc)
+
   // ----------------------------------------------- generated oracle SQL
 
   private val sqlShingles =
@@ -577,7 +595,9 @@ object SparkEntry {
     "q37_sessionization" -> (q37 _),
     "q38_integrity_lineitem" -> (q38 _),
     "q39_rollup_revenue" -> (q39 _),
-    "q40_pivot_by_type" -> (q40 _))
+    "q40_pivot_by_type" -> (q40 _),
+    "q41_label_centroids" -> (q41 _),
+    "q42_json_extract" -> (q42 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -885,5 +905,17 @@ object SparkEntry {
         .mkString(", ")
       s"""SELECT user_id, $cols FROM events WHERE $sqlClean
           GROUP BY user_id ORDER BY user_id ASC"""
-    })
+    },
+    "q41_label_centroids" ->
+      s"""SELECT label, i AS dim,
+                 round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
+          GROUP BY label, i ORDER BY label ASC, dim ASC""",
+    "q42_json_extract" ->
+      s"""SELECT event_type,
+                 count(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS n_with_k,
+                 round(avg(CAST(json_extract_string(props, '$$.k') AS BIGINT)), 6) AS avg_k,
+                 min(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS min_k,
+                 max(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS max_k
+          FROM events GROUP BY event_type ORDER BY event_type ASC""")
 }

@@ -58,6 +58,16 @@ object Similarity {
       .select(col("q_vec"), col("n_vec"), col("cosine"), col("rank"))
   }
 
+  /** Per-label element-wise centroids — the coarse-quantizer building
+    * block of an IVF index (and per-class mean embeddings generally).
+    * posexplode → (label, dim) grouped avg: one shuffle carrying
+    * |labels| × dims rows after partial aggregation. */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(asDouble(col("embedding"))))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"), col("col").as("v"))
+      .groupBy(col("label"), col("dim"))
+      .agg(avg(col("v")).as("centroid"))
+
   /** LSH-bucketed ANN: sign-bit signature over `planes` pseudo-random
     * hyperplanes (deterministic from the vector itself via index-seeded
     * element signs), queries scored only against same-bucket vectors.
