@@ -127,6 +127,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(3L) === None)       // no right rows for that key
   }
 
+  test("shingle generator handles nulls, short docs, and duplicate shingles") {
+    val d = Seq((1L, "a b c b a b c"), (2L, "x y"), (3L, null))
+      .toDF("doc_id", "text").withColumn("source", lit("s")).withColumn("lang", lit("en"))
+    val sh = Shingles.table(d)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // doc 1: a b c / b c b / c b a / b a b / a b c(dup dropped)
+    assert(sh.count(_._1 == 1L) === 4)
+    assert(sh.forall(_._1 == 1L))  // doc 2 (<3 tokens) and doc 3 (null) emit nothing
+  }
+
   test("graft_dot is callable from SQL after registration") {
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "graft_dot",
       exprs => graft.functions.DotProduct(exprs(0), exprs(1)))
