@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.engine.Sources
 
@@ -37,6 +37,39 @@ object EventStream {
     val src = if (withWatermark) stream.withWatermark("ts_utc", "2 hours") else stream
     src.groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), avg(col("value")).as("avg_value"))
+  }
+
+  /** Welford accumulator carried as per-key stream state. */
+  case class UserState(n: Long, mean: Double, m2: Double)
+
+  /** Emitted per key per micro-batch: running count/mean/σ_pop. */
+  case class UserStats(user_id: Long, n: Long, mean: Double, stddev_pop: Double)
+
+  /** Custom keyed state via `flatMapGroupsWithState`: per-user running
+    * count/mean/variance (Welford, numerically stable), state = one
+    * 3-field case class per key — the arbitrary-state API for stream
+    * logic that windowed aggs can't express. State lives in the state
+    * store (checkpointed, per-key partitioned); at scale bound it with a
+    * timeout instead of NoTimeout. */
+  def runningUserStats(events: DataFrame): Dataset[UserStats] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserState, UserStats](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserState]) =>
+          var s = state.getOption.getOrElse(UserState(0L, 0.0, 0.0))
+          rows.foreach { case (_, v) =>
+            val n1 = s.n + 1
+            val d = v - s.mean
+            val mean1 = s.mean + d / n1
+            s = UserState(n1, mean1, s.m2 + d * (v - mean1))
+          }
+          state.update(s)
+          Iterator(UserStats(user, s.n, s.mean,
+            if (s.n == 0) 0.0 else math.sqrt(s.m2 / s.n)))
+      }
   }
 
   /** Run the streaming aggregation to completion over the fixture batch

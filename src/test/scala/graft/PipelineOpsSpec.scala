@@ -195,6 +195,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(spark.table(name).count() > 0)
   }
 
+  test("flatMapGroupsWithState running stats equal the batch aggregation") {
+    val stats = EventStream.runningUserStats(EventStream.readEvents(spark, sfDir))
+    val name = "fmgs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = stats.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    // single micro-batch → one emitted row per user = final state
+    val streamed = spark.table(name)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("mean"), r.getAs[Double]("stddev_pop"))).toMap
+    val batch = graft.engine.Aggregates.groupedStats(
+        Sources.table(spark, sfDir, "events"), Seq("user_id"), "value")
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("avg_value"), r.getAs[Double]("stddev_value"))).toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (u, (n, mean, sd)) =>
+      val (bn, bmean, bsd) = batch(u)
+      assert(n === bn)
+      assert(math.abs(mean - bmean) < 1e-6, s"user $u mean")
+      assert(math.abs(sd - bsd) < 1e-6, s"user $u stddev")
+    }
+  }
+
   test("watermarked streaming agg runs (state-bounded variant)") {
     val agg = EventStream.hourlyAgg(EventStream.readEvents(spark, sfDir), withWatermark = true)
     val name = "wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
