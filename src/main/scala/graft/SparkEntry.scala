@@ -476,6 +476,16 @@ object SparkEntry {
         col("min_k"), col("max_k"))
       .orderBy(col("event_type").asc)
 
+  /** IVF-bucketed approximate KNN: label centroids as the coarse
+    * quantizer, 2 probes (approximate by design → rows-only check). */
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.table(s, dir, "embeddings")
+    Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 10),
+        Similarity.labelCentroids(emb), k = 5, nProbe = 2)
+      .withColumnRenamed("rank", "knn_rank")
+      .orderBy(col("q_vec").asc, col("knn_rank").asc)
+  }
+
   // ----------------------------------------------- generated oracle SQL
 
   private val sqlShingles =
@@ -597,7 +607,8 @@ object SparkEntry {
     "q39_rollup_revenue" -> (q39 _),
     "q40_pivot_by_type" -> (q40 _),
     "q41_label_centroids" -> (q41 _),
-    "q42_json_extract" -> (q42 _))
+    "q42_json_extract" -> (q42 _),
+    "q43_knn_ivf" -> (q43 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */

@@ -29,16 +29,4 @@ object Cleaning {
     */
   def filterIfPresent(df: DataFrame, colName: String)(p: Column => Column): DataFrame =
     if (df.columns.contains(colName)) df.filter(p(col(colName))) else df
-
-  /** The composite "clean rows" chain used by the measure queries: the
-    * measure must be present; optional quality columns filter only when the
-    * schema has them (schema-adaptive, like the reference's
-    * `load_clean_laps`). */
-  def cleanMeasure(df: DataFrame, measure: String,
-                   requiredEquals: Map[String, Any] = Map.empty): DataFrame = {
-    val base = df.filter(notMissing(col(measure)))
-    requiredEquals.foldLeft(base) { case (d, (c, v)) =>
-      filterIfPresent(d, c)(_ === lit(v))
-    }
-  }
 }

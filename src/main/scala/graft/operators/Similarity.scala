@@ -68,6 +68,46 @@ object Similarity {
       .groupBy(col("label"), col("dim"))
       .agg(avg(col("v")).as("centroid"))
 
+  /** IVF-style ANN: the corpus is partitioned into inverted lists by
+    * nearest coarse centroid; each query scores only the lists of its
+    * `nProbe` nearest centroids. With |centroids| = √n lists this turns
+    * the n·q cross join into ~q·nProbe·√n scored pairs — the standard
+    * sub-linear ANN layout. Centroids come in (centroid_id, dim, value)
+    * row form (e.g. [[labelCentroids]] output, or a k-means fit).
+    * Assignments and ranks break ties on rounded cosine + id, so the
+    * result is deterministic. */
+  def ivfKnn(emb: DataFrame, queries: DataFrame, centroids: DataFrame,
+             k: Int, nProbe: Int): DataFrame = {
+    // (centroid_id, dim, value) rows → (centroid_id, cvec Array[Double])
+    val centVecs = centroids
+      .groupBy(col("label").as("centroid_id"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
+        x => x.getField("centroid")).as("cvec"))
+    def assign(vecs: DataFrame, idCol: String, vecCol: String, keep: Int): DataFrame = {
+      val scored = vecs.crossJoin(broadcast(centVecs))
+        .withColumn("c_cos", round(cosine(col(vecCol), col("cvec")), 6))
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("c_cos").desc, col("centroid_id").asc)
+      scored.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= keep)
+        .drop("__r", "c_cos", "cvec")
+    }
+    val corpus = assign(
+      emb.select(col("vec_id").as("n_vec"), asDouble(col("embedding")).as("n_emb")),
+      "n_vec", "n_emb", keep = 1)
+    val probes = assign(
+      queries.select(col("vec_id").as("q_vec"), asDouble(col("embedding")).as("q_emb")),
+      "q_vec", "q_emb", keep = nProbe)
+    val scored = corpus.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("q_vec") =!= col("n_vec"))
+      .withColumn("cosine", round(cosine(col("q_emb"), col("n_emb")), 6))
+    val w = Window.partitionBy(col("q_vec"))
+      .orderBy(col("cosine").desc, col("n_vec").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_vec"), col("n_vec"), col("cosine"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: sign-bit signature over `planes` pseudo-random
     * hyperplanes (deterministic from the vector itself via index-seeded
     * element signs), queries scored only against same-bucket vectors.

@@ -81,6 +81,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf knn scores match brute-force for the pairs it returns, with decent recall") {
+    val emb = Sources.table(spark, sfDir, "embeddings")
+    val q = emb.filter($"vec_id" < 5)
+    // synthetic embeddings are only weakly label-clustered → probe 4 of
+    // the 10 lists for a recall the assertion can rely on
+    val ivf = Similarity.ivfKnn(emb, q, Similarity.labelCentroids(emb), 5, 4).collect()
+    val exact = Similarity.bruteForceKnn(emb, q, 500).collect()
+      .map(r => (r.getAs[Long]("q_vec"), r.getAs[Long]("n_vec")) -> r.getAs[Double]("cosine")).toMap
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("q_vec"), r.getAs[Long]("n_vec"))
+      assert(math.abs(exact(key) - r.getAs[Double]("cosine")) < 1e-9)
+    }
+    // recall@5 vs exact top-5 (data-dependent; assert it's not degenerate)
+    val exactTop = Similarity.bruteForceKnn(emb, q, 5).collect()
+      .map(r => (r.getAs[Long]("q_vec"), r.getAs[Long]("n_vec"))).toSet
+    val got = ivf.map(r => (r.getAs[Long]("q_vec"), r.getAs[Long]("n_vec"))).toSet
+    val recall = (exactTop & got).size.toDouble / exactTop.size
+    assert(recall >= 0.4, s"ivf recall@5 = $recall")
+  }
+
   test("language ID predicts en for English stopword-rich text") {
     val d = docsOf(1L -> "the cat of the house and a dog", 2L -> "der hund ist nicht ein katze")
     val preds = TextAnalysis.langIdPredictions(d)
