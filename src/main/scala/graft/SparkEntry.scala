@@ -257,7 +257,7 @@ object SparkEntry {
     NearDup.minHashCandidates(docs(s, dir), MinhashK, LshBands, LshRows)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
 
-  /** SimHash 16-bit fingerprints per document. */
+  /** SimHash 32-bit fingerprints per document. */
   private def q22(s: SparkSession, dir: String): DataFrame =
     NearDup.simHash(docs(s, dir)).orderBy(col("doc_id").asc)
 

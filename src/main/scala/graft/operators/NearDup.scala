@@ -11,7 +11,7 @@ import graft.functions.TextFns._
   *    bucket-join. The join is on (band, bucket), so candidate generation is
   *    a hash-partitioned equi-join whose cost scales with bucket collisions,
   *    NOT with n² — the 100 TB-safe shape for fuzzy dedup.
-  *  - SimHash: per-document 16-bit sign fingerprint of token hashes; near
+  *  - SimHash: per-document 32-bit sign fingerprint of token hashes; near
   *    dups are pairs at small Hamming distance.
   *  - Exact n-gram Jaccard: shingle equi-join restricted to a blocking key
   *    (source), used to score/verify candidates exactly.
@@ -104,11 +104,15 @@ object NearDup {
     * with band-bucket collisions, not n². */
   def simHashPairs(fingerprints: DataFrame, maxHamming: Int): DataFrame = {
     val bands = 4
+    val bandBits = SimHashBits / bands
+    val bandMask = (1L << bandBits) - 1
+    require(bands * bandBits == SimHashBits,
+      "bands must evenly cover the full fingerprint")
     require(maxHamming < bands,
       s"band-join recall guarantee needs maxHamming < $bands")
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bv"))
+        shiftright(col("simhash"), bandBits * b).bitwiseAND(lit(bandMask)).as("bv"))
     }
     val banded = Shingles.shared(
       fingerprints.select(col("doc_id"), col("simhash"),
