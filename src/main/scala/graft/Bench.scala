@@ -18,8 +18,16 @@ object Bench {
       // intra-plan intermediates, which must not bleed into later timings
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // noop sink executes the FULL declared plan (count() would let
+      // Catalyst prune window/projection expressions and eliminate the
+      // final sorts, under-measuring the queries)
+      val ok =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+      // failures are visible as negative time, not a fast "success"
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

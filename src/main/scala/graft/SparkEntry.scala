@@ -233,6 +233,10 @@ object SparkEntry {
   private val LshBands = 4
   private val LshRows = 3
 
+  /** Fixture embedding dimensionality (shared with the q41 oracle SQL;
+    * the Spark side derives dims from the data via posexplode). */
+  private val EmbeddingDim = 64
+
   /** Per-document text-quality stats. */
   private def q18(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.textStats(docs(s, dir), TextAnalysis.stopwords("en"))
@@ -881,7 +885,7 @@ object SparkEntry {
             SELECT user_id, ts, value,
                    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                           OR epoch_ns(ts) - epoch_ns(lag(ts) OVER (
-                               PARTITION BY user_id ORDER BY ts)) > 3600000000000
+                               PARTITION BY user_id ORDER BY ts)) >= 3600000000000
                         THEN 1 ELSE 0 END AS is_new
             FROM events),
           sess AS (
@@ -920,7 +924,7 @@ object SparkEntry {
     "q41_label_centroids" ->
       s"""SELECT label, i AS dim,
                  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
-          FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
+          FROM embeddings, (SELECT unnest(range(1, ${EmbeddingDim + 1})) AS i) t
           GROUP BY label, i ORDER BY label ASC, dim ASC""",
     "q42_json_extract" ->
       s"""SELECT event_type,

@@ -36,13 +36,21 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // ctx.freshName, not fixed locals: several DotProducts can land in
+      // ONE generated function (e.g. cosine = dot/(norm·norm)), and with
+      // non-nullable children Spark emits this block without an enclosing
+      // brace scope — duplicate Java locals would fail Janino compilation
+      // and silently fall back to interpreted eval.
+      val n = ctx.freshName("dotN")
+      val s = ctx.freshName("dotSum")
+      val i = ctx.freshName("dotI")
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  s += $a.getDouble(i) * $b.getDouble(i);
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = s;
+         |${ev.value} = $s;
        """.stripMargin
     })
 

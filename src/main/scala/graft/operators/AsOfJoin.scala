@@ -29,28 +29,32 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val carried = carry.toSeq.sortBy(_._2)
 
-    // left side: real left columns, typed nulls for the carry outputs
-    val lTagged = carried.foldLeft(left.withColumn("__side", lit(1))) {
-      case (df, (in, out)) =>
-        df.withColumn(out, lit(null).cast(right.schema(in).dataType))
-    }
-    // right side: keys + time + carry outputs, typed nulls for left-only columns
+    // The carried right-side values travel as ONE struct so the match is
+    // atomic: last(ignoreNulls) skips only the all-null struct of left
+    // rows, never a null FIELD of the matched right row — carrying each
+    // column independently would stitch fields from different right rows
+    // whenever a carried value is legitimately NULL.
+    val carryStruct = struct(carried.map { case (in, out) => col(in).as(out) }: _*)
+    val lTagged = left.withColumn("__side", lit(1))
+      .withColumn("__carry",
+        lit(null).cast(right.select(carryStruct).schema.head.dataType))
+    // right side: keys + time + carry struct, typed nulls for left-only columns
     val rTagged = leftCols.filterNot(c => keys.contains(c) || c == timeCol)
-      .foldLeft(carried.foldLeft(right.withColumn("__side", lit(0))) {
-        case (df, (in, out)) => df.withColumn(out, col(in))
-      }) { case (df, c) =>
-        df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      .foldLeft(right.withColumn("__side", lit(0)).withColumn("__carry", carryStruct)) {
+        case (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
-    val unionCols = (leftCols :+ "__side") ++ carried.map(_._2)
+    val unionCols = leftCols ++ Seq("__side", "__carry")
     val unioned = lTagged.select(unionCols.map(col): _*)
       .unionByName(rTagged.select(unionCols.map(col): _*))
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(timeCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carriedForward = carried.foldLeft(unioned) { case (df, (_, out)) =>
-      df.withColumn(out, last(col(out), ignoreNulls = true).over(w))
-    }
-    carriedForward.filter(col("__side") === 1).drop("__side")
+    unioned
+      .withColumn("__carry", last(col("__carry"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ carried.map { case (_, out) =>
+        col(s"__carry.$out").as(out)
+      }: _*)
   }
 }

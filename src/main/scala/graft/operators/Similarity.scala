@@ -14,9 +14,11 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * ~2^bits), the standard sub-linear ANN shape when the corpus no longer
   * fits a cross join.
   *
-  * Dot products use `zip_with` + `aggregate` (codegen'd HOFs, sequential
-  * fold → deterministic, engine-portable float order). Elements are cast
-  * float→double (exact) before any arithmetic.
+  * Dot products use the custom codegen'd [[graft.functions.DotProduct]]
+  * expression (sequential left-to-right summation → deterministic,
+  * engine-portable float order; the HOF alternative evaluates
+  * interpreted). Elements are cast float→double (exact) before any
+  * arithmetic.
   */
 object Similarity {
 
@@ -115,12 +117,15 @@ object Similarity {
     * cross join and candidate counts drop by ~2^planes. */
   def lshBucketedKnn(emb: DataFrame, queries: DataFrame, k: Int, planes: Int): DataFrame = {
     def bucket(vec: Column): Column = {
-      // plane p: sign of sum over elements of v(i) * hash01(p, i), where
-      // hash01 is a deterministic ±1 pattern from (p * 31 + i) % 3 - 1
+      // plane p: sign of the projection Σ v(i) · w_p(i) with deterministic
+      // pseudo-random weights w_p(i) = (i · m_p) mod 7 − 3 ∈ [−3, 3]; the
+      // multiplier m_p = (p mod 6) + 1 is never ≡ 0 (mod 7), so no plane
+      // degenerates to a constant-weight projection
       val sig = (0 until planes).map { p =>
+        val m = (p % 6) + 1
         val proj = aggregate(
           zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, i) => x * ((i * lit(2 * p + 3)) % 7 - 3).cast("double")),
+            (x, i) => x * ((i * lit(m)) % 7 - 3).cast("double")),
           lit(0.0), (acc, x) => acc + x)
         when(proj > 0, lit(1L << p)).otherwise(lit(0L))
       }

@@ -148,6 +148,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(3L) === None)       // no right rows for that key
   }
 
+  test("asof join carries the matched row atomically, including its NULL fields") {
+    val left = Seq((1L, 10L, 300L)).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (91L, 10L, 100L, Some(1.0)),
+      (92L, 10L, 200L, None)       // newest match has a NULL value
+    ).toDF("event_id", "user_id", "ts", "value")
+    val r = AsOfJoin.asofLeft(left, right, Seq("user_id"), "ts",
+      Map("event_id" -> "r_id", "value" -> "r_value")).collect().head
+    assert(r.getAs[Long]("r_id") === 92L)
+    // the NULL from row 92 must NOT be replaced by row 91's 1.0
+    assert(r.isNullAt(r.fieldIndex("r_value")))
+  }
+
   test("shingle generator handles nulls, short docs, and duplicate shingles") {
     val d = Seq((1L, "a b c b a b c"), (2L, "x y"), (3L, null))
       .toDF("doc_id", "text").withColumn("source", lit("s")).withColumn("lang", lit("en"))

@@ -57,8 +57,12 @@ def main(out_dir, sf_dir):
                 if (a is None or an) and (b is None or bn): continue
                 if isinstance(a, float) or isinstance(b, float):
                     if a != b:
+                        # distinguish knife-edge rounding (ulp-scale) from
+                        # logic bugs so triage starts in the right place
+                        knife = abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+                        tag = "KNIFE-EDGE" if knife else "VALUE"
                         if bad < 3:
-                            print(f"  {name}.{c}[{i}]: spark={b!r} oracle={a!r}")
+                            print(f"  {name}.{c}[{i}] {tag}: spark={b!r} oracle={a!r}")
                         bad += 1
                 elif a != b:
                     if bad < 3:
