@@ -490,6 +490,42 @@ object SparkEntry {
       .orderBy(col("q_vec").asc, col("knn_rank").asc)
   }
 
+  private val KmeansK = 8
+  private val KmeansIters = 2
+
+  /** Distributed Lloyd k-means (the trainable IVF quantizer): centroids
+    * after KmeansIters rounded iterations, oracle'd by the identically
+    * structured unrolled SQL. */
+  private def q44(s: SparkSession, dir: String): DataFrame =
+    graft.operators.KMeansQuantizer
+      .fit(Sources.table(s, dir, "embeddings"), KmeansK, KmeansIters)
+      .select(col("centroid_id"), col("dim"), col("c").as("centroid"))
+      .orderBy(col("centroid_id").asc, col("dim").asc)
+
+  /** Unrolled-iteration SQL mirror of [[KMeansQuantizer]]. */
+  private val kmeansOracle: String = {
+    val iterCtes = (1 to KmeansIters).map { i =>
+      val prev = if (i == 1) "c0" else s"c${i - 1}"
+      s"""d$i AS (SELECT ed.vec_id, $prev.centroid_id,
+                    round(sum((ed.x - $prev.c) * (ed.x - $prev.c)), 6) AS dist
+                  FROM ed JOIN $prev ON ed.dim = $prev.dim GROUP BY 1, 2),
+          a$i AS (SELECT vec_id, centroid_id FROM (
+                    SELECT vec_id, centroid_id, row_number() OVER (
+                      PARTITION BY vec_id ORDER BY dist ASC, centroid_id ASC) AS rn
+                    FROM d$i) WHERE rn = 1),
+          c$i AS (SELECT a$i.centroid_id, ed.dim, round(avg(ed.x), 6) AS c
+                  FROM a$i JOIN ed ON a$i.vec_id = ed.vec_id GROUP BY 1, 2)"""
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ed AS (SELECT vec_id, i AS dim, v[i] AS x
+               FROM e, (SELECT unnest(range(1, ${EmbeddingDim + 1})) AS i) t),
+        c0 AS (SELECT CAST(vec_id AS BIGINT) AS centroid_id, dim, x AS c
+               FROM ed WHERE vec_id < $KmeansK),
+        $iterCtes
+        SELECT centroid_id, dim, c AS centroid FROM c$KmeansIters
+        ORDER BY centroid_id ASC, dim ASC"""
+  }
+
   // ----------------------------------------------- generated oracle SQL
 
   private val sqlShingles =
@@ -612,7 +648,8 @@ object SparkEntry {
     "q40_pivot_by_type" -> (q40 _),
     "q41_label_centroids" -> (q41 _),
     "q42_json_extract" -> (q42 _),
-    "q43_knn_ivf" -> (q43 _))
+    "q43_knn_ivf" -> (q43 _),
+    "q44_kmeans_centroids" -> (q44 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -880,6 +917,7 @@ object SparkEntry {
                  round(quantile_cont(value, 0.9), 6) AS p90_value,
                  count(DISTINCT user_id) AS n_users
           FROM events GROUP BY event_type ORDER BY event_type ASC""",
+    "q44_kmeans_centroids" -> kmeansOracle,
     "q37_sessionization" ->
       s"""WITH o AS (
             SELECT user_id, ts, value,

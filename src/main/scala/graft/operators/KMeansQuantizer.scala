@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-means over the embedding column — the trainable
+  * coarse quantizer for [[Similarity.ivfKnn]] (replacing the label-proxy
+  * centroids with fitted ones).
+  *
+  * Everything stays long-form (vec_id, dim, x) so each iteration is two
+  * shuffles of flat rows:
+  *   distances:  explode ⋈ broadcast(centroid table) → groupBy (vec,
+  *               centroid) Σ(x−c)² — |vecs|·k grouped rows;
+  *   assignment: argmin per vec via `min(struct(dist, id))` — a hash agg,
+  *               no sort/window;
+  *   update:     assigned ⋈ explode → groupBy (centroid, dim) avg.
+  * The centroid table is k·dims rows — broadcast-small by definition at
+  * any corpus scale, so iterations never shuffle the corpus on anything
+  * but its own keys. Driver holds nothing.
+  *
+  * Determinism/parity discipline: distances and updated centroids are
+  * rounded to 6 decimals each iteration (part of the algorithm spec, not
+  * cosmetics) and argmin ties break on centroid id, so independent
+  * engines running the same spec produce identical centroids. Empty
+  * clusters are dropped, not reseeded (matches the SQL formulation).
+  */
+object KMeansQuantizer {
+
+  /** (vec_id, dim ∈ 1..D, x) long form of the embedding column. */
+  def longForm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        posexplode(Similarity.asDouble(col("embedding"))))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+        col("col").as("x"))
+
+  /** Deterministic init: the first k vectors (by vec_id) are the seeds. */
+  def initCentroids(ed: DataFrame, k: Int): DataFrame =
+    ed.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long").as("centroid_id"), col("dim"),
+        col("x").as("c"))
+
+  /** One Lloyd step: assign to nearest centroid (L2, rounded, id
+    * tie-break), then recompute per-dimension means (rounded). */
+  def lloydStep(ed: DataFrame, cents: DataFrame): DataFrame = {
+    val dists = ed.join(broadcast(cents), "dim")
+      .groupBy(col("vec_id"), col("centroid_id"))
+      .agg(round(sum((col("x") - col("c")) * (col("x") - col("c"))), 6).as("dist"))
+    val assigned = dists
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("centroid_id"))).as("m"))
+      .select(col("vec_id"), col("m.centroid_id").as("centroid_id"))
+    assigned.join(ed, "vec_id")
+      .groupBy(col("centroid_id"), col("dim"))
+      .agg(round(avg(col("x")), 6).as("c"))
+  }
+
+  /** Fitted centroid table (centroid_id, dim, c) after `iters` steps. */
+  def fit(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val ed = longForm(emb)
+    var cents = initCentroids(ed, k)
+    (1 to iters).foreach { _ => cents = lloydStep(ed, cents) }
+    cents
+  }
+
+  /** Within-cluster sum of squared distances for a centroid table — the
+    * objective Lloyd iterations must not increase. */
+  def sse(emb: DataFrame, cents: DataFrame): Double = {
+    val ed = longForm(emb)
+    val dists = ed.join(broadcast(cents), "dim")
+      .groupBy(col("vec_id"), col("centroid_id"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dist"))
+    dists.groupBy(col("vec_id")).agg(min(col("dist")).as("best"))
+      .agg(sum(col("best"))).collect().head.getDouble(0)
+  }
+}

@@ -136,8 +136,11 @@ object NearDup {
     * at least one shingle. Shingle equi-join (shuffle on shingle hash),
     * never a cross join. */
   def ngramJaccardPairs(docs: DataFrame, blockCol: String, minJaccard: Double): DataFrame = {
-    // referenced three times below (both join sides + sizes) → persist
-    val sh = Shingles.shared(Shingles.table(docs, Some(blockCol)))
+    // referenced three times below (both join sides + sizes) but NOT
+    // persisted: with the native ShingleGenerator, recomputing the
+    // shingle table 3× is measurably cheaper (1.6 s vs 4.3 s at sf0.1)
+    // than writing 260k rows into the block cache and reading them back
+    val sh = Shingles.table(docs, Some(blockCol))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val a = sh.select(col(blockCol), col("shingle"), col("doc_id").as("doc_a"))
     val b = sh.select(col(blockCol), col("shingle"), col("doc_id").as("doc_b"))

@@ -102,6 +102,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"ivf recall@5 = $recall")
   }
 
+  test("kmeans: Lloyd iterations do not increase the SSE objective") {
+    val emb = Sources.table(spark, sfDir, "embeddings")
+    val ed = KMeansQuantizer.longForm(emb)
+    val c0 = KMeansQuantizer.initCentroids(ed, 8)
+    val c1 = KMeansQuantizer.lloydStep(ed, c0)
+    val c2 = KMeansQuantizer.lloydStep(ed, c1)
+    val s0 = KMeansQuantizer.sse(emb, c0)
+    val s1 = KMeansQuantizer.sse(emb, c1)
+    val s2 = KMeansQuantizer.sse(emb, c2)
+    assert(s1 <= s0 + 1e-6, s"sse increased: $s0 -> $s1")
+    assert(s2 <= s1 + 1e-6, s"sse increased: $s1 -> $s2")
+    // full centroid table: every cluster kept a member at this k
+    assert(c2.count() === 8L * 64L)
+  }
+
   test("language ID predicts en for English stopword-rich text") {
     val d = docsOf(1L -> "the cat of the house and a dog", 2L -> "der hund ist nicht ein katze")
     val preds = TextAnalysis.langIdPredictions(d)
