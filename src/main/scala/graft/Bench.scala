@@ -10,9 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT/codegen warm-up so the first measured query doesn't absorb JVM
-    // startup; touches no benchmark data.
+    // JIT/codegen + parquet reader/writer warm-up so the first measured
+    // query doesn't absorb JVM startup; touches no benchmark data.
     spark.range(1000000).selectExpr("sum(id)").collect()
+    val warmDir = java.nio.file.Files.createTempDirectory("bench_warm").toString
+    spark.range(1000).selectExpr("id", "cast(id as double) v")
+      .write.mode("overwrite").parquet(warmDir)
+    spark.read.parquet(warmDir).write.mode("overwrite").format("noop").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // each query measured from a clean cache: operators persist
       // intra-plan intermediates, which must not bleed into later timings
