@@ -102,6 +102,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"ivf recall@5 = $recall")
   }
 
+  test("full IVF pipeline: kmeans-fitted quantizer feeds ivfKnn") {
+    val emb = Sources.table(spark, sfDir, "embeddings")
+    val fitted = KMeansQuantizer.fit(emb, 8, 2)
+      .select(col("centroid_id").cast("int").as("label"), col("dim"),
+        col("c").as("centroid"))
+    val q = emb.filter($"vec_id" < 3)
+    val knn = Similarity.ivfKnn(emb, q, fitted, 5, 3).collect()
+    assert(knn.nonEmpty)
+    val exact = Similarity.bruteForceKnn(emb, q, 500).collect()
+      .map(r => (r.getAs[Long]("q_vec"), r.getAs[Long]("n_vec")) -> r.getAs[Double]("cosine")).toMap
+    knn.foreach { r =>
+      val key = (r.getAs[Long]("q_vec"), r.getAs[Long]("n_vec"))
+      assert(math.abs(exact(key) - r.getAs[Double]("cosine")) < 1e-9)
+    }
+  }
+
   test("kmeans: Lloyd iterations do not increase the SSE objective") {
     val emb = Sources.table(spark, sfDir, "embeddings")
     val ed = KMeansQuantizer.longForm(emb)
