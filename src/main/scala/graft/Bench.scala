@@ -13,10 +13,15 @@ object Bench {
     // JIT/codegen + parquet reader/writer warm-up so the first measured
     // query doesn't absorb JVM startup; touches no benchmark data.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val warmDir = java.nio.file.Files.createTempDirectory("bench_warm").toString
+    val warmDir = java.nio.file.Files.createTempDirectory("bench_warm")
     spark.range(1000).selectExpr("id", "cast(id as double) v")
-      .write.mode("overwrite").parquet(warmDir)
-    spark.read.parquet(warmDir).write.mode("overwrite").format("noop").save()
+      .write.mode("overwrite").parquet(warmDir.toString)
+    spark.read.parquet(warmDir.toString).write.mode("overwrite").format("noop").save()
+    locally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(warmDir).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // each query measured from a clean cache: operators persist
       // intra-plan intermediates, which must not bleed into later timings

@@ -519,8 +519,13 @@ object SparkEntry {
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         ed AS (SELECT vec_id, i AS dim, v[i] AS x
                FROM e, (SELECT unnest(range(1, ${EmbeddingDim + 1})) AS i) t),
-        c0 AS (SELECT CAST(vec_id AS BIGINT) AS centroid_id, dim, x AS c
-               FROM ed WHERE vec_id < $KmeansK),
+        seeds AS (SELECT vec_id,
+                    CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT)
+                      AS centroid_id
+                  FROM (SELECT DISTINCT vec_id FROM ed
+                        ORDER BY vec_id ASC LIMIT $KmeansK)),
+        c0 AS (SELECT seeds.centroid_id, ed.dim, ed.x AS c
+               FROM seeds JOIN ed ON seeds.vec_id = ed.vec_id),
         $iterCtes
         SELECT centroid_id, dim, c AS centroid FROM c$KmeansIters
         ORDER BY centroid_id ASC, dim ASC"""

@@ -17,7 +17,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       // per-query cache isolation: operators persist intra-plan
-      // intermediates that must not accumulate across 43 queries
+      // intermediates that must not accumulate across the query suite
       spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

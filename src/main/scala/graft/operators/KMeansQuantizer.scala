@@ -33,11 +33,18 @@ object KMeansQuantizer {
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
         col("col").as("x"))
 
-  /** Deterministic init: the first k vectors (by vec_id) are the seeds. */
-  def initCentroids(ed: DataFrame, k: Int): DataFrame =
-    ed.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("long").as("centroid_id"), col("dim"),
-        col("x").as("c"))
+  /** Deterministic init: the k smallest vec_ids are the seeds, re-labelled
+    * densely 0..k-1 (robust to sparse/offset id spaces — a filtered or
+    * sharded corpus must not silently yield fewer than k seeds). The
+    * window runs over k rows only. */
+  def initCentroids(ed: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id").asc)
+    val seeds = ed.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id").asc).limit(k)
+      .withColumn("centroid_id", (row_number().over(w) - 1).cast("long"))
+    seeds.join(ed, "vec_id")
+      .select(col("centroid_id"), col("dim"), col("x").as("c"))
+  }
 
   /** One Lloyd step: assign to nearest centroid (L2, rounded, id
     * tie-break), then recompute per-dimension means (rounded). */
@@ -56,7 +63,9 @@ object KMeansQuantizer {
 
   /** Fitted centroid table (centroid_id, dim, c) after `iters` steps. */
   def fit(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    val ed = longForm(emb)
+    // ed is referenced 2·iters + 1 times across the iteration chain —
+    // persist so one action scans/explodes the corpus once, not 5×
+    val ed = Shingles.shared(longForm(emb))
     var cents = initCentroids(ed, k)
     (1 to iters).foreach { _ => cents = lloydStep(ed, cents) }
     cents
