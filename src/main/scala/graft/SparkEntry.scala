@@ -490,6 +490,24 @@ object SparkEntry {
       .orderBy(col("q_vec").asc, col("knn_rank").asc)
   }
 
+  /** Embedding-cosine near-dup pairs (mandate: embedding near-dup as a
+    * first-class dedup mode). Exact pairwise form at fixture scale; the
+    * LSH/IVF paths (q31/q43) are the candidate generators at corpus scale. */
+  private def q45(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(Sources.table(s, dir, "embeddings"), minCosine = 0.45)
+      .orderBy(col("vec_a").asc, col("vec_b").asc)
+
+  /** Token counting two ways: whitespace and a BPE-ish regex (word runs +
+    * single non-word symbols). */
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[0-9A-Za-z]+|[^0-9A-Za-z ]"), lit(0))).cast("long").as("n_regex_tokens"))
+      .withColumn("tokens_ratio", r6(col("n_regex_tokens") / col("n_ws_tokens")))
+      .orderBy(col("doc_id").asc)
+
   private val KmeansK = 8
   private val KmeansIters = 2
 
@@ -654,7 +672,9 @@ object SparkEntry {
     "q41_label_centroids" -> (q41 _),
     "q42_json_extract" -> (q42 _),
     "q43_knn_ivf" -> (q43 _),
-    "q44_kmeans_centroids" -> (q44 _))
+    "q44_kmeans_centroids" -> (q44 _),
+    "q45_embedding_near_dup" -> (q45 _),
+    "q46_token_counting" -> (q46 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -923,6 +943,26 @@ object SparkEntry {
                  count(DISTINCT user_id) AS n_users
           FROM events GROUP BY event_type ORDER BY event_type ASC""",
     "q44_kmeans_centroids" -> kmeansOracle,
+    "q45_embedding_near_dup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 round(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+                   AS cosine
+          FROM e a, e b
+          WHERE a.vec_id < b.vec_id
+            AND round(list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+                >= 0.45
+          ORDER BY vec_a ASC, vec_b ASC""",
+    "q46_token_counting" ->
+      s"""SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_ws_tokens,
+                 len(regexp_extract_all(text, '[0-9A-Za-z]+|[^0-9A-Za-z ]'))
+                   AS n_regex_tokens,
+                 round(len(regexp_extract_all(text, '[0-9A-Za-z]+|[^0-9A-Za-z ]')) /
+                       len(string_split(text, ' ')), 6) AS tokens_ratio
+          FROM documents ORDER BY doc_id ASC""",
     "q37_sessionization" ->
       s"""WITH o AS (
             SELECT user_id, ts, value,

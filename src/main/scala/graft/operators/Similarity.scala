@@ -70,6 +70,20 @@ object Similarity {
       .groupBy(col("label"), col("dim"))
       .agg(avg(col("v")).as("centroid"))
 
+  /** Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥
+    * threshold. Exact O(n²) form — at corpus scale, generate candidates
+    * with [[lshBucketedKnn]]/[[ivfKnn]] blocking first and reserve this
+    * as the verify step over candidates. */
+  def nearDupPairs(emb: DataFrame, minCosine: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("vec_a"), asDouble(col("embedding")).as("va"))
+    val b = emb.select(col("vec_id").as("vec_b"), asDouble(col("embedding")).as("vb"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
   /** IVF-style ANN: the corpus is partitioned into inverted lists by
     * nearest coarse centroid; each query scores only the lists of its
     * `nProbe` nearest centroids. With |centroids| = √n lists this turns
