@@ -973,8 +973,8 @@ object SparkEntry {
             FROM events),
           sess AS (
             SELECT user_id, value,
-                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                     ROWS UNBOUNDED PRECEDING) AS session_ordinal
+                   CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_ordinal
             FROM o)
           SELECT user_id, session_ordinal, count(*) AS n_events,
                  round(avg(value), 6) AS avg_value

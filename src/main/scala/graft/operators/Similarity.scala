@@ -89,15 +89,23 @@ object Similarity {
     * `nProbe` nearest centroids. With |centroids| = √n lists this turns
     * the n·q cross join into ~q·nProbe·√n scored pairs — the standard
     * sub-linear ANN layout. Centroids come in (centroid_id, dim, value)
-    * row form (e.g. [[labelCentroids]] output, or a k-means fit).
-    * Assignments and ranks break ties on rounded cosine + id, so the
-    * result is deterministic. */
+    * row form — either [[labelCentroids]] naming (label, dim, centroid)
+    * or [[KMeansQuantizer.fit]] naming (centroid_id, dim, c); both are
+    * accepted. Assignments and ranks break ties on rounded cosine + id,
+    * so the result is deterministic. */
   def ivfKnn(emb: DataFrame, queries: DataFrame, centroids: DataFrame,
              k: Int, nProbe: Int): DataFrame = {
     // (centroid_id, dim, value) rows → (centroid_id, cvec Array[Double])
+    val cc = centroids.columns.toSet
+    require(cc.contains("dim") && (cc.contains("label") || cc.contains("centroid_id"))
+        && (cc.contains("centroid") || cc.contains("c")),
+      s"ivfKnn centroids must have columns (label|centroid_id, dim, centroid|c); " +
+        s"got (${centroids.columns.mkString(", ")})")
+    val cId = if (cc.contains("centroid_id")) col("centroid_id") else col("label")
+    val cVal = if (cc.contains("centroid")) col("centroid") else col("c")
     val centVecs = centroids
-      .groupBy(col("label").as("centroid_id"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
+      .groupBy(cId.as("centroid_id"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), cVal.as("centroid")))),
         x => x.getField("centroid")).as("cvec"))
     def assign(vecs: DataFrame, idCol: String, vecCol: String, keep: Int): DataFrame = {
       val scored = vecs.crossJoin(broadcast(centVecs))

@@ -47,6 +47,18 @@ def main(out_dir, sf_dir):
         if len(exp) != len(got):
             print(f"FAIL {name}: rows {len(got)} (spark) vs {len(exp)} (oracle)")
             n_fail += 1; continue
+        # The driver's hash gate operates on pandas-materialized values, so
+        # an int64 column on one side and float64 on the other (e.g. DuckDB
+        # HUGEINT window sums) hash-mismatch even when every value compares
+        # equal under Python ==. Mirror that strictness: canonicalize dtype
+        # kinds (unsigned->signed int) and fail on any kind difference.
+        kind = lambda dt: {"u": "i"}.get(dt.kind, dt.kind)
+        dtype_bad = [c for c in exp.columns if kind(exp[c].dtype) != kind(got[c].dtype)]
+        if dtype_bad:
+            for c in dtype_bad:
+                print(f"  {name}.{c} DTYPE: spark={got[c].dtype} oracle={exp[c].dtype}")
+            print(f"FAIL {name}: {len(dtype_bad)} dtype mismatches")
+            n_fail += 1; continue
         bad = 0
         for c in exp.columns:
             ev, gv = exp[c].tolist(), got[c].tolist()
