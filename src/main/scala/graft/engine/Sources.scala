@@ -107,11 +107,26 @@ object Sources {
     Dedup.latestByKey(df, keys, Seq(org.apache.spark.sql.functions.col(versionCol)))
       .write.mode("overwrite").parquet(path)
 
+  /** Session conf required to scan TIMESTAMP(NANOS) parquet (`events.ts`):
+    * Spark's vectorized reader only accepts nanos as a since-epoch LONG.
+    * There is no per-read option for this, so it is session-level by
+    * necessity — harness entry points (`Verify`, `Bench`, the test
+    * session) set it at session construction via this constant. */
+  val nanosAsLongConf: (String, String) =
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true"
+
   /** Scan one fixture table with its pinned schema. For `events`, reads the
-    * nanos timestamp as LONG and derives `ts_utc: timestamp` (micros). */
+    * nanos timestamp as LONG and derives `ts_utc: timestamp` (micros).
+    *
+    * Callers should set [[nanosAsLongConf]] when building the session; if
+    * an externally built session lacks it, it is set here as a fallback
+    * (the scan cannot execute without it — note this changes how any
+    * OTHER ns-timestamp parquet in the same session is typed, which is
+    * why session construction is the preferred place). */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (name == "events" &&
+        !spark.conf.getOption(nanosAsLongConf._1).contains("true"))
+      spark.conf.set(nanosAsLongConf._1, nanosAsLongConf._2)
     val df = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
     if (name == "events")
       df.withColumn("ts_utc", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))

@@ -61,7 +61,10 @@ object KMeansQuantizer {
       .agg(round(avg(col("x")), 6).as("c"))
   }
 
-  /** Fitted centroid table (centroid_id, dim, c) after `iters` steps. */
+  /** Fitted centroid table (centroid_id, dim, c) after `iters` steps.
+    * Persists the long-form corpus via [[Shingles.shared]] — see its
+    * lifecycle contract (repeated fits in one session need
+    * clearCache/unpersist). */
   def fit(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     // ed is referenced 2·iters + 1 times across the iteration chain —
     // persist so one action scans/explodes the corpus once, not 5×

@@ -53,7 +53,9 @@ object NearDup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
-  /** Candidate near-dup pairs: docs sharing any LSH bucket (doc_a < doc_b). */
+  /** Candidate near-dup pairs: docs sharing any LSH bucket (doc_a < doc_b).
+    * Persists the bucket table via [[Shingles.shared]] — see its lifecycle
+    * contract (repeated calls in one session need clearCache/unpersist). */
   def minHashCandidates(docs: DataFrame, k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     require(bands * rowsPerBand <= k)
     // bucket table is referenced twice (both join sides) → persist so the
@@ -101,7 +103,9 @@ object NearDup {
     * at least one whole band, so an equi-join on (band, band-value)
     * generates ALL qualifying pairs (exact recall), and the cheap
     * bit_count verify filters false candidates. Candidate volume scales
-    * with band-bucket collisions, not n². */
+    * with band-bucket collisions, not n².
+    * Persists the banded table via [[Shingles.shared]] — see its lifecycle
+    * contract (repeated calls in one session need clearCache/unpersist). */
   def simHashPairs(fingerprints: DataFrame, maxHamming: Int): DataFrame = {
     val bands = 4
     val bandBits = SimHashBits / bands

@@ -40,6 +40,13 @@ object Shingles {
 
   /** Persist an intermediate that a single downstream plan uses more than
     * once (Spark's cache manager rewrites every matching subtree to the
-    * same InMemoryRelation, so one action computes it once). */
+    * same InMemoryRelation, so one action computes it once).
+    *
+    * Lifecycle contract: the returned plan is lazy, so the operator that
+    * calls this cannot unpersist before the caller's action runs — the
+    * cache entry outlives the query. Callers running many such operators
+    * in one long-lived session must `spark.catalog.clearCache()` between
+    * queries (as `Verify`/`Bench` do) or `unpersist()` the result after
+    * consuming it; otherwise entries accumulate until LRU pressure. */
   def shared(df: DataFrame): DataFrame = df.persist(StorageLevel.MEMORY_AND_DISK)
 }
