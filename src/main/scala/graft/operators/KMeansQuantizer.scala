@@ -61,16 +61,33 @@ object KMeansQuantizer {
       .agg(round(avg(col("x")), 6).as("c"))
   }
 
-  /** Fitted centroid table (centroid_id, dim, c) after `iters` steps.
-    * Persists the long-form corpus via [[Shingles.shared]] — see its
-    * lifecycle contract (repeated fits in one session need
-    * clearCache/unpersist). */
+  /** Collect a centroid table into a literal in-memory DataFrame. The
+    * table is O(k·dims) — model-sized, exactly the rows every iteration
+    * broadcasts anyway — so this is the one sanctioned driver
+    * materialization (MLlib's Lloyd does the same). Truncating the
+    * lineage this way turns each Lloyd step into one shallow job over
+    * the persisted corpus instead of a re-analyzed, re-optimized
+    * 2·iters-join mega-plan whose planning time grows with iteration
+    * count. Row order is sorted only for determinism of the literal. */
+  private def materialize(cents: DataFrame): DataFrame = {
+    val spark = cents.sparkSession
+    import spark.implicits._
+    cents.select(col("centroid_id").cast("long"), col("dim").cast("long"),
+        col("c").cast("double"))
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+      .toDF("centroid_id", "dim", "c")
+  }
+
+  /** Fitted centroid table (centroid_id, dim, c) after `iters` steps,
+    * each step materialized eagerly (see [[materialize]]). Persists the
+    * long-form corpus via [[Shingles.shared]] — see its lifecycle
+    * contract (repeated fits in one session need clearCache/unpersist). */
   def fit(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    // ed is referenced 2·iters + 1 times across the iteration chain —
-    // persist so one action scans/explodes the corpus once, not 5×
+    // ed is referenced twice per iteration (assign + update) —
+    // persist so each step scans/explodes the corpus once
     val ed = Shingles.shared(longForm(emb))
-    var cents = initCentroids(ed, k)
-    (1 to iters).foreach { _ => cents = lloydStep(ed, cents) }
+    var cents = materialize(initCentroids(ed, k))
+    (1 to iters).foreach { _ => cents = materialize(lloydStep(ed, cents)) }
     cents
   }
 

@@ -42,17 +42,28 @@ object Similarity {
       l2norm(v).as("l2_norm"))
   }
 
+  /** cosine from a precomputed-norm layout: dot(a,b)/(na*nb). Each side
+    * carries its L2 norm as a column so pairwise scoring does ONE dot
+    * product instead of three (norms recomputed per pair would triple the
+    * flops on the O(pairs) hot path). Bit-identical to [[cosine]]: the
+    * norm is the same expression over the same values either way. */
+  private def cosinePre(dotAB: Column, na: Column, nb: Column): Column =
+    dotAB / (na * nb)
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self excluded). Ranks are computed on cosine rounded
     * to 6 decimals with vec_id tie-break, so results are reproducible. */
   def bruteForceKnn(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("q_vec"),
       asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_norm", l2norm(col("q_emb")))
     val c = emb.select(col("vec_id").as("n_vec"),
       asDouble(col("embedding")).as("n_emb"))
+      .withColumn("n_norm", l2norm(col("n_emb")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("q_vec") =!= col("n_vec"))
-      .withColumn("cosine", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("cosine", round(cosinePre(dot(col("q_emb"), col("n_emb")),
+        col("q_norm"), col("n_norm")), 6))
     val w = Window.partitionBy(col("q_vec"))
       .orderBy(col("cosine").desc, col("n_vec").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -74,13 +85,36 @@ object Similarity {
     * threshold. Exact O(n²) form — at corpus scale, generate candidates
     * with [[lshBucketedKnn]]/[[ivfKnn]] blocking first and reserve this
     * as the verify step over candidates. */
-  def nearDupPairs(emb: DataFrame, minCosine: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("vec_a"), asDouble(col("embedding")).as("va"))
-    val b = emb.select(col("vec_id").as("vec_b"), asDouble(col("embedding")).as("vb"))
-    a.crossJoin(b)
-      .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", round(cosine(col("va"), col("vb")), 6))
-      .filter(col("cosine") >= minCosine)
+  def nearDupPairs(emb: DataFrame, minCosine: Double,
+                   blockSize: Int = 256): DataFrame = {
+    // Blocked all-pairs layout (the dense-scoring analog of block matrix
+    // multiply): vectors group into ⌈n/blockSize⌉ blocks, the join runs
+    // over BLOCK pairs (B²/2 small rows, broadcast right side), and each
+    // block pair is scored by the native [[graft.functions.CosineBlockPairs]]
+    // generator — a JIT'd primitive loop. A row-per-pair cartesian instead
+    // evaluates the scoring expression per pair on the interpreted
+    // BroadcastNestedLoopJoin condition path (measured ~5× slower), and a
+    // single small parquet source gives it 1 task of parallelism on top.
+    val blocks = emb.select(expr(s"vec_id div $blockSize").as("blk"),
+        struct(col("vec_id").cast("long").as("vec_id"),
+          asDouble(col("embedding")).as("v")).as("s"))
+      .groupBy(col("blk")).agg(collect_list(col("s")).as("vs"))
+    val a = blocks.select(col("blk").as("blk_a"), col("vs").as("vs_a"))
+    val b = blocks.select(col("blk").as("blk_b"), col("vs").as("vs_b"))
+    val gen = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.CosineBlockPairs(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("vs_a")),
+        org.apache.spark.sql.GraftSqlBridge.expression(col("vs_b")),
+        minCosine))
+    // blk_a ≤ blk_b covers every unordered block pair once; the generator
+    // enforces vec_a < vec_b inside, so same-block pairs are not doubled.
+    // The explicit partition count matters: block-pair rows are small in
+    // BYTES but heavy in COMPUTE, so AQE's byte-based coalescing would
+    // funnel them into one task; repartition(n, …) pins the fan-out.
+    val parts = emb.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    a.join(broadcast(b), col("blk_a") <= col("blk_b"))
+      .repartition(parts, col("blk_a"), col("blk_b"))
+      .select(gen)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
@@ -107,24 +141,44 @@ object Similarity {
       .groupBy(cId.as("centroid_id"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), cVal.as("centroid")))),
         x => x.getField("centroid")).as("cvec"))
-    def assign(vecs: DataFrame, idCol: String, vecCol: String, keep: Int): DataFrame = {
-      val scored = vecs.crossJoin(broadcast(centVecs))
-        .withColumn("c_cos", round(cosine(col(vecCol), col("cvec")), 6))
-      val w = Window.partitionBy(col(idCol))
+      .withColumn("c_norm", l2norm(col("cvec")))
+    def scoreCentroids(vecs: DataFrame, vecCol: String, normCol: String): DataFrame =
+      vecs.crossJoin(broadcast(centVecs))
+        .withColumn("c_cos", round(cosinePre(dot(col(vecCol), col("cvec")),
+          col(normCol), col("c_norm")), 6))
+        .drop("cvec", "c_norm")
+    // Corpus assignment (keep=1) is an argmin HASH aggregation, not a
+    // sort window: min(struct(-cos, id)) keeps partial aggregation
+    // map-side and never sorts the corpus — the 100 TB-side of the
+    // operator. (-cos over ROUNDED cosines is exact, ties → smaller id.)
+    val corpus = {
+      val scored = scoreCentroids(
+        emb.select(col("vec_id").as("n_vec"), asDouble(col("embedding")).as("n_emb"))
+          .withColumn("n_norm", l2norm(col("n_emb"))),
+        "n_emb", "n_norm")
+      scored.groupBy(col("n_vec"))
+        .agg(min(struct((-col("c_cos")).as("nc"), col("centroid_id"))).as("m"),
+          first(col("n_emb")).as("n_emb"), first(col("n_norm")).as("n_norm"))
+        .select(col("m.centroid_id").as("centroid_id"), col("n_vec"),
+          col("n_emb"), col("n_norm"))
+    }
+    // Query probes (keep=nProbe) rank over |centroids| rows per query —
+    // the query set is small by contract, so a per-query window is fine.
+    val probes = {
+      val scored = scoreCentroids(
+        queries.select(col("vec_id").as("q_vec"), asDouble(col("embedding")).as("q_emb"))
+          .withColumn("q_norm", l2norm(col("q_emb"))),
+        "q_emb", "q_norm")
+      val w = Window.partitionBy(col("q_vec"))
         .orderBy(col("c_cos").desc, col("centroid_id").asc)
       scored.withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= keep)
-        .drop("__r", "c_cos", "cvec")
+        .filter(col("__r") <= nProbe)
+        .drop("__r", "c_cos")
     }
-    val corpus = assign(
-      emb.select(col("vec_id").as("n_vec"), asDouble(col("embedding")).as("n_emb")),
-      "n_vec", "n_emb", keep = 1)
-    val probes = assign(
-      queries.select(col("vec_id").as("q_vec"), asDouble(col("embedding")).as("q_emb")),
-      "q_vec", "q_emb", keep = nProbe)
     val scored = corpus.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("q_vec") =!= col("n_vec"))
-      .withColumn("cosine", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("cosine", round(cosinePre(dot(col("q_emb"), col("n_emb")),
+        col("q_norm"), col("n_norm")), 6))
     val w = Window.partitionBy(col("q_vec"))
       .orderBy(col("cosine").desc, col("n_vec").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -156,12 +210,15 @@ object Similarity {
     val c = emb.select(col("vec_id").as("n_vec"),
       asDouble(col("embedding")).as("n_emb"))
       .withColumn("bucket", bucket(col("n_emb")))
+      .withColumn("n_norm", l2norm(col("n_emb")))
     val q = queries.select(col("vec_id").as("q_vec"),
       asDouble(col("embedding")).as("q_emb"))
       .withColumn("bucket", bucket(col("q_emb")))
+      .withColumn("q_norm", l2norm(col("q_emb")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_vec") =!= col("n_vec"))
-      .withColumn("cosine", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("cosine", round(cosinePre(dot(col("q_emb"), col("n_emb")),
+        col("q_norm"), col("n_norm")), 6))
     val w = Window.partitionBy(col("q_vec"))
       .orderBy(col("cosine").desc, col("n_vec").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
