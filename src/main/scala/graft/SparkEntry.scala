@@ -508,6 +508,48 @@ object SparkEntry {
       .withColumn("tokens_ratio", r6(col("n_regex_tokens") / col("n_ws_tokens")))
       .orderBy(col("doc_id").asc)
 
+  /** Point-in-interval range join (bucket-expansion equi-join, an
+    * operator Spark lacks a native strategy for): lineitems shipped
+    * inside the 7-day window of a high-value urgent order, rolled up by
+    * promo month. DuckDB's native IEJoin answers the same BETWEEN join
+    * directly — two engines, two physical strategies, one result. */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val li = Sources.table(s, dir, "lineitem")
+      .select(col("l_quantity"),
+        expr("datediff(l_shipdate, DATE '1970-01-01')").cast("long").as("ship_day"))
+    val promos = Sources.table(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") >= 490000)
+      .select(col("o_orderdate"),
+        expr("datediff(o_orderdate, DATE '1970-01-01')").cast("long").as("lo"))
+      .withColumn("hi", col("lo") + 7)
+    Joins.rangeJoin(li, col("ship_day"), promos, col("lo"), col("hi"), bucketWidth = 7)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("promo_month"))
+      .agg(count(lit(1)).as("n_pairs"),
+        Aggregates.exactSum(col("l_quantity")).as("sq"))
+      .select(col("promo_month"), col("n_pairs"),
+        round(col("sq").cast("double"), 2).as("sum_qty"))
+      .orderBy(col("promo_month").asc)
+  }
+
+  /** Bloom-filter semi-join reduction: lineitem pruned by a broadcast
+    * bloom of high-value order keys before the exact semi join. False
+    * positives die at the join, so the result is exactly the plain
+    * EXISTS — which is what the oracle runs. */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val li = Sources.table(s, dir, "lineitem")
+    val hot = Sources.table(s, dir, "orders")
+      .filter(col("o_totalprice") >= 450000)
+      .select(col("o_orderkey"))
+    Joins.bloomSemiJoin(li, col("l_orderkey"), hot, col("o_orderkey"),
+        expectedItems = 1000000L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        Aggregates.exactSum(col("l_extendedprice")).as("sp"))
+      .select(col("l_returnflag"), col("n_items"),
+        round(col("sp").cast("double"), 2).as("sum_price"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
   private val KmeansK = 8
   private val KmeansIters = 2
 
@@ -674,7 +716,9 @@ object SparkEntry {
     "q43_knn_ivf" -> (q43 _),
     "q44_kmeans_centroids" -> (q44 _),
     "q45_embedding_near_dup" -> (q45 _),
-    "q46_token_counting" -> (q46 _))
+    "q46_token_counting" -> (q46 _),
+    "q47_range_join" -> (q47 _),
+    "q48_bloom_semi_join" -> (q48 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -963,6 +1007,25 @@ object SparkEntry {
                  round(len(regexp_extract_all(text, '[0-9A-Za-z]+|[^0-9A-Za-z ]')) /
                        len(string_split(text, ' ')), 6) AS tokens_ratio
           FROM documents ORDER BY doc_id ASC""",
+    "q47_range_join" ->
+      s"""SELECT strftime(o.o_orderdate, '%Y-%m') AS promo_month,
+                 count(*) AS n_pairs,
+                 round(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2)
+                   AS sum_qty
+          FROM lineitem l JOIN orders o
+            ON l.l_shipdate >= o.o_orderdate
+           AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+          WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice >= 490000
+          GROUP BY 1 ORDER BY promo_month ASC""",
+    "q48_bloom_semi_join" ->
+      s"""SELECT l_returnflag, count(*) AS n_items,
+                 round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+                   AS sum_price
+          FROM lineitem l
+          WHERE EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey
+                          AND o.o_totalprice >= 450000)
+          GROUP BY 1 ORDER BY l_returnflag ASC""",
     "q37_sessionization" ->
       s"""WITH o AS (
             SELECT user_id, ts, value,

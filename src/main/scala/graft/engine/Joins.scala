@@ -30,6 +30,91 @@ object Joins {
   def anti(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
     left.join(right, cond, "left_anti")
 
+  /** Point-in-interval range join — an operator Spark has no native
+    * physical strategy for (a raw `l.ts BETWEEN r.lo AND r.hi` join plans
+    * as a nested-loop over every row pair).
+    *
+    * Standard bucket-expansion layout: pick a `bucketWidth` in the units
+    * of the point column, bucket the point side by `point div width`,
+    * explode each interval into the buckets it covers, and equi-join on
+    * the bucket before applying the exact range predicate. Both sides
+    * shuffle-partition on the bucket key, so the O(|points|·|intervals|)
+    * nested loop becomes a hash join whose cost is the true match volume
+    * plus interval replication (⌈span/width⌉ rows per interval — choose
+    * width ≈ the median interval span so replication stays O(1)).
+    *
+    * Contract: `point`, `lo`, `hi` are NON-NEGATIVE LONGs in the same
+    * unit (epoch days/seconds/...; callers convert timestamps first —
+    * `div` truncates toward zero, so negative values would straddle
+    * bucket boundaries). Match is the half-open `lo <= point < hi`.
+    * Output columns: left columns then right columns, like an inner
+    * join. */
+  def rangeJoin(points: DataFrame, point: Column,
+                intervals: DataFrame, lo: Column, hi: Column,
+                bucketWidth: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    // integer `div`, not floating `/`: epoch-nanos points exceed 2^53 and
+    // would silently corrupt under double division
+    val l = points
+      .withColumn("__pt", point.cast("long"))
+      .withColumn("__bkt", expr(s"__pt div $bucketWidth"))
+    val r = intervals
+      .withColumn("__lo", lo.cast("long"))
+      .withColumn("__hi", hi.cast("long"))
+      .filter(col("__lo") < col("__hi"))
+      .withColumn("__bkt",
+        explode(sequence(expr(s"__lo div $bucketWidth"), expr(s"(__hi - 1) div $bucketWidth"))))
+    l.join(r, Seq("__bkt"))
+      .filter(col("__pt") >= col("__lo") && col("__pt") < col("__hi"))
+      .drop("__bkt", "__pt", "__lo", "__hi")
+  }
+
+  /** Bloom-filter semi-join reduction — the manual form of Spark's
+    * runtime row-level filtering (InjectRuntimeFilter), exposed as an
+    * operator so a pipeline can apply it where the optimizer's
+    * heuristics would not (e.g. the build side is only *known* to be
+    * selective by the author, or the filter should apply before an
+    * expensive upstream transform).
+    *
+    * Shape: aggregate the build side's keys into ONE bloom-filter row
+    * (partial aggregation makes this a tree-reduce, shuffling one
+    * sketch per map task), broadcast it, and pre-filter the probe side
+    * with a codegen'd `might_contain` before the exact semi join. At
+    * 100 TB the win is shuffle volume: the probe side drops to
+    * ~|matching| + fp·|probe| rows BEFORE its exchange, instead of
+    * shuffling every probe row to discover non-matches at the join.
+    * False positives are removed by the exact join, so the result is
+    * identical to `semi(probe, build, …)`. */
+  def bloomSemiJoin(probe: DataFrame, probeKey: Column,
+                    build: DataFrame, buildKey: Column,
+                    expectedItems: Long): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.functions._
+    // the bloom hashes xxhash64(key), same convention as the built-in
+    // runtime filter: the sketch stores longs regardless of key type
+    val bloomAgg = GraftSqlBridge.column(
+      new BloomFilterAggregate(
+        GraftSqlBridge.expression(xxhash64(buildKey)), expectedItems)
+        .toAggregateExpression())
+    // might_contain requires a CONSTANT bloom, so the sketch is built
+    // eagerly and embedded as a binary literal — O(numBits) bytes of
+    // model-sized driver state, the same payload a broadcast would ship.
+    // (The build side runs twice — sketch + exact join — like the
+    // built-in runtime filter's duplicated creation-side plan.)
+    val bloomBytes = build.agg(bloomAgg.as("__bloom")).head().get(0)
+    val mightContain = GraftSqlBridge.column(
+      BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bloomBytes, org.apache.spark.sql.types.BinaryType),
+        GraftSqlBridge.expression(xxhash64(probeKey))))
+    // null sketch (empty build side) ⇒ might_contain yields NULL ⇒ the
+    // filter drops every probe row — exactly the empty semi join.
+    semi(probe.where(mightContain), build, probeKey === buildKey)
+  }
+
   /** Salted equi-join for degenerate key skew: when one join key carries a
     * disproportionate share of rows, AQE's skew split may not be enough
     * (one reducer still owns the key). Salting shards the hot key across

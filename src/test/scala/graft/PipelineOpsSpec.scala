@@ -285,6 +285,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("range join matches the naive BETWEEN join, incl. multi-bucket spans") {
+    val points = Seq((1L, 0L), (2L, 5L), (3L, 7L), (4L, 19L), (5L, 20L), (6L, 100L))
+      .toDF("pid", "t")
+    // intervals: [0,7) single-bucket, [5,25) spans 3+ buckets (width 7),
+    // [20,21) point-width, [50,50) empty (lo == hi, must drop)
+    val ivals = Seq((10L, 0L, 7L), (20L, 5L, 25L), (30L, 20L, 21L), (40L, 50L, 50L))
+      .toDF("iid", "lo_t", "hi_t")
+    val got = graft.engine.Joins
+      .rangeJoin(points, col("t"), ivals, col("lo_t"), col("hi_t"), bucketWidth = 7)
+      .select(col("pid"), col("iid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.crossJoin(ivals)
+      .filter(col("t") >= col("lo_t") && col("t") < col("hi_t"))
+      .select(col("pid"), col("iid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty && got === naive)
+    assert(got.contains((5L, 20L)) && got.contains((5L, 30L))) // multi-match point
+    assert(!got.exists(_._2 == 40L))                           // empty interval
+  }
+
+  test("bloom semi-join equals the exact semi join; empty build side is empty") {
+    val probe = (1L to 200L).map(i => (i, s"p$i")).toDF("k", "payload")
+    val build = Seq(3L, 7L, 150L, 999L).toDF("bk")
+    val got = graft.engine.Joins
+      .bloomSemiJoin(probe, col("k"), build, col("bk"), expectedItems = 1000L)
+      .select(col("k")).collect().map(_.getLong(0)).toSet
+    assert(got === Set(3L, 7L, 150L))
+    val empty = graft.engine.Joins.bloomSemiJoin(
+      probe, col("k"), build.filter(col("bk") < 0), col("bk"), 1000L)
+    assert(empty.count() === 0L)
+  }
+
   test("watermarked streaming agg runs (state-bounded variant)") {
     val agg = EventStream.hourlyAgg(EventStream.readEvents(spark, sfDir), withWatermark = true)
     val name = "wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
