@@ -20,5 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    // whole-operator extension: plans graft.plans.TopKPerGroup nodes
+    // (Ranking.topKPerGroup also registers this lazily per session)
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

@@ -550,6 +550,21 @@ object SparkEntry {
       .orderBy(col("l_returnflag").asc)
   }
 
+  /** Per-group top-k via the custom TopKPerGroup operator (logical node
+    * + planner strategy + bounded-heap two-phase physical plan): top-3
+    * orders by price per priority class. The oracle is the row_number
+    * window idiom — same result, different physical strategy. */
+  private def q49(s: SparkSession, dir: String): DataFrame =
+    Ranking.topKPerGroup(
+        Sources.table(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+        groupCols = Seq("o_orderpriority"),
+        orderCols = Seq("o_totalprice" -> false, "o_orderkey" -> true),
+        k = 3)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("rank"))
+      .orderBy(col("o_orderpriority").asc, col("rank").asc)
+
   private val KmeansK = 8
   private val KmeansIters = 2
 
@@ -718,7 +733,8 @@ object SparkEntry {
     "q45_embedding_near_dup" -> (q45 _),
     "q46_token_counting" -> (q46 _),
     "q47_range_join" -> (q47 _),
-    "q48_bloom_semi_join" -> (q48 _))
+    "q48_bloom_semi_join" -> (q48 _),
+    "q49_topk_per_group" -> (q49 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -1026,6 +1042,15 @@ object SparkEntry {
                         WHERE o.o_orderkey = l.l_orderkey
                           AND o.o_totalprice >= 450000)
           GROUP BY 1 ORDER BY l_returnflag ASC""",
+    "q49_topk_per_group" ->
+      s"""SELECT o_orderpriority, o_orderkey,
+                 round(o_totalprice, 2) AS o_totalprice, rank
+          FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+                FROM orders)
+          WHERE rank <= 3
+          ORDER BY o_orderpriority ASC, rank ASC""",
     "q37_sessionization" ->
       s"""WITH o AS (
             SELECT user_id, ts, value,

@@ -37,4 +37,39 @@ object Ranking {
     * cross the network per partition. */
   def topK(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
     df.orderBy(order: _*).limit(k)
+
+  /** PER-GROUP top-k through the custom [[graft.plans.TopKPerGroup]]
+    * operator (logical node + strategy + two-phase physical plan): the
+    * per-group twin of TakeOrderedAndProject. Unlike the
+    * `row_number().over(window) <= k` idiom — which shuffles and FULLY
+    * SORTS every group — this keeps bounded k-row heaps per group and
+    * prunes map-side before the exchange, so shuffle volume is
+    * ≤ k·groups and memory is O(k·groups per partition). Adds a LongType
+    * 1-based `rank` column ordered by `orderCols` (name, ascending?).
+    *
+    * Ties: ranks follow the sort order; add tie-break columns to
+    * `orderCols` (as the queries here do) for deterministic results. */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String],
+                   orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Descending, SortOrder}
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    // idempotently register the planner strategy on this session
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerGroupStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerGroupStrategy
+    val child = GraftSqlBridge.analyzed(df)
+    def resolve(n: String) = child.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $n not in (${child.output.map(_.name).mkString(", ")})"))
+    val node = graft.plans.TopKPerGroup(
+      groupCols.map(resolve),
+      orderCols.map { case (n, asc) =>
+        SortOrder(resolve(n), if (asc) Ascending else Descending) },
+      k,
+      AttributeReference("rank", LongType, nullable = false)(),
+      child)
+    GraftSqlBridge.ofRows(spark, node)
+  }
 }

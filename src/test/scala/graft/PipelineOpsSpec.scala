@@ -317,6 +317,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(empty.count() === 0L)
   }
 
+  test("custom TopKPerGroup operator matches the window idiom, two-phase plan") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Sources.table(spark, sfDir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    val got = graft.engine.Ranking.topKPerGroup(orders,
+      Seq("o_orderpriority"), Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroupFinal") && plan.contains("TopKPerGroupPartial"),
+      s"expected the custom two-phase operator:\n$plan")
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val expect = orders.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    assert(got.collect().map(key).toSet === expect.collect().map(key).toSet)
+  }
+
+  test("TopKPerGroup keeps all rows when k exceeds the group size") {
+    val df = Seq(("a", 1L, 5.0), ("a", 2L, 3.0), ("b", 3L, 9.0))
+      .toDF("g", "id", "v")
+    val got = graft.engine.Ranking.topKPerGroup(
+        df, Seq("g"), Seq("v" -> false, "id" -> true), 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got === Set(("a", 1L, 1L), ("a", 2L, 2L), ("b", 3L, 1L)))
+  }
+
   test("watermarked streaming agg runs (state-bounded variant)") {
     val agg = EventStream.hourlyAgg(EventStream.readEvents(spark, sfDir), withWatermark = true)
     val name = "wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
