@@ -103,9 +103,26 @@ object Sources {
     * partitioned (`partitionBy`) so an incremental run only rewrites the
     * affected partitions. */
   def idempotentWrite(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
-                      versionCol: String, path: String): Unit =
-    Dedup.latestByKey(df, keys, Seq(org.apache.spark.sql.functions.col(versionCol)))
-      .write.mode("overwrite").parquet(path)
+                      versionCol: String, path: String,
+                      partitionCols: Seq[String] = Nil): Unit = {
+    val deduped = Dedup.latestByKey(df, keys,
+      Seq(org.apache.spark.sql.functions.col(versionCol)))
+    val w = deduped.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
+  /** Hive-style partitioned layout (`path/col=value/...`) — the 100 TB
+    * table layout: a predicate on a partition column prunes directories
+    * at PLANNING time (`PartitionFilters` in the scan, zero I/O for
+    * pruned partitions), independent of parquet row-group stats. Choose
+    * partition columns with bounded cardinality (day, region), never
+    * high-cardinality keys — 10⁶ tiny directories is its own failure
+    * mode. Combine with `spark.sql.files.maxPartitionBytes` so each
+    * task reads ~128 MB. */
+  def partitionedWrite(df: org.apache.spark.sql.DataFrame,
+                       partitionCols: Seq[String], path: String): Unit =
+    df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
 
   /** Session conf required to scan TIMESTAMP(NANOS) parquet (`events.ts`):
     * Spark's vectorized reader only accepts nanos as a since-epoch LONG.

@@ -72,6 +72,45 @@ object EventStream {
       }
   }
 
+  /** Streaming → table upsert via `foreachBatch`: each micro-batch is
+    * deduplicated to the newest row per key, unioned with the existing
+    * target (if any), re-deduplicated, and overwritten — MERGE semantics
+    * built from batch operators, the streaming twin of
+    * [[graft.engine.Sources.idempotentWrite]] (and of the reference's
+    * bulk-upsert ingest, reference: src/ingest/ingest_laps.py:57-68).
+    * Re-processing a batch after a failure converges to the same table:
+    * latest-wins by `versionCol` is idempotent.
+    *
+    * At scale the overwrite becomes a partition-scoped or MERGE-capable
+    * table-format write (the micro-batch only touches its own keys);
+    * the dedup-union-dedup shape is unchanged. Runs the stream to
+    * completion over the available input (Trigger.AvailableNow). */
+  def upsertStreamToTable(stream: DataFrame, keys: Seq[String],
+                          versionCol: String, targetPath: String): Unit = {
+    val q = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val incoming = graft.engine.Dedup.latestByKey(
+          batch.toDF(), keys, Seq(col(versionCol)))
+        val merged =
+          if (new java.io.File(targetPath).exists()) {
+            val existing = spark.read.parquet(targetPath)
+            graft.engine.Dedup.latestByKey(
+              existing.unionByName(incoming), keys, Seq(col(versionCol)))
+          } else incoming
+        // overwrite must not read-while-write: materialize then swap
+        val tmp = targetPath + ".staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(targetPath)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Run the streaming aggregation to completion over the fixture batch
     * and return the final result as a batch DataFrame. */
   def runHourlyOnce(spark: SparkSession, sfDir: String): DataFrame = {
