@@ -312,8 +312,9 @@ object SparkEntry {
   private def q30(s: SparkSession, dir: String): DataFrame =
     EventStream.runHourlyOnce(s, dir)
 
-  /** LSH-bucketed approximate KNN (scale path; approximate by design, so
-    * no SQL oracle — driver records the rows-only check). */
+  /** LSH-bucketed approximate KNN (scale path). Approximate w.r.t.
+    * brute force, but deterministic by construction — oracle'd by an
+    * exact SQL mirror of the bucketing + scoring. */
   private def q31(s: SparkSession, dir: String): DataFrame = {
     val emb = Sources.table(s, dir, "embeddings")
     Similarity.lshBucketedKnn(emb, emb.filter(col("vec_id") < 10), k = 5, planes = 4)
@@ -481,7 +482,8 @@ object SparkEntry {
       .orderBy(col("event_type").asc)
 
   /** IVF-bucketed approximate KNN: label centroids as the coarse
-    * quantizer, 2 probes (approximate by design → rows-only check). */
+    * quantizer, 2 probes. Approximate w.r.t. brute force but
+    * deterministic — oracle'd by an exact SQL mirror of the pipeline. */
   private def q43(s: SparkSession, dir: String): DataFrame = {
     val emb = Sources.table(s, dir, "embeddings")
     Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 10),
@@ -604,6 +606,65 @@ object SparkEntry {
         $iterCtes
         SELECT centroid_id, dim, c AS centroid FROM c$KmeansIters
         ORDER BY centroid_id ASC, dim ASC"""
+  }
+
+  /** Rounded-cosine SQL fragment (DuckDB list_dot_product matches the
+    * codegen'd DotProduct's left-to-right summation bit for bit). */
+  private def sqlCos(a: String, b: String): String =
+    s"""round(list_dot_product($a, $b) /
+         (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"""
+
+  /** Exact SQL mirror of [[Similarity.ivfKnn]] over label centroids —
+    * the IVF pipeline is deterministic by construction (rounded cosines,
+    * id tie-breaks), so the approximate index is still oracle-checkable. */
+  private val ivfKnnOracle: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ed AS (SELECT vec_id, label, i AS dim, v[i] AS x
+               FROM e, (SELECT unnest(range(1, ${EmbeddingDim + 1})) AS i) t),
+        cent AS (SELECT label AS centroid_id, dim, avg(x) AS c FROM ed GROUP BY 1, 2),
+        cv AS (SELECT centroid_id, list(c ORDER BY dim ASC) AS cvec FROM cent GROUP BY 1),
+        scored_n AS (SELECT e.vec_id AS n_vec, e.v AS nv, cv.centroid_id,
+                            ${sqlCos("e.v", "cv.cvec")} AS c_cos
+                     FROM e, cv),
+        corpus AS (SELECT n_vec, nv, centroid_id FROM (
+                     SELECT *, row_number() OVER (PARTITION BY n_vec
+                       ORDER BY c_cos DESC, centroid_id ASC) AS rn
+                     FROM scored_n) WHERE rn = 1),
+        scored_q AS (SELECT q.vec_id AS q_vec, q.v AS qv, cv.centroid_id,
+                            ${sqlCos("q.v", "cv.cvec")} AS c_cos
+                     FROM e q, cv WHERE q.vec_id < 10),
+        probes AS (SELECT q_vec, qv, centroid_id FROM (
+                     SELECT *, row_number() OVER (PARTITION BY q_vec
+                       ORDER BY c_cos DESC, centroid_id ASC) AS rn
+                     FROM scored_q) WHERE rn <= 2),
+        pair AS (SELECT p.q_vec, c.n_vec, ${sqlCos("p.qv", "c.nv")} AS cosine
+                 FROM probes p JOIN corpus c USING (centroid_id)
+                 WHERE c.n_vec <> p.q_vec),
+        r AS (SELECT *, row_number() OVER (PARTITION BY q_vec
+                ORDER BY cosine DESC, n_vec ASC) AS knn_rank FROM pair)
+        SELECT q_vec, n_vec, cosine, knn_rank FROM r WHERE knn_rank <= 5
+        ORDER BY q_vec ASC, knn_rank ASC"""
+
+  /** Exact SQL mirror of [[Similarity.lshBucketedKnn]] (planes = 4):
+    * deterministic index-seeded hyperplane weights reproduced as literal
+    * lists; sign thresholds compare bit-identical doubles. */
+  private val lshKnnOracle: String = {
+    val planes = 4
+    val buckets = (0 until planes).map { p =>
+      val m = (p % 6) + 1
+      val w = (0 until EmbeddingDim).map(i => ((i * m) % 7) - 3)
+        .mkString("[", ", ", "]")
+      s"CASE WHEN list_dot_product(v, CAST($w AS DOUBLE[])) > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (SELECT vec_id, v, CAST($buckets AS BIGINT) AS bucket FROM e),
+        q AS (SELECT vec_id AS q_vec, v AS qv, bucket FROM b WHERE vec_id < 10),
+        pair AS (SELECT q.q_vec, c.vec_id AS n_vec, ${sqlCos("q.qv", "c.v")} AS cosine
+                 FROM q JOIN b c USING (bucket) WHERE c.vec_id <> q.q_vec),
+        r AS (SELECT *, row_number() OVER (PARTITION BY q_vec
+                ORDER BY cosine DESC, n_vec ASC) AS knn_rank FROM pair)
+        SELECT q_vec, n_vec, cosine, knn_rank FROM r WHERE knn_rank <= 5
+        ORDER BY q_vec ASC, knn_rank ASC"""
   }
 
   // ----------------------------------------------- generated oracle SQL
@@ -960,6 +1021,8 @@ object SparkEntry {
                  event_type, count(*) AS n_events, round(avg(value), 6) AS avg_value
           FROM events GROUP BY 1, 2
           ORDER BY hour_start ASC, event_type ASC""",
+    "q31_knn_lsh_bucketed" -> lshKnnOracle,
+    "q43_knn_ivf" -> ivfKnnOracle,
     "q32_clean_filter_chain" ->
       s"""SELECT user_id, event_type, strftime(ts, '%Y-%m-%d') AS day,
                  CAST(hour(ts) AS BIGINT) AS hour,
