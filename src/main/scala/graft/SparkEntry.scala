@@ -567,6 +567,12 @@ object SparkEntry {
         round(col("o_totalprice"), 2).as("o_totalprice"), col("rank"))
       .orderBy(col("o_orderpriority").asc, col("rank").asc)
 
+  /** 64-bit SimHash near-dup pairs (4×16 banding, two 32-bit halves) —
+    * the fingerprint width for corpora where 8-bit buckets collide. */
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    NearDup.simHash64Pairs(NearDup.simHash64(docs(s, dir)), maxHamming = 3)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+
   private val KmeansK = 8
   private val KmeansIters = 2
 
@@ -606,6 +612,25 @@ object SparkEntry {
         $iterCtes
         SELECT centroid_id, dim, c AS centroid FROM c$KmeansIters
         ORDER BY centroid_id ASC, dim ASC"""
+  }
+
+  /** 64-bit (two-half) analog of [[simhashCte]]. */
+  private val simhash64Cte: String = {
+    val nibs = (1 to 16)
+      .map(j => s"strpos('0123456789abcdef', substr(h, $j, 1)) - 1 AS nib$j")
+      .mkString(", ")
+    val sums = (0 until 64).map { b =>
+      s"sum(CASE WHEN (nib${b / 4 + 1} >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(", ")
+    def half(from: Int) = (from until from + 32)
+      .map(b => s"CASE WHEN b$b > 0 THEN ${1L << (b - from)} ELSE 0 END")
+      .mkString(" + ")
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+        h AS (SELECT doc_id, md5(tk) AS h FROM tok),
+        nib AS (SELECT doc_id, $nibs FROM h),
+        sums AS (SELECT doc_id, $sums FROM nib GROUP BY doc_id),
+        fpt64 AS (SELECT doc_id, CAST(${half(32)} AS BIGINT) AS fp_hi,
+                         CAST(${half(0)} AS BIGINT) AS fp_lo FROM sums)"""
   }
 
   /** Rounded-cosine SQL fragment (DuckDB list_dot_product matches the
@@ -795,7 +820,8 @@ object SparkEntry {
     "q46_token_counting" -> (q46 _),
     "q47_range_join" -> (q47 _),
     "q48_bloom_semi_join" -> (q48 _),
-    "q49_topk_per_group" -> (q49 _))
+    "q49_topk_per_group" -> (q49 _),
+    "q50_simhash64_pairs" -> (q50 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -1023,6 +1049,15 @@ object SparkEntry {
           ORDER BY hour_start ASC, event_type ASC""",
     "q31_knn_lsh_bucketed" -> lshKnnOracle,
     "q43_knn_ivf" -> ivfKnnOracle,
+    "q50_simhash64_pairs" ->
+      s"""WITH $simhash64Cte
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.fp_hi, b.fp_hi)) +
+                      bit_count(xor(a.fp_lo, b.fp_lo)) AS BIGINT) AS hamming
+          FROM fpt64 a JOIN fpt64 b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.fp_hi, b.fp_hi)) +
+                bit_count(xor(a.fp_lo, b.fp_lo)) <= 3
+          ORDER BY doc_a ASC, doc_b ASC""",
     "q32_clean_filter_chain" ->
       s"""SELECT user_id, event_type, strftime(ts, '%Y-%m-%d') AS day,
                  CAST(hour(ts) AS BIGINT) AS hour,

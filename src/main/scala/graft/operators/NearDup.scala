@@ -136,6 +136,61 @@ object NearDup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** 64-bit SimHash for corpora where 8-bit band buckets collide heavily
+    * (≥ millions of docs): stored as two non-negative 32-bit halves
+    * (`fp_hi`, `fp_lo`) so no engine ever touches the sign bit — bit b
+    * of the conceptual 64-bit fingerprint is bit (b−32) of fp_hi for
+    * b ≥ 32, else bit b of fp_lo. The low half uses md5 nibbles 1–8,
+    * i.e. it IS the 32-bit [[simHash]] fingerprint; the high half uses
+    * nibbles 9–16. One tokenize + md5 pass, 64 primitive vote counters
+    * in a single codegen'd hash aggregation. */
+  def simHash64(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+    val withNibbles = tok.select(col("doc_id") +:
+      (1 to 16).map(j => hexNibble(col("h"), j).as(s"nib$j")): _*)
+    val sums = withNibbles.groupBy(col("doc_id")).agg(
+      sumBit(0).as("b0"), (1 until 64).map(b => sumBit(b).as(s"b$b")): _*)
+    def half(from: Int): Column = (from until from + 32)
+      .map(b => when(col(s"b$b") > 0, lit(1L << (b - from))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), half(32).as("fp_hi"), half(0).as("fp_lo"))
+  }
+
+  /** Near-dup pairs over the 64-bit fingerprint: 4 bands of 16 bits
+    * (two per half) — pigeonhole-exact recall for Hamming < 4, with the
+    * usual cheap bit_count verify. All band values are < 2^16, shifts
+    * never touch a sign bit on either engine. */
+  def simHash64Pairs(fingerprints: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming < 4,
+      "4-band recall guarantee over 64 bits needs maxHamming < 4")
+    val bandStructs = (0 until 4).map { b =>
+      val src = if (b < 2) col("fp_lo") else col("fp_hi")
+      struct(lit(b).as("band"),
+        shiftright(src, (b % 2) * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))
+    }
+    val banded = Shingles.shared(
+      fingerprints.select(col("doc_id"), col("fp_hi"), col("fp_lo"),
+          explode(array(bandStructs: _*)).as("x"))
+        .select(col("doc_id"), col("fp_hi"), col("fp_lo"),
+          col("x.band").as("band"), col("x.bv").as("bv")))
+    val a = banded.select(col("band"), col("bv"), col("doc_id").as("doc_a"),
+      col("fp_hi").as("hi_a"), col("fp_lo").as("lo_a"))
+    val b = banded.select(col("band"), col("bv"), col("doc_id").as("doc_b"),
+      col("fp_hi").as("hi_b"), col("fp_lo").as("lo_b"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        col("hi_a"), col("lo_a"), col("hi_b"), col("lo_b"))
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+         bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Exact 3-gram Jaccard similarity for pairs sharing a blocking key and
     * at least one shingle. Shingle equi-join (shuffle on shingle hash),
     * never a cross join. */

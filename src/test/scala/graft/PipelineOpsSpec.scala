@@ -48,6 +48,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.length === 1 && pairs.head.getAs[Long]("hamming") === 0L)
   }
 
+  test("simHash64 low half equals the 32-bit simhash; identical docs pair at 0") {
+    val d = docsOf(1L -> "spark scale shuffle join agg",
+                   2L -> "spark scale shuffle join agg",
+                   3L -> "an entirely different document body here")
+    val fp32 = NearDup.simHash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fp64 = NearDup.simHash64(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    fp64.foreach { case (id, (hi, lo)) =>
+      assert(lo === fp32(id), s"doc $id: low half must be the 32-bit simhash")
+      assert(hi >= 0L && lo >= 0L && hi < (1L << 32) && lo < (1L << 32))
+    }
+    val pairs = NearDup.simHash64Pairs(NearDup.simHash64(d), 0).collect()
+    assert(pairs.length === 1 && pairs.head.getAs[Long]("hamming") === 0L)
+  }
+
   test("ngram jaccard is 1.0 for identical docs") {
     val d = docsOf(1L -> "a b c d e", 2L -> "a b c d e")
     val r = NearDup.ngramJaccardPairs(d, "source", 0.5).collect()
