@@ -573,6 +573,26 @@ object SparkEntry {
     NearDup.simHash64Pairs(NearDup.simHash64(docs(s, dir)), maxHamming = 3)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
 
+  /** Repetition-ratio quality signal: duplicate-3-gram fraction per doc
+    * (high ⇒ boilerplate/looping text — a standard pretraining filter). */
+  private def q51(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.repetitionRatio(docs(s, dir))
+      .select(col("doc_id"), col("n_total"), col("n_distinct"),
+        r6(col("rep_ratio")).as("rep_ratio"))
+      .orderBy(col("doc_id").asc)
+
+  /** CUBE grouping sets — all 4 subtotal combinations in one pass
+    * (NULLS FIRST pinned like q39's ROLLUP). */
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        Aggregates.exactSum(col("l_quantity")).as("sq"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n_items"),
+        round(col("sq").cast("double"), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   private val KmeansK = 8
   private val KmeansIters = 2
 
@@ -821,7 +841,9 @@ object SparkEntry {
     "q47_range_join" -> (q47 _),
     "q48_bloom_semi_join" -> (q48 _),
     "q49_topk_per_group" -> (q49 _),
-    "q50_simhash64_pairs" -> (q50 _))
+    "q50_simhash64_pairs" -> (q50 _),
+    "q51_repetition_ratio" -> (q51 _),
+    "q52_cube_quantity" -> (q52 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -1058,6 +1080,24 @@ object SparkEntry {
           WHERE bit_count(xor(a.fp_hi, b.fp_hi)) +
                 bit_count(xor(a.fp_lo, b.fp_lo)) <= 3
           ORDER BY doc_a ASC, doc_b ASC""",
+    "q51_repetition_ratio" ->
+      s"""WITH $sqlShingles,
+          d AS (SELECT doc_id, count(*) AS n_distinct FROM sh GROUP BY doc_id),
+          t AS (SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) - 2 AS BIGINT) AS n_total
+                FROM documents)
+          SELECT t.doc_id, t.n_total, d.n_distinct,
+                 round(1.0 - d.n_distinct / t.n_total, 6) AS rep_ratio
+          FROM t JOIN d ON t.doc_id = d.doc_id
+          WHERE t.n_total > 0
+          ORDER BY t.doc_id ASC""",
+    "q52_cube_quantity" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+                 round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2)
+                   AS sum_qty
+          FROM lineitem
+          GROUP BY CUBE (l_returnflag, l_linestatus)
+          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "q32_clean_filter_chain" ->
       s"""SELECT user_id, event_type, strftime(ts, '%Y-%m-%d') AS day,
                  CAST(hour(ts) AS BIGINT) AS hour,

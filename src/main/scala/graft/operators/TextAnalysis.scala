@@ -75,4 +75,20 @@ object TextAnalysis {
       .agg(concat_ws("", slice(sort_array(collect_list(col("h"))), 1, k))
         .as("fingerprint"))
   }
+
+  /** Intra-document repetition ratio — the duplicate-3-gram fraction
+    * quality signal (boilerplate / keyword-stuffed / looping text scores
+    * high): 1 − distinct_shingles / total_shingles. Uses the generator's
+    * per-doc dedup for the distinct count; total is len(tokens) − 2.
+    * Docs with < 3 tokens are excluded (no shingles to judge).
+    * One generate + one hash agg — same shuffle shape as textStats. */
+  def repetitionRatio(docs: DataFrame): DataFrame = {
+    val distinct = Shingles.table(docs)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_distinct"))
+    docs.select(col("doc_id"),
+        (size(tokens(col("text"))) - 2).cast("long").as("n_total"))
+      .filter(col("n_total") > 0)
+      .join(distinct, Seq("doc_id"))
+      .withColumn("rep_ratio", lit(1.0) - col("n_distinct") / col("n_total"))
+  }
 }
