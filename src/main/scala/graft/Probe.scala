@@ -16,7 +16,8 @@ object Probe {
     val only = if (args.length > 1 && args(1).nonEmpty)
       args(1).split(",").toSet else Set.empty[String]
     val reps = if (args.length > 2) args(2).toInt else 3
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions).master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

@@ -350,6 +350,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.collect().map(key).toSet === expect.collect().map(key).toSet)
   }
 
+  test("optimizer rewrites the row_number window idiom into TopKPerGroup") {
+    import org.apache.spark.sql.expressions.Window
+    val li = Sources.table(spark, sfDir, "lineitem")
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val idiom = li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    val plan = idiom.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroupFinal") && !plan.contains("WindowExec"),
+      s"rewrite should have replaced the window:\n$plan")
+    // results identical to the un-rewritten idiom (windows survive when
+    // no rank bound exists, so build the expected set via collect+group)
+    val got = idiom.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val expect = li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .collect()
+      .groupBy(_.getLong(0)).toSeq.flatMap { case (sk, rows) =>
+        rows.sortBy(r => (-r.getDouble(3), r.getLong(1), r.getInt(2))).take(2).zipWithIndex
+          .map { case (r, i) => (sk, r.getLong(1), r.getInt(2), i + 1) }
+      }.toSet
+    assert(got === expect)
+  }
+
   test("TopKPerGroup keeps all rows when k exceeds the group size") {
     val df = Seq(("a", 1L, 5.0), ("a", 2L, 3.0), ("b", 3L, 9.0))
       .toDF("g", "id", "v")
