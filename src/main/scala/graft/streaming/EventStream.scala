@@ -111,6 +111,35 @@ object EventStream {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming exact dedup with bounded state: drops re-deliveries of
+    * the same key arriving within the watermark delay, the streaming
+    * form of the pipeline's exact-dedup stage (at-least-once source →
+    * effectively-once downstream). State holds one entry per key seen
+    * within the watermark window and is evicted as event time advances —
+    * the unbounded-state `dropDuplicates` footgun is avoided by
+    * construction. */
+  def dedupedStream(stream: DataFrame, keys: Seq[String],
+                    watermarkDelay: String): DataFrame =
+    stream.withWatermark("ts_utc", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Stream-stream inner join with a bounded time condition: each side
+    * watermarked, join on user_id with the right event required within
+    * [left, left + 1 hour). Both state stores are evictable because the
+    * time bound plus watermarks give Spark an upper bound on how long a
+    * row can still find matches — the required shape for unbounded
+    * stream joins. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val l = left.select(col("user_id"), col("event_id").as("l_event"),
+      col("ts_utc").as("l_ts")).withWatermark("l_ts", "2 hours")
+    val r = right.select(col("user_id").as("r_user"), col("event_id").as("r_event"),
+      col("ts_utc").as("r_ts")).withWatermark("r_ts", "2 hours")
+    l.join(r, expr(
+      """user_id = r_user AND l_event <> r_event AND
+         r_ts >= l_ts AND r_ts < l_ts + INTERVAL 1 HOUR"""))
+  }
+
   /** Run the streaming aggregation to completion over the fixture batch
     * and return the final result as a batch DataFrame. */
   def runHourlyOnce(spark: SparkSession, sfDir: String): DataFrame = {

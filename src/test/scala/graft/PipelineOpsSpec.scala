@@ -417,6 +417,40 @@ class PipelineOpsSpec extends AnyFunSuite {
       events.filter(col("day") === days.head).count())
   }
 
+  test("watermarked stream dedup: one row per key when batch has no late dupes") {
+    val deduped = EventStream.dedupedStream(
+      EventStream.readEvents(spark, sfDir), Seq("user_id", "event_type"), "1 hour")
+    val name = "dd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val perKey = spark.table(name).groupBy(col("user_id"), col("event_type"))
+      .count().agg(max(col("count"))).collect().head.getLong(0)
+    assert(perKey === 1L, "watermarked dedup must emit each key once")
+  }
+
+  test("stream-stream join matches the batch time-bounded join") {
+    val joined = EventStream.streamStreamJoin(
+      EventStream.readEvents(spark, sfDir), EventStream.readEvents(spark, sfDir))
+    val name = "ssj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(name)
+      .select(col("l_event"), col("r_event"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Sources.table(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("ts_utc"))
+    val l = ev.select(col("user_id"), col("event_id").as("l_event"), col("ts_utc").as("l_ts"))
+    val r = ev.select(col("user_id").as("r_user"), col("event_id").as("r_event"), col("ts_utc").as("r_ts"))
+    val expect = l.join(r, expr(
+        """user_id = r_user AND l_event <> r_event AND
+           r_ts >= l_ts AND r_ts < l_ts + INTERVAL 1 HOUR"""))
+      .select(col("l_event"), col("r_event"))
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
+    assert(expect.nonEmpty && got === expect)
+  }
+
   test("watermarked streaming agg runs (state-bounded variant)") {
     val agg = EventStream.hourlyAgg(EventStream.readEvents(spark, sfDir), withWatermark = true)
     val name = "wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
