@@ -451,6 +451,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(expect.nonEmpty && got === expect)
   }
 
+  test("z-ordered layout gives per-file locality on BOTH columns") {
+    import graft.engine.ZOrder
+    val li = Sources.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    def avgFileRange(path: String): (Double, Double) = {
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max(col("l_orderkey")) - min(col("l_orderkey"))).as("ro"),
+          (max(col("l_partkey")) - min(col("l_partkey"))).as("rp"))
+        .agg(avg(col("ro")), avg(col("rp"))).collect().head
+      (perFile.getDouble(0), perFile.getDouble(1))
+    }
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    // baseline: single-column sort — perfect on orderkey, useless on partkey
+    li.sort(col("l_orderkey")).write.mode("overwrite")
+      .option("maxRecordsPerFile", 500L).parquet(s"$base/by_order")
+    ZOrder.zOrderedWrite(li, col("l_orderkey"), col("l_partkey"), bits = 16,
+      s"$base/by_z", maxRecordsPerFile = 500)
+    val (oRangeSorted, pRangeSorted) = avgFileRange(s"$base/by_order")
+    val (oRangeZ, pRangeZ) = avgFileRange(s"$base/by_z")
+    // area per file is layout-invariant (~total/nFiles); what z-order
+    // changes is the SHAPE: the single-column sort gives a thin slab
+    // (tiny orderkey range, full partkey range), z-order a square-ish
+    // rectangle — BOTH ranges well below the full dimension width.
+    val fullO = li.agg(max(col("l_orderkey")) - min(col("l_orderkey")))
+      .collect().head.getLong(0).toDouble
+    val fullP = li.agg(max(col("l_partkey")) - min(col("l_partkey")))
+      .collect().head.getLong(0).toDouble
+    assert(pRangeSorted > 0.8 * fullP,
+      s"sorted baseline should have ~full partkey range: $pRangeSorted vs $fullP")
+    assert(pRangeZ < 0.55 * fullP,
+      s"partkey range/file: z=$pRangeZ vs full=$fullP")
+    assert(oRangeZ < 0.55 * fullO,
+      s"orderkey range/file: z=$oRangeZ vs full=$fullO")
+    assert(oRangeSorted < oRangeZ, "single-column sort stays best on its own key")
+  }
+
   test("watermarked streaming agg runs (state-bounded variant)") {
     val agg = EventStream.hourlyAgg(EventStream.readEvents(spark, sfDir), withWatermark = true)
     val name = "wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
