@@ -593,6 +593,15 @@ object SparkEntry {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** Multimodal frame sampling (video-path plumbing, stub codec): every
+    * 4th 1 KiB frame of the payload; flat stats gated against byte
+    * arithmetic in SQL, nested frame array exercised by the test. */
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.sampleFrames(s, docs(s, dir), frameSize = 1024, every = 4)
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("n_frames"), col("n_sampled"), col("sampled_bytes"))
+      .orderBy(col("doc_id").asc)
+
   private val KmeansK = 8
   private val KmeansIters = 2
 
@@ -843,7 +852,8 @@ object SparkEntry {
     "q49_topk_per_group" -> (q49 _),
     "q50_simhash64_pairs" -> (q50 _),
     "q51_repetition_ratio" -> (q51 _),
-    "q52_cube_quantity" -> (q52 _))
+    "q52_cube_quantity" -> (q52 _),
+    "q53_frame_sampling" -> (q53 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -1098,6 +1108,14 @@ object SparkEntry {
           FROM lineitem
           GROUP BY CUBE (l_returnflag, l_linestatus)
           ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q53_frame_sampling" ->
+      s"""WITH t AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+          f AS (SELECT doc_id, n, (n + 1023) // 1024 AS nf FROM t WHERE n > 0),
+          s AS (SELECT doc_id, n, nf, unnest(range(0, nf, 4)) AS i FROM f)
+          SELECT doc_id, nf AS n_frames, count(*) AS n_sampled,
+                 CAST(sum(least(1024, n - i * 1024)) AS BIGINT) AS sampled_bytes
+          FROM s GROUP BY doc_id, nf
+          ORDER BY doc_id ASC""",
     "q32_clean_filter_chain" ->
       s"""SELECT user_id, event_type, strftime(ts, '%Y-%m-%d') AS day,
                  CAST(hour(ts) AS BIGINT) AS hour,

@@ -41,4 +41,35 @@ object Multimodal {
     }.toDF()
       .withColumn("aspect", round(col("width") / col("height"), 6))
   }
+
+  /** One sampled frame: index in the stream, byte offset, byte length.
+    * A real decoder would add the decoded tensor / thumbnail bytes. */
+  case class Frame(frame_idx: Long, offset: Long, n_bytes: Long)
+
+  case class SampledFrames(doc_id: Long, n_frames: Long, n_sampled: Long,
+                           sampled_bytes: Long, frames: Seq[Frame])
+
+  /** Video-path plumbing: treat the payload as a fixed-`frameSize` frame
+    * stream and keep every `every`-th frame — the frame-sampling stage of
+    * a video pipeline, with the codec stubbed to byte-range arithmetic
+    * (a real build seeks keyframes; the schema, nested frame array, and
+    * per-partition batch shape are the real thing). Nested output:
+    * `frames` is an ArrayType of structs, the layout a downstream
+    * embed-or-caption stage consumes. */
+  def sampleFrames(spark: SparkSession, docs: DataFrame,
+                   frameSize: Int, every: Int): DataFrame = {
+    require(frameSize > 0 && every > 0)
+    import spark.implicits._
+    withPayload(docs).as[Blob].mapPartitions { it =>
+      it.map { b =>
+        val n = b.payload.length.toLong
+        val nf = (n + frameSize - 1) / frameSize
+        val frames = (0L until nf by every.toLong).map { i =>
+          Frame(i, i * frameSize, math.min(frameSize.toLong, n - i * frameSize))
+        }
+        SampledFrames(b.doc_id, nf, frames.size.toLong,
+          frames.map(_.n_bytes).sum, frames)
+      }
+    }.toDF()
+  }
 }

@@ -451,6 +451,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(expect.nonEmpty && got === expect)
   }
 
+  test("frame sampling emits the right nested frame array") {
+    val d = docsOf(1L -> ("x" * 5000))  // 5000 bytes → 5 frames, sample 0 and 4
+    val r = Multimodal.sampleFrames(spark, d, frameSize = 1024, every = 4)
+      .collect().head
+    assert(r.getAs[Long]("n_frames") === 5L)
+    assert(r.getAs[Long]("n_sampled") === 2L)
+    val frames = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("frames")
+    assert(frames.map(f => (f.getLong(0), f.getLong(1), f.getLong(2))).toSeq ===
+      Seq((0L, 0L, 1024L), (4L, 4096L, 904L)))
+    assert(r.getAs[Long]("sampled_bytes") === 1024L + 904L)
+  }
+
   test("z-ordered layout gives per-file locality on BOTH columns") {
     import graft.engine.ZOrder
     val li = Sources.table(spark, sfDir, "lineitem")
