@@ -602,6 +602,26 @@ object SparkEntry {
       .select(col("doc_id"), col("n_frames"), col("n_sampled"), col("sampled_bytes"))
       .orderBy(col("doc_id").asc)
 
+  /** Per-source keep rates for the q54 mixture (src0 dropped entirely,
+    * src19 kept at 95%) and the shared salt. */
+  private val MixRates: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> i * 0.05).toMap
+  private val MixSalt = "mix-v1"
+
+  /** Deterministic data-mixture sampling: per-source keep rates applied
+    * via a portable id hash (md5-bucket), so the sampled subset is a
+    * pure function of the data — the reproducible data-mixing stage of
+    * a curation pipeline. */
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.deterministicMix(
+        docs(s, dir), col("doc_id"), col("source"), MixRates, MixSalt)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        Aggregates.exactSum(col("n_chars")).as("sc"))
+      .select(col("source"), col("n_kept"),
+        round(col("sc").cast("double"), 2).as("sum_chars"))
+      .orderBy(col("source").asc)
+
   private val KmeansK = 8
   private val KmeansIters = 2
 
@@ -853,7 +873,8 @@ object SparkEntry {
     "q50_simhash64_pairs" -> (q50 _),
     "q51_repetition_ratio" -> (q51 _),
     "q52_cube_quantity" -> (q52 _),
-    "q53_frame_sampling" -> (q53 _))
+    "q53_frame_sampling" -> (q53 _),
+    "q54_mixture_sampling" -> (q54 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -1116,6 +1137,21 @@ object SparkEntry {
                  CAST(sum(least(1024, n - i * 1024)) AS BIGINT) AS sampled_bytes
           FROM s GROUP BY doc_id, nf
           ORDER BY doc_id ASC""",
+    "q54_mixture_sampling" -> {
+      val cases = MixRates.toSeq.sortBy(_._1).map { case (g, r) =>
+        s"WHEN '$g' THEN ${math.round(r * 10000)}" }.mkString(" ")
+      s"""WITH k AS (
+            SELECT source, n_chars,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '$MixSalt'), 1, 8))::BIGINT
+                     % 10000 AS bucket,
+                   CASE source $cases ELSE 0 END AS bp
+            FROM documents)
+          SELECT source, count(*) AS n_kept,
+                 round(CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE), 2)
+                   AS sum_chars
+          FROM k WHERE bucket < bp
+          GROUP BY source ORDER BY source ASC"""
+    },
     "q32_clean_filter_chain" ->
       s"""SELECT user_id, event_type, strftime(ts, '%Y-%m-%d') AS day,
                  CAST(hour(ts) AS BIGINT) AS hour,

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for dataset curation — the data-mixing stage
+  * of a training pipeline ("keep 30% of source A, 80% of source B"),
+  * reproducible across runs, engines, and cluster sizes.
+  *
+  * Selection hashes each row's stable id (md5 → first 8 hex digits →
+  * integer % 10000), so membership is a pure function of the id: no RNG
+  * state, no partition-order dependence, rerun-stable, and the same
+  * rows are kept by any engine that can compute md5 (the DuckDB oracle
+  * does). Per-row projection + filter — embarrassingly parallel, no
+  * shuffle; the fraction achieved converges to the target at corpus
+  * scale (md5 uniformity).
+  */
+object Sampling {
+
+  /** Basis-point bucket 0..9999 of a row id — uniform under md5. A salt
+    * decorrelates independent sampling stages (two 30% samples with
+    * different salts overlap ~9%, same salt ⇒ identical subset). */
+  def hashBucket(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long") % 10000
+
+  /** Keep each row with its group's rate (basis points by `rateCol`
+    * lookup): deterministic per-group downsampling. `rates` maps group
+    * value → fraction in [0,1]; absent groups are dropped (rate 0). */
+  def deterministicMix(df: DataFrame, idCol: Column, rateCol: Column,
+                       rates: Map[String, Double], salt: String): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 1), "rates must be in [0,1]")
+    val bps = rates.map { case (g, r) => (g, math.round(r * 10000).toInt) }
+    val rateExpr = bps.foldLeft(lit(0)) { case (acc, (g, bp)) =>
+      when(rateCol === g, lit(bp)).otherwise(acc)
+    }
+    df.withColumn("__bucket", hashBucket(idCol, salt))
+      .filter(col("__bucket") < rateExpr)
+      .drop("__bucket")
+  }
+}

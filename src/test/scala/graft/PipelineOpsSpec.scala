@@ -451,6 +451,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(expect.nonEmpty && got === expect)
   }
 
+  test("deterministic mix: rerun-stable, rate-accurate, salt-decorrelated") {
+    val d = Sources.table(spark, sfDir, "documents")
+    def ids(salt: String) = Sampling.deterministicMix(
+        d, col("doc_id"), col("source"),
+        (0 until 20).map(i => s"src$i" -> 0.5).toMap, salt)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val a = ids("s1")
+    assert(a === ids("s1"), "same salt must select the identical subset")
+    val b = ids("s2")
+    val n = d.count().toDouble
+    assert(math.abs(a.size / n - 0.5) < 0.1, s"rate off: ${a.size / n}")
+    // independent salts overlap ≈ rate² = 25%, far from 50%
+    assert(math.abs(a.intersect(b).size / n - 0.25) < 0.1)
+  }
+
   test("frame sampling emits the right nested frame array") {
     val d = docsOf(1L -> ("x" * 5000))  // 5000 bytes → 5 frames, sample 0 and 4
     val r = Multimodal.sampleFrames(spark, d, frameSize = 1024, every = 4)
