@@ -75,4 +75,49 @@ class PropertySpec extends AnyFunSuite {
       assert(keys.toSet === rows.map(_._1).toSet)
     }
   }
+
+  test("rangeJoin equals the naive BETWEEN join on random points/intervals") {
+    import org.apache.spark.sql.functions.col
+    val ptsGen = Gen.listOfN(30, Gen.chooseNum(0L, 200L))
+    val ivalGen = Gen.listOfN(10,
+      Gen.zip(Gen.chooseNum(0L, 180L), Gen.chooseNum(0L, 40L)))
+    cases(Gen.zip(ptsGen, ivalGen, Gen.chooseNum(1L, 25L))).foreach {
+      case (ps, ivs, width) =>
+        val points = ps.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("pid", "t")
+        val intervals = ivs.zipWithIndex.map { case ((lo, span), i) =>
+          (i.toLong, lo, lo + span) }.toDF("iid", "lo", "hi")
+        val got = Joins.rangeJoin(points, col("t"), intervals,
+            col("lo"), col("hi"), width)
+          .select(col("pid"), col("iid"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val naive = points.crossJoin(intervals)
+          .filter(col("t") >= col("lo") && col("t") < col("hi"))
+          .select(col("pid"), col("iid"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got === naive, s"width=$width ivs=$ivs")
+    }
+  }
+
+  test("topKPerGroup equals a reference top-k on random groups (with ties)") {
+    import org.apache.spark.sql.functions.col
+    // small value domain forces duplicate sort keys; id column breaks ties
+    val rowsGen = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(0, 4), Gen.chooseNum(0, 5)))
+    cases(Gen.zip(rowsGen, Gen.chooseNum(1, 5))).foreach { case (rows, k) =>
+      val df = rows.zipWithIndex.map { case ((g, v), i) =>
+        (s"g$g", v.toDouble, i.toLong) }.toDF("g", "v", "id")
+      val got = Ranking.topKPerGroup(df, Seq("g"),
+          Seq("v" -> false, "id" -> true), k)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val expect = rows.zipWithIndex.map { case ((g, v), i) =>
+        (s"g$g", v.toDouble, i.toLong) }
+        .groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+          rs.sortBy(r => (-r._2, r._3)).take(k).zipWithIndex
+            .map { case (r, i) => (r._1, r._2, r._3, (i + 1).toLong) }
+        }.toSet
+      assert(got === expect, s"k=$k")
+    }
+  }
 }
