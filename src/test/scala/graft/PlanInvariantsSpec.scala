@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Automated plan audit over the full query catalog: the scale
+  * properties SCALE.md claims, asserted on the actual physical plans
+  * (planning only — nothing executes).
+  */
+class PlanInvariantsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("no query plans a CartesianProduct (unbroadcast cross join)") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+    }
+  }
+
+  test("star join broadcasts every dimension") {
+    val plan = planOf("q11_star_revenue")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast dims in q11:\n$plan")
+  }
+
+  test("filter chain pushes predicates into the parquet scan") {
+    val plan = planOf("q32_clean_filter_chain")
+    assert(plan.contains("PushedFilters: [In(event_type") ||
+      plan.contains("PushedFilters: [IsNotNull"),
+      s"q32 scan should carry pushed filters:\n$plan")
+  }
+
+  test("global top-k plans TakeOrderedAndProject (no full sort)") {
+    val plan = planOf("q14_topk_orders")
+    assert(plan.contains("TakeOrderedAndProject"), s"q14:\n$plan")
+  }
+
+  test("column pruning: q01 reads only the referenced event columns") {
+    val plan = planOf("q01_avg_value_by_user")
+    val scan = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("user_id") && scan.contains("value"))
+    assert(!scan.contains("props"), s"q01 scan reads unused columns: $scan")
+  }
+
+  test("per-group top-k idiom is rewritten to the custom operator") {
+    Seq("q25_knn_cosine", "q09_dedup_latest", "q49_topk_per_group").foreach { n =>
+      val plan = planOf(n)
+      assert(plan.contains("TopKPerGroupFinal"), s"$n should use TopKPerGroup:\n$plan")
+    }
+  }
+}
