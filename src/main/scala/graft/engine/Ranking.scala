@@ -60,9 +60,21 @@ object Ranking {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.TopKPerGroupStrategy
     val child = GraftSqlBridge.analyzed(df)
-    def resolve(n: String) = child.output.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(
-        s"column $n not in (${child.output.map(_.name).mkString(", ")})"))
+    // resolve like the rest of the DataFrame API: case-insensitive unless
+    // spark.sql.caseSensitive, and ambiguity is an error, not first-match
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def resolve(n: String) = {
+      val hits = child.output.filter(a =>
+        if (caseSensitive) a.name == n else a.name.equalsIgnoreCase(n))
+      hits match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column $n not in (${child.output.map(_.name).mkString(", ")})")
+        case many => throw new IllegalArgumentException(
+          s"column $n is ambiguous: ${many.mkString(", ")}")
+      }
+    }
     val node = graft.plans.TopKPerGroup(
       groupCols.map(resolve),
       orderCols.map { case (n, asc) =>

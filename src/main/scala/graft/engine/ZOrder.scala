@@ -47,6 +47,11 @@ object ZOrder {
                     path: String, maxRecordsPerFile: Int = 0): Unit = {
     val mm = df.agg(min(a).cast("double"), max(a).cast("double"),
       min(b).cast("double"), max(b).cast("double")).collect().head
+    if (mm.isNullAt(0) || mm.isNullAt(2)) {
+      // empty input (or all-null keys): nothing to cluster, write as-is
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val top = (1L << bits) - 1
     def scale(c: Column, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)

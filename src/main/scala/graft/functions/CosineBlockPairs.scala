@@ -23,8 +23,9 @@ import org.apache.spark.sql.types._
   * Parity contract (must match the expression form and the DuckDB
   * oracle bit for bit): dot products sum left-to-right like
   * [[DotProduct]]; norms are sqrt(dot(v,v)); cosine is rounded
-  * HALF_UP to 6 decimals like Spark's `round`; zero-norm vectors
-  * produce NaN/Inf cosines which never pass the threshold.
+  * HALF_UP to 6 decimals like Spark's `round`; NaN cosines (zero-norm
+  * vectors) pass the threshold, because SQL comparison semantics in
+  * both engines order NaN above every number.
   */
 case class CosineBlockPairs(left: Expression, right: Expression,
                             minCosine: Double)
@@ -82,7 +83,11 @@ case class CosineBlockPairs(left: Expression, right: Expression,
         while (j < idsB.length) {
           if (idsA(i) < idsB(j)) {
             val c = round6(dot(vecsA(i), vecsB(j)) / (normsA(i) * normsB(j)))
-            if (c >= minCosine) out += InternalRow(idsA(i), idsB(j), c)
+            // SQL comparison semantics, not Java's: Spark and DuckDB both
+            // treat NaN as greater than any number, so a zero-norm vector
+            // (NaN cosine) passes the threshold on the expression path
+            // and must pass here too
+            if (c.isNaN || c >= minCosine) out += InternalRow(idsA(i), idsB(j), c)
           }
           j += 1
         }

@@ -151,13 +151,18 @@ object Similarity {
     // sort window: min(struct(-cos, id)) keeps partial aggregation
     // map-side and never sorts the corpus — the 100 TB-side of the
     // operator. (-cos over ROUNDED cosines is exact, ties → smaller id.)
+    // NaN cosines (zero-norm centroid) must sort FIRST like the window
+    // form's `c_cos DESC` (SQL orders NaN greatest): -NaN is still NaN,
+    // which min() would rank last, so map NaN to -Infinity explicitly.
     val corpus = {
       val scored = scoreCentroids(
         emb.select(col("vec_id").as("n_vec"), asDouble(col("embedding")).as("n_emb"))
           .withColumn("n_norm", l2norm(col("n_emb"))),
         "n_emb", "n_norm")
+      val negCos = when(isnan(col("c_cos")), lit(Double.NegativeInfinity))
+        .otherwise(-col("c_cos"))
       scored.groupBy(col("n_vec"))
-        .agg(min(struct((-col("c_cos")).as("nc"), col("centroid_id"))).as("m"),
+        .agg(min(struct(negCos.as("nc"), col("centroid_id"))).as("m"),
           first(col("n_emb")).as("n_emb"), first(col("n_norm")).as("n_norm"))
         .select(col("m.centroid_id").as("centroid_id"), col("n_vec"),
           col("n_emb"), col("n_norm"))

@@ -54,6 +54,12 @@ object RewriteRowNumberTopK extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** Rewrite only for genuinely small k: the bounded heap holds k row
+    * copies per group with NO spill, so a huge bound (a de-facto
+    * no-limit guard like rn <= 100000000) must keep the spill-capable
+    * window plan. Mirrors Spark's own InferWindowGroupLimit threshold. */
+  private val MaxRewriteK = 1000
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond,
         Window(Seq(alias @ Alias(WindowExpression(RowNumber(),
@@ -63,7 +69,7 @@ object RewriteRowNumberTopK extends Rule[LogicalPlan] with PredicateHelper {
       val rn = alias.toAttribute
       val conjuncts = splitConjunctivePredicates(cond)
       val bounds = conjuncts.flatMap(c => rankBound(c, rn))
-      if (bounds.isEmpty || bounds.min <= 0) f
+      if (bounds.isEmpty || bounds.min <= 0 || bounds.min > MaxRewriteK) f
       else {
         val k = bounds.min
         val rest = conjuncts.filter(c => rankBound(c, rn).isEmpty)

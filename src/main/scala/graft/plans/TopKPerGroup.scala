@@ -57,7 +57,10 @@ private[plans] object TopKHeaps {
       val key = keyProj(row)
       var heap = heaps.get(key)
       if (heap == null) {
-        heap = new java.util.PriorityQueue[InternalRow](k + 1, ord.reverse)
+        // initial capacity capped: k can be large relative to the actual
+        // group size, and PriorityQueue allocates its slot array eagerly
+        heap = new java.util.PriorityQueue[InternalRow](
+          math.min(k + 1, 64), ord.reverse)
         heaps.put(key.copy(), heap)
       }
       heap.offer(row.copy())

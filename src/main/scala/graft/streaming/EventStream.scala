@@ -94,17 +94,23 @@ object EventStream {
         val spark = batch.sparkSession
         val incoming = graft.engine.Dedup.latestByKey(
           batch.toDF(), keys, Seq(col(versionCol)))
+        // existence check through the Hadoop filesystem of the path —
+        // java.io.File would silently report false for hdfs://, s3a://
+        // etc. and every batch would clobber the table
+        val target = new org.apache.hadoop.fs.Path(targetPath)
+        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val merged =
-          if (new java.io.File(targetPath).exists()) {
+          if (fs.exists(target)) {
             val existing = spark.read.parquet(targetPath)
             graft.engine.Dedup.latestByKey(
               existing.unionByName(incoming), keys, Seq(col(versionCol)))
           } else incoming
         // overwrite must not read-while-write: materialize then swap
-        val tmp = targetPath + ".staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(targetPath)
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+        val tmpPath = new org.apache.hadoop.fs.Path(targetPath + ".staging")
+        merged.write.mode("overwrite").parquet(tmpPath.toString)
+        spark.read.parquet(tmpPath.toString)
+          .write.mode("overwrite").parquet(targetPath)
+        fs.delete(tmpPath, true)
         ()
       }
       .start()

@@ -3,15 +3,18 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Automated plan audit over the full query catalog: the scale
-  * properties SCALE.md claims, asserted on the actual physical plans
-  * (planning only — nothing executes).
+  * properties SCALE.md claims, asserted on the actual physical plans.
+  * Mostly planning-only, but a few query BUILDERS run real jobs (q30's
+  * stream, q48's eager bloom build, q44's per-iteration collects), so
+  * plans are memoized — each query is constructed exactly once.
   */
 class PlanInvariantsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sfDir = "/root/testdata/sf0.001"
 
-  private def planOf(name: String): String =
-    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+  private val planCache = scala.collection.mutable.Map.empty[String, String]
+  private def planOf(name: String): String = planCache.getOrElseUpdate(name,
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString)
 
   test("no query plans a CartesianProduct (unbroadcast cross join)") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
