@@ -622,6 +622,17 @@ object SparkEntry {
         round(col("sc").cast("double"), 2).as("sum_chars"))
       .orderBy(col("source").asc)
 
+  /** Normalized-text dedup keys: NFC + lowercase + punct→space +
+    * whitespace collapse, then md5 — groups that differ only in
+    * casing/punctuation/spacing collapse to one key. */
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("norm"))
+      .select(col("doc_id"), md5(col("norm")).as("norm_key"),
+        length(col("norm")).cast("long").as("n_norm_chars"))
+      .orderBy(col("doc_id").asc)
+
   private val KmeansK = 8
   private val KmeansIters = 2
 
@@ -874,7 +885,8 @@ object SparkEntry {
     "q51_repetition_ratio" -> (q51 _),
     "q52_cube_quantity" -> (q52 _),
     "q53_frame_sampling" -> (q53 _),
-    "q54_mixture_sampling" -> (q54 _))
+    "q54_mixture_sampling" -> (q54 _),
+    "q55_text_normalize" -> (q55 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -1152,6 +1164,16 @@ object SparkEntry {
           FROM k WHERE bucket < bp
           GROUP BY source ORDER BY source ASC"""
     },
+    "q55_text_normalize" ->
+      s"""WITH n AS (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(
+                     lower(nfc_normalize(text)),
+                     '[^0-9\\p{L}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+            FROM documents)
+          SELECT doc_id, md5(norm) AS norm_key,
+                 length(norm) AS n_norm_chars
+          FROM n ORDER BY doc_id ASC""",
     "q32_clean_filter_chain" ->
       s"""SELECT user_id, event_type, strftime(ts, '%Y-%m-%d') AS day,
                  CAST(hour(ts) AS BIGINT) AS hour,

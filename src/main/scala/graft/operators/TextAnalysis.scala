@@ -76,6 +76,23 @@ object TextAnalysis {
         .as("fingerprint"))
   }
 
+  /** Canonical text normalization for dedup keys: Unicode NFC (custom
+    * codegen'd expression — Spark has no built-in), lowercase, punctuation
+    * stripped to spaces, whitespace collapsed and trimmed. Hashing the
+    * normalized form makes exact dedup robust to the encoding/casing/
+    * spacing noise that splits otherwise-identical documents. Pure
+    * per-row projection, fully codegen'd. */
+  def normalizeText(text: Column): Column = {
+    val nfc = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.NfcNormalize(
+        org.apache.spark.sql.GraftSqlBridge.expression(text)))
+    // \p{L} keeps letters of every script (stripping to ASCII would
+    // delete accented/CJK text wholesale); both Java regex and DuckDB's
+    // RE2 support the property class
+    trim(regexp_replace(
+      regexp_replace(lower(nfc), "[^0-9\\p{L}\\s]", " "), "\\s+", " "))
+  }
+
   /** Intra-document repetition ratio — the duplicate-3-gram fraction
     * quality signal (boilerplate / keyword-stuffed / looping text scores
     * high): 1 − distinct_shingles / total_shingles. Uses the generator's

@@ -451,6 +451,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(expect.nonEmpty && got === expect)
   }
 
+  test("text normalization: NFD and NFC forms of the same text get one dedup key") {
+    // "café" with precomposed é (U+00E9) vs e + combining acute (U+0301),
+    // plus casing/punctuation/whitespace noise; the letter must SURVIVE
+    // normalization (every script's letters are kept) so key equality
+    // proves the NFC expression, not accent-stripping
+    val d = Seq(
+      (1L, "Cafe\u0301 society!"),          // NFD: e + combining acute
+      (2L, "caf\u00e9   SOCIETY?"),          // NFC: precomposed e-acute
+      (3L, "something else")).toDF("doc_id", "text")
+    val keys = d.select(col("doc_id"),
+        md5(TextAnalysis.normalizeText(col("text"))).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keys(1L) === keys(2L), "NFD/NFC + case/punct noise must collapse")
+    assert(keys(1L) !== keys(3L))
+  }
+
   test("deterministic mix: rerun-stable, rate-accurate, salt-decorrelated") {
     val d = Sources.table(spark, sfDir, "documents")
     def ids(salt: String) = Sampling.deterministicMix(
