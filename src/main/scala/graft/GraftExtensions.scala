@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, NfcNormalize}
 
 /** SparkSessionExtensions entry point: makes the engine's custom Catalyst
   * expressions available to plain SQL. Activate on any cluster with
@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
     // whole-operator extension: plans graft.plans.TopKPerGroup nodes
     // (Ranking.topKPerGroup also registers this lazily per session)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)

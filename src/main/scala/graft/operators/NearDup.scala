@@ -75,24 +75,31 @@ object NearDup {
 
   /** 32-bit SimHash fingerprint per document. Tokens keep multiplicity
     * (multiplicity = weight). Bit b of the fingerprint is set iff the sum
-    * over tokens of ±1 (by bit b of the token's md5 prefix) is positive. */
+    * over tokens of ±1 (by bit b of the token's md5 prefix) is positive.
+    *
+    * The md5 prefix is decoded ONCE per token (`conv` of 8 hex digits →
+    * one long) and bits extract by shift/mask — per-nibble
+    * substring+instr extraction cost 8–16 string ops per token row. */
   def simHash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), md5(col("tok")).as("h"))
-    val withNibbles = tok.select(col("doc_id") +:
-      (1 to SimHashBits / 4).map(j => hexNibble(col("h"), j).as(s"nib$j")): _*)
-    val sums = withNibbles.groupBy(col("doc_id")).agg(
-      sumBit(0).as("b0"), (1 until SimHashBits).map(b => sumBit(b).as(s"b$b")): _*)
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("v1"))
+    val sums = tok.groupBy(col("doc_id")).agg(
+      sumBit(col("v1"), 0).as("b0"),
+      (1 until SimHashBits).map(b => sumBit(col("v1"), b).as(s"b$b")): _*)
     val fp = (0 until SimHashBits).map(b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
     sums.select(col("doc_id"), fp.as("simhash"))
   }
 
-  /** ±1 vote for bit b: nibble j = b/4 (hex digit 1-based), bit k = b%4. */
-  private def sumBit(b: Int): Column = {
-    val nib = col(s"nib${b / 4 + 1}")
-    val bit = shiftright(nib, b % 4).bitwiseAND(lit(1))
+  /** ±1 vote for bit b of a 32-bit word decoded from hex digits d1..d8
+    * (digit j = b/4 + 1, bit k = b%4 within the digit; digit j holds
+    * word bits 4·(8−j)..4·(8−j)+3, so bit b sits at 4·(7−b/4) + b%4 —
+    * identical votes to the per-nibble form, verified by the oracle). */
+  private def sumBit(v: Column, b: Int): Column = {
+    val pos = 4 * (7 - b / 4) + b % 4
+    val bit = shiftright(v, pos).bitwiseAND(lit(1L))
     sum(when(bit === 1, 1).otherwise(-1))
   }
 
@@ -148,10 +155,14 @@ object NearDup {
     val tok = docs.select(col("doc_id"),
       explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("h"))
-    val withNibbles = tok.select(col("doc_id") +:
-      (1 to 16).map(j => hexNibble(col("h"), j).as(s"nib$j")): _*)
-    val sums = withNibbles.groupBy(col("doc_id")).agg(
-      sumBit(0).as("b0"), (1 until 64).map(b => sumBit(b).as(s"b$b")): _*)
+      .select(col("doc_id"),
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("v1"),
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("v2"))
+    // bits 0..31 vote from hex digits 1–8 (v1), 32..63 from digits 9–16 (v2)
+    def vote(b: Int): Column =
+      if (b < 32) sumBit(col("v1"), b) else sumBit(col("v2"), b - 32)
+    val sums = tok.groupBy(col("doc_id")).agg(
+      vote(0).as("b0"), (1 until 64).map(b => vote(b).as(s"b$b")): _*)
     def half(from: Int): Column = (from until from + 32)
       .map(b => when(col(s"b$b") > 0, lit(1L << (b - from))).otherwise(lit(0L)))
       .reduce(_ + _)
