@@ -542,8 +542,11 @@ object SparkEntry {
     val hot = Sources.table(s, dir, "orders")
       .filter(col("o_totalprice") >= 450000)
       .select(col("o_orderkey"))
+    // expectedItems sized to the build side's true cardinality class
+    // (~2% of orders): an oversized sketch costs build time, literal
+    // bytes in every task, and per-probe hash work for no fp gain
     Joins.bloomSemiJoin(li, col("l_orderkey"), hot, col("o_orderkey"),
-        expectedItems = 1000000L)
+        expectedItems = 100000L)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_items"),
         Aggregates.exactSum(col("l_extendedprice")).as("sp"))
