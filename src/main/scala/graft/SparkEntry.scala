@@ -223,6 +223,18 @@ object SparkEntry {
         col("event_type"), col("n_events"), r6(col("avg_value")).as("avg_value"))
       .orderBy(col("hour_start").asc, col("event_type").asc)
 
+  /** Sliding one-hour windows every 30 minutes (window = 2 slides, so
+    * each event lands in exactly two windows). Oracle replays the
+    * alignment arithmetic on epoch micros — both engines align window
+    * starts to the epoch. */
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts_utc"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), avg(col("value")).as("avg_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"), r6(col("avg_value")).as("avg_value"))
+      .orderBy(col("win_start").asc, col("event_type").asc)
+
   // ------------------------------------- LLM-data-pipeline extensions
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -889,7 +901,8 @@ object SparkEntry {
     "q52_cube_quantity" -> (q52 _),
     "q53_frame_sampling" -> (q53 _),
     "q54_mixture_sampling" -> (q54 _),
-    "q55_text_normalize" -> (q55 _))
+    "q55_text_normalize" -> (q55 _),
+    "q56_sliding_window" -> (q56 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -1035,6 +1048,15 @@ object SparkEntry {
                  event_type, count(*) AS n_events, round(avg(value), 6) AS avg_value
           FROM events GROUP BY 1, 2
           ORDER BY hour_start ASC, event_type ASC""",
+    "q56_sliding_window" ->
+      s"""WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+          w AS (SELECT event_type, value,
+                       (us // 1800000000) * 1800000000 - k * 1800000000 AS start_us
+                FROM e, (SELECT unnest([0, 1]) AS k) t)
+          SELECT strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S') AS win_start,
+                 event_type, count(*) AS n_events, round(avg(value), 6) AS avg_value
+          FROM w GROUP BY 1, 2
+          ORDER BY win_start ASC, event_type ASC""",
     "q18_text_stats" -> {
       val stop = sqlStopHits(TextAnalysis.stopwords("en"))
       s"""SELECT doc_id,
