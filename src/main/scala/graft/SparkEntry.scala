@@ -554,11 +554,10 @@ object SparkEntry {
     val hot = Sources.table(s, dir, "orders")
       .filter(col("o_totalprice") >= 450000)
       .select(col("o_orderkey"))
-    // expectedItems sized to the build side's true cardinality class
-    // (~2% of orders): an oversized sketch costs build time, literal
-    // bytes in every task, and per-probe hash work for no fp gain
-    Joins.bloomSemiJoin(li, col("l_orderkey"), hot, col("o_orderkey"),
-        expectedItems = 100000L)
+    // expectedItems derived from the build side's actual count: a fixed
+    // constant either oversizes the sketch (build/literal/probe cost) or
+    // undersizes it as SF grows (fp rate → 1, prefilter stops pruning)
+    Joins.bloomSemiJoin(li, col("l_orderkey"), hot, col("o_orderkey"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_items"),
         Aggregates.exactSum(col("l_extendedprice")).as("sp"))

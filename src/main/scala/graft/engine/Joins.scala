@@ -86,18 +86,26 @@ object Joins {
     * shuffling every probe row to discover non-matches at the join.
     * False positives are removed by the exact join, so the result is
     * identical to `semi(probe, build, …)`. */
+  /** `expectedItems` sizes the sketch; pass <= 0 to derive it from the
+    * build side's actual count (one extra cheap job — the build side is
+    * small by contract, and an undersized sketch silently degrades the
+    * fp rate toward 1 as data grows, turning the prefilter into a no-op
+    * at exactly the scales it exists for). */
   def bloomSemiJoin(probe: DataFrame, probeKey: Column,
                     build: DataFrame, buildKey: Column,
-                    expectedItems: Long): DataFrame = {
+                    expectedItems: Long = -1L): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.functions._
+    val items =
+      if (expectedItems > 0) expectedItems
+      else math.max(build.count(), 1000L)
     // the bloom hashes xxhash64(key), same convention as the built-in
     // runtime filter: the sketch stores longs regardless of key type
     val bloomAgg = GraftSqlBridge.column(
       new BloomFilterAggregate(
-        GraftSqlBridge.expression(xxhash64(buildKey)), expectedItems)
+        GraftSqlBridge.expression(xxhash64(buildKey)), items)
         .toAggregateExpression())
     // might_contain requires a CONSTANT bloom, so the sketch is built
     // eagerly and embedded as a binary literal — O(numBits) bytes of

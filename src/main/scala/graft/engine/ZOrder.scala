@@ -47,18 +47,20 @@ object ZOrder {
                     path: String, maxRecordsPerFile: Int = 0): Unit = {
     val mm = df.agg(min(a).cast("double"), max(a).cast("double"),
       min(b).cast("double"), max(b).cast("double")).collect().head
-    if (mm.isNullAt(0) || mm.isNullAt(2)) {
-      // empty input (or all-null keys): nothing to cluster, write as-is
-      df.write.mode("overwrite").parquet(path)
-      return
-    }
     val top = (1L << bits) - 1
+    // an empty input or an all-null column yields null min/max: treat
+    // that column as constant 0 (the z-order degrades gracefully to a
+    // single-column sort on the other), keeping the caller's file-size
+    // option and the clustered write path in every case
+    def bound(i: Int): Double = if (mm.isNullAt(i)) 0.0 else mm.getDouble(i)
     def scale(c: Column, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)
-      else ((c.cast("double") - lit(lo)) * lit(top / (hi - lo))).cast("long")
+      else coalesce(
+        ((c.cast("double") - lit(lo)) * lit(top / (hi - lo))).cast("long"),
+        lit(0L))
     val w = df.withColumn("__z", zValue(
-        scale(a, mm.getDouble(0), mm.getDouble(1)),
-        scale(b, mm.getDouble(2), mm.getDouble(3)), bits))
+        scale(a, bound(0), bound(1)),
+        scale(b, bound(2), bound(3)), bits))
       .sort(col("__z")).drop("__z")
       .write.mode("overwrite")
     (if (maxRecordsPerFile > 0)

@@ -13,13 +13,6 @@ object TextFns {
   /** Whitespace tokenization (fixtures are single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Value 0-15 of the j-th (1-based) hex digit of a lowercase hex
-    * string. (The SimHash hot path now decodes 8 digits at once via
-    * `conv`; this stays for one-off digit probes.) */
-  def hexNibble(hex: Column, j: Int): Column =
-    (instr(lit("0123456789abcdef"), substring(hex, j, 1).cast("string")) - 1)
-      .cast("int")
-
   /** Count of tokens belonging to `set` (stopword hits etc.). */
   def hitCount(toks: Column, set: Seq[String]): Column =
     size(filter(toks, t => t.isin(set.map(x => x: Any): _*))).cast("long")

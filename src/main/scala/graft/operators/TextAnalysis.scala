@@ -83,14 +83,17 @@ object TextAnalysis {
     * spacing noise that splits otherwise-identical documents. Pure
     * per-row projection, fully codegen'd. */
   def normalizeText(text: Column): Column = {
-    val nfc = org.apache.spark.sql.GraftSqlBridge.column(
+    // NfcNormalize also lowercases (SIMPLE per-codepoint mapping —
+    // Spark's lower() applies full casing, which diverges from
+    // utf8proc engines on final sigma / dotted İ)
+    val nfcLower = org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.NfcNormalize(
         org.apache.spark.sql.GraftSqlBridge.expression(text)))
     // \p{L} keeps letters of every script (stripping to ASCII would
     // delete accented/CJK text wholesale); both Java regex and DuckDB's
     // RE2 support the property class
     trim(regexp_replace(
-      regexp_replace(lower(nfc), "[^0-9\\p{L}\\s]", " "), "\\s+", " "))
+      regexp_replace(nfcLower, "[^0-9\\p{L}\\s]", " "), "\\s+", " "))
   }
 
   /** Intra-document repetition ratio — the duplicate-3-gram fraction

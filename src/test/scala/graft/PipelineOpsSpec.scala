@@ -467,6 +467,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(keys(1L) !== keys(3L))
   }
 
+  test("normalization lowercases with SIMPLE per-codepoint mapping (engine-portable)") {
+    // full casing maps final-position \u03a3 to \u03c2 and \u0130 to i+combining
+    // dot; utf8proc engines (the oracle) use the simple 1:1 mapping
+    val d = Seq((1L, "\u03a3\u039f\u03a6\u0399\u0391\u03a3"), (2L, "\u0130stanbul")).toDF("doc_id", "text")
+    val norm = d.select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(norm(1L) === "\u03c3\u03bf\u03c6\u03b9\u03b1\u03c3",
+      "final sigma must use the simple mapping \u03c3, not \u03c2")
+    assert(norm(2L) === "istanbul" && norm(2L).length === 8,
+      "dotted \u0130 must map to plain i, not i + combining dot")
+  }
+
   test("deterministic mix: rerun-stable, rate-accurate, salt-decorrelated") {
     val d = Sources.table(spark, sfDir, "documents")
     def ids(salt: String) = Sampling.deterministicMix(
