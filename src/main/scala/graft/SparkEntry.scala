@@ -223,6 +223,24 @@ object SparkEntry {
         col("event_type"), col("n_events"), r6(col("avg_value")).as("avg_value"))
       .orderBy(col("hour_start").asc, col("event_type").asc)
 
+  /** Forward as-of join: each 'view' matched to the user's EARLIEST
+    * at-or-after 'click' — the q34 operator with forward=true, against
+    * DuckDB's native forward ASOF (`v.ts <= c.ts`). */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    graft.operators.AsOfJoin.asofLeft(views, clicks,
+        keys = Seq("user_id"), timeCol = "ts",
+        carry = Map("event_id" -> "click_event_id", "value" -> "click_value"),
+        forward = true)
+      .select(col("event_id"), col("user_id"),
+        col("click_event_id"), r6(col("click_value")).as("click_value"))
+      .orderBy(col("event_id").asc)
+  }
+
   /** Sliding one-hour windows every 30 minutes (window = 2 slides, so
     * each event lands in exactly two windows). Oracle replays the
     * alignment arithmetic on epoch micros — both engines align window
@@ -901,7 +919,8 @@ object SparkEntry {
     "q53_frame_sampling" -> (q53 _),
     "q54_mixture_sampling" -> (q54 _),
     "q55_text_normalize" -> (q55 _),
-    "q56_sliding_window" -> (q56 _))
+    "q56_sliding_window" -> (q56 _),
+    "q57_asof_forward" -> (q57 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -1233,6 +1252,15 @@ object SparkEntry {
                (SELECT event_id, user_id, ts, value FROM events
                 WHERE event_type = 'click') c
             ON v.user_id = c.user_id AND v.ts >= c.ts
+          ORDER BY v.event_id ASC""",
+    "q57_asof_forward" ->
+      s"""SELECT v.event_id, v.user_id, c.event_id AS click_event_id,
+                 round(c.value, 6) AS click_value
+          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+          ASOF LEFT JOIN
+               (SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'click') c
+            ON v.user_id = c.user_id AND v.ts <= c.ts
           ORDER BY v.event_id ASC""",
     "q35_quantiles" ->
       s"""SELECT event_type,

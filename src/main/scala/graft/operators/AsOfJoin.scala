@@ -4,10 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of join — for each left row, the latest right row with
-  * `right.time <= left.time` within the same key. Spark has no native
-  * operator for this; per the extension ladder we *compose built-ins*
-  * before reaching for a custom SparkPlan:
+/** As-of join — for each left row, the closest right row within the
+  * same key: backward (`right.time <= left.time`, the default, matching
+  * the latest prior row) or forward (`right.time >= left.time`, the
+  * earliest following row). Spark has no native operator for this; per
+  * the extension ladder we *compose built-ins* before reaching for a
+  * custom SparkPlan:
   *
   *   tag both sides → union → one shuffle on the key → in-partition sort
   *   by (time, side) → carry right-side values forward with
@@ -23,9 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** @param carry right-side columns to attach, renamed via the map. */
+  /** @param carry right-side columns to attach, renamed via the map.
+    * @param forward false = latest right at-or-before (default);
+    *                true = earliest right at-or-after (the scan runs in
+    *                reverse time order; the right row still sorts first
+    *                at equal times, so the match stays inclusive). */
   def asofLeft(left: DataFrame, right: DataFrame, keys: Seq[String],
-               timeCol: String, carry: Map[String, String]): DataFrame = {
+               timeCol: String, carry: Map[String, String],
+               forward: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
     val carried = carry.toSeq.sortBy(_._2)
 
@@ -47,8 +54,9 @@ object AsOfJoin {
     val unioned = lTagged.select(unionCols.map(col): _*)
       .unionByName(rTagged.select(unionCols.map(col): _*))
 
+    val timeOrder = if (forward) col(timeCol).desc else col(timeCol).asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol).asc, col("__side").asc)
+      .orderBy(timeOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("__carry", last(col("__carry"), ignoreNulls = true).over(w))

@@ -467,6 +467,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(keys(1L) !== keys(3L))
   }
 
+  test("SQL surface: injected functions work through pure spark.sql") {
+    Sources.table(spark, sfDir, "embeddings").createOrReplaceTempView("emb_v")
+    val sqlKnn = spark.sql(
+      """SELECT vec_id,
+                round(sqrt(graft_dot(CAST(embedding AS ARRAY<DOUBLE>),
+                                     CAST(embedding AS ARRAY<DOUBLE>))), 6) AS l2,
+                graft_nfc('Café') AS norm
+         FROM emb_v WHERE vec_id < 3 ORDER BY vec_id""").collect()
+    assert(sqlKnn.length === 3)
+    val apiNorms = Similarity.norms(Sources.table(spark, sfDir, "embeddings"))
+      .filter(col("vec_id") < 3).orderBy(col("vec_id"))
+      .collect().map(r => BigDecimal(r.getDouble(2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(sqlKnn.map(_.getDouble(1)).toSeq === apiNorms.toSeq)
+    assert(sqlKnn.forall(_.getString(2) === "café"),
+      "graft_nfc in SQL must compose NFC + simple lowercase")
+  }
+
   test("normalization lowercases with SIMPLE per-codepoint mapping (engine-portable)") {
     // full casing maps final-position \u03a3 to \u03c2 and \u0130 to i+combining
     // dot; utf8proc engines (the oracle) use the simple 1:1 mapping
