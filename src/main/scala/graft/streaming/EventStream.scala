@@ -147,16 +147,27 @@ object EventStream {
   }
 
   /** Run the streaming aggregation to completion over the fixture batch
-    * and return the final result as a batch DataFrame. */
+    * and return the final result as a batch DataFrame.
+    *
+    * The stream's state-store count (= shuffle partitions at plan time)
+    * drives per-batch checkpoint I/O: this one windowed agg holds a few
+    * thousand windows, so 8 stores suffice — running it at a batch
+    * session's 32+ partitions quadruples commit-log work for nothing.
+    * The conf is restored after the plan is bound. */
   def runHourlyOnce(spark: SparkSession, sfDir: String): DataFrame = {
     val name = "hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = hourlyAgg(readEvents(spark, sfDir), withWatermark = false)
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val partConf = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(partConf)
+    val q = try {
+      spark.conf.set(partConf, "8")
+      hourlyAgg(readEvents(spark, sfDir), withWatermark = false)
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set(partConf, prev)
     try {
       q.processAllAvailable()
     } finally q.stop()
