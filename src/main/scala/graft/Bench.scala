@@ -33,10 +33,14 @@ object Bench {
     // triggers it — noise, not engine throughput).
     val warmSf = "/root/testdata/sf0.001"
     if (new java.io.File(warmSf).isDirectory)
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         spark.catalog.clearCache()
         try fn(spark, warmSf).write.mode("overwrite").format("noop").save()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          // a query that fails to warm gets timed cold below — visible,
+          // not silently absorbed into the measurement
+          System.err.println(s"[bench] warm-up failed for $name: ${e.getMessage}")
+        }
       }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // each query measured from a clean cache: operators persist

@@ -43,31 +43,42 @@ object Joins {
     * plus interval replication (⌈span/width⌉ rows per interval — choose
     * width ≈ the median interval span so replication stays O(1)).
     *
-    * Contract: `point`, `lo`, `hi` are NON-NEGATIVE LONGs in the same
-    * unit (epoch days/seconds/...; callers convert timestamps first —
-    * `div` truncates toward zero, so negative values would straddle
-    * bucket boundaries). Match is the half-open `lo <= point < hi`.
-    * Output columns: left columns then right columns, like an inner
-    * join. */
+    * Contract: `point`, `lo`, `hi` are LONGs in the same unit (epoch
+    * days/seconds/...; callers convert timestamps first). Negative
+    * values are handled: bucketing uses FLOOR division, so an interval
+    * straddling zero still lands in every bucket it covers. Match is
+    * the half-open `lo <= point < hi`. Output columns: left columns
+    * then right columns, like an inner join. */
   def rangeJoin(points: DataFrame, point: Column,
                 intervals: DataFrame, lo: Column, hi: Column,
                 bucketWidth: Long): DataFrame = {
     import org.apache.spark.sql.functions._
     require(bucketWidth > 0, "bucketWidth must be positive")
-    // integer `div`, not floating `/`: epoch-nanos points exceed 2^53 and
-    // would silently corrupt under double division
+    // internal columns: fail fast on collision instead of silently
+    // overwriting caller data via withColumn
+    val Seq(ptc, bktc, loc, hic) =
+      Seq("__graft_rj_pt", "__graft_rj_bkt", "__graft_rj_lo", "__graft_rj_hi")
+    (points.columns ++ intervals.columns).foreach { c =>
+      require(!c.startsWith("__graft_rj_"),
+        s"rangeJoin reserves the __graft_rj_ column prefix; input has '$c'")
+    }
+    // floor division on longs without double round-trips (epoch-nanos
+    // exceed 2^53 and would silently corrupt under floating division):
+    // n - pmod(n, w) is an exact multiple of w, so integer `div` of it
+    // is exact and equals floorDiv(n, w) for negative n too
+    def fdiv(n: String): String = s"(($n - (($n % $bucketWidth) + $bucketWidth) % $bucketWidth) div $bucketWidth)"
     val l = points
-      .withColumn("__pt", point.cast("long"))
-      .withColumn("__bkt", expr(s"__pt div $bucketWidth"))
+      .withColumn(ptc, point.cast("long"))
+      .withColumn(bktc, expr(fdiv(ptc)))
     val r = intervals
-      .withColumn("__lo", lo.cast("long"))
-      .withColumn("__hi", hi.cast("long"))
-      .filter(col("__lo") < col("__hi"))
-      .withColumn("__bkt",
-        explode(sequence(expr(s"__lo div $bucketWidth"), expr(s"(__hi - 1) div $bucketWidth"))))
-    l.join(r, Seq("__bkt"))
-      .filter(col("__pt") >= col("__lo") && col("__pt") < col("__hi"))
-      .drop("__bkt", "__pt", "__lo", "__hi")
+      .withColumn(loc, lo.cast("long"))
+      .withColumn(hic, hi.cast("long"))
+      .filter(col(loc) < col(hic))
+      .withColumn(bktc,
+        explode(sequence(expr(fdiv(loc)), expr(fdiv(s"($hic - 1)")))))
+    l.join(r, Seq(bktc))
+      .filter(col(ptc) >= col(loc) && col(ptc) < col(hic))
+      .drop(bktc, ptc, loc, hic)
   }
 
   /** Bloom-filter semi-join reduction — the manual form of Spark's
@@ -98,6 +109,16 @@ object Joins {
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.functions._
+    // xxhash64 is type-sensitive: INT 5 and BIGINT 5 hash differently, so
+    // mismatched key types would silently drop true matches (false
+    // NEGATIVES — worse than a weak prefilter). Fail fast instead.
+    val probeType = probe.select(probeKey).schema.head.dataType
+    val buildType = build.select(buildKey).schema.head.dataType
+    require(probeType == buildType,
+      s"bloomSemiJoin keys must have identical types (probe=$probeType, " +
+        s"build=$buildType): xxhash64 hashes the binary representation, so " +
+        "a type mismatch silently drops matching rows — cast both keys to " +
+        "a common type first")
     val items =
       if (expectedItems > 0) expectedItems
       else math.max(build.count(), 1000L)

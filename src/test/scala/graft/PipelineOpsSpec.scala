@@ -320,6 +320,72 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!got.exists(_._2 == 40L))                           // empty interval
   }
 
+  test("range join handles negative points/bounds (floor-div bucketing)") {
+    val points = Seq((1L, -15L), (2L, -7L), (3L, -1L), (4L, 0L), (5L, 3L))
+      .toDF("pid", "t")
+    // [-10, 5) straddles zero across buckets; [-20, -14) fully negative
+    val ivals = Seq((10L, -10L, 5L), (20L, -20L, -14L)).toDF("iid", "lo_t", "hi_t")
+    val got = graft.engine.Joins
+      .rangeJoin(points, col("t"), ivals, col("lo_t"), col("hi_t"), bucketWidth = 7)
+      .select(col("pid"), col("iid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.crossJoin(ivals)
+      .filter(col("t") >= col("lo_t") && col("t") < col("hi_t"))
+      .select(col("pid"), col("iid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive === Set((1L, 20L), (2L, 10L), (3L, 10L), (4L, 10L), (5L, 10L)))
+    assert(got === naive)
+  }
+
+  test("range join rejects inputs using its reserved internal column prefix") {
+    val points = Seq((1L, 2L)).toDF("pid", "__graft_rj_pt")
+    val ivals = Seq((1L, 0L, 5L)).toDF("iid", "lo_t", "hi_t")
+    val e = intercept[IllegalArgumentException] {
+      graft.engine.Joins.rangeJoin(points, col("__graft_rj_pt"),
+        ivals, col("lo_t"), col("hi_t"), 7)
+    }
+    assert(e.getMessage.contains("__graft_rj_"))
+  }
+
+  test("bloom semi-join rejects mismatched key types instead of dropping rows") {
+    val probe = Seq(1, 2, 3).toDF("k")                 // INT
+    val build = Seq(1L, 2L).toDF("bk")                 // BIGINT
+    val e = intercept[IllegalArgumentException] {
+      graft.engine.Joins.bloomSemiJoin(probe, col("k"), build, col("bk"), 100L)
+    }
+    assert(e.getMessage.contains("identical types"))
+    // casting to a common type restores the exact-semi-join contract
+    val got = graft.engine.Joins
+      .bloomSemiJoin(probe, col("k").cast("long"), build, col("bk"), 100L)
+      .collect().map(_.getInt(0)).toSet
+    assert(got === Set(1, 2))
+  }
+
+  test("TopKPerGroup partial phase degrades to pass-through past its row budget") {
+    val prev = spark.conf.getOption("spark.graft.topk.maxBufferedRows")
+    spark.conf.set("spark.graft.topk.maxBufferedRows", "4")
+    try {
+      // many groups × few rows: budget of 4 buffered rows forces the
+      // partial phase to pass most rows through; the final phase must
+      // still produce the exact per-group top-k
+      val df = spark.range(200).selectExpr(
+        "id % 50 as g", "id as v").repartition(2)
+      val got = graft.engine.Ranking.topKPerGroup(
+          df, Seq("g"), Seq("v" -> false), 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expect = (0L until 50L).flatMap { g =>
+        val vs = (0L until 200L).filter(_ % 50 == g).sorted(Ordering[Long].reverse).take(2)
+        vs.zipWithIndex.map { case (v, i) => (g, v, (i + 1).toLong) }
+      }.toSet
+      assert(got === expect)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.topk.maxBufferedRows", v)
+        case None => spark.conf.unset("spark.graft.topk.maxBufferedRows")
+      }
+    }
+  }
+
   test("bloom semi-join equals the exact semi join; empty build side is empty") {
     val probe = (1L to 200L).map(i => (i, s"p$i")).toDF("k", "payload")
     val build = Seq(3L, 7L, 150L, 999L).toDF("bk")
