@@ -469,14 +469,17 @@ object SparkEntry {
       distinctCols = Seq("l_suppkey", "l_partkey", "l_returnflag"),
       missingCols = Seq("l_quantity", "l_extendedprice"))
 
-  /** ROLLUP subtotal hierarchy over the fact table (grouping-set surface;
-    * NULLS FIRST pinned on both sides — Spark's asc default vs DuckDB's
-    * NULLS LAST default would otherwise reorder subtotal rows). */
+  /** ROLLUP subtotal hierarchy over the fact table, via hierarchical
+    * re-aggregation (Expand runs over the tiny per-group result, not the
+    * fact — see Aggregates.rollupReagg). NULLS FIRST pinned on both
+    * sides — Spark's asc default vs DuckDB's NULLS LAST default would
+    * otherwise reorder subtotal rows. */
   private def q39(s: SparkSession, dir: String): DataFrame =
-    Sources.table(s, dir, "lineitem")
-      .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n_items"),
-        Aggregates.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    Aggregates.rollupReagg(Sources.table(s, dir, "lineitem"),
+        keys = Seq(col("l_returnflag"), col("l_linestatus")),
+        aggs = Seq(count(lit(1)).as("n_items"),
+          Aggregates.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev")),
+        reaggs = Seq(sum(col("n_items")).as("n_items"), sum(col("rev")).as("rev")))
       .select(col("l_returnflag"), col("l_linestatus"), col("n_items"),
         round(col("rev").cast("double"), 2).as("revenue"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
@@ -613,13 +616,14 @@ object SparkEntry {
         r6(col("rep_ratio")).as("rep_ratio"))
       .orderBy(col("doc_id").asc)
 
-  /** CUBE grouping sets — all 4 subtotal combinations in one pass
-    * (NULLS FIRST pinned like q39's ROLLUP). */
+  /** CUBE grouping sets — all 4 subtotal combinations, via hierarchical
+    * re-aggregation (NULLS FIRST pinned like q39's ROLLUP). */
   private def q52(s: SparkSession, dir: String): DataFrame =
-    Sources.table(s, dir, "lineitem")
-      .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n_items"),
-        Aggregates.exactSum(col("l_quantity")).as("sq"))
+    Aggregates.cubeReagg(Sources.table(s, dir, "lineitem"),
+        keys = Seq(col("l_returnflag"), col("l_linestatus")),
+        aggs = Seq(count(lit(1)).as("n_items"),
+          Aggregates.exactSum(col("l_quantity")).as("sq")),
+        reaggs = Seq(sum(col("n_items")).as("n_items"), sum(col("sq")).as("sq")))
       .select(col("l_returnflag"), col("l_linestatus"), col("n_items"),
         round(col("sq").cast("double"), 2).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first,

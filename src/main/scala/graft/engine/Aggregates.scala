@@ -67,6 +67,34 @@ object Aggregates {
   def exactSum(term: Column, precision: Int = 18, scale: Int = 6): Column =
     sum(term.cast(org.apache.spark.sql.types.DecimalType(precision, scale)))
 
+  /** ROLLUP / CUBE via hierarchical re-aggregation.
+    *
+    * Spark plans grouping sets as Expand: every input row is replicated
+    * once PER GROUPING SET before the aggregate — a rollup over two keys
+    * triples the rows entering the hash agg; a cube quadruples them. For
+    * decomposable aggregates (sum/count — anything where the coarse value
+    * is a sum of fine values) the same result comes from one PLAIN
+    * aggregation at the finest grain followed by Expand over the tiny
+    * per-group result: at 100 TB the Expand multiplier then applies to
+    * O(distinct keys) rows instead of O(input rows), and the fact table
+    * is scanned by an ordinary partial+final agg.
+    *
+    * `aggs` define the fine aggregation; `reaggs` re-combine them (e.g.
+    * fine `count(1) as n` → re-agg `sum(n) as n`). Grouping-set NULL
+    * semantics are Spark's own (the rollup runs on the re-agg), with one
+    * caveat shared with SQL ROLLUP itself: rows where a grouping key IS
+    * NULL merge with the subtotal row of that level. */
+  def rollupReagg(df: DataFrame, keys: Seq[Column],
+                  aggs: Seq[Column], reaggs: Seq[Column]): DataFrame =
+    df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      .rollup(keys: _*).agg(reaggs.head, reaggs.tail: _*)
+
+  /** CUBE counterpart of [[rollupReagg]] — same contract. */
+  def cubeReagg(df: DataFrame, keys: Seq[Column],
+                aggs: Seq[Column], reaggs: Seq[Column]): DataFrame =
+    df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      .cube(keys: _*).agg(reaggs.head, reaggs.tail: _*)
+
   /** Integrity audit over any table: total rows, per-column distinct counts
     * and missing(null-or-NaN) counts — the engine analog of the reference's
     * check_counts.py (reference: src/ingest/check_counts.py:19-44). */

@@ -60,6 +60,24 @@ class EngineSpec extends AnyFunSuite {
     assert(math.abs(lapWeighted.getAs[Double]("avg_value") - 1.0) < 1e-12)
   }
 
+  test("rollup/cube re-aggregation equals the direct grouping-set plan") {
+    val df = Seq(("A", "x", 1L), ("A", "x", 2L), ("A", "y", 4L),
+        ("B", "x", 8L), ("B", null, 16L))
+      .toDF("k1", "k2", "v")
+    val keys = Seq(col("k1"), col("k2"))
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val reaggs = Seq(sum(col("n")).as("n"), sum(col("s")).as("s"))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (Option(t._1), Option(t._2), t._3))
+    val directRollup = df.rollup(keys: _*).agg(aggs.head, aggs.tail: _*)
+    assert(rows(Aggregates.rollupReagg(df, keys, aggs, reaggs)) ===
+      rows(directRollup))
+    val directCube = df.cube(keys: _*).agg(aggs.head, aggs.tail: _*)
+    assert(rows(Aggregates.cubeReagg(df, keys, aggs, reaggs)) ===
+      rows(directCube))
+  }
+
   test("slope via moments matches closed form and covar form") {
     // y = 3x + 2 exactly → slope 3
     val pts = (1 to 10).map(x => ("g", x.toDouble, 3.0 * x + 2))
