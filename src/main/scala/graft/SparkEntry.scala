@@ -608,6 +608,28 @@ object SparkEntry {
     NearDup.simHash64Pairs(NearDup.simHash64(docs(s, dir)), maxHamming = 3)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
 
+  /** Near-dup CLUSTERS: transitive closure of the q23 simhash pairs via
+    * iterative min-label connected components — A≈B, B≈C puts {A,B,C}
+    * in one duplicate group even when A,C differ pairwise. cluster_id
+    * is the smallest doc_id in the component. */
+  private def q58(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.connectedComponents(
+        NearDup.simHashPairs(NearDup.simHash(docs(s, dir)), maxHamming = 3),
+        "doc_a", "doc_b")
+      .select(col("n").as("doc_id"), col("component").as("cluster_id"))
+      .orderBy(col("doc_id").asc)
+
+  /** The dedup pipeline end-to-end: fingerprint → pairs → components →
+    * anti-join; keeps one canonical doc (smallest id) per duplicate
+    * cluster plus every unpaired doc. */
+  private def q59(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.dedupSurvivors(
+        docs(s, dir), "doc_id",
+        NearDup.simHashPairs(NearDup.simHash(docs(s, dir)), maxHamming = 3),
+        "doc_a", "doc_b")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id").asc)
+
   /** Repetition-ratio quality signal: duplicate-3-gram fraction per doc
     * (high ⇒ boilerplate/looping text — a standard pretraining filter). */
   private def q51(s: SparkSession, dir: String): DataFrame =
@@ -924,7 +946,9 @@ object SparkEntry {
     "q54_mixture_sampling" -> (q54 _),
     "q55_text_normalize" -> (q55 _),
     "q56_sliding_window" -> (q56 _),
-    "q57_asof_forward" -> (q57 _))
+    "q57_asof_forward" -> (q57 _),
+    "q58_dedup_clusters" -> (q58 _),
+    "q59_dedup_survivors" -> (q59 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -1373,5 +1397,33 @@ object SparkEntry {
                  round(avg(CAST(json_extract_string(props, '$$.k') AS BIGINT)), 6) AS avg_k,
                  min(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS min_k,
                  max(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS max_k
-          FROM events GROUP BY event_type ORDER BY event_type ASC""")
+          FROM events GROUP BY event_type ORDER BY event_type ASC""",
+    "q58_dedup_clusters" ->
+      s"""WITH RECURSIVE $simhashCte,
+          prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM fpt a JOIN fpt b ON a.doc_id < b.doc_id
+                  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+          edges AS (SELECT doc_a AS n, doc_b AS m FROM prs
+                    UNION SELECT doc_b AS n, doc_a AS m FROM prs),
+          reach(n, lbl) AS (
+            SELECT n, n FROM edges
+            UNION
+            SELECT e.n, r.lbl FROM edges e JOIN reach r ON e.m = r.n)
+          SELECT n AS doc_id, min(lbl) AS cluster_id
+          FROM reach GROUP BY n ORDER BY doc_id ASC""",
+    "q59_dedup_survivors" ->
+      s"""WITH RECURSIVE $simhashCte,
+          prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM fpt a JOIN fpt b ON a.doc_id < b.doc_id
+                  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+          edges AS (SELECT doc_a AS n, doc_b AS m FROM prs
+                    UNION SELECT doc_b AS n, doc_a AS m FROM prs),
+          reach(n, lbl) AS (
+            SELECT n, n FROM edges
+            UNION
+            SELECT e.n, r.lbl FROM edges e JOIN reach r ON e.m = r.n),
+          clusters AS (SELECT n, min(lbl) AS cluster_id FROM reach GROUP BY n)
+          SELECT d.doc_id, d.source FROM documents d
+          WHERE d.doc_id NOT IN (SELECT n FROM clusters WHERE n != cluster_id)
+          ORDER BY d.doc_id ASC""")
 }

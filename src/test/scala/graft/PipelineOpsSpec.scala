@@ -300,6 +300,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: path graph, isolated pair, direction-blind") {
+    // path 1-2-3-4-5 needs several propagation rounds; (10,11) separate;
+    // edge (9,8) reversed to confirm direction is ignored
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L), (9L, 8L))
+      .toDF("a", "b")
+    val got = graft.operators.Graph.connectedComponents(edges, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 8L -> 8L, 9L -> 8L))
+  }
+
+  test("dedupSurvivors keeps the canonical doc per cluster plus unpaired docs") {
+    val d = Seq((1L, "s"), (2L, "s"), (3L, "s"), (7L, "s")).toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = graft.operators.Graph
+      .dedupSurvivors(d, "doc_id", pairs, "doc_a", "doc_b")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 7L)) // 2,3 fold into cluster 1; 7 untouched
+  }
+
   test("range join matches the naive BETWEEN join, incl. multi-bucket spans") {
     val points = Seq((1L, 0L), (2L, 5L), (3L, 7L), (4L, 19L), (5L, 20L), (6L, 100L))
       .toDF("pid", "t")
