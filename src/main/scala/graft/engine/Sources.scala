@@ -124,6 +124,46 @@ object Sources {
                        partitionCols: Seq[String], path: String): Unit =
     df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
 
+  /** Schema-pinned JSON-Lines scan — the interchange format of
+    * training-data pipelines (one JSON doc per line, splittable, so a
+    * 100 TB corpus parallelizes by byte range like any text source).
+    * The explicit schema avoids Spark's whole-file inference pass AND
+    * pins column types against heterogeneous lines; corrupt lines land
+    * in `_corrupt_record` when `keepCorrupt` (PERMISSIVE) instead of
+    * failing the job, the right default for web-scale scrapes. (Spark
+    * disallows queries that touch ONLY `_corrupt_record` on the raw
+    * scan — cache() the frame before corrupt-rate audits.) */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType,
+                keepCorrupt: Boolean = false): DataFrame = {
+    val s = if (keepCorrupt)
+      StructType(schema.fields :+ StructField("_corrupt_record", StringType))
+    else schema
+    spark.read.schema(s)
+      .option("mode", if (keepCorrupt) "PERMISSIVE" else "FAILFAST")
+      .json(path)
+  }
+
+  /** JSON-Lines writer (one doc per line, gzip-friendly, splittable
+    * when uncompressed). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Schema-pinned CSV scan. Same explicit-schema rationale as
+    * [[readJsonl]]; timestamps parse with the given pattern. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("mode", "FAILFAST")
+      .csv(path)
+
+  /** CSV writer, header included. */
+  def writeCsv(df: DataFrame, path: String, delimiter: String = ","): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true").option("delimiter", delimiter)
+      .csv(path)
+
   /** Session conf required to scan TIMESTAMP(NANOS) parquet (`events.ts`):
     * Spark's vectorized reader only accepts nanos as a since-epoch LONG.
     * There is no per-read option for this, so it is session-level by

@@ -23,14 +23,26 @@ object ZOrder {
 
   /** Morton interleave of the low `bits` bits of two non-negative longs:
     * bit i of `a` lands at position 2i, bit i of `b` at 2i+1. */
-  def zValue(a: Column, b: Column, bits: Int): Column = {
-    require(bits > 0 && bits <= 31, "bits must be in 1..31")
-    val aa = a.cast("long").bitwiseAND(lit((1L << bits) - 1))
-    val bb = b.cast("long").bitwiseAND(lit((1L << bits) - 1))
-    (0 until bits).map { i =>
-      shiftleft(shiftright(aa, i).bitwiseAND(lit(1L)), 2 * i) +
-      shiftleft(shiftright(bb, i).bitwiseAND(lit(1L)), 2 * i + 1)
-    }.reduce(_ + _)
+  def zValue(a: Column, b: Column, bits: Int): Column =
+    zValueN(Seq(a, b), bits)
+
+  /** N-column Morton interleave (round-robin): bit i of column j lands
+    * at position i·n + j, so every column contributes equally to every
+    * level of the curve. `bits · n` must stay ≤ 63 (positive LONG) —
+    * more columns ⇒ fewer bits each, the inherent z-order trade-off
+    * (beyond ~4 columns the per-column resolution stops paying; prefer
+    * picking the filtered columns). */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2, "interleave needs at least 2 columns")
+    require(bits > 0 && bits * n <= 63,
+      s"bits*cols must be in 1..63, got $bits*$n")
+    val masked = cols.map(_.cast("long").bitwiseAND(lit((1L << bits) - 1)))
+    (for {
+      i <- 0 until bits
+      (c, j) <- masked.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j))
+      .reduce(_ + _)
   }
 
   /** Sort by the z-value of min-max-NORMALIZED (a, b) and write parquet.
@@ -44,13 +56,21 @@ object ZOrder {
     * total sort — one extra shuffle at write time, bought back on every
     * subsequent selective scan. */
   def zOrderedWrite(df: DataFrame, a: Column, b: Column, bits: Int,
-                    path: String, maxRecordsPerFile: Int = 0): Unit = {
-    val mm = df.agg(min(a).cast("double"), max(a).cast("double"),
-      min(b).cast("double"), max(b).cast("double")).collect().head
+                    path: String, maxRecordsPerFile: Int = 0): Unit =
+    zOrderedWriteN(df, Seq(a, b), bits, path, maxRecordsPerFile)
+
+  /** N-column generalization of [[zOrderedWrite]] — one min/max
+    * aggregate over all columns, then interleave-sort-write. */
+  def zOrderedWriteN(df: DataFrame, cols: Seq[Column], bits: Int,
+                     path: String, maxRecordsPerFile: Int = 0): Unit = {
+    val mm = df.agg(
+      cols.flatMap(c => Seq(min(c).cast("double"), max(c).cast("double"))).head,
+      cols.flatMap(c => Seq(min(c).cast("double"), max(c).cast("double"))).tail: _*)
+      .collect().head
     val top = (1L << bits) - 1
     // an empty input or an all-null column yields null min/max: treat
     // that column as constant 0 (the z-order degrades gracefully to a
-    // single-column sort on the other), keeping the caller's file-size
+    // sort on the remaining columns), keeping the caller's file-size
     // option and the clustered write path in every case
     def bound(i: Int): Double = if (mm.isNullAt(i)) 0.0 else mm.getDouble(i)
     def scale(c: Column, lo: Double, hi: Double): Column =
@@ -58,9 +78,10 @@ object ZOrder {
       else coalesce(
         ((c.cast("double") - lit(lo)) * lit(top / (hi - lo))).cast("long"),
         lit(0L))
-    val w = df.withColumn("__z", zValue(
-        scale(a, bound(0), bound(1)),
-        scale(b, bound(2), bound(3)), bits))
+    val scaled = cols.zipWithIndex.map { case (c, j) =>
+      scale(c, bound(2 * j), bound(2 * j + 1))
+    }
+    val w = df.withColumn("__z", zValueN(scaled, bits))
       .sort(col("__z")).drop("__z")
       .write.mode("overwrite")
     (if (maxRecordsPerFile > 0)

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.engine.Sources
@@ -646,6 +647,66 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(oRangeZ < 0.55 * fullO,
       s"orderkey range/file: z=$oRangeZ vs full=$fullO")
     assert(oRangeSorted < oRangeZ, "single-column sort stays best on its own key")
+  }
+
+  test("3-column z-order bounds every column's per-file range") {
+    import graft.engine.ZOrder
+    val li = Sources.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val base = java.nio.file.Files.createTempDirectory("zorder3").toString
+    ZOrder.zOrderedWriteN(li,
+      Seq(col("l_orderkey"), col("l_partkey"), col("l_suppkey")), bits = 12,
+      s"$base/z3", maxRecordsPerFile = 250)
+    val per = spark.read.parquet(s"$base/z3")
+      .groupBy(input_file_name())
+      .agg((max(col("l_orderkey")) - min(col("l_orderkey"))).as("ro"),
+        (max(col("l_partkey")) - min(col("l_partkey"))).as("rp"),
+        (max(col("l_suppkey")) - min(col("l_suppkey"))).as("rs"))
+      .agg(avg(col("ro")), avg(col("rp")), avg(col("rs"))).collect().head
+    def full(c: String): Double =
+      li.agg(max(col(c)) - min(col(c))).collect().head.getLong(0).toDouble
+    // a single-column sort leaves two of the three at ~full range; the
+    // 3-way interleave must keep ALL of them clearly below full width
+    assert(per.getDouble(0) < 0.7 * full("l_orderkey"),
+      s"orderkey range/file ${per.getDouble(0)}")
+    assert(per.getDouble(1) < 0.7 * full("l_partkey"),
+      s"partkey range/file ${per.getDouble(1)}")
+    assert(per.getDouble(2) < 0.7 * full("l_suppkey"),
+      s"suppkey range/file ${per.getDouble(2)}")
+  }
+
+  test("jsonl/csv round-trip preserves the documents table under pinned schemas") {
+    val d = Sources.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"), col("text"))
+    val schema = d.schema
+    val base = java.nio.file.Files.createTempDirectory("fmt").toString
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), md5(col("text")), col("source"), col("lang"), col("n_chars"))
+        .collect().map(_.toSeq).toSet
+    Sources.writeJsonl(d, s"$base/j")
+    assert(key(Sources.readJsonl(spark, s"$base/j", schema)) === key(d))
+    // csv: newlines in text break the line format unless quoted+escaped;
+    // default writer quotes, reader must allow multiline
+    Sources.writeCsv(d, s"$base/c")
+    val csvBack = spark.read.schema(schema)
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"").csv(s"$base/c")
+    assert(key(csvBack) === key(d))
+  }
+
+  test("jsonl corrupt lines land in _corrupt_record instead of failing the scan") {
+    val base = java.nio.file.Files.createTempDirectory("fmtc").toString
+    val p = java.nio.file.Paths.get(base, "x.jsonl")
+    java.nio.file.Files.write(p,
+      java.util.Arrays.asList("""{"doc_id": 1, "text": "ok"}""", """{"doc_id": broken"""))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // Spark disallows querying only _corrupt_record on an unmaterialized
+    // raw scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN); cache first
+    val got = Sources.readJsonl(spark, p.toString, schema, keepCorrupt = true).cache()
+    assert(got.count() === 2)
+    assert(got.filter(col("_corrupt_record").isNotNull).count() === 1)
+    assert(got.filter(col("doc_id") === 1 && col("text") === "ok").count() === 1)
   }
 
   test("watermarked streaming agg runs (state-bounded variant)") {
