@@ -630,6 +630,46 @@ object SparkEntry {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id").asc)
 
+  /** IDF-weighted salient terms per source: tf · N/df with a reciprocal
+    * (not log) idf so the score is one exact long multiply + one IEEE
+    * double division — bit-identical across engines, unlike ln(). The
+    * per-source top-5 runs on the custom TopKPerGroup operator. */
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val tok = d.select(col("source"), col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val total = d.agg(count(lit(1)).as("n_total"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        (col("tf") * col("n_total")).cast("double") / col("df"))
+    Ranking.topKPerGroup(
+        scored.select(col("source"), col("term"), col("tf"), col("df"), col("score")),
+        groupCols = Seq("source"),
+        orderCols = Seq("score" -> false, "term" -> true), k = 5)
+      .select(col("source"), col("term"), col("tf"), col("df"),
+        r6(col("score")).as("score"), col("rank"))
+      .orderBy(col("source").asc, col("rank").asc)
+  }
+
+  /** NTILE quartiles: per event type, value quartile membership stats.
+    * The window order is (value, event_id) — a TOTAL order, since tied
+    * values would otherwise land in engine-dependent buckets. */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    cleanEvents(s, dir)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("event_type"), col("quartile"))
+      .agg(count(lit(1)).as("n_events"), r6(avg(col("value"))).as("avg_value"))
+      .orderBy(col("event_type").asc, col("quartile").asc)
+  }
+
   /** Repetition-ratio quality signal: duplicate-3-gram fraction per doc
     * (high ⇒ boilerplate/looping text — a standard pretraining filter). */
   private def q51(s: SparkSession, dir: String): DataFrame =
@@ -948,7 +988,9 @@ object SparkEntry {
     "q56_sliding_window" -> (q56 _),
     "q57_asof_forward" -> (q57 _),
     "q58_dedup_clusters" -> (q58 _),
-    "q59_dedup_survivors" -> (q59 _))
+    "q59_dedup_survivors" -> (q59 _),
+    "q60_idf_terms" -> (q60 _),
+    "q61_ntile_quartiles" -> (q61 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -1425,5 +1467,28 @@ object SparkEntry {
           clusters AS (SELECT n, min(lbl) AS cluster_id FROM reach GROUP BY n)
           SELECT d.doc_id, d.source FROM documents d
           WHERE d.doc_id NOT IN (SELECT n FROM clusters WHERE n != cluster_id)
-          ORDER BY d.doc_id ASC""")
+          ORDER BY d.doc_id ASC""",
+    "q60_idf_terms" ->
+      s"""WITH tok AS (SELECT source, doc_id,
+                        unnest(string_split(text, ' ')) AS term FROM documents),
+          tf AS (SELECT source, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+          dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+          tot AS (SELECT count(*) AS n_total FROM documents),
+          scored AS (SELECT tf.source, tf.term, tf.tf, dfq.df,
+                            CAST(tf.tf * tot.n_total AS DOUBLE) / dfq.df AS score
+                     FROM tf JOIN dfq ON tf.term = dfq.term, tot),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY source
+                       ORDER BY score DESC, term ASC) AS rank FROM scored)
+          SELECT source, term, tf, df, round(score, 6) AS score, rank
+          FROM ranked WHERE rank <= 5
+          ORDER BY source ASC, rank ASC""",
+    "q61_ntile_quartiles" ->
+      s"""WITH q AS (SELECT event_type, value,
+                       ntile(4) OVER (PARTITION BY event_type
+                         ORDER BY value ASC, event_id ASC) AS quartile
+                     FROM events WHERE $sqlClean)
+          SELECT event_type, quartile, count(*) AS n_events,
+                 round(avg(value), 6) AS avg_value
+          FROM q GROUP BY 1, 2
+          ORDER BY event_type ASC, quartile ASC""")
 }
