@@ -670,6 +670,22 @@ object SparkEntry {
       .orderBy(col("event_type").asc, col("quartile").asc)
   }
 
+  /** Explicit GROUPING SETS: per-dimension subtotals only — the set
+    * list ((l_returnflag),(l_linestatus)) that neither ROLLUP nor CUBE
+    * can express (no detail level, no grand total). Runs via the same
+    * hierarchical re-agg as q39/q52. */
+  private def q62(s: SparkSession, dir: String): DataFrame =
+    Aggregates.groupingSetsReagg(Sources.table(s, dir, "lineitem"),
+        keys = Seq(col("l_returnflag"), col("l_linestatus")),
+        sets = Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        aggs = Seq(count(lit(1)).as("n_items"),
+          Aggregates.exactSum(col("l_quantity")).as("sq")),
+        reaggs = Seq(sum(col("n_items")).as("n_items"), sum(col("sq")).as("sq")))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n_items"),
+        round(col("sq").cast("double"), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** Repetition-ratio quality signal: duplicate-3-gram fraction per doc
     * (high ⇒ boilerplate/looping text — a standard pretraining filter). */
   private def q51(s: SparkSession, dir: String): DataFrame =
@@ -990,7 +1006,8 @@ object SparkEntry {
     "q58_dedup_clusters" -> (q58 _),
     "q59_dedup_survivors" -> (q59 _),
     "q60_idf_terms" -> (q60 _),
-    "q61_ntile_quartiles" -> (q61 _))
+    "q61_ntile_quartiles" -> (q61 _),
+    "q62_grouping_sets" -> (q62 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -1490,5 +1507,11 @@ object SparkEntry {
           SELECT event_type, quartile, count(*) AS n_events,
                  round(avg(value), 6) AS avg_value
           FROM q GROUP BY 1, 2
-          ORDER BY event_type ASC, quartile ASC""")
+          ORDER BY event_type ASC, quartile ASC""",
+    "q62_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+                 round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty
+          FROM lineitem
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
 }

@@ -95,6 +95,16 @@ object Aggregates {
     df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
       .cube(keys: _*).agg(reaggs.head, reaggs.tail: _*)
 
+  /** Arbitrary GROUPING SETS counterpart of [[rollupReagg]] — same
+    * contract, with the exact set list the caller wants (e.g. per-key
+    * subtotals WITHOUT the detail level or grand total, which neither
+    * rollup nor cube can express). `keys` must cover every column used
+    * in `sets`. */
+  def groupingSetsReagg(df: DataFrame, keys: Seq[Column], sets: Seq[Seq[Column]],
+                        aggs: Seq[Column], reaggs: Seq[Column]): DataFrame =
+    df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      .groupingSets(sets, keys: _*).agg(reaggs.head, reaggs.tail: _*)
+
   /** Integrity audit over any table: total rows, per-column distinct counts
     * and missing(null-or-NaN) counts — the engine analog of the reference's
     * check_counts.py (reference: src/ingest/check_counts.py:19-44). */

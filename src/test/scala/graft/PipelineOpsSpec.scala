@@ -709,6 +709,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.filter(col("doc_id") === 1 && col("text") === "ok").count() === 1)
   }
 
+  test("Ann facade: every index strategy serves the unified search contract") {
+    val emb = Sources.table(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+    val brute = Ann.bruteForce(emb).search(queries, 3)
+    assert(Seq("q_vec", "n_vec", "cosine", "rank").forall(brute.columns.contains),
+      s"unified schema, got ${brute.columns.mkString(",")}")
+    val bruteRows = brute
+      .collect().map(r => (r.getAs[Long]("q_vec"), r.getAs[Long]("rank"))).toSet
+    assert(bruteRows.size === 9, "3 queries x top-3")
+    // strategy swap: same call shape and schema from the approximate indexes
+    Seq(Ann.lsh(emb, planes = 4), Ann.ivfFromLabels(emb, nProbe = 2)).foreach { idx =>
+      val got = idx.search(queries, 3)
+      assert(Seq("q_vec", "n_vec", "cosine", "rank").forall(got.columns.contains),
+        s"unified schema, got ${got.columns.mkString(",")}")
+      assert(got.count() > 0)
+    }
+  }
+
   test("watermarked streaming agg runs (state-bounded variant)") {
     val agg = EventStream.hourlyAgg(EventStream.readEvents(spark, sfDir), withWatermark = true)
     val name = "wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
