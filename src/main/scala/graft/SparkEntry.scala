@@ -686,6 +686,25 @@ object SparkEntry {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** Trailing 1-hour RANGE window frame per user: unlike ROWS frames,
+    * the frame is defined by the ORDER-BY VALUE interval [t-3599, t],
+    * so tied timestamps all share one frame and the result is
+    * tie-order-independent by construction. The frame sum is exact
+    * DECIMAL (order-independent partial sums across peers). */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sec = expr("ts div 1000000000")
+    val w = Window.partitionBy(col("user_id")).orderBy(sec)
+      .rangeBetween(-3599, 0)
+    cleanEvents(s, dir)
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(sum(col("value").cast(
+            org.apache.spark.sql.types.DecimalType(18, 6)))
+          .over(w).cast("double"), 6).as("sum_1h"))
+      .orderBy(col("event_id").asc)
+  }
+
   /** Repetition-ratio quality signal: duplicate-3-gram fraction per doc
     * (high ⇒ boilerplate/looping text — a standard pretraining filter). */
   private def q51(s: SparkSession, dir: String): DataFrame =
@@ -1007,7 +1026,8 @@ object SparkEntry {
     "q59_dedup_survivors" -> (q59 _),
     "q60_idf_terms" -> (q60 _),
     "q61_ntile_quartiles" -> (q61 _),
-    "q62_grouping_sets" -> (q62 _))
+    "q62_grouping_sets" -> (q62 _),
+    "q63_range_frame" -> (q63 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -1513,5 +1533,14 @@ object SparkEntry {
                  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty
           FROM lineitem
           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q63_range_frame" ->
+      s"""SELECT event_id, user_id,
+                 count(*) OVER w AS n_1h,
+                 round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6)
+                   AS sum_1h
+          FROM events WHERE $sqlClean
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000000
+                       RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+          ORDER BY event_id ASC""")
 }

@@ -50,9 +50,29 @@ class PlanInvariantsSpec extends AnyFunSuite {
   }
 
   test("per-group top-k idiom is rewritten to the custom operator") {
-    Seq("q25_knn_cosine", "q09_dedup_latest", "q49_topk_per_group").foreach { n =>
+    Seq("q25_knn_cosine", "q09_dedup_latest", "q49_topk_per_group",
+        "q60_idf_terms").foreach { n =>
       val plan = planOf(n)
       assert(plan.contains("TopKPerGroupFinal"), s"$n should use TopKPerGroup:\n$plan")
     }
+  }
+
+  test("grouping-set queries Expand the per-group re-agg, not the fact scan") {
+    Seq("q39_rollup_revenue", "q52_cube_quantity", "q62_grouping_sets").foreach { n =>
+      val plan = planOf(n)
+      assert(plan.contains("Expand"), s"$n should plan grouping sets:\n$plan")
+      // the hierarchical re-agg puts a HashAggregate (the fine groupBy)
+      // BELOW Expand; Expand directly over the scan would mean the row
+      // multiplication hits the full fact table
+      val lines = plan.linesIterator.toSeq
+      val expandIdx = lines.indexWhere(_.contains("Expand"))
+      val aggBelow = lines.drop(expandIdx + 1).exists(_.contains("HashAggregate"))
+      assert(aggBelow, s"$n: Expand must sit above the fine aggregation:\n$plan")
+    }
+  }
+
+  test("range-frame window carries a RANGE specification, not ROWS") {
+    val plan = planOf("q63_range_frame")
+    assert(plan.contains("RangeFrame"), s"q63 should use a RANGE frame:\n$plan")
   }
 }
