@@ -48,7 +48,7 @@ object Bench {
       // new code), and the box runs other tenants — a single pass times
       // whichever run absorbed compilation or a noisy neighbor, not the
       // engine. The min is the steady-state number.
-      val times = (1 to 2).map { _ =>
+      def onePass(): Double = {
         // each pass measured from a clean cache: operators persist
         // intra-plan intermediates, which must not bleed into timings
         spark.catalog.clearCache()
@@ -63,6 +63,12 @@ object Bench {
           -1.0  // failures visible as negative time, not a fast "success"
         }
       }
+      var times = Seq(onePass(), onePass())
+      // adaptive third pass: if both passes are slow the query either IS
+      // slow (third changes nothing material) or both absorbed tenant
+      // noise (third recovers the steady state) — bounded extra cost,
+      // applied only where the signal is suspect
+      if (times.forall(_ >= 0) && times.min > 2.0) times :+= onePass()
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
