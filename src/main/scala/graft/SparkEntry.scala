@@ -705,6 +705,36 @@ object SparkEntry {
       .orderBy(col("event_id").asc)
   }
 
+  /** Fixed-width histogram per event type: one aggregation pass, bin =
+    * floor(value/width) (IEEE division + floor — engine-exact). The
+    * distribution profile a curation pipeline reads before choosing
+    * filter thresholds. */
+  private def q64(s: SparkSession, dir: String): DataFrame =
+    cleanEvents(s, dir)
+      .withColumn("bin", floor(col("value") / 10.0).cast("long"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type").asc, col("bin").asc)
+
+  /** Winsorized per-type stats: exact p05/p95 computed per group, then
+    * values clamped to [p05, p95] and re-aggregated — the standard
+    * outlier-robust summary (two passes over the data; the percentile
+    * table is group-cardinality-sized and broadcast back). */
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val e = cleanEvents(s, dir)
+    val pct = e.groupBy(col("event_type")).agg(
+      expr("percentile(value, 0.05)").as("p05"),
+      expr("percentile(value, 0.95)").as("p95"))
+    e.join(broadcast(pct), "event_type")
+      .withColumn("v_w", least(greatest(col("value"), col("p05")), col("p95")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("value") < col("p05"), 1)).as("n_clamped_lo"),
+        count(when(col("value") > col("p95"), 1)).as("n_clamped_hi"),
+        r6(avg(col("v_w"))).as("avg_winsorized"))
+      .orderBy(col("event_type").asc)
+  }
+
   /** Repetition-ratio quality signal: duplicate-3-gram fraction per doc
     * (high ⇒ boilerplate/looping text — a standard pretraining filter). */
   private def q51(s: SparkSession, dir: String): DataFrame =
@@ -1027,7 +1057,9 @@ object SparkEntry {
     "q60_idf_terms" -> (q60 _),
     "q61_ntile_quartiles" -> (q61 _),
     "q62_grouping_sets" -> (q62 _),
-    "q63_range_frame" -> (q63 _))
+    "q63_range_frame" -> (q63 _),
+    "q64_histogram" -> (q64 _),
+    "q65_winsorized" -> (q65 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -1542,5 +1574,23 @@ object SparkEntry {
           FROM events WHERE $sqlClean
           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000000
                        RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
-          ORDER BY event_id ASC""")
+          ORDER BY event_id ASC""",
+    "q64_histogram" ->
+      s"""SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
+                 count(*) AS n
+          FROM events WHERE $sqlClean
+          GROUP BY 1, 2 ORDER BY event_type ASC, bin ASC""",
+    "q65_winsorized" ->
+      s"""WITH pct AS (SELECT event_type,
+                        quantile_cont(value, 0.05) AS p05,
+                        quantile_cont(value, 0.95) AS p95
+                      FROM events WHERE $sqlClean GROUP BY 1)
+          SELECT e.event_type, count(*) AS n_events,
+                 count(CASE WHEN e.value < pct.p05 THEN 1 END) AS n_clamped_lo,
+                 count(CASE WHEN e.value > pct.p95 THEN 1 END) AS n_clamped_hi,
+                 round(avg(least(greatest(e.value, pct.p05), pct.p95)), 6)
+                   AS avg_winsorized
+          FROM events e JOIN pct ON e.event_type = pct.event_type
+          WHERE $sqlClean
+          GROUP BY 1 ORDER BY e.event_type ASC""")
 }
