@@ -241,6 +241,25 @@ object SparkEntry {
       .orderBy(col("event_id").asc)
   }
 
+  /** Nearest as-of join: each 'view' matched to the user's click with
+    * the smallest |Δt| in either direction (ties → the prior click) —
+    * one union + shuffle + sort carrying both direction candidates.
+    * Oracle composes DuckDB's two native ASOF directions and picks the
+    * closer via epoch_ns arithmetic. */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    graft.operators.AsOfJoin.asofNearest(views, clicks,
+        keys = Seq("user_id"), timeCol = "ts",
+        carry = Map("event_id" -> "click_event_id", "value" -> "click_value"))
+      .select(col("event_id"), col("user_id"),
+        col("click_event_id"), r6(col("click_value")).as("click_value"))
+      .orderBy(col("event_id").asc)
+  }
+
   /** Sliding one-hour windows every 30 minutes (window = 2 slides, so
     * each event lands in exactly two windows). Oracle replays the
     * alignment arithmetic on epoch micros — both engines align window
@@ -1059,7 +1078,8 @@ object SparkEntry {
     "q62_grouping_sets" -> (q62 _),
     "q63_range_frame" -> (q63 _),
     "q64_histogram" -> (q64 _),
-    "q65_winsorized" -> (q65 _))
+    "q65_winsorized" -> (q65 _),
+    "q66_asof_nearest" -> (q66 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -1592,5 +1612,31 @@ object SparkEntry {
                    AS avg_winsorized
           FROM events e JOIN pct ON e.event_type = pct.event_type
           WHERE $sqlClean
-          GROUP BY 1 ORDER BY e.event_type ASC""")
+          GROUP BY 1 ORDER BY e.event_type ASC""",
+    "q66_asof_nearest" ->
+      s"""WITH v AS (SELECT event_id, user_id, ts FROM events
+                     WHERE event_type = 'view'),
+          c AS (SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'click'),
+          b AS (SELECT v.event_id, v.user_id, v.ts,
+                       c.event_id AS b_id, c.value AS b_val, c.ts AS b_ts
+                FROM v ASOF LEFT JOIN c
+                  ON v.user_id = c.user_id AND v.ts >= c.ts),
+          f AS (SELECT v.event_id,
+                       c.event_id AS f_id, c.value AS f_val, c.ts AS f_ts
+                FROM v ASOF LEFT JOIN c
+                  ON v.user_id = c.user_id AND v.ts <= c.ts)
+          SELECT b.event_id, b.user_id,
+                 CASE WHEN b_id IS NULL THEN f_id
+                      WHEN f_id IS NULL THEN b_id
+                      WHEN epoch_ns(b.ts) - epoch_ns(b_ts)
+                           <= epoch_ns(f_ts) - epoch_ns(b.ts) THEN b_id
+                      ELSE f_id END AS click_event_id,
+                 round(CASE WHEN b_id IS NULL THEN f_val
+                            WHEN f_id IS NULL THEN b_val
+                            WHEN epoch_ns(b.ts) - epoch_ns(b_ts)
+                                 <= epoch_ns(f_ts) - epoch_ns(b.ts) THEN b_val
+                            ELSE f_val END, 6) AS click_value
+          FROM b JOIN f ON b.event_id = f.event_id
+          ORDER BY b.event_id ASC""")
 }

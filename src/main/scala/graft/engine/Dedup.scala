@@ -40,4 +40,31 @@ object Dedup {
       count(lit(1)).as("n_rows"),
       countDistinct(md5(content)).as("n_distinct"),
       (count(lit(1)) - countDistinct(md5(content))).as("n_duplicates"))
+
+  /** Snapshot reconciliation: per-key diff of two versions of a keyed
+    * table — the regression gate of a data pipeline ("what changed
+    * between yesterday's corpus and today's?"). Each side collapses to
+    * (key, row-hash) BEFORE the full-outer join, so the exchange ships
+    * 32-byte digests instead of full rows regardless of row width. The
+    * row hash is md5 of the canonical JSON of all non-key columns in
+    * sorted column order (type- and null-faithful, column-order
+    * insensitive). Keys must be unique per side (snapshot semantics —
+    * apply [[latestByKey]] first if not). Output: key columns +
+    * `status` ∈ added | removed | changed | unchanged. */
+  def tableDiff(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "tableDiff needs at least one key column")
+    require(a.columns.sorted.sameElements(b.columns.sorted),
+      s"schemas differ: ${a.columns.sorted.mkString(",")} vs " +
+        s"${b.columns.sorted.mkString(",")}")
+    val nonKey = a.columns.filterNot(keys.contains).sorted
+    def hashed(df: DataFrame, hname: String) = df.select(
+      keys.map(col) :+
+        md5(to_json(struct(nonKey.map(col): _*))).as(hname): _*)
+    hashed(a, "__h_a").join(hashed(b, "__h_b"), keys, "full_outer")
+      .select(keys.map(col) :+
+        when(col("__h_b").isNull, lit("removed"))
+          .when(col("__h_a").isNull, lit("added"))
+          .when(col("__h_a") =!= col("__h_b"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"): _*)
+  }
 }

@@ -65,4 +65,53 @@ object AsOfJoin {
         col(s"__carry.$out").as(out)
       }: _*)
   }
+
+  /** Nearest-match variant: per left row, the right row minimizing
+    * |right.time − left.time| (ties → the backward match, standard ASOF
+    * tie-breaking). Both directions are carried in ONE union + shuffle
+    * + sort — `last(ignoreNulls)` over the preceding frame for the
+    * backward candidate, `first(ignoreNulls)` over the following frame
+    * for the forward one — then the closer candidate wins per row.
+    * (An equal-time right row sorts before the left row, so the forward
+    * frame misses it — harmless: the backward carry holds it at
+    * distance 0, which always wins.)
+    *
+    * `timeCol` must be NUMERIC (epoch micros/nanos; convert timestamps
+    * first) so the distance comparison is plain arithmetic. */
+  def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  timeCol: String, carry: Map[String, String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val carried = carry.toSeq.sortBy(_._2)
+    val tf = "__asof_rt"
+    val carryStruct = struct(
+      carried.map { case (in, out) => col(in).as(out) } :+ col(timeCol).as(tf): _*)
+    val lTagged = left.withColumn("__side", lit(1))
+      .withColumn("__carry",
+        lit(null).cast(right.select(carryStruct).schema.head.dataType))
+    val rTagged = leftCols.filterNot(c => keys.contains(c) || c == timeCol)
+      .foldLeft(right.withColumn("__side", lit(0)).withColumn("__carry", carryStruct)) {
+        case (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+    val unionCols = leftCols ++ Seq("__side", "__carry")
+    val unioned = lTagged.select(unionCols.map(col): _*)
+      .unionByName(rTagged.select(unionCols.map(col): _*))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, col("__side").asc)
+    val back = last(col("__carry"), ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val fwd = first(col("__carry"), ignoreNulls = true)
+      .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    unioned
+      .withColumn("__back", back).withColumn("__fwd", fwd)
+      .filter(col("__side") === 1)
+      .withColumn("__pick",
+        when(col("__back").isNull, col("__fwd"))
+          .when(col("__fwd").isNull, col("__back"))
+          .when(col(timeCol) - col(s"__back.$tf") <=
+            col(s"__fwd.$tf") - col(timeCol), col("__back"))
+          .otherwise(col("__fwd")))
+      .select(leftCols.map(col) ++ carried.map { case (_, out) =>
+        col(s"__pick.$out").as(out)
+      }: _*)
+  }
 }

@@ -70,6 +70,39 @@ object NearDup {
       .distinct()
   }
 
+  /** Incremental near-dup candidates: NEW batch docs against an already
+    * bucketed corpus, without re-pairing the corpus — the only shape
+    * that works when the corpus is 100 TB and the daily batch is 0.1%
+    * of it. The corpus side is `lshBuckets(minHashSignatures(corpus))`
+    * written once as a staging table and reused every batch; the batch
+    * side is bucketed fresh (tiny). Output: (doc_a, doc_b) where at
+    * least one side is a batch doc — batch-vs-corpus pairs plus
+    * batch-internal pairs, exactly the new pairs full recomputation
+    * over (corpus ∪ batch) would add.
+    *
+    * The batch bucket table is broadcast when small (Catalyst decides
+    * from stats); the corpus bucket table is only ever probed on
+    * (band, bucket) — no corpus-wide shuffle. */
+  def incrementalCandidates(corpusBuckets: DataFrame, batch: DataFrame,
+                            k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    require(bands * rowsPerBand <= k)
+    val bb = Shingles.shared(
+      lshBuckets(minHashSignatures(batch, k), bands, rowsPerBand))
+    val cb = corpusBuckets.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_corpus"))
+    val vsCorpus = bb.select(col("band"), col("bucket"), col("doc_id").as("doc_new"))
+      .join(cb, Seq("band", "bucket"))
+      .filter(col("doc_new") =!= col("doc_corpus"))
+      .select(least(col("doc_new"), col("doc_corpus")).as("doc_a"),
+        greatest(col("doc_new"), col("doc_corpus")).as("doc_b"))
+    val withinBatch = bb.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+      .join(bb.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
+        Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    vsCorpus.union(withinBatch).distinct()
+  }
+
   /** SimHash bit width (32 bits = 8 md5 hex digits per token). */
   val SimHashBits = 32
 

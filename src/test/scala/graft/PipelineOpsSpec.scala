@@ -301,6 +301,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental LSH candidates equal the batch-involving slice of a full run") {
+    val d = Sources.table(spark, sfDir, "documents")
+    val corpus = d.filter(col("doc_id") < 400)
+    val batch = d.filter(col("doc_id") >= 400)
+    val corpusBuckets = NearDup.lshBuckets(
+      NearDup.minHashSignatures(corpus, 12), 4, 3)
+    val got = NearDup.incrementalCandidates(corpusBuckets, batch, 12, 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = NearDup.minHashCandidates(d, 12, 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter(p => p._1 >= 400 || p._2 >= 400)
+    assert(expected.nonEmpty, "fixtures should have batch-involving pairs")
+    assert(got === expected)
+  }
+
+  test("tableDiff classifies added/removed/changed/unchanged per key") {
+    val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, null.asInstanceOf[String], 40.0)).toDF("k", "s", "v")
+    val v2 = Seq((2L, "b", 20.0), (3L, "CHANGED", 30.0),
+      (4L, null.asInstanceOf[String], 40.0), (5L, "new", 50.0)).toDF("k", "s", "v")
+    val got = graft.engine.Dedup.tableDiff(v1, v2, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got === Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "unchanged", 5L -> "added"))
+    // column order must not matter
+    val gotReordered = graft.engine.Dedup
+      .tableDiff(v1.select(col("v"), col("k"), col("s")), v2, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(gotReordered === got)
+  }
+
+  test("asofNearest picks the closer side, ties backward, handles edges") {
+    val views = Seq((1L, "u", 100L), (2L, "u", 10L), (3L, "u", 205L),
+        (4L, "v", 50L), (5L, "w", 7L))
+      .toDF("event_id", "user_id", "ts")
+    // u: clicks at 90 (d=10 back for v1) and 105 (d=5 fwd for v1);
+    //    v2@10: back none, fwd 90 (d=80); v3@205: back 105 (d=100), no fwd
+    // v: clicks at 45 and 55 — equidistant from 50 → tie → backward (45)
+    // w: no clicks at all → null match
+    val clicks = Seq((90L, "u", 90L, 9.0), (105L, "u", 105L, 1.5),
+        (45L, "v", 45L, 4.5), (55L, "v", 55L, 5.5))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = graft.operators.AsOfJoin.asofNearest(views, clicks,
+        Seq("user_id"), "ts",
+        Map("event_id" -> "click_id", "value" -> "click_value"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.get(4)))).toMap
+    assert(got(1L) === (Some(105L), Some(1.5)))  // fwd d=5 beats back d=10
+    assert(got(2L) === (Some(90L), Some(9.0)))   // only fwd exists
+    assert(got(3L) === (Some(105L), Some(1.5)))  // only back exists
+    assert(got(4L) === (Some(45L), Some(4.5)))   // tie -> backward
+    assert(got(5L) === (None, None))             // no right rows
+  }
+
   test("connected components: path graph, isolated pair, direction-blind") {
     // path 1-2-3-4-5 needs several propagation rounds; (10,11) separate;
     // edge (9,8) reversed to confirm direction is ignored
