@@ -164,6 +164,31 @@ object Sources {
       .option("header", "true").option("delimiter", delimiter)
       .csv(path)
 
+  /** Small-file compaction — the standing operational task of any
+    * long-lived 100 TB table (streaming sinks and per-partition upserts
+    * accrete kilobyte files; scan cost then scales with FILE COUNT, not
+    * bytes: each file is a task + a footer read + an open). Rewrites a
+    * parquet directory into ⌈rows / rowsPerFile⌉ similar-sized files
+    * via a round-robin repartition (no shuffle key — pure rebalance),
+    * staging into `path + ".compact"` first and swapping only after the
+    * write succeeds, so a failed compaction leaves the table intact.
+    * At cluster scale run per partition directory, gated on file-count
+    * thresholds. */
+  def compact(spark: SparkSession, path: String, rowsPerFile: Long): Unit = {
+    require(rowsPerFile > 0, "rowsPerFile must be positive")
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
+    val staging = path.stripSuffix("/") + ".compact"
+    df.repartition(files).write.mode("overwrite").parquet(staging)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    fs.delete(target, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), target),
+      s"compaction swap failed for $path")
+  }
+
   /** Session conf required to scan TIMESTAMP(NANOS) parquet (`events.ts`):
     * Spark's vectorized reader only accepts nanos as a since-epoch LONG.
     * There is no per-read option for this, so it is session-level by

@@ -268,6 +268,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(streamed.collect().toSeq === batch.collect().toSeq)
   }
 
+  test("stateless operators run unchanged on streams: mixture sampling parity") {
+    // Spark's unified model: the SAME deterministicMix call over a
+    // readStream frame must keep exactly the rows the batch run keeps
+    val rates = Map("click" -> 0.4, "view" -> 0.9, "purchase" -> 0.0)
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sampling.deterministicMix(
+        df.filter(col("event_type").isin(rates.keys.toSeq: _*)),
+        col("event_id"), col("event_type"), rates, "stream-v1")
+    val name = "mix_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = sample(EventStream.readEvents(spark, sfDir))
+      .select(col("event_id"))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(name).collect().map(_.getLong(0)).toSet
+    val batch = sample(Sources.table(spark, sfDir, "events"))
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(batch.nonEmpty && streamed === batch)
+  }
+
   test("streaming session_window agg runs with watermark (stateful sessions)") {
     val stream = EventStream.readEvents(spark, sfDir)
       .withWatermark("ts_utc", "2 hours")
@@ -746,6 +765,20 @@ class PipelineOpsSpec extends AnyFunSuite {
       .option("header", "true").option("multiLine", "true")
       .option("escape", "\"").csv(s"$base/c")
     assert(key(csvBack) === key(d))
+  }
+
+  test("compact rewrites a many-file table into few files, data intact") {
+    val base = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val d = Sources.table(spark, sfDir, "orders").select(col("o_orderkey"))
+    d.repartition(40).write.mode("overwrite").parquet(base)  // small-files mess
+    def files() = new java.io.File(base).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = spark.read.parquet(base).collect().map(_.getLong(0)).sorted.toSeq
+    assert(files() >= 40)
+    Sources.compact(spark, base, rowsPerFile = 1000)
+    assert(files() <= (before.size / 1000 + 1))
+    val after = spark.read.parquet(base).collect().map(_.getLong(0)).sorted.toSeq
+    assert(after === before)
   }
 
   test("jsonl corrupt lines land in _corrupt_record instead of failing the scan") {
