@@ -754,6 +754,26 @@ object SparkEntry {
       .orderBy(col("event_type").asc)
   }
 
+  /** The full rank-function family in one pass: rank (gaps), dense_rank
+    * (no gaps), percent_rank ((r−1)/(n−1)) and cume_dist (r/n) per
+    * nation over balance TIER (floor(acctbal/100)) — coarse on purpose
+    * so ties are plentiful and the four functions genuinely diverge.
+    * Rank functions assign tied rows identical values, so a non-total
+    * window order is still engine-exact; only the final output ORDER BY
+    * needs (and has) a total key. */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tier = floor(col("s_acctbal") / 100).cast("long")
+    val w = Window.partitionBy(col("s_nationkey")).orderBy(tier.desc)
+    Sources.table(s, dir, "supplier")
+      .select(col("s_nationkey"), col("s_suppkey"), tier.as("bal_tier"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        r6(percent_rank().over(w)).as("prnk"),
+        r6(cume_dist().over(w)).as("cdist"))
+      .orderBy(col("s_nationkey").asc, col("rnk").asc, col("s_suppkey").asc)
+  }
+
   /** Repetition-ratio quality signal: duplicate-3-gram fraction per doc
     * (high ⇒ boilerplate/looping text — a standard pretraining filter). */
   private def q51(s: SparkSession, dir: String): DataFrame =
@@ -1079,7 +1099,8 @@ object SparkEntry {
     "q63_range_frame" -> (q63 _),
     "q64_histogram" -> (q64 _),
     "q65_winsorized" -> (q65 _),
-    "q66_asof_nearest" -> (q66 _))
+    "q66_asof_nearest" -> (q66 _),
+    "q67_rank_family" -> (q67 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -1638,5 +1659,16 @@ object SparkEntry {
                                  <= epoch_ns(f_ts) - epoch_ns(b.ts) THEN b_val
                             ELSE f_val END, 6) AS click_value
           FROM b JOIN f ON b.event_id = f.event_id
-          ORDER BY b.event_id ASC""")
+          ORDER BY b.event_id ASC""",
+    "q67_rank_family" ->
+      s"""SELECT s_nationkey, s_suppkey,
+                 CAST(floor(s_acctbal / 100) AS BIGINT) AS bal_tier,
+                 rank() OVER w AS rnk,
+                 dense_rank() OVER w AS drnk,
+                 round(percent_rank() OVER w, 6) AS prnk,
+                 round(cume_dist() OVER w, 6) AS cdist
+          FROM supplier
+          WINDOW w AS (PARTITION BY s_nationkey
+                       ORDER BY CAST(floor(s_acctbal / 100) AS BIGINT) DESC)
+          ORDER BY s_nationkey ASC, rnk ASC, s_suppkey ASC""")
 }
