@@ -164,6 +164,16 @@ object Sources {
       .option("header", "true").option("delimiter", delimiter)
       .csv(path)
 
+  /** Register every fixture table as a temp view so the WHOLE engine is
+    * reachable through pure `spark.sql(...)` — the injected functions
+    * (graft_dot, graft_nfc) already are via [[graft.GraftExtensions]],
+    * and views close the gap for users who never touch the DataFrame
+    * API. Views are lazy: registering costs nothing until queried. */
+  def registerTables(spark: SparkSession, sfDir: String): Unit =
+    schemas.keys.foreach { name =>
+      table(spark, sfDir, name).createOrReplaceTempView(name)
+    }
+
   /** Small-file compaction — the standing operational task of any
     * long-lived 100 TB table (streaming sinks and per-partition upserts
     * accrete kilobyte files; scan cost then scales with FILE COUNT, not
