@@ -385,6 +385,15 @@ class PipelineOpsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("components on a 300-node path need O(log n) rounds (pointer jumping)") {
+    // plain synchronous propagation needs ~diameter rounds (~300 here);
+    // converging within 12 proves the lbl(lbl(n)) jump halves distances
+    val path = (0L until 299L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = graft.operators.Graph.connectedComponents(path, "a", "b", maxIter = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 300 && got.forall(_._2 === 0L))
+  }
+
   test("dedupSurvivors keeps the canonical doc per cluster plus unpaired docs") {
     val d = Seq((1L, "s"), (2L, "s"), (3L, "s"), (7L, "s")).toDF("doc_id", "source")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
