@@ -824,6 +824,25 @@ object SparkEntry {
         round(col("sc").cast("double"), 2).as("sum_chars"))
       .orderBy(col("source").asc)
 
+  /** Per-source upsample rates for q68 (whole + fractional parts) and
+    * the shared salt. */
+  private val UpRates: Map[String, Double] =
+    Map("src3" -> 2.5, "src7" -> 1.0, "src11" -> 0.4)
+  private val UpSalt = "up-v1"
+
+  /** Deterministic upsampling (rates > 1): floor(rate) copies per row
+    * plus one more iff the id hash clears the fractional part — the
+    * repeat-this-source-2.5x half of mixture balancing, reproducible
+    * across engines like q54's downsampling. */
+  private def q68(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.deterministicUpsample(
+        docs(s, dir), col("doc_id"), col("source"), UpRates, UpSalt)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        max(col("copy_no")).as("max_copies"))
+      .orderBy(col("source").asc)
+
   /** Normalized-text dedup keys: NFC + lowercase + punct→space +
     * whitespace collapse, then md5 — groups that differ only in
     * casing/punctuation/spacing collapse to one key. */
@@ -1100,7 +1119,8 @@ object SparkEntry {
     "q64_histogram" -> (q64 _),
     "q65_winsorized" -> (q65 _),
     "q66_asof_nearest" -> (q66 _),
-    "q67_rank_family" -> (q67 _))
+    "q67_rank_family" -> (q67 _),
+    "q68_upsample" -> (q68 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -1670,5 +1690,27 @@ object SparkEntry {
           FROM supplier
           WINDOW w AS (PARTITION BY s_nationkey
                        ORDER BY CAST(floor(s_acctbal / 100) AS BIGINT) DESC)
-          ORDER BY s_nationkey ASC, rnk ASC, s_suppkey ASC""")
+          ORDER BY s_nationkey ASC, rnk ASC, s_suppkey ASC""",
+    "q68_upsample" -> {
+      val wholeCases = UpRates.toSeq.sortBy(_._1).map { case (g, r) =>
+        s"WHEN '$g' THEN ${math.floor(r).toLong}" }.mkString(" ")
+      val fracCases = UpRates.toSeq.sortBy(_._1).map { case (g, r) =>
+        s"WHEN '$g' THEN ${math.round((r - math.floor(r)) * 10000)}" }.mkString(" ")
+      s"""WITH k AS (
+            SELECT source, doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '$UpSalt'), 1, 8))::BIGINT
+                     % 10000 AS bucket,
+                   CAST(CASE source $wholeCases ELSE 0 END AS BIGINT) AS whole,
+                   CASE source $fracCases ELSE 0 END AS fbp
+            FROM documents),
+          c AS (SELECT source, doc_id,
+                       whole + CASE WHEN bucket < fbp THEN 1 ELSE 0 END AS copies
+                FROM k),
+          e AS (SELECT source, doc_id,
+                       unnest(generate_series(1, copies)) AS copy_no
+                FROM c WHERE copies > 0)
+          SELECT source, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
+                 max(copy_no) AS max_copies
+          FROM e GROUP BY source ORDER BY source ASC"""
+    })
 }

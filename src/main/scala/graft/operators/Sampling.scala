@@ -38,4 +38,32 @@ object Sampling {
       .filter(col("__bucket") < rateExpr)
       .drop("__bucket")
   }
+
+  /** Deterministic UPsampling: per-group rates ≥ 0, including > 1
+    * ("repeat source C 2.3×") — the other half of mixture balancing.
+    * Every row emits `floor(rate)` copies plus one more iff its hash
+    * bucket clears the fractional part — so copy counts, like
+    * [[deterministicMix]] membership, are a pure function of (id, salt):
+    * rerun-stable, partition-order-free, engine-portable. Output adds
+    * `copy_no` (1-based) so downstream shuffles can still distinguish
+    * rows; total output converges to rate·|group| at corpus scale.
+    * Explode-based: no driver loop, parallel per row. */
+  def deterministicUpsample(df: DataFrame, idCol: Column, rateCol: Column,
+                            rates: Map[String, Double], salt: String): DataFrame = {
+    require(rates.values.forall(_ >= 0), "rates must be >= 0")
+    val whole = rates.map { case (g, r) => (g, math.floor(r).toLong) }
+    val fracBps = rates.map { case (g, r) =>
+      (g, math.round((r - math.floor(r)) * 10000).toInt) }
+    val wholeExpr = whole.foldLeft(lit(0L)) { case (acc, (g, n)) =>
+      when(rateCol === g, lit(n)).otherwise(acc)
+    }
+    val fracExpr = fracBps.foldLeft(lit(0)) { case (acc, (g, bp)) =>
+      when(rateCol === g, lit(bp)).otherwise(acc)
+    }
+    df.withColumn("__copies",
+        wholeExpr + when(hashBucket(idCol, salt) < fracExpr, 1L).otherwise(0L))
+      .filter(col("__copies") > 0)
+      .withColumn("copy_no", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__copies")
+  }
 }

@@ -667,6 +667,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       "dotted \u0130 must map to plain i, not i + combining dot")
   }
 
+  test("deterministic upsample: copy counts are rate-shaped and rerun-stable") {
+    val d = Sources.table(spark, sfDir, "documents")
+    val rates = Map("src3" -> 2.5, "src7" -> 1.0)
+    def run() = graft.operators.Sampling.deterministicUpsample(
+        d, col("doc_id"), col("source"), rates, "t-v1")
+      .select(col("doc_id"), col("source"), col("copy_no"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val a = run()
+    assert(a === run(), "pure function of (id, salt): rerun-identical")
+    val bySrc = a.groupBy(_._2)
+    // rate 1.0: exactly one copy per doc; rate 2.5: every doc 2 or 3 copies
+    assert(bySrc("src7").forall(_._3 == 1L))
+    val s3 = bySrc("src3").groupBy(_._1).view.mapValues(_.size)
+    assert(s3.values.forall(n => n == 2 || n == 3))
+    val total = s3.values.sum.toDouble / s3.size
+    assert(total > 2.2 && total < 2.8, s"mean copies $total should approach 2.5")
+    assert(!a.exists(_._2 == "src0"), "absent groups drop (rate 0)")
+  }
+
   test("deterministic mix: rerun-stable, rate-accurate, salt-decorrelated") {
     val d = Sources.table(spark, sfDir, "documents")
     def ids(salt: String) = Sampling.deterministicMix(
