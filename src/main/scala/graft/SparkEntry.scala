@@ -843,6 +843,16 @@ object SparkEntry {
         max(col("copy_no")).as("max_copies"))
       .orderBy(col("source").asc)
 
+  /** The end-to-end curation decision per document: every quality
+    * signal (length, stopword density, repetition, language agreement)
+    * as an auditable boolean reason plus the final keep flag — the
+    * query a production filter actually runs before dropping data. */
+  private def q69(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.curationDecision(docs(s, dir),
+        TextAnalysis.stopwords("en"),
+        minTokens = 5, minStopRatio = 0.10, maxRepRatio = 0.5)
+      .orderBy(col("doc_id").asc)
+
   /** Normalized-text dedup keys: NFC + lowercase + punct→space +
     * whitespace collapse, then md5 — groups that differ only in
     * casing/punctuation/spacing collapse to one key. */
@@ -1120,7 +1130,8 @@ object SparkEntry {
     "q65_winsorized" -> (q65 _),
     "q66_asof_nearest" -> (q66 _),
     "q67_rank_family" -> (q67 _),
-    "q68_upsample" -> (q68 _))
+    "q68_upsample" -> (q68 _),
+    "q69_curation" -> (q69 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -1712,5 +1723,39 @@ object SparkEntry {
           SELECT source, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
                  max(copy_no) AS max_copies
           FROM e GROUP BY source ORDER BY source ASC"""
+    },
+    "q69_curation" -> {
+      val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+      val hitCols = langs
+        .map(l => s"${sqlStopHits(TextAnalysis.stopwords(l))} AS hits_$l")
+        .mkString(", ")
+      val g = langs.map(l => s"hits_$l").mkString("greatest(", ", ", ")")
+      val cases = langs
+        .map(l => s"WHEN hits_$l = g AND g > 0 THEN '$l'").mkString(" ")
+      val stop = sqlStopHits(TextAnalysis.stopwords("en"))
+      s"""WITH $sqlShingles,
+          d AS (SELECT doc_id, count(*) AS n_distinct FROM sh GROUP BY doc_id),
+          t AS (SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) - 2 AS BIGINT) AS n_total
+                FROM documents),
+          rep AS (SELECT t.doc_id, 1.0 - d.n_distinct / t.n_total AS rep_ratio
+                  FROM t JOIN d ON t.doc_id = d.doc_id WHERE t.n_total > 0),
+          st AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                        $stop / len(string_split(text, ' ')) AS stop_ratio
+                 FROM documents),
+          sc AS (SELECT doc_id, lang, $hitCols FROM documents),
+          p AS (SELECT doc_id, lang, CASE $cases ELSE 'und' END AS pred_lang
+                FROM (SELECT *, $g AS g FROM sc)),
+          r AS (SELECT st.doc_id,
+                       st.n_tokens < 5 AS too_short,
+                       st.stop_ratio < 0.10 AS low_stopword,
+                       coalesce(rep.rep_ratio, 0) > 0.5 AS high_repetition,
+                       p.pred_lang != p.lang AS lang_mismatch
+                FROM st JOIN p ON st.doc_id = p.doc_id
+                LEFT JOIN rep ON st.doc_id = rep.doc_id)
+          SELECT doc_id, too_short, low_stopword, high_repetition, lang_mismatch,
+                 NOT (too_short OR low_stopword OR high_repetition OR lang_mismatch)
+                   AS keep
+          FROM r ORDER BY doc_id ASC"""
     })
 }

@@ -111,4 +111,31 @@ object TextAnalysis {
       .join(distinct, Seq("doc_id"))
       .withColumn("rep_ratio", lit(1.0) - col("n_distinct") / col("n_total"))
   }
+
+  /** The full curation decision, one row per document: every quality
+    * signal as an explicit boolean REASON plus the final `keep` — the
+    * auditable form a production filter wants (aggregate the reasons to
+    * see what the filter is rejecting and why, re-run with different
+    * thresholds without recomputing signals). Composes [[textStats]],
+    * [[repetitionRatio]] (left join — docs with < 3 tokens have no
+    * shingles; their repetition defaults to 0 because `too_short`
+    * already covers them) and [[langIdPredictions]] on doc_id. */
+  def curationDecision(docs: DataFrame, stopSet: Seq[String],
+                       minTokens: Long, minStopRatio: Double,
+                       maxRepRatio: Double): DataFrame = {
+    val st = textStats(docs, stopSet)
+      .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"))
+    val rep = repetitionRatio(docs).select(col("doc_id"), col("rep_ratio"))
+    val lang = langIdPredictions(docs)
+      .select(col("doc_id"), col("lang"), col("pred_lang"))
+    val reasons = st.join(lang, "doc_id").join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_tokens") < minTokens).as("too_short"),
+        (col("stopword_ratio") < minStopRatio).as("low_stopword"),
+        (coalesce(col("rep_ratio"), lit(0.0)) > maxRepRatio).as("high_repetition"),
+        (col("pred_lang") =!= col("lang")).as("lang_mismatch"))
+    reasons.withColumn("keep",
+      !(col("too_short") || col("low_stopword") ||
+        col("high_repetition") || col("lang_mismatch")))
+  }
 }
