@@ -252,6 +252,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true)") {
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 200k rows, 95% on one hot key: the classic degenerate join input
+      val big = spark.range(200000)
+        .selectExpr("CASE WHEN id % 20 != 0 THEN 0 ELSE id END AS k", "id AS v")
+      val dim = spark.range(0, 200000, 20).selectExpr("id AS k", "id * 2 AS w")
+        .union(spark.range(1).selectExpr("0 AS k", "0 AS w"))
+      val j = big.join(dim, "k")
+      // an action on THIS dataset's QueryExecution: AQE finalizes the
+      // plan per execution, and write() would run a separate one
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE should have split the hot key:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join equals plain join") {
     val fact = (1 to 500).map(i => (i.toLong % 3, i.toLong)).toDF("k", "payload")
     val dim = Seq((0L, "zero"), (1L, "one"), (2L, "two")).toDF("k", "name")
