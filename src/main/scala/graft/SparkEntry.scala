@@ -843,6 +843,37 @@ object SparkEntry {
         max(col("copy_no")).as("max_copies"))
       .orderBy(col("source").asc)
 
+  /** Batch/corpus split point for q70's incremental dedup. */
+  private val IncrementalSplit = 400L
+
+  /** Incremental near-dup candidates: docs ≥ the split are "today's
+    * batch", probed against the pre-bucketed corpus (docs < split) —
+    * no corpus-wide re-pairing. Oracle = the FULL minhash pair run
+    * restricted to batch-involving pairs, which the operator must
+    * reproduce exactly (signatures are per-doc, so bucketing the
+    * corpus separately changes nothing). */
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val corpusBuckets = NearDup.lshBuckets(
+      NearDup.minHashSignatures(d.filter(col("doc_id") < IncrementalSplit), MinhashK),
+      LshBands, LshRows)
+    NearDup.incrementalCandidates(corpusBuckets,
+        d.filter(col("doc_id") >= IncrementalSplit), MinhashK, LshBands, LshRows)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  /** Data profile of the orders table: per column null/distinct counts
+    * and min/max, one scan. o_totalprice is pre-cast to DECIMAL so the
+    * rendered min/max is engine-portable (raw double formatting is
+    * not). */
+  private def q71(s: SparkSession, dir: String): DataFrame =
+    Aggregates.columnProfile(
+        Sources.table(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderstatus"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(18,2)").as("o_totalprice")),
+        Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"))
+      .orderBy(col("col_name").asc)
+
   /** The end-to-end curation decision per document: every quality
     * signal (length, stopword density, repetition, language agreement)
     * as an auditable boolean reason plus the final keep flag — the
@@ -997,7 +1028,9 @@ object SparkEntry {
     s"len(list_filter(string_split(text, ' '), x -> x IN ($inList)))"
   }
 
-  private val minhashOracle: String = {
+  /** Shared CTE chain (shingles → affine minhash → band buckets) for the
+    * q21 full run and q70's incremental restriction. */
+  private val minhashCtes: String = {
     val p = NearDup.MinHashP
     val sigCols = (0 until MinhashK)
       .map(i => s"min((h1 + $i * h2) % $p) AS s$i")
@@ -1013,12 +1046,15 @@ object SparkEntry {
                  ('0x' || substr(md5(shingle), 16, 15))::BIGINT % $p AS h2
                FROM sh),
         sig AS (SELECT doc_id, $sigCols FROM hh GROUP BY doc_id),
-        bk AS ($bands)
+        bk AS ($bands)"""
+  }
+
+  private val minhashOracle: String =
+    s"""$minhashCtes
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
           AND a.doc_id < b.doc_id
         ORDER BY doc_a ASC, doc_b ASC"""
-  }
 
   /** Shared CTE prefix computing the per-doc 32-bit simhash. */
   private val simhashCte: String = {
@@ -1131,7 +1167,9 @@ object SparkEntry {
     "q66_asof_nearest" -> (q66 _),
     "q67_rank_family" -> (q67 _),
     "q68_upsample" -> (q68 _),
-    "q69_curation" -> (q69 _))
+    "q69_curation" -> (q69 _),
+    "q70_incremental_dedup" -> (q70 _),
+    "q71_column_profile" -> (q71 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -1757,5 +1795,27 @@ object SparkEntry {
                  NOT (too_short OR low_stopword OR high_repetition OR lang_mismatch)
                    AS keep
           FROM r ORDER BY doc_id ASC"""
+    },
+    "q70_incremental_dedup" ->
+      s"""$minhashCtes
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+            AND a.doc_id < b.doc_id
+          WHERE a.doc_id >= $IncrementalSplit OR b.doc_id >= $IncrementalSplit
+          ORDER BY doc_a ASC, doc_b ASC""",
+    "q71_column_profile" -> {
+      def row(c: String, expr: String) =
+        s"""SELECT '$c' AS col_name,
+                   count(CASE WHEN $expr IS NULL THEN 1 END) AS n_nulls,
+                   count(DISTINCT $expr) AS n_distinct,
+                   CAST(min($expr) AS VARCHAR) AS min_value,
+                   CAST(max($expr) AS VARCHAR) AS max_value
+            FROM orders"""
+      Seq(
+        row("o_custkey", "o_custkey"),
+        row("o_orderstatus", "o_orderstatus"),
+        row("o_orderpriority", "o_orderpriority"),
+        row("o_totalprice", "CAST(o_totalprice AS DECIMAL(18,2))"))
+        .mkString("", " UNION ALL ", " ORDER BY col_name ASC")
     })
 }

@@ -105,6 +105,30 @@ object Aggregates {
     df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
       .groupingSets(sets, keys: _*).agg(reaggs.head, reaggs.tail: _*)
 
+  /** Per-column data profile, one row per column: null count, exact
+    * distinct count, min/max (rendered as strings so one schema covers
+    * every column type). ONE aggregation pass over the table — Spark
+    * plans the multi-column countDistinct via Expand internally, still
+    * a single scan — then a tiny explode turns the wide row into the
+    * profile table. The first look a pipeline takes at an unfamiliar
+    * 100 TB table. Callers should pre-round/cast DOUBLE columns (e.g.
+    * to DECIMAL) when the rendered min/max must be engine-portable —
+    * raw double formatting is not. */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      count(when(col(c).isNull, 1)).as(s"__nn_$c"),
+      countDistinct(col(c)).as(s"__nd_$c"),
+      min(col(c)).cast("string").as(s"__mn_$c"),
+      max(col(c)).cast("string").as(s"__mx_$c")))
+    val structs = cols.map(c => struct(lit(c).as("col_name"),
+      col(s"__nn_$c").as("n_nulls"), col(s"__nd_$c").as("n_distinct"),
+      col(s"__mn_$c").as("min_value"), col(s"__mx_$c").as("max_value")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(structs: _*)).as("p"))
+      .select(col("p.*"))
+  }
+
   /** Integrity audit over any table: total rows, per-column distinct counts
     * and missing(null-or-NaN) counts — the engine analog of the reference's
     * check_counts.py (reference: src/ingest/check_counts.py:19-44). */
