@@ -252,6 +252,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sketches stay within their declared error bands vs exact answers") {
+    val ev = Sources.table(spark, sfDir, "events")
+    val got = ev.groupBy(col("event_type")).agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx_u"),
+        countDistinct(col("user_id")).as("exact_u"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_med"),
+        expr("percentile(value, 0.5)").as("exact_med"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (au, eu) = (r.getLong(1), r.getLong(2))
+      // rsd 0.01 HLL: allow a generous 5% band (small-n correction noise)
+      assert(math.abs(au - eu) <= math.max(1L, (0.05 * eu).toLong),
+        s"approx_count_distinct $au vs exact $eu")
+      val (am, em) = (r.getDouble(3), r.getDouble(4))
+      assert(math.abs(am - em) <= math.max(1.0, 0.05 * math.abs(em)),
+        s"approx median $am vs exact $em")
+    }
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (skew=true)") {
     val confs = Map(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",

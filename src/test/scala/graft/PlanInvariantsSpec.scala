@@ -75,4 +75,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
     val plan = planOf("q63_range_frame")
     assert(plan.contains("RangeFrame"), s"q63 should use a RANGE frame:\n$plan")
   }
+
+  test("column profile reads the table once (multi-distinct via Expand, one scan)") {
+    val plan = planOf("q71_column_profile")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"q71 should profile in ONE scan, found $scans:\n$plan")
+  }
 }
