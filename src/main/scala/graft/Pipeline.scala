@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Dedup, Sources, ZOrder}
+import graft.operators.{Graph, NearDup, Sampling, TextAnalysis}
+
+/** The end-to-end training-data curation pipeline, composed purely from
+  * the engine's operators — the "a user of the reference could run
+  * their whole workflow here" demonstration, and the shape it would
+  * keep on 100 TB (every stage is one of the already-scale-shaped
+  * operators; no collects besides the final counts):
+  *
+  *   1. quality filter   — curationDecision reasons → keep
+  *   2. exact dedup      — latest doc per normalized-content key
+  *   3. near-dup dedup   — simhash pairs → connected components →
+  *                         one canonical doc per cluster
+  *   4. mixture sampling — deterministic per-source rates
+  *   5. layout           — z-ordered parquet write (scan-efficient on
+  *                         both doc_id and n_chars)
+  *
+  * Returns per-stage row counts (the audit trail a production run
+  * logs). `runMain graft.Pipeline [sfDir] [outDir]` prints them.
+  */
+object Pipeline {
+
+  final case class StageCounts(input: Long, afterQuality: Long,
+                               afterExact: Long, afterNearDup: Long,
+                               afterMix: Long)
+
+  def curate(spark: SparkSession, docs: DataFrame,
+             mixRates: Map[String, Double], mixSalt: String,
+             outDir: Option[String]): StageCounts = {
+    // 1. quality: keep only docs passing every signal
+    val decisions = TextAnalysis.curationDecision(docs,
+      TextAnalysis.stopwords("en"),
+      minTokens = 5, minStopRatio = 0.05, maxRepRatio = 0.6)
+    val quality = docs.join(
+      decisions.filter(col("keep")).select(col("doc_id")), "doc_id")
+
+    // 2. exact dedup on the normalized content key (case/punct/space
+    // insensitive); smallest doc_id is canonical
+    // latestByKey keeps the max of orderBy; negating picks the SMALLEST
+    // doc_id as canonical
+    val exact = Dedup.latestByKey(
+        quality.withColumn("__key",
+          md5(TextAnalysis.normalizeText(col("text")))),
+        keys = Seq("__key"), orderBy = Seq(-col("doc_id")))
+      .drop("__key")
+
+    // 3. near-dup dedup: transitive simhash clusters → survivors
+    val pairs = NearDup.simHashPairs(NearDup.simHash(exact), maxHamming = 3)
+    val survivors = Graph.dedupSurvivors(exact, "doc_id", pairs,
+      "doc_a", "doc_b")
+
+    // 4. deterministic mixture
+    val mixed = Sampling.deterministicMix(survivors, col("doc_id"),
+      col("source"), mixRates, mixSalt)
+
+    // 5. z-ordered layout (skip when no sink requested — tests count only)
+    outDir.foreach { dir =>
+      ZOrder.zOrderedWrite(mixed, col("doc_id"), col("n_chars"),
+        bits = 16, path = dir)
+    }
+
+    StageCounts(docs.count(), quality.count(), exact.count(),
+      survivors.count(), mixed.count())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val out = if (args.length > 1) Some(args(1)) else None
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions).master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config(Sources.nanosAsLongConf._1, Sources.nanosAsLongConf._2)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rates = Map("src1" -> 1.0, "src2" -> 1.0, "src3" -> 0.5,
+      "src5" -> 0.8, "src7" -> 1.0, "src11" -> 0.25)
+    val c = curate(spark, Sources.table(spark, sfDir, "documents"),
+      rates, "pipeline-v1", out)
+    println(s"""{"input":${c.input},"quality":${c.afterQuality},""" +
+      s""""exact":${c.afterExact},"neardup":${c.afterNearDup},""" +
+      s""""mixed":${c.afterMix}}""")
+    spark.stop()
+  }
+}

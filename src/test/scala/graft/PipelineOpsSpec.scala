@@ -272,6 +272,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("curation pipeline: stage counts monotone, output written z-ordered") {
+    val out = java.nio.file.Files.createTempDirectory("pipe").toString + "/out"
+    val rates = Map("src1" -> 1.0, "src2" -> 1.0, "src3" -> 0.5,
+      "src5" -> 0.8, "src7" -> 1.0, "src11" -> 0.25)
+    val c = graft.Pipeline.curate(spark,
+      Sources.table(spark, sfDir, "documents"), rates, "pipeline-v1", Some(out))
+    assert(c.input >= c.afterQuality && c.afterQuality >= c.afterExact &&
+      c.afterExact >= c.afterNearDup && c.afterNearDup >= c.afterMix,
+      s"stages must only shrink: $c")
+    assert(c.afterMix > 0, "the pipeline should keep something")
+    val written = spark.read.parquet(out)
+    assert(written.count() === c.afterMix)
+    assert(written.columns.contains("text"))
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (skew=true)") {
     val confs = Map(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
