@@ -42,17 +42,22 @@ object Pipeline {
     // 2. exact dedup on the normalized content key (case/punct/space
     // insensitive); smallest doc_id is canonical
     // latestByKey keeps the max of orderBy; negating picks the SMALLEST
-    // doc_id as canonical
+    // doc_id as canonical. Checkpointed: the frame feeds BOTH the
+    // simhash pair pipeline and the survivors anti-join — without
+    // materialization the whole upstream chain runs once per branch
+    // (at 100 TB each stage would be a staging table instead).
     val exact = Dedup.latestByKey(
         quality.withColumn("__key",
           md5(TextAnalysis.normalizeText(col("text")))),
         keys = Seq("__key"), orderBy = Seq(-col("doc_id")))
       .drop("__key")
+      .localCheckpoint()
 
     // 3. near-dup dedup: transitive simhash clusters → survivors
     val pairs = NearDup.simHashPairs(NearDup.simHash(exact), maxHamming = 3)
     val survivors = Graph.dedupSurvivors(exact, "doc_id", pairs,
-      "doc_a", "doc_b")
+        "doc_a", "doc_b")
+      .localCheckpoint()
 
     // 4. deterministic mixture
     val mixed = Sampling.deterministicMix(survivors, col("doc_id"),

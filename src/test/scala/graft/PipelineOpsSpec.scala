@@ -350,6 +350,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(batch.nonEmpty && streamed === batch)
   }
 
+  test("stream-static join: streaming events enrich against a static frame") {
+    val dim = Sources.table(spark, sfDir, "events")
+      .select(col("user_id")).distinct()
+      .withColumn("segment", pmod(col("user_id"), lit(3)))
+    val name = "ss_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStream.readEvents(spark, sfDir)
+      .join(dim, "user_id") // static side broadcast per micro-batch
+      .groupBy(col("segment")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(name)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = Sources.table(spark, sfDir, "events").join(dim, "user_id")
+      .groupBy(col("segment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed === batch && batch.nonEmpty)
+  }
+
   test("streaming session_window agg runs with watermark (stateful sessions)") {
     val stream = EventStream.readEvents(spark, sfDir)
       .withWatermark("ts_utc", "2 hours")
