@@ -515,6 +515,21 @@ object SparkEntry {
       .orderBy(col("user_id").asc)
   }
 
+  /** UNPIVOT/melt — the wide→long inverse of q40's PIVOT: the per-type
+    * average columns fold back into (event_type, avg_value) rows. NULL
+    * cells (user never produced that type) are filtered explicitly on
+    * both sides — Spark's unpivot keeps them, DuckDB's drops them, so
+    * the contract is pinned rather than inherited. */
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    q40(s, dir).unpivot(
+        Array(col("user_id")),
+        types.map(t => col(s"avg_$t").as(t)).toArray,
+        "event_type", "avg_value")
+      .filter(col("avg_value").isNotNull)
+      .orderBy(col("user_id").asc, col("event_type").asc)
+  }
+
   /** Per-label embedding centroids (IVF coarse-quantizer shape). */
   private def q41(s: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroids(Sources.table(s, dir, "embeddings"))
@@ -1169,7 +1184,8 @@ object SparkEntry {
     "q68_upsample" -> (q68 _),
     "q69_curation" -> (q69 _),
     "q70_incremental_dedup" -> (q70 _),
-    "q71_column_profile" -> (q71 _))
+    "q71_column_profile" -> (q71 _),
+    "q72_unpivot" -> (q72 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -1817,5 +1833,20 @@ object SparkEntry {
         row("o_orderpriority", "o_orderpriority"),
         row("o_totalprice", "CAST(o_totalprice AS DECIMAL(18,2))"))
         .mkString("", " UNION ALL ", " ORDER BY col_name ASC")
+    },
+    "q72_unpivot" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cols = types.map(t =>
+        s"round(avg(CASE WHEN event_type = '$t' THEN value END), 6) AS avg_$t")
+        .mkString(", ")
+      val arms = types.map(t =>
+        s"SELECT user_id, '$t' AS event_type, avg_$t AS avg_value FROM wide")
+        .mkString(" UNION ALL ")
+      s"""WITH wide AS (SELECT user_id, $cols FROM events WHERE $sqlClean
+                        GROUP BY user_id),
+          long AS ($arms)
+          SELECT user_id, event_type, avg_value FROM long
+          WHERE avg_value IS NOT NULL
+          ORDER BY user_id ASC, event_type ASC"""
     })
 }
