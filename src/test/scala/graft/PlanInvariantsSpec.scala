@@ -76,9 +76,17 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(plan.contains("RangeFrame"), s"q63 should use a RANGE frame:\n$plan")
   }
 
-  test("column profile reads the table once (multi-distinct via Expand, one scan)") {
+  test("column profile: one pruned scan per column, no Expand row multiplication") {
     val plan = planOf("q71_column_profile")
-    val scans = "Scan parquet".r.findAllIn(plan).length
-    assert(scans == 1, s"q71 should profile in ONE scan, found $scans:\n$plan")
+    // branch-per-column: 4 scans, each pruned to a single column — the
+    // Expand multi-distinct form multiplied rows ×4 through
+    // SortAggregates (string min/max buffers force the sort-based path)
+    val scans = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.length == 4, s"q71 should scan once per column:\n$plan")
+    assert(!plan.contains("Expand"), s"no row multiplication expected:\n$plan")
+    // a single-column ReadSchema struct has no commas inside <>
+    val structs = scans.flatMap("struct<([^>]*)>".r.findFirstMatchIn(_).map(_.group(1)))
+    assert(structs.length == 4 && structs.forall(!_.contains(",")),
+      s"each scan should be pruned to one column: $structs")
   }
 }
