@@ -530,6 +530,47 @@ object SparkEntry {
       .orderBy(col("user_id").asc, col("event_type").asc)
   }
 
+  /** Dynamic PIVOT: no explicit value list — Spark runs an extra
+    * distinct-collect job on the driver to discover the columns. The
+    * scale contract is the caller's: value cardinality must be bounded
+    * (here: event types). Prefer q40's explicit form when values are
+    * known — it skips the discovery job entirely. */
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    cleanEvents(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type") // discovered, not declared
+      .agg(avg(col("value")))
+      .select(col("user_id") +: types.map(t => r6(col(t)).as(s"avg_$t")): _*)
+      .orderBy(col("user_id").asc)
+  }
+
+  /** MapType surface: per-user map of event_type → count built with
+    * map_from_entries over a sorted collect_list, then exploded back to
+    * rows — proves map construction, field access, and explosion are
+    * all consistent (the oracle checks the flattened equivalent). */
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    val counts = cleanEvents(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("event_type"), col("n"))))).as("m"))
+      .select(col("user_id"), explode(col("m")).as(Seq("event_type", "n_events")))
+      .orderBy(col("user_id").asc, col("event_type").asc)
+  }
+
+  /** Keyset-free pagination: ORDER BY + LIMIT/OFFSET (page 3 of the
+    * price-ranked orders). OFFSET still SCANS the skipped rows — at
+    * 100 TB paginate by keyset (WHERE price < last_seen) instead; this
+    * query exists for surface parity. */
+  private def q75(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+      .offset(20).limit(10)
+
   /** Per-label embedding centroids (IVF coarse-quantizer shape). */
   private def q41(s: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroids(Sources.table(s, dir, "embeddings"))
@@ -1185,7 +1226,10 @@ object SparkEntry {
     "q69_curation" -> (q69 _),
     "q70_incremental_dedup" -> (q70 _),
     "q71_column_profile" -> (q71 _),
-    "q72_unpivot" -> (q72 _))
+    "q72_unpivot" -> (q72 _),
+    "q73_dynamic_pivot" -> (q73 _),
+    "q74_map_agg" -> (q74 _),
+    "q75_pagination" -> (q75 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -1848,5 +1892,22 @@ object SparkEntry {
           SELECT user_id, event_type, avg_value FROM long
           WHERE avg_value IS NOT NULL
           ORDER BY user_id ASC, event_type ASC"""
-    })
+    },
+    "q73_dynamic_pivot" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cols = types.map(t =>
+        s"round(avg(CASE WHEN event_type = '$t' THEN value END), 6) AS avg_$t")
+        .mkString(", ")
+      s"""SELECT user_id, $cols FROM events WHERE $sqlClean
+          GROUP BY user_id ORDER BY user_id ASC"""
+    },
+    "q74_map_agg" ->
+      s"""SELECT user_id, event_type, count(*) AS n_events
+          FROM events WHERE $sqlClean
+          GROUP BY 1, 2 ORDER BY user_id ASC, event_type ASC""",
+    "q75_pagination" ->
+      s"""SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+          FROM orders
+          ORDER BY o_totalprice DESC, o_orderkey ASC
+          LIMIT 10 OFFSET 20""")
 }
