@@ -571,6 +571,19 @@ object SparkEntry {
       .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
       .offset(20).limit(10)
 
+  /** Approximate heavy hitters (Space-Saving TypedImperativeAggregate):
+    * top corpus tokens in O(k) memory per partition regardless of
+    * vocabulary size. Like q36's sketches, bucket ties under different
+    * partition splits make the tail engine-specific → rows-only gate;
+    * the recall/error-bound guarantees are spec-tested. */
+  private def q76(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(graft.functions.SpaceSaving.approxHeavyHitters(col("tok"), 32).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item"), col("h.cnt"), col("h.err"))
+      .orderBy(col("cnt").desc, col("item").asc)
+
   /** Per-label embedding centroids (IVF coarse-quantizer shape). */
   private def q41(s: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroids(Sources.table(s, dir, "embeddings"))
@@ -1229,7 +1242,8 @@ object SparkEntry {
     "q72_unpivot" -> (q72 _),
     "q73_dynamic_pivot" -> (q73 _),
     "q74_map_agg" -> (q74 _),
-    "q75_pagination" -> (q75 _))
+    "q75_pagination" -> (q75 _),
+    "q76_heavy_hitters" -> (q76 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */

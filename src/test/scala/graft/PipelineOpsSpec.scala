@@ -252,6 +252,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("space-saving heavy hitters: guaranteed recall and error bounds") {
+    val freqs = Map("a" -> 500, "b" -> 300, "c" -> 120) ++
+      (1 to 200).map(i => s"t$i" -> 3).toMap
+    val rnd = new scala.util.Random(7)
+    val rows = rnd.shuffle(freqs.toSeq.flatMap { case (s, n) => Seq.fill(n)(s) })
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Tuple1(_)), 8)).toDF("item")
+    val k = 32
+    val hh = df.agg(graft.functions.SpaceSaving
+        .approxHeavyHitters(col("item"), k).as("hh"))
+      .head().getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("hh")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(hh.size <= k)
+    val n = rows.size
+    // recall: every item with true count > n/k must be reported
+    val mustHave = freqs.filter(_._2 > n / k).keySet
+    assert(mustHave.subsetOf(hh.map(_._1).toSet),
+      s"missing heavy hitters: ${mustHave -- hh.map(_._1).toSet}")
+    // per-item bound: cnt - err <= true <= cnt
+    hh.foreach { case (item, cnt, err) =>
+      val t = freqs.getOrElse(item, 0).toLong
+      assert(cnt - err <= t && t <= cnt, s"$item: cnt=$cnt err=$err true=$t")
+    }
+    // the top of the report is exact on this skew
+    assert(hh.take(3).map(_._1) === Seq("a", "b", "c"))
+  }
+
   test("sketches stay within their declared error bands vs exact answers") {
     val ev = Sources.table(spark, sfDir, "events")
     val got = ev.groupBy(col("event_type")).agg(
