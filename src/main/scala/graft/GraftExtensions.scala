@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, NfcNormalize}
+import graft.functions.{DotProduct, NfcNormalize, SpaceSaving}
 
 /** SparkSessionExtensions entry point: makes the engine's custom Catalyst
   * expressions available to plain SQL. Activate on any cluster with
@@ -24,6 +24,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(classOf[SpaceSaving].getName, "graft_heavy_hitters"),
+      (exprs: Seq[Expression]) => {
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_heavy_hitters(col, k): k must be an INT literal, got $other")
+        }
+        SpaceSaving(exprs(0), k)
+      }))
     // whole-operator extension: plans graft.plans.TopKPerGroup nodes
     // (Ranking.topKPerGroup also registers this lazily per session)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)

@@ -760,6 +760,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(sqlKnn.map(_.getDouble(1)).toSeq === apiNorms.toSeq)
     assert(sqlKnn.forall(_.getString(2) === "café"),
       "graft_nfc in SQL must compose NFC + simple lowercase")
+    // the custom TypedImperativeAggregate is a plain SQL aggregate too
+    val hh = spark.sql(
+      """SELECT inline(graft_heavy_hitters(lang, 8))
+         FROM (SELECT lang FROM parquet.`/root/testdata/sf0.001/documents.parquet`)""")
+      .collect()
+    assert(hh.nonEmpty && hh.forall(_.getLong(1) > 0))
   }
 
   test("normalization lowercases with SIMPLE per-codepoint mapping (engine-portable)") {
