@@ -69,7 +69,10 @@ object Bench {
       // noise (third recovers the steady state) — bounded extra cost,
       // applied only where the signal is suspect
       if (times.forall(_ >= 0) && times.min > 2.0) times :+= onePass()
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      // a transient single-pass failure must not discard the other
+      // pass's valid measurement; -1 only when EVERY pass failed
+      val ok = times.filter(_ >= 0)
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_heavy_hitters"),
       new ExpressionInfo(classOf[SpaceSaving].getName, "graft_heavy_hitters"),
       (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_heavy_hitters(col, k) takes 2 arguments, got ${exprs.length}")
         val k = exprs(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
           case other => throw new IllegalArgumentException(

@@ -36,8 +36,12 @@ object Pipeline {
     val decisions = TextAnalysis.curationDecision(docs,
       TextAnalysis.stopwords("en"),
       minTokens = 5, minStopRatio = 0.05, maxRepRatio = 0.6)
+    // checkpointed: the frame is counted for the audit trail AND feeds
+    // the dedup chain — unmaterialized, the 3-join decision stage (the
+    // most expensive in the pipeline) would run once per consumer
     val quality = docs.join(
-      decisions.filter(col("keep")).select(col("doc_id")), "doc_id")
+        decisions.filter(col("keep")).select(col("doc_id")), "doc_id")
+      .localCheckpoint()
 
     // 2. exact dedup on the normalized content key (case/punct/space
     // insensitive); smallest doc_id is canonical

@@ -537,11 +537,18 @@ object SparkEntry {
     * known — it skips the discovery job entirely. */
   private def q73(s: SparkSession, dir: String): DataFrame = {
     val types = Seq("click", "error", "purchase", "signup", "view")
-    cleanEvents(s, dir)
+    val pivoted = cleanEvents(s, dir)
       .groupBy(col("user_id"))
       .pivot("event_type") // discovered, not declared
       .agg(avg(col("value")))
-      .select(col("user_id") +: types.map(t => r6(col(t)).as(s"avg_$t")): _*)
+    // a type absent from the data gets NO column from the dynamic
+    // pivot; emit a typed NULL so the schema (and the oracle, whose
+    // CASE always yields the column) stays stable across SFs
+    val have = pivoted.columns.toSet
+    pivoted
+      .select(col("user_id") +: types.map { t =>
+        (if (have(t)) r6(col(t)) else lit(null).cast("double")).as(s"avg_$t")
+      }: _*)
       .orderBy(col("user_id").asc)
   }
 

@@ -48,18 +48,28 @@ object Dedup {
     * 32-byte digests instead of full rows regardless of row width. The
     * row hash is md5 of the canonical JSON of all non-key columns in
     * sorted column order (type- and null-faithful, column-order
-    * insensitive). Keys must be unique per side (snapshot semantics —
-    * apply [[latestByKey]] first if not). Output: key columns +
-    * `status` ∈ added | removed | changed | unchanged. */
+    * insensitive). Top-level MAP columns are canonicalized to key-sorted
+    * entry arrays before hashing — map iteration order is not stable
+    * across physical builds, and raw to_json would report spurious
+    * 'changed' rows (maps nested deeper inside structs are NOT
+    * canonicalized; restructure those first). Keys must be unique per
+    * side (snapshot semantics — apply [[latestByKey]] first if not).
+    * Output: key columns + `status` ∈ added | removed | changed |
+    * unchanged. */
   def tableDiff(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "tableDiff needs at least one key column")
     require(a.columns.sorted.sameElements(b.columns.sorted),
       s"schemas differ: ${a.columns.sorted.mkString(",")} vs " +
         s"${b.columns.sorted.mkString(",")}")
     val nonKey = a.columns.filterNot(keys.contains).sorted
+    def canonical(df: DataFrame)(c: String): Column = df.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.MapType =>
+        array_sort(map_entries(col(c))).as(c)
+      case _ => col(c)
+    }
     def hashed(df: DataFrame, hname: String) = df.select(
       keys.map(col) :+
-        md5(to_json(struct(nonKey.map(col): _*))).as(hname): _*)
+        md5(to_json(struct(nonKey.map(canonical(df)): _*))).as(hname): _*)
     hashed(a, "__h_a").join(hashed(b, "__h_b"), keys, "full_outer")
       .select(keys.map(col) :+
         when(col("__h_b").isNull, lit("removed"))

@@ -194,9 +194,17 @@ object Sources {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
-    fs.delete(target, true)
+    val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".old")
+    // move-aside, not delete-then-rename: at every instant the rows
+    // exist under a well-known name, and each step is checked. A crash
+    // between the two renames leaves `.old` (and possibly `.compact`)
+    // to recover from — never a silently vanished table.
+    if (fs.exists(old)) require(fs.delete(old, true),
+      s"cannot clear stale $old")
+    require(fs.rename(target, old), s"cannot move $path aside to $old")
     require(fs.rename(new org.apache.hadoop.fs.Path(staging), target),
-      s"compaction swap failed for $path")
+      s"compaction swap failed for $path — original preserved at $old")
+    require(fs.delete(old, true), s"compaction done but cannot remove $old")
   }
 
   /** Session conf required to scan TIMESTAMP(NANOS) parquet (`events.ts`):

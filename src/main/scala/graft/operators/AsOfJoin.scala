@@ -30,9 +30,21 @@ object AsOfJoin {
     *                true = earliest right at-or-after (the scan runs in
     *                reverse time order; the right row still sorts first
     *                at equal times, so the match stays inclusive). */
+  /** Internal column names are reserved: fail fast on collision instead
+    * of silently overwriting caller data via withColumn (same contract
+    * as rangeJoin's __graft_rj_ prefix). */
+  private def requireNoReserved(dfs: Seq[DataFrame], carryOut: Seq[String]): Unit = {
+    val reserved = Set("__side", "__carry", "__back", "__fwd", "__pick", "__asof_rt")
+    (dfs.flatMap(_.columns) ++ carryOut).foreach { c =>
+      require(!reserved.contains(c),
+        s"as-of join reserves column name '$c' internally; rename the input/output column")
+    }
+  }
+
   def asofLeft(left: DataFrame, right: DataFrame, keys: Seq[String],
                timeCol: String, carry: Map[String, String],
                forward: Boolean = false): DataFrame = {
+    requireNoReserved(Seq(left, right), carry.values.toSeq)
     val leftCols = left.columns.toSeq
     val carried = carry.toSeq.sortBy(_._2)
 
@@ -80,6 +92,7 @@ object AsOfJoin {
     * first) so the distance comparison is plain arithmetic. */
   def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
                   timeCol: String, carry: Map[String, String]): DataFrame = {
+    requireNoReserved(Seq(left, right), carry.values.toSeq)
     val leftCols = left.columns.toSeq
     val carried = carry.toSeq.sortBy(_._2)
     val tf = "__asof_rt"

@@ -63,11 +63,15 @@ object Graph {
       .union(labels.select(col("n"), col("n").as("m")))
       .repartition(col("m"))
       .localCheckpoint()
-    // exact decimal: monotone decreasing, overflow-free at any scale
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+    // exact decimal: monotone decreasing, overflow-free at any scale;
+    // sum over an EMPTY frame is NULL → normalize to zero so a pairless
+    // input converges to the empty result instead of an NPE
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labelSum(labels)
-    var converged = false
+    var converged = prevSum.signum == 0 && labels.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
       // propagate: min label over neighbours ∪ self

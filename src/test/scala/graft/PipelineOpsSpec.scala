@@ -502,6 +502,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.length === 300 && got.forall(_._2 === 0L))
   }
 
+  test("connected components and survivors handle an EMPTY pair set") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.operators.Graph.connectedComponents(noEdges, "a", "b").isEmpty)
+    val d = Seq((1L, "s"), (2L, "s")).toDF("doc_id", "source")
+    val kept = graft.operators.Graph
+      .dedupSurvivors(d, "doc_id", noEdges, "a", "b")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L), "duplicate-free corpus survives intact")
+  }
+
+  test("tableDiff canonicalizes map columns; as-of joins reject reserved names") {
+    val m1 = Seq((1L, Map("x" -> 1, "y" -> 2))).toDF("k", "m")
+    val m2 = Seq((1L, Map("y" -> 2, "x" -> 1))).toDF("k", "m")
+    val st = graft.engine.Dedup.tableDiff(m1, m2, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(st === Map(1L -> "unchanged"), "same logical map must hash equal")
+    val bad = Seq((1L, "u", 5L)).toDF("event_id", "user_id", "__side")
+    val r = Seq((2L, "u", 3L, 1.0)).toDF("event_id", "user_id", "ts", "value")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.AsOfJoin.asofNearest(bad, r, Seq("user_id"), "ts",
+        Map("value" -> "v"))
+    }
+    assert(e.getMessage.contains("__side"))
+  }
+
   test("dedupSurvivors keeps the canonical doc per cluster plus unpaired docs") {
     val d = Seq((1L, "s"), (2L, "s"), (3L, "s"), (7L, "s")).toDF("doc_id", "source")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
