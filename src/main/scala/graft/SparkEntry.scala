@@ -591,6 +591,24 @@ object SparkEntry {
       .select(col("h.item"), col("h.cnt"), col("h.err"))
       .orderBy(col("cnt").desc, col("item").asc)
 
+  /** Grouping markers: grouping()/grouping_id() distinguish a
+    * data-NULL key from a subtotal row — the semantic gap raw
+    * ROLLUP output (q39) cannot express. Runs on the hierarchical
+    * re-agg; the markers come from the outer grouping-set node, so
+    * re-agg and direct forms agree. */
+  private def q77(s: SparkSession, dir: String): DataFrame =
+    Aggregates.rollupReagg(Sources.table(s, dir, "lineitem"),
+        keys = Seq(col("l_returnflag"), col("l_linestatus")),
+        aggs = Seq(count(lit(1)).as("n_items")),
+        reaggs = Seq(sum(col("n_items")).as("n_items"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"),
+          grouping_id().cast("long").as("gid")))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n_items"),
+        col("g_rf"), col("g_ls"), col("gid"))
+      .orderBy(col("gid").asc, col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** Per-label embedding centroids (IVF coarse-quantizer shape). */
   private def q41(s: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroids(Sources.table(s, dir, "embeddings"))
@@ -1250,7 +1268,8 @@ object SparkEntry {
     "q73_dynamic_pivot" -> (q73 _),
     "q74_map_agg" -> (q74 _),
     "q75_pagination" -> (q75 _),
-    "q76_heavy_hitters" -> (q76 _))
+    "q76_heavy_hitters" -> (q76 _),
+    "q77_grouping_markers" -> (q77 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -1930,5 +1949,14 @@ object SparkEntry {
       s"""SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
           FROM orders
           ORDER BY o_totalprice DESC, o_orderkey ASC
-          LIMIT 10 OFFSET 20""")
+          LIMIT 10 OFFSET 20""",
+    "q77_grouping_markers" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+                 CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+                 CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+                 CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+          FROM lineitem
+          GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          ORDER BY gid ASC, l_returnflag ASC NULLS FIRST,
+                   l_linestatus ASC NULLS FIRST""")
 }
