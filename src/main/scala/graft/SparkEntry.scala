@@ -812,9 +812,8 @@ object SparkEntry {
     cleanEvents(s, dir)
       .select(col("event_id"), col("user_id"),
         count(lit(1)).over(w).as("n_1h"),
-        round(sum(col("value").cast(
-            org.apache.spark.sql.types.DecimalType(18, 6)))
-          .over(w).cast("double"), 6).as("sum_1h"))
+        round(Aggregates.exactSum(col("value")).over(w).cast("double"), 6)
+          .as("sum_1h"))
       .orderBy(col("event_id").asc)
   }
 

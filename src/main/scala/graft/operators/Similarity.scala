@@ -197,6 +197,18 @@ object Similarity {
     * Approximate by construction; at 100 TB the bucket join replaces the
     * cross join and candidate counts drop by ~2^planes. */
   def lshBucketedKnn(emb: DataFrame, queries: DataFrame, k: Int, planes: Int): DataFrame = {
+    // weights are a pure function of the element INDEX, so with the
+    // (uniform) dimensionality known they become literal arrays and the
+    // projection runs on the codegen'd DotProduct — the earlier
+    // aggregate∘zip_with form was interpreted (HOFs are CodegenFallback)
+    // over every corpus vector, exactly the hot-path pattern this file's
+    // header rules out. Same left-to-right double accumulation, so
+    // signatures are bit-identical to the HOF form and the SQL oracle.
+    val firstDim = emb.select(size(col("embedding"))).head(1)
+    if (firstDim.isEmpty)
+      return queries.select(col("vec_id").as("q_vec"), col("vec_id").as("n_vec"),
+        lit(0.0).as("cosine"), lit(0L).as("rank")).limit(0)
+    val dim = firstDim.head.getInt(0)
     def bucket(vec: Column): Column = {
       // plane p: sign of the projection Σ v(i) · w_p(i) with deterministic
       // pseudo-random weights w_p(i) = (i · m_p) mod 7 − 3 ∈ [−3, 3]; the
@@ -204,11 +216,9 @@ object Similarity {
       // degenerates to a constant-weight projection
       val sig = (0 until planes).map { p =>
         val m = (p % 6) + 1
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, i) => x * ((i * lit(m)) % 7 - 3).cast("double")),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+        val weights = array((0 until dim).map(i =>
+          lit((((i * m) % 7) - 3).toDouble)): _*)
+        when(dot(vec, weights) > 0, lit(1L << p)).otherwise(lit(0L))
       }
       sig.reduce(_ + _)
     }

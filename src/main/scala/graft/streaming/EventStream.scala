@@ -54,7 +54,11 @@ object EventStream {
   def runningUserStats(events: DataFrame): Dataset[UserStats] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col("user_id"), col("value")).as[(Long, Double)]
+    // the central "missing ≡ NULL or NaN" invariant applies to streams
+    // too: a NULL would crash the primitive-Double encoder, and one NaN
+    // would poison the Welford state for its key forever
+    events.filter(graft.engine.Cleaning.notMissing(col("value")))
+      .select(col("user_id"), col("value")).as[(Long, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[UserState, UserStats](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -105,12 +109,23 @@ object EventStream {
             graft.engine.Dedup.latestByKey(
               existing.unionByName(incoming), keys, Seq(col(versionCol)))
           } else incoming
-        // overwrite must not read-while-write: materialize then swap
+        // overwrite must not read-while-write: ONE write to staging,
+        // then a checked move-aside swap (same pattern as
+        // Sources.compact) — a second overwrite of the target would
+        // both double the write I/O and open a crash window where the
+        // target directory has been deleted but not yet rewritten
         val tmpPath = new org.apache.hadoop.fs.Path(targetPath + ".staging")
         merged.write.mode("overwrite").parquet(tmpPath.toString)
-        spark.read.parquet(tmpPath.toString)
-          .write.mode("overwrite").parquet(targetPath)
-        fs.delete(tmpPath, true)
+        if (fs.exists(target)) {
+          val old = new org.apache.hadoop.fs.Path(targetPath + ".old")
+          if (fs.exists(old)) require(fs.delete(old, true),
+            s"cannot clear stale $old")
+          require(fs.rename(target, old), s"cannot move $target aside")
+          require(fs.rename(tmpPath, target),
+            s"upsert swap failed — original preserved at $old")
+          require(fs.delete(old, true), s"swap done but cannot remove $old")
+        } else require(fs.rename(tmpPath, target),
+          s"cannot move staging into place at $target")
         ()
       }
       .start()
