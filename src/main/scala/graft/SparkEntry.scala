@@ -34,6 +34,15 @@ object SparkEntry {
   /** The reference's "missing means NULL or NaN" predicate, SQL form. */
   private val sqlClean = "value IS NOT NULL AND NOT isnan(value)"
 
+  /** SQL mirror of [[Aggregates.exactAvg]] over the `value` column:
+    * exact DECIMAL sum ÷ non-null count, avg's NaN semantics kept. */
+  private val sqlExactAvgValue =
+    """CASE WHEN count(CASE WHEN isnan(value) THEN 1 END) > 0
+            THEN CAST('NaN' AS DOUBLE)
+            ELSE CAST(sum(CASE WHEN NOT isnan(value)
+                               THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / count(value) END"""
+
   // ---------------------------------------------------------------- parity
 
   /** Q1 — lap-weighted average per driver (reference:
@@ -52,7 +61,7 @@ object SparkEntry {
         coarseKeys = Seq("user_id"), fineKeys = Seq("day"),
         measure = "value", minPerFine = 1, minFine = 1)
       .select(col("user_id"), col("n_groups").as("n_days"),
-        r6(col("avg_of_avgs")).as("avg_value_eq"))
+        Aggregates.round6Portable(col("avg_of_avgs")).as("avg_value_eq"))
       .orderBy(col("user_id").asc)
 
   /** Q2A — lap-weighted speed + consistency (count/avg/stddev_pop, HAVING)
@@ -71,8 +80,8 @@ object SparkEntry {
         coarseKeys = Seq("user_id"), fineKeys = Seq("day"),
         measure = "value", minPerFine = 3, minFine = 5)
       .select(col("user_id"), col("n_groups").as("n_days"),
-        r6(col("avg_of_avgs")).as("avg_value_norm"),
-        r6(col("avg_of_stddevs")).as("stddev_norm"))
+        Aggregates.round6Portable(col("avg_of_avgs")).as("avg_value_norm"),
+        Aggregates.round6Portable(col("avg_of_stddevs")).as("stddev_norm"))
       .orderBy(col("user_id").asc)
 
   /** Q2 Pareto — dense_rank speed + consistency, composite rank, top-15
@@ -218,9 +227,11 @@ object SparkEntry {
   private def q17(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), avg(col("value")).as("avg_value"))
+      .agg(count(lit(1)).as("n_events"),
+        Aggregates.exactAvg(col("value")).as("avg_value"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
-        col("event_type"), col("n_events"), r6(col("avg_value")).as("avg_value"))
+        col("event_type"), col("n_events"),
+        Aggregates.round6Portable(col("avg_value")).as("avg_value"))
       .orderBy(col("hour_start").asc, col("event_type").asc)
 
   /** Forward as-of join: each 'view' matched to the user's EARLIEST
@@ -267,9 +278,11 @@ object SparkEntry {
   private def q56(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy(window(col("ts_utc"), "1 hour", "30 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), avg(col("value")).as("avg_value"))
+      .agg(count(lit(1)).as("n_events"),
+        Aggregates.exactAvg(col("value")).as("avg_value"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
-        col("event_type"), col("n_events"), r6(col("avg_value")).as("avg_value"))
+        col("event_type"), col("n_events"),
+        Aggregates.round6Portable(col("avg_value")).as("avg_value"))
       .orderBy(col("win_start").asc, col("event_type").asc)
 
   // ------------------------------------- LLM-data-pipeline extensions
@@ -1280,9 +1293,13 @@ object SparkEntry {
           ORDER BY round(avg(value), 6) ASC, user_id ASC""",
     "q02_equal_weight_by_day" ->
       s"""WITH per_day AS (
-            SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, avg(value) AS group_avg
+            SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                   floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                         / count(value) * 1000000 + 0.5) / 1000000 AS group_avg
             FROM events WHERE $sqlClean GROUP BY 1, 2)
-          SELECT user_id, count(*) AS n_days, round(avg(group_avg), 6) AS avg_value_eq
+          SELECT user_id, count(*) AS n_days,
+                 floor(CAST(sum(CAST(group_avg AS DECIMAL(18,6))) AS DOUBLE)
+                       / count(*) * 1000000 + 0.5) / 1000000 AS avg_value_eq
           FROM per_day GROUP BY user_id ORDER BY user_id ASC""",
     "q03_speed_consistency" ->
       s"""SELECT user_id, count(*) AS n_events, round(avg(value), 6) AS avg_value,
@@ -1292,12 +1309,24 @@ object SparkEntry {
           ORDER BY round(avg(value), 6) ASC, user_id ASC""",
     "q04_day_normalized" ->
       s"""WITH per_day AS (
-            SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_in_group,
-                   avg(value) AS group_avg, stddev_pop(value) AS group_stddev
-            FROM events WHERE $sqlClean GROUP BY 1, 2 HAVING count(*) >= 3)
-          SELECT user_id, count(*) AS n_days, round(avg(group_avg), 6) AS avg_value_norm,
-                 round(avg(group_stddev), 6) AS stddev_norm
-          FROM per_day GROUP BY user_id HAVING count(*) >= 5
+            SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                   count(value) AS n_in_group,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS sx2
+            FROM events WHERE $sqlClean GROUP BY 1, 2 HAVING count(*) >= 3),
+          st AS (
+            SELECT user_id,
+                   floor(sx / n_in_group * 1000000 + 0.5) / 1000000 AS group_avg,
+                   floor(sqrt(greatest(0.0, sx2 / n_in_group
+                         - pow(sx / n_in_group, 2))) * 1000000 + 0.5) / 1000000
+                     AS group_stddev
+            FROM per_day)
+          SELECT user_id, count(*) AS n_days,
+                 floor(CAST(sum(CAST(group_avg AS DECIMAL(18,6))) AS DOUBLE)
+                       / count(*) * 1000000 + 0.5) / 1000000 AS avg_value_norm,
+                 floor(CAST(sum(CAST(group_stddev AS DECIMAL(18,6))) AS DOUBLE)
+                       / count(*) * 1000000 + 0.5) / 1000000 AS stddev_norm
+          FROM st GROUP BY user_id HAVING count(*) >= 5
           ORDER BY user_id ASC""",
     "q05_pareto_rank" ->
       s"""WITH stats AS (
@@ -1411,7 +1440,10 @@ object SparkEntry {
           ORDER BY user_id ASC""",
     "q17_hourly_window" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
-                 event_type, count(*) AS n_events, round(avg(value), 6) AS avg_value
+                 event_type, count(*) AS n_events,
+                 CASE WHEN isnan($sqlExactAvgValue) THEN CAST('NaN' AS DOUBLE)
+                      ELSE floor(($sqlExactAvgValue) * 1000000 + 0.5) / 1000000
+                 END AS avg_value
           FROM events GROUP BY 1, 2
           ORDER BY hour_start ASC, event_type ASC""",
     "q56_sliding_window" ->
@@ -1420,7 +1452,10 @@ object SparkEntry {
                        (us // 1800000000) * 1800000000 - k * 1800000000 AS start_us
                 FROM e, (SELECT unnest([0, 1]) AS k) t)
           SELECT strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S') AS win_start,
-                 event_type, count(*) AS n_events, round(avg(value), 6) AS avg_value
+                 event_type, count(*) AS n_events,
+                 CASE WHEN isnan($sqlExactAvgValue) THEN CAST('NaN' AS DOUBLE)
+                      ELSE floor(($sqlExactAvgValue) * 1000000 + 0.5) / 1000000
+                 END AS avg_value
           FROM w GROUP BY 1, 2
           ORDER BY win_start ASC, event_type ASC""",
     "q18_text_stats" -> {
@@ -1500,7 +1535,10 @@ object SparkEntry {
           FROM documents ORDER BY doc_id ASC""",
     "q30_stream_hourly" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
-                 event_type, count(*) AS n_events, round(avg(value), 6) AS avg_value
+                 event_type, count(*) AS n_events,
+                 CASE WHEN isnan($sqlExactAvgValue) THEN CAST('NaN' AS DOUBLE)
+                      ELSE floor(($sqlExactAvgValue) * 1000000 + 0.5) / 1000000
+                 END AS avg_value
           FROM events GROUP BY 1, 2
           ORDER BY hour_start ASC, event_type ASC""",
     "q31_knn_lsh_bucketed" -> lshKnnOracle,

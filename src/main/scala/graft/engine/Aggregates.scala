@@ -38,24 +38,39 @@ object Aggregates {
     * (reference: src/processing/fastest_vs_most_consistent_drivers.py:109-142;
     * notebook cells 10/14/25/27). Must never be "optimized" into one level.
     *
-    * Both levels are shuffle-partitioned on their keys; level 2's input is
-    * already only O(fine groups) rows.
+    * Both levels compute their means from EXACT DECIMAL sums (plain
+    * `avg` folds doubles in partition order, and at 10× the gate scale
+    * the order-dependent last ulp started crossing round-6 boundaries);
+    * σ_pop comes from the exact moments E[x²]−E[x]², mirrored verbatim
+    * by the oracle SQL. Level-1 statistics are reported and re-averaged
+    * at the engine's 6-decimal determinism boundary, so level 2 sums
+    * decimal-exact values. Both levels are shuffle-partitioned on their
+    * keys; level 2's input is already only O(fine groups) rows.
     */
   def twoLevelStats(df: DataFrame, coarseKeys: Seq[String], fineKeys: Seq[String],
                     measure: String, minPerFine: Long, minFine: Long): DataFrame = {
+    val v = col(measure)
     val fine = df
       .groupBy((coarseKeys ++ fineKeys).map(col): _*)
       .agg(
-        count(lit(1)).as("n_in_group"),
-        avg(col(measure)).as("group_avg"),
-        stddev_pop(col(measure)).as("group_stddev"))
+        count(v).as("n_in_group"),
+        exactSum(v).as("__sx"),
+        sum((v * v).cast(org.apache.spark.sql.types.DecimalType(38, 12))).as("__sx2"))
       .filter(col("n_in_group") >= minPerFine)
+      .withColumn("__mean", col("__sx").cast("double") / col("n_in_group"))
+      .withColumn("group_avg", round6Portable(col("__mean")))
+      .withColumn("group_stddev", round6Portable(sqrt(greatest(lit(0.0),
+        col("__sx2").cast("double") / col("n_in_group") -
+          pow(col("__mean"), 2)))))
+      .drop("__sx", "__sx2", "__mean")
     fine
       .groupBy(coarseKeys.map(col): _*)
       .agg(
         count(lit(1)).as("n_groups"),
-        avg(col("group_avg")).as("avg_of_avgs"),
-        avg(col("group_stddev")).as("avg_of_stddevs"))
+        (exactSum(col("group_avg")).cast("double") / count(lit(1)))
+          .as("avg_of_avgs"),
+        (exactSum(col("group_stddev")).cast("double") / count(lit(1)))
+          .as("avg_of_stddevs"))
       .filter(col("n_groups") >= minFine)
   }
 
@@ -66,6 +81,31 @@ object Aggregates {
     * bit-identical to external oracles. */
   def exactSum(term: Column, precision: Int = 18, scale: Int = 6): Column =
     sum(term.cast(org.apache.spark.sql.types.DecimalType(precision, scale)))
+
+  /** Engine-portable 6-decimal rounding: floor(x·10⁶ + ½)/10⁶ in pure
+    * IEEE double arithmetic — bit-identical in any engine. `round()` is
+    * NOT: Spark rounds the SHORTEST decimal repr of the double
+    * (BigDecimal.valueOf) while DuckDB rounds nearer the binary
+    * expansion, and the two disagree when the shortest repr lands
+    * exactly on a half boundary (observed at sf0.1: 65.3103125 →
+    * 65.310313 vs 65.310312). NaN passes through (Spark's floor would
+    * collapse it to 0 via the long cast); positive-domain helper
+    * (floor(x+½) rounds negatives toward +∞, not away from zero). */
+  def round6Portable(c: Column): Column =
+    when(isnan(c), c).otherwise(floor(c * lit(1e6) + lit(0.5)) / lit(1e6))
+
+  /** Order-independent mean over a possibly dirty DOUBLE column: exact
+    * DECIMAL sum ÷ non-null count, with `avg`'s NaN semantics preserved
+    * (any NaN in the group ⇒ NaN; NULLs skipped). Plain `avg` folds
+    * doubles in partition order — the order-dependent last ulp crosses
+    * round-6 boundaries often enough to matter at scale (observed at
+    * sf0.1), while a DECIMAL sum is exact under any merge order. */
+  def exactAvg(v: Column): Column =
+    when(count(when(isnan(v), lit(1))) > 0, lit(Double.NaN))
+      .otherwise(
+        sum(when(!isnan(v), v)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(v))
 
   /** ROLLUP / CUBE via hierarchical re-aggregation.
     *

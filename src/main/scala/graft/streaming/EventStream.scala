@@ -35,8 +35,12 @@ object EventStream {
     * window's state is dropped once the watermark passes it). */
   def hourlyAgg(stream: DataFrame, withWatermark: Boolean): DataFrame = {
     val src = if (withWatermark) stream.withWatermark("ts_utc", "2 hours") else stream
+    // exactAvg: decimal sums merge order-independently — in streaming
+    // that also means per-micro-batch partial merge order cannot move
+    // the result (q30 must equal the batch q17 bit for bit)
     src.groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), avg(col("value")).as("avg_value"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.engine.Aggregates.exactAvg(col("value")).as("avg_value"))
   }
 
   /** Welford accumulator carried as per-key stream state. */
@@ -188,7 +192,8 @@ object EventStream {
     } finally q.stop()
     spark.table(name)
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
-        col("event_type"), col("n_events"), round(col("avg_value"), 6).as("avg_value"))
+        col("event_type"), col("n_events"),
+        graft.engine.Aggregates.round6Portable(col("avg_value")).as("avg_value"))
       .orderBy(col("hour_start").asc, col("event_type").asc)
   }
 }
