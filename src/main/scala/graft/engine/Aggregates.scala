@@ -78,7 +78,18 @@ object Aggregates {
     * the aggregation is exact integer arithmetic — the result is identical
     * regardless of partial-agg combining order (double sums are not), which
     * makes results reproducible run-to-run at any cluster size AND
-    * bit-identical to external oracles. */
+    * bit-identical to external oracles.
+    *
+    * DOMAIN BOUND: the per-value cast is exact only for |v| < 10^(precision
+    * − scale) (default |v| < 10¹² at (18,6)). Under non-ANSI mode an
+    * out-of-range value casts to NULL and silently vanishes from the sum
+    * while `count(v)` still includes it — a quietly wrong mean. For wider
+    * domains pass precision up to 38 (sums stay exact; >18 switches Spark's
+    * Decimal from a long to BigDecimal internally — measurably slower, which
+    * is why 18 is the default for the money/measure-scaled fixtures here),
+    * or run with `spark.sql.ansi.enabled=true` to make the overflow loud.
+    * Same bound applies to [[exactAvg]] and [[twoLevelStats]] (whose v²
+    * term at DECIMAL(38,12) bounds |v| < 10¹³). */
   def exactSum(term: Column, precision: Int = 18, scale: Int = 6): Column =
     sum(term.cast(org.apache.spark.sql.types.DecimalType(precision, scale)))
 

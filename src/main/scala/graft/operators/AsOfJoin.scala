@@ -25,11 +25,6 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** @param carry right-side columns to attach, renamed via the map.
-    * @param forward false = latest right at-or-before (default);
-    *                true = earliest right at-or-after (the scan runs in
-    *                reverse time order; the right row still sorts first
-    *                at equal times, so the match stays inclusive). */
   /** Internal column names are reserved: fail fast on collision instead
     * of silently overwriting caller data via withColumn (same contract
     * as rangeJoin's __graft_rj_ prefix). */
@@ -41,6 +36,11 @@ object AsOfJoin {
     }
   }
 
+  /** @param carry right-side columns to attach, renamed via the map.
+    * @param forward false = latest right at-or-before (default);
+    *                true = earliest right at-or-after (the scan runs in
+    *                reverse time order; the right row still sorts first
+    *                at equal times, so the match stays inclusive). */
   def asofLeft(left: DataFrame, right: DataFrame, keys: Seq[String],
                timeCol: String, carry: Map[String, String],
                forward: Boolean = false): DataFrame = {

@@ -15,6 +15,24 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Lineage cut for iterative plans. `localCheckpoint` pins blocks in
+    * executor memory — right for local mode and short loops, lossy on
+    * executor failure at cluster scale. Passing `checkpointDir` (HDFS/
+    * object-store path on a real cluster) switches every per-round cut
+    * to a RELIABLE `checkpoint()`, so a lost executor replays from
+    * storage instead of failing the job. */
+  private def cut(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        // setCheckpointDir mints a fresh UUID subdir per call — set only
+        // when unset or pointed elsewhere, so one job's rounds share it
+        if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
+          sc.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+
   /** Label every node with the smallest node id reachable from it
     * (`component`), via iterative min-label propagation:
     *
@@ -29,40 +47,48 @@ object Graph {
     * driver. Convergence is detected by an exact DECIMAL sum of labels:
     * labels only ever decrease, so an unchanged sum ⟺ fixpoint, one
     * scalar job per round instead of a change-count join. Rounds needed
-    * = the graph diameter, small for near-dup graphs (duplicate groups
-    * are near-cliques, typically 2–4 rounds). `localCheckpoint` cuts
-    * the lineage each round so the plan does not grow with iteration
-    * count (at cluster scale, use a reliable checkpoint dir instead;
-    * for adversarially long path graphs, the alternating large-star /
-    * small-star variant [Kiveris et al., "Connected Components in
-    * MapReduce and Beyond"] bounds rounds at O(log n) — same join
-    * shape, different edge rewrite).
+    * = O(log diameter) thanks to the pointer-jumping step below, small
+    * for near-dup graphs (duplicate groups are near-cliques, typically
+    * 2–4 rounds).
+    *
+    * If the fast path has not converged after `maxIter` rounds (an
+    * adversarially long-diameter graph, or a caller-lowered budget),
+    * the operator does NOT fail: it escalates to the alternating
+    * large-star / small-star algorithm [Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14], seeded with both
+    * the original edges and the partial labels already computed (a
+    * label edge n→lbl(n) is always intra-component, so seeding keeps
+    * the progress and cannot merge or split components). That variant
+    * provably converges in O(log² n) rounds whp — see
+    * [[largeSmallStar]].
     *
     * Input: `edges` with two node-id columns; direction is ignored.
     * Duplicate edges are harmless (min is idempotent) — they inflate
     * the per-round join input, so pre-`distinct` heavily duplicated
     * edge sets. Output: (`n`, `component`) for every node appearing in
     * any edge.
+    *
+    * @param checkpointDir reliable checkpoint location for the
+    *        per-round lineage cuts (see [[cut]]); None = executor-local.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame = {
     // checkpoint the projected edge list BEFORE symmetrizing: the union
     // references it twice, and an unmaterialized subtree would evaluate
     // the (possibly expensive) upstream pair pipeline once per branch
-    val e1 = edges.select(col(srcCol).as("n"), col(dstCol).as("m"))
-      .localCheckpoint()
+    val e1 = cut(edges.select(col(srcCol).as("n"), col(dstCol).as("m")),
+      checkpointDir)
     // symmetric relation; input pairs (a<b) are unique by convention so
     // the two directions never collide
     val sym = e1.union(e1.select(col("m").as("n"), col("n").as("m")))
-    var labels = sym.select(col("n")).distinct()
-      .withColumn("lbl", col("n"))
-      .localCheckpoint()
+    var labels = cut(sym.select(col("n")).distinct()
+      .withColumn("lbl", col("n")), checkpointDir)
     // self-loops fold "own label" into the neighbour min; partition on
     // the join key once so rounds reuse the exchange
-    val symSelf = sym
+    val symSelf = cut(sym
       .union(labels.select(col("n"), col("n").as("m")))
-      .repartition(col("m"))
-      .localCheckpoint()
+      .repartition(col("m")), checkpointDir)
     // exact decimal: monotone decreasing, overflow-free at any scale;
     // sum over an EMPTY frame is NULL → normalize to zero so a pairless
     // input converges to the empty result instead of an NPE
@@ -84,21 +110,109 @@ object Graph {
       // combined rounds where plain propagation needed 13. Catalyst
       // reuses `prop`'s exchange for both sides (ReusedExchange), so
       // the jump costs one extra tiny join, not a recompute.
-      labels = prop.as("x")
+      labels = cut(prop.as("x")
         .join(prop.select(col("n").as("j"), col("lbl").as("jl")),
           col("x.lbl") === col("j"), "left")
-        .select(col("x.n").as("n"), coalesce(col("jl"), col("x.lbl")).as("lbl"))
-        .localCheckpoint()
+        .select(col("x.n").as("n"), coalesce(col("jl"), col("x.lbl")).as("lbl")),
+        checkpointDir)
       val s = labelSum(labels)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       i += 1
     }
-    require(converged,
-      s"connectedComponents did not converge in $maxIter rounds — " +
-        "graph diameter exceeds the bound; raise maxIter or switch to " +
-        "the large-star/small-star variant")
+    if (!converged) {
+      // escalate, never crash: the partial labels are valid intra-
+      // component shortcuts, so union them with the original edges and
+      // let the provably-bounded star algorithm finish the job
+      val seed = sym.union(
+        labels.filter(col("n") =!= col("lbl"))
+          .select(col("n"), col("lbl").as("m")))
+      val stars = largeSmallStar(seed, checkpointDir)
+      // stars hold (leaf → root) for every non-root node of a size-≥2
+      // component; roots (and any self-loop-only singleton, whose edges
+      // the star rewrites drop) resolve to themselves via the left join
+      labels = labels.select(col("n"))
+        .join(stars.select(col("n"), col("m").as("__root")), Seq("n"), "left")
+        .select(col("n"), coalesce(col("__root"), col("n")).as("lbl"))
+    }
     labels.select(col("n"), col("lbl").as("component"))
+  }
+
+  /** One large-star rewrite: every node connects its strictly-LARGER
+    * neighbours to the minimum of its closed neighbourhood. The
+    * neighbourhood min comes from a whole-partition window over the
+    * node id — ONE shuffle, no groupBy-min joined back to its own
+    * source (a self-join above the symmetrizing union trips Spark's
+    * Union constraint rewrite with a key-not-found on shared attribute
+    * ids), and WindowExec streams/spills the partition rather than
+    * collecting Γ(u) into a buffer. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = e.union(e.select(col("m").as("n"), col("n").as("m")))
+    sym.withColumn("__mn",
+        least(min(col("m")).over(Window.partitionBy(col("n"))), col("n")))
+      .filter(col("m") > col("n"))
+      .select(col("m").as("n"), col("__mn").as("m"))
+      .distinct()
+  }
+
+  /** One small-star rewrite: edges oriented large→small; every node
+    * connects its (all smaller) neighbours and itself to the minimum
+    * neighbour. Same single-shuffle window-min shape as [[largeStar]];
+    * the self row rides along via explode (u repeats once per
+    * neighbour; distinct collapses it). */
+  private def smallStar(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = e.select(greatest(col("n"), col("m")).as("n"),
+        least(col("n"), col("m")).as("m"))
+      .filter(col("n") =!= col("m"))
+      .distinct()
+    o.withColumn("__mn", min(col("m")).over(Window.partitionBy(col("n"))))
+      .select(explode(array(col("m"), col("n"))).as("v"), col("__mn"))
+      .filter(col("v") =!= col("__mn"))
+      .select(col("v").as("n"), col("__mn").as("m"))
+      .distinct()
+  }
+
+  /** Alternating large-star/small-star [Kiveris et al., SoCC'14] until
+    * the edge set reaches its fixpoint — a forest of stars whose root
+    * is each component's minimum node id. Every round is a constant
+    * number of hash shuffles; the paper bounds rounds at O(log² n) whp
+    * (O(log n) in practice), independent of diameter — the guarantee
+    * the min-label fast path lacks. Returns the star edges
+    * (n = non-root member, m = component root); nodes whose component
+    * collapsed to a singleton (self-loop-only inputs) drop out and are
+    * the caller's left-join responsibility.
+    *
+    * Convergence check is EXACT set equality (both sides distinct:
+    * equal counts + empty except), not a hashed checksum — one extra
+    * scan per round on a shrinking edge set, zero false fixpoints. */
+  private[operators] def largeSmallStar(edges: DataFrame,
+                                        checkpointDir: Option[String] = None): DataFrame = {
+    var e = cut(edges.filter(col("n") =!= col("m")).distinct(), checkpointDir)
+    var eCount = e.count()
+    if (eCount == 0) return e
+    // nodes ≤ 2·edges; the paper's whp bound is O(log² n) rounds with
+    // small constants — 16·⌈log₂(n)⌉² (min 64) is unreachable for any
+    // input that fits in a cluster, and exists only to turn an
+    // algorithmic regression into a loud failure instead of a hang
+    val nUpper = 2L * eCount + 2L
+    val log2n = 64 - java.lang.Long.numberOfLeadingZeros(nUpper)
+    val bound = math.max(64L, 16L * log2n * log2n)
+    var stable = false
+    var rounds = 0L
+    while (!stable && rounds < bound) {
+      val next = cut(smallStar(largeStar(e)), checkpointDir)
+      val nextCount = next.count()
+      stable = nextCount == eCount && next.except(e).isEmpty
+      e = next
+      eCount = nextCount
+      rounds += 1
+    }
+    require(stable, s"large-star/small-star exceeded $bound rounds on " +
+      s"~$nUpper nodes — algorithmic invariant broken (paper bound is " +
+      "O(log² n) whp); this indicates a defect, not an oversized input")
+    e
   }
 
   /** The dedup application of [[connectedComponents]]: given documents
@@ -107,8 +221,10 @@ object Graph {
     * docs + everything untouched by any pair). Anti-join ships only
     * the non-canonical id set. */
   def dedupSurvivors(docs: DataFrame, idCol: String, pairs: DataFrame,
-                     aCol: String, bCol: String): DataFrame = {
-    val dropIds = connectedComponents(pairs, aCol, bCol)
+                     aCol: String, bCol: String,
+                     checkpointDir: Option[String] = None): DataFrame = {
+    val dropIds = connectedComponents(pairs, aCol, bCol,
+        checkpointDir = checkpointDir)
       .filter(col("n") =!= col("component"))
       .select(col("n"))
     docs.join(dropIds, docs(idCol) === dropIds("n"), "left_anti")

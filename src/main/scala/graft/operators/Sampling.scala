@@ -47,7 +47,13 @@ object Sampling {
     * rerun-stable, partition-order-free, engine-portable. Output adds
     * `copy_no` (1-based) so downstream shuffles can still distinguish
     * rows; total output converges to rate·|group| at corpus scale.
-    * Explode-based: no driver loop, parallel per row. */
+    * Explode-based: no driver loop, parallel per row.
+    *
+    * Groups absent from `rates` are DROPPED (rate 0), mirroring
+    * [[deterministicMix]]: both halves of mixture balancing treat the
+    * rate map as the complete mixture spec, so an unlisted source never
+    * leaks into the output. Pass an explicit `g -> 1.0` entry for
+    * sources to carry through unchanged. */
   def deterministicUpsample(df: DataFrame, idCol: Column, rateCol: Column,
                             rates: Map[String, Double], salt: String): DataFrame = {
     require(rates.values.forall(_ >= 0), "rates must be >= 0")

@@ -204,11 +204,20 @@ object Similarity {
     // over every corpus vector, exactly the hot-path pattern this file's
     // header rules out. Same left-to-right double accumulation, so
     // signatures are bit-identical to the HOF form and the SQL oracle.
-    val firstDim = emb.select(size(col("embedding"))).head(1)
-    if (firstDim.isEmpty)
+    // one model-sized probe job at plan-construction time (documented —
+    // same class as the kmeans centroid collect): min/max dimensionality
+    // in ONE pass, so ragged corpora fail loudly instead of silently
+    // truncating to an arbitrary first row's length (DotProduct uses the
+    // min of the two lengths), and the probed dim is a property of the
+    // whole corpus, not of partition order
+    val dims = emb.agg(min(size(col("embedding"))), max(size(col("embedding")))).head()
+    if (dims.isNullAt(0))
       return queries.select(col("vec_id").as("q_vec"), col("vec_id").as("n_vec"),
         lit(0.0).as("cosine"), lit(0L).as("rank")).limit(0)
-    val dim = firstDim.head.getInt(0)
+    require(dims.getInt(0) == dims.getInt(1),
+      s"lshBucketedKnn needs uniform embedding dimensionality; corpus has " +
+        s"lengths ${dims.getInt(0)}..${dims.getInt(1)}")
+    val dim = dims.getInt(0)
     def bucket(vec: Column): Column = {
       // plane p: sign of the projection Σ v(i) · w_p(i) with deterministic
       // pseudo-random weights w_p(i) = (i · m_p) mod 7 − 3 ∈ [−3, 3]; the

@@ -502,6 +502,58 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.length === 300 && got.forall(_._2 === 0L))
   }
 
+  test("components on a 10k-node path stay within the O(log n) round bound") {
+    // diameter 10_000: plain propagation needs ~10k rounds; the
+    // propagate+jump fast path must land well inside 24 (≈ 1.5·log₂ n)
+    // WITHOUT escalating to the star fallback — the scale evidence the
+    // 300-node case can't give
+    val path = (0L until 9999L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = graft.operators.Graph.connectedComponents(path, "a", "b", maxIter = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 10000 && got.forall(_._2 === 0L))
+  }
+
+  test("star fallback (maxIter=0) matches the fast path on paths and pairs") {
+    // maxIter=0 skips min-label propagation entirely, exercising the
+    // pure Kiveris large-star/small-star escalation path end-to-end —
+    // the operator must now FINISH instead of require()-crashing when
+    // the round budget is exhausted
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L), (9L, 8L))
+      .toDF("a", "b")
+    val got = graft.operators.Graph.connectedComponents(edges, "a", "b", maxIter = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 8L -> 8L, 9L -> 8L))
+    // long-diameter graph with a tiny fast-path budget: 2 rounds of
+    // propagation cannot close a 500-hop chain, so this ONLY passes via
+    // the fallback (and proves seeding with partial labels is sound)
+    val path = (0L until 499L).map(i => (i, i + 1)).toDF("a", "b")
+    val viaFallback = graft.operators.Graph
+      .connectedComponents(path, "a", "b", maxIter = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaFallback.length === 500 && viaFallback.forall(_._2 === 0L))
+  }
+
+  test("checkpointDir switches lineage cuts to reliable checkpoints") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+      val got = graft.operators.Graph
+        .connectedComponents(edges, "a", "b", checkpointDir = Some(dir))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+      // reliable checkpoints must actually land in the requested dir
+      def anyFile(f: java.io.File): Boolean =
+        f.isFile || Option(f.listFiles).exists(_.exists(anyFile))
+      assert(anyFile(new java.io.File(dir)),
+        "checkpointDir was accepted but nothing was written there")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("connected components and survivors handle an EMPTY pair set") {
     val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(graft.operators.Graph.connectedComponents(noEdges, "a", "b").isEmpty)

@@ -157,5 +157,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("large-star/small-star fallback equals union-find on random graphs") {
+    import org.apache.spark.sql.functions.col
+    // maxIter=0 routes connectedComponents straight through the Kiveris
+    // star-rewrite escalation — the same oracle as the fast path, so the
+    // two algorithms are pinned to identical component labelings
+    val edgesGen = Gen.chooseNum(1, 35).flatMap(m => Gen.listOfN(m,
+      Gen.zip(Gen.chooseNum(0L, 24L), Gen.chooseNum(0L, 24L))))
+    cases(edgesGen, n = 4).foreach { raw =>
+      val edges = raw.filter(e => e._1 != e._2)
+      whenever(edges.nonEmpty) {
+        val df = edges.toDF("a", "b")
+        val got = graft.operators.Graph
+          .connectedComponents(df, "a", "b", maxIter = 0)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expect = nodes.map { n =>
+          n -> nodes.filter(m => find(m) == find(n)).min
+        }.toMap
+        assert(got === expect, s"edges=$edges")
+      }
+    }
+  }
+
   private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
 }
