@@ -89,4 +89,65 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(structs.length == 4 && structs.forall(!_.contains(",")),
       s"each scan should be pruned to one column: $structs")
   }
+
+  test("correlated EXISTS/NOT EXISTS decorrelate to semi/anti joins") {
+    // a non-decorrelated subquery would re-scan orders per customer row
+    // (or worse, plan a cartesian) — the catalog-wide no-CartesianProduct
+    // test covers the latter; this pins the positive shape
+    val plan = planOf("q80_subquery_exists")
+    assert(plan.contains("LeftSemi"), s"EXISTS should plan a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS should plan an anti join:\n$plan")
+  }
+
+  test("scalar subquery plans as a subquery, not a join") {
+    val plan = planOf("q79_subquery_scalar")
+    assert(plan.contains("Subquery") || plan.contains("scalar-subquery"),
+      s"q79 should carry a scalar subquery node:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the one-row threshold must not become a shuffle join:\n$plan")
+  }
+
+  test("dynamic partition pruning fires on a partitioned-fact ⋈ filtered-dim join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    try {
+      // fact partitioned by a bounded-cardinality key (the layout
+      // Sources.partitionedWrite documents for 100 TB tables)
+      graft.engine.Sources.partitionedWrite(
+        graft.engine.Sources.table(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag")),
+        Seq("l_returnflag"), s"$dir/fact")
+      val fact = spark.read.parquet(s"$dir/fact")
+      // the dim must be a real source (a literal LocalRelation folds its
+      // filter away at optimization, and DPP keys on a surviving
+      // selective Filter on the build side)
+      Seq(("A", "keep"), ("N", "drop"), ("R", "drop")).toDF("flag", "cls")
+        .write.parquet(s"$dir/dim")
+      val dim = spark.read.parquet(s"$dir/dim")
+      val joined = fact.join(dim.filter(col("cls") === "keep"),
+        fact("l_returnflag") === dim("flag"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruningexpression"),
+        s"partition filter should be pruned dynamically from the dim filter:\n$plan")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("staged tables build once and survive catalog cache clears") {
+    import spark.implicits._
+    var builds = 0
+    def frame = { builds += 1; Seq((1L, 2L), (3L, 4L)).toDF("a", "b") }
+    val k = s"plan_spec_staging_${System.nanoTime()}"
+    val first = graft.engine.Staging.stagedParquet(spark, k)(frame)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()  // the bench/verify inter-query reset
+    val second = graft.engine.Staging.stagedParquet(spark, k)(frame)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(builds === 1, "second consumer must scan the staged parquet, not rebuild")
+    assert(first === second && first === Set(1L -> 2L, 3L -> 4L))
+  }
 }
