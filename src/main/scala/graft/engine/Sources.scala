@@ -232,4 +232,37 @@ object Sources {
       df.withColumn("ts_utc", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     else df
   }
+
+  /** Inference-tolerant scan — the ad-hoc-table ergonomics of the
+    * reference's connector, which samples documents to discover a
+    * schema (reference: src/processing/mongo_avg_laptime_by_driver
+    * .py:30) instead of demanding a declared one. For parquet the
+    * footer IS the schema (zero sampling cost, exact types), so this
+    * reads whatever the file declares; the events nanos→`ts_utc`
+    * derivation still applies when a `ts` column is present, so
+    * inferred and pinned scans stay drop-in interchangeable. Prefer
+    * [[table]] for production pipelines: a pinned StructType fails
+    * LOUDLY on upstream drift, where inference silently changes
+    * downstream types — the same trade the reference makes in reverse.
+    * Pair with `Cleaning.filterIfPresent` for columns that may be
+    * absent in ad-hoc data. */
+  def tableInferred(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (!spark.conf.getOption(nanosAsLongConf._1).contains("true"))
+      spark.conf.set(nanosAsLongConf._1, nanosAsLongConf._2)
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (df.columns.contains("ts"))
+      df.withColumn("ts_utc", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Sampled-inference JSON-Lines scan — the schemaless half of
+    * [[readJsonl]]: discover the schema from a fraction of the lines
+    * (the direct analog of the reference connector's sample-N-docs
+    * inference), accepting one inference pass over `samplingRatio` of
+    * the input. At 100 TB run this once on a slice, then PIN the
+    * result via [[readJsonl]] — inference cost scales with the corpus,
+    * a pinned schema is free. */
+  def inferJsonl(spark: SparkSession, path: String,
+                 samplingRatio: Double = 1.0): DataFrame =
+    spark.read.option("samplingRatio", samplingRatio.toString).json(path)
 }

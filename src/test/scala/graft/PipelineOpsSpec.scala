@@ -554,6 +554,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("inferred scans are drop-in compatible with pinned-schema scans") {
+    // parquet footers self-describe, so inference costs nothing and must
+    // surface the same columns (incl. the derived ts_utc on events)...
+    Seq("events", "documents", "orders", "lineitem").foreach { t =>
+      assert(Sources.tableInferred(spark, sfDir, t).columns.toSet ===
+        Sources.table(spark, sfDir, t).columns.toSet, s"table $t")
+    }
+    // ...and the same query answers: a real aggregation over both read
+    // paths must agree exactly
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("ts_utc")).as("mx"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.get(2).toString))
+        .sortBy(_._1).toSeq
+    assert(agg(Sources.tableInferred(spark, sfDir, "events")) ===
+      agg(Sources.table(spark, sfDir, "events")))
+  }
+
+  test("sampled JSONL inference discovers the written schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    try {
+      Sources.writeJsonl(
+        Seq((1L, "alpha", 1.5), (2L, "beta", 2.5), (3L, "gamma", 3.5))
+          .toDF("id", "name", "score"), dir)
+      val inferred = Sources.inferJsonl(spark, dir, samplingRatio = 0.5)
+      assert(inferred.columns.sorted.toSeq === Seq("id", "name", "score"))
+      assert(inferred.count() === 3L)  // sampling bounds inference, not the scan
+      assert(inferred.agg(sum(col("score"))).head().getDouble(0) === 7.5)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("connected components and survivors handle an EMPTY pair set") {
     val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(graft.operators.Graph.connectedComponents(noEdges, "a", "b").isEmpty)
