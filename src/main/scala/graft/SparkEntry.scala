@@ -652,21 +652,38 @@ object SparkEntry {
       .orderBy(col("event_type").asc)
   }
 
+  /** Run SQL against fixture tables bound as temp views WITHOUT
+    * clobbering the session catalog: `spark.sql` analyzes eagerly (the
+    * returned frame's plan is bound to the resolved relations, not the
+    * view names), so any pre-existing same-named view the user
+    * registered (e.g. via `Sources.registerTables`) is restored — or
+    * dropped if we created it — before returning. */
+  private def sqlOverTables(s: SparkSession, dir: String,
+                            names: Seq[String], sql: String): DataFrame = {
+    val prior = names.map(n => n -> scala.util.Try(s.table(n)).toOption).toMap
+    names.foreach(n => Sources.table(s, dir, n).createOrReplaceTempView(n))
+    try s.sql(sql)
+    finally names.foreach { n =>
+      prior(n) match {
+        case Some(df) => df.createOrReplaceTempView(n)
+        case None => s.catalog.dropTempView(n)
+      }
+    }
+  }
+
   /** Uncorrelated scalar subquery: orders priced above 1.5× the corpus
     * mean — `WHERE x > (SELECT ...)` planned as a one-row subquery
     * broadcast into the scan filter, NOT a join (the plan carries a
     * ReusedSubquery/Subquery node; zero shuffles beyond the scan). The
     * inner mean uses the exact-decimal idiom VERBATIM in both engines,
     * so the threshold is bit-identical and no boundary row can flip. */
-  private def q79(s: SparkSession, dir: String): DataFrame = {
-    Sources.table(s, dir, "orders").createOrReplaceTempView("orders")
-    s.sql("""
+  private def q79(s: SparkSession, dir: String): DataFrame =
+    sqlOverTables(s, dir, Seq("orders"), """
       SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
       FROM orders
       WHERE o_totalprice > 1.5 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
                                          / count(o_totalprice) FROM orders)
       ORDER BY o_orderkey ASC""")
-  }
 
   /** Correlated EXISTS + NOT EXISTS: customers with at least one
     * premium order and no bargain order. Catalyst decorrelates both
@@ -674,10 +691,8 @@ object SparkEntry {
     * asserted by PlanInvariantsSpec (no CartesianProduct, both join
     * types present), i.e. the classic rewrite a 100 TB plan needs
     * (a per-row subquery re-scan would be O(|customer|·|orders|)). */
-  private def q80(s: SparkSession, dir: String): DataFrame = {
-    Sources.table(s, dir, "orders").createOrReplaceTempView("orders")
-    Sources.table(s, dir, "customer").createOrReplaceTempView("customer")
-    s.sql("""
+  private def q80(s: SparkSession, dir: String): DataFrame =
+    sqlOverTables(s, dir, Seq("orders", "customer"), """
       SELECT c_custkey, c_name
       FROM customer
       WHERE EXISTS (SELECT 1 FROM orders
@@ -685,7 +700,6 @@ object SparkEntry {
         AND NOT EXISTS (SELECT 1 FROM orders
                         WHERE o_custkey = c_custkey AND o_totalprice < 10000)
       ORDER BY c_custkey ASC""")
-  }
 
   /** Multiset set-ops (q16 covers the DISTINCT forms): INTERSECT for
     * customers in both price bands, EXCEPT ALL for the bag difference
@@ -831,8 +845,12 @@ object SparkEntry {
 
   /** The clusters table itself, staged: q58's OUTPUT is a pipeline
     * staging table (clusters land in storage; the survivors pass
-    * anti-joins against it), so q59 consumes this instead of running
-    * connected components a second time over the same pairs. */
+    * anti-joins against it). The build — one CC run over the staged
+    * pairs — happens on this table's FIRST consumer (q59's first pass
+    * in the harnesses); q58 deliberately does NOT read through it,
+    * re-running the CC operator live so the bench keeps timing the
+    * graph algorithm itself. Net per process: CC computes twice (q58's
+    * live run + this build) instead of once per q58/q59 execution. */
   private def stagedSimhashClusters(s: SparkSession, dir: String): DataFrame =
     graft.engine.Staging.stagedParquet(s, s"simhash_clusters|h<=3|$dir")(
       graft.operators.Graph.connectedComponents(

@@ -223,14 +223,20 @@ object Sources {
     * (the scan cannot execute without it — note this changes how any
     * OTHER ns-timestamp parquet in the same session is typed, which is
     * why session construction is the preferred place). */
+  /** ONE definition of the nanos-long → micros-timestamp derivation,
+    * shared by the pinned and inferred read paths — drift between the
+    * two would silently break their drop-in interchangeability. */
+  private def deriveTsUtc(df: DataFrame): DataFrame =
+    if (df.columns.contains("ts"))
+      df.withColumn("ts_utc", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events" &&
         !spark.conf.getOption(nanosAsLongConf._1).contains("true"))
       spark.conf.set(nanosAsLongConf._1, nanosAsLongConf._2)
     val df = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts_utc", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") deriveTsUtc(df) else df
   }
 
   /** Inference-tolerant scan — the ad-hoc-table ergonomics of the
@@ -247,12 +253,13 @@ object Sources {
     * Pair with `Cleaning.filterIfPresent` for columns that may be
     * absent in ad-hoc data. */
   def tableInferred(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // the conf must be decided BEFORE the footer is read (it changes how
+    // a TIMESTAMP(NANOS) column is typed), and with no pinned schema
+    // there is no way to know whether this table carries one — so it is
+    // set unconditionally here; harmless for nanos-free tables
     if (!spark.conf.getOption(nanosAsLongConf._1).contains("true"))
       spark.conf.set(nanosAsLongConf._1, nanosAsLongConf._2)
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (df.columns.contains("ts"))
-      df.withColumn("ts_utc", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    deriveTsUtc(spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 
   /** Sampled-inference JSON-Lines scan — the schemaless half of

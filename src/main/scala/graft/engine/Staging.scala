@@ -29,16 +29,18 @@ object Staging {
 
   private val staged = new ConcurrentHashMap[String, String]()
 
+  private def deleteRecursively(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+  }
+
   // temp staging dirs live for the process; delete them on exit so
   // repeated local runs don't accumulate orphans in /tmp
   sys.addShutdownHook {
-    staged.values.forEach { dir =>
-      import scala.jdk.CollectionConverters._
-      val p = java.nio.file.Paths.get(dir)
-      if (Files.exists(p))
-        Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(f => Files.deleteIfExists(f))
-    }
+    staged.values.forEach(deleteRecursively(_))
   }
 
   /** The staged frame for `key`, building + landing it on first use.
@@ -51,14 +53,26 @@ object Staging {
     // computeIfAbsent on one map throws "Recursive update". Losing a
     // (driver-side, effectively single-threaded) race just means one
     // redundant build; the first registered path wins for all readers.
+    // Unregistered dirs — a build that threw mid-write, or the losing
+    // side of a race — are deleted on the spot, because the shutdown
+    // hook only knows about REGISTERED paths.
     val path = Option(staged.get(key)).getOrElse {
       val dir = Files.createTempDirectory("graft_stage_").toString
-      build.write.mode("overwrite").parquet(dir)
-      Option(staged.putIfAbsent(key, dir)).getOrElse(dir)
+      try build.write.mode("overwrite").parquet(dir)
+      catch { case t: Throwable => deleteRecursively(dir); throw t }
+      Option(staged.putIfAbsent(key, dir)) match {
+        case Some(winner) => deleteRecursively(dir); winner
+        case None => dir
+      }
     }
     spark.read.parquet(path)
   }
 
-  /** Drop all staged tables (tests / forced rebuild). */
-  def clear(): Unit = staged.clear()
+  /** Drop all staged tables — registrations AND their directories
+    * (tests / forced rebuild); dropping only the map entries would
+    * strand the dirs past the shutdown hook's reach. */
+  def clear(): Unit = {
+    staged.values.forEach(deleteRecursively(_))
+    staged.clear()
+  }
 }

@@ -21,14 +21,24 @@ object Graph {
     * object-store path on a real cluster) switches every per-round cut
     * to a RELIABLE `checkpoint()`, so a lost executor replays from
     * storage instead of failing the job. */
+  // last dir REQUESTED per context, recorded on our side: comparing the
+  // request against sc.getCheckpointDir is unsound — Spark returns a
+  // scheme-qualified UUID subdir ("file:/dir/<uuid>") that never equals
+  // the raw request, and a prefix test has no path-separator boundary
+  // ("/ckpt" would claim "/ckpt2/<uuid>"). setCheckpointDir mints a
+  // fresh subdir per call, so re-setting per cut would scatter one
+  // job's rounds across dozens of directories.
+  private val requestedCkptDir =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, String]()
+
   private def cut(df: DataFrame, checkpointDir: Option[String]): DataFrame =
     checkpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        // setCheckpointDir mints a fresh UUID subdir per call — set only
-        // when unset or pointed elsewhere, so one job's rounds share it
-        if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
+        if (requestedCkptDir.get(sc) != dir) {
           sc.setCheckpointDir(dir)
+          requestedCkptDir.put(sc, dir)
+        }
         df.checkpoint()
       case None => df.localCheckpoint()
     }
@@ -85,8 +95,11 @@ object Graph {
     var labels = cut(sym.select(col("n")).distinct()
       .withColumn("lbl", col("n")), checkpointDir)
     // self-loops fold "own label" into the neighbour min; partition on
-    // the join key once so rounds reuse the exchange
-    val symSelf = cut(sym
+    // the join key once so rounds reuse the exchange. lazy: cut() is
+    // EAGER, and with maxIter=0 (forced escalation) the loop never
+    // consumes this — the widest frame in the function must not be
+    // shuffled and checkpointed for nothing
+    lazy val symSelf = cut(sym
       .union(labels.select(col("n"), col("n").as("m")))
       .repartition(col("m")), checkpointDir)
     // exact decimal: monotone decreasing, overflow-free at any scale;
@@ -121,6 +134,7 @@ object Graph {
       i += 1
     }
     if (!converged) {
+      escalations.incrementAndGet()
       // escalate, never crash: the partial labels are valid intra-
       // component shortcuts, so union them with the original edges and
       // let the provably-bounded star algorithm finish the job
@@ -137,6 +151,12 @@ object Graph {
     }
     labels.select(col("n"), col("lbl").as("component"))
   }
+
+  /** Times the star fallback has been entered, process-wide — a test
+    * probe: specs that claim the FAST path handled a graph (round-bound
+    * evidence) assert this did not move, since the fallback returns
+    * identical labels and the claim is otherwise unfalsifiable. */
+  private[graft] val escalations = new java.util.concurrent.atomic.AtomicLong
 
   /** One large-star rewrite: every node connects its strictly-LARGER
     * neighbours to the minimum of its closed neighbourhood. The

@@ -497,9 +497,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     // plain synchronous propagation needs ~diameter rounds (~300 here);
     // converging within 12 proves the lbl(lbl(n)) jump halves distances
     val path = (0L until 299L).map(i => (i, i + 1)).toDF("a", "b")
+    val escBefore = graft.operators.Graph.escalations.get()
     val got = graft.operators.Graph.connectedComponents(path, "a", "b", maxIter = 12)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.length === 300 && got.forall(_._2 === 0L))
+    assert(graft.operators.Graph.escalations.get() === escBefore,
+      "12 rounds must suffice without the star fallback")
   }
 
   test("components on a 10k-node path stay within the O(log n) round bound") {
@@ -508,9 +511,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     // WITHOUT escalating to the star fallback — the scale evidence the
     // 300-node case can't give
     val path = (0L until 9999L).map(i => (i, i + 1)).toDF("a", "b")
+    val escBefore = graft.operators.Graph.escalations.get()
     val got = graft.operators.Graph.connectedComponents(path, "a", "b", maxIter = 24)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.length === 10000 && got.forall(_._2 === 0L))
+    // the fallback returns identical labels, so the round-bound claim is
+    // only falsifiable through the escalation probe
+    assert(graft.operators.Graph.escalations.get() === escBefore,
+      "fast path must converge within 24 rounds WITHOUT the star fallback")
   }
 
   test("star fallback (maxIter=0) matches the fast path on paths and pairs") {
@@ -528,10 +536,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     // propagation cannot close a 500-hop chain, so this ONLY passes via
     // the fallback (and proves seeding with partial labels is sound)
     val path = (0L until 499L).map(i => (i, i + 1)).toDF("a", "b")
+    val escBefore = graft.operators.Graph.escalations.get()
     val viaFallback = graft.operators.Graph
       .connectedComponents(path, "a", "b", maxIter = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(viaFallback.length === 500 && viaFallback.forall(_._2 === 0L))
+    assert(graft.operators.Graph.escalations.get() > escBefore,
+      "this case must actually exercise the escalation path")
   }
 
   test("checkpointDir switches lineage cuts to reliable checkpoints") {
