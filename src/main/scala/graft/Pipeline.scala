@@ -29,9 +29,15 @@ object Pipeline {
                                afterExact: Long, afterNearDup: Long,
                                afterMix: Long)
 
+  /** @param checkpointDir reliable checkpoint location for the
+    *        connected-components rounds inside near-dup dedup (stage
+    *        3); None = executor-memory localCheckpoint, right for
+    *        local mode — on a cluster pass a warehouse/HDFS path so a
+    *        lost executor replays from storage (see Graph.cut). */
   def curate(spark: SparkSession, docs: DataFrame,
              mixRates: Map[String, Double], mixSalt: String,
-             outDir: Option[String]): StageCounts = {
+             outDir: Option[String],
+             checkpointDir: Option[String] = None): StageCounts = {
     // 1. quality: keep only docs passing every signal
     val decisions = TextAnalysis.curationDecision(docs,
       TextAnalysis.stopwords("en"),
@@ -60,7 +66,7 @@ object Pipeline {
     // 3. near-dup dedup: transitive simhash clusters → survivors
     val pairs = NearDup.simHashPairs(NearDup.simHash(exact), maxHamming = 3)
     val survivors = Graph.dedupSurvivors(exact, "doc_id", pairs,
-        "doc_a", "doc_b")
+        "doc_a", "doc_b", checkpointDir = checkpointDir)
       .localCheckpoint()
 
     // 4. deterministic mixture
