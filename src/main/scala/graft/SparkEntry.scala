@@ -719,28 +719,35 @@ object SparkEntry {
     * observation (the span starts at one), so the fill is total and
     * the two forms agree exactly. */
   private def q82(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val clean = cleanEvents(s, dir)
       .withColumn("h", expr("ts div 3600000000000"))
     val obs = clean.groupBy(col("user_id"), col("h"))
       .agg(max(struct(col("event_id"), col("value"))).getField("value").as("v"))
-    val wLead = Window.partitionBy(col("user_id")).orderBy(col("h").asc)
-    val wAll = Window.partitionBy(col("user_id"))
-    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
-    obs
-      .withColumn("next_h",
-        coalesce(lead(col("h"), 1).over(wLead), max(col("h")).over(wAll) + 1))
-      .withColumn("gap", col("next_h") - col("h"))
-      .groupBy(col("user_id"))
-      .agg(sum(col("gap")).as("n_hours"),
-        count(lit(1)).as("n_observed"),
-        // dec6(v)·gap in DECIMAL arithmetic ≡ the oracle's per-hour
-        // Σ of dec6(v) repeated gap times — exact under any merge order
-        (sum(col("v").cast(dec) * col("gap")).cast("double") /
-          sum(col("gap"))).as("__m"))
-      .select(col("user_id"), col("n_hours"), col("n_observed"),
-        Aggregates.round6Portable(col("__m")).as("avg_filled"))
+    graft.operators.TimeSeries.resampleFfillStats(obs, "user_id", "h", "v")
+      .select(col("user_id"), col("n_buckets").as("n_hours"),
+        col("n_observed"), col("avg_filled"))
       .orderBy(col("user_id").asc)
+  }
+
+  /** Ratio-to-report: each line status's share of its return flag's
+    * revenue — a windowed aggregate (sum over partition) dividing the
+    * row's own aggregate, the classic share-of-total idiom. Both the
+    * numerator and the partition total are exact DECIMAL sums, so the
+    * one double division per output row is bit-portable; the window
+    * runs over the tiny post-agg table (|groups| rows), never the
+    * fact scan. */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Sources.table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(Aggregates.exactSum(
+        col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    g.select(col("l_returnflag"), col("l_linestatus"),
+        round(col("rev").cast("double"), 2).as("revenue"),
+        Aggregates.round6Portable(col("rev").cast("double") /
+          sum(col("rev")).over(Window.partitionBy(col("l_returnflag")))
+            .cast("double")).as("share"))
+      .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
   }
 
   /** Multiset set-ops (q16 covers the DISTINCT forms): INTERSECT for
@@ -1456,7 +1463,8 @@ object SparkEntry {
     "q79_subquery_scalar" -> (q79 _),
     "q80_subquery_exists" -> (q80 _),
     "q81_multiset_ops" -> (q81 _),
-    "q82_gap_fill" -> (q82 _))
+    "q82_gap_fill" -> (q82 _),
+    "q83_share_of_total" -> (q83 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -2245,5 +2253,16 @@ object SparkEntry {
           SELECT user_id, count(*) AS n_hours, count(v) AS n_observed,
                  floor(CAST(sum(CAST(fv AS DECIMAL(18,6))) AS DOUBLE)
                        / count(fv) * 1000000 + 0.5) / 1000000 AS avg_filled
-          FROM filled GROUP BY user_id ORDER BY user_id ASC""")
+          FROM filled GROUP BY user_id ORDER BY user_id ASC""",
+    "q83_share_of_total" ->
+      s"""WITH g AS (
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev
+            FROM lineitem GROUP BY 1, 2)
+          SELECT l_returnflag, l_linestatus,
+                 round(CAST(rev AS DOUBLE), 2) AS revenue,
+                 floor(CAST(rev AS DOUBLE)
+                       / CAST(sum(rev) OVER (PARTITION BY l_returnflag) AS DOUBLE)
+                       * 1000000 + 0.5) / 1000000 AS share
+          FROM g ORDER BY l_returnflag ASC, l_linestatus ASC""")
 }

@@ -189,5 +189,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("run-length ffill stats equal the exploded-grid reference on random series") {
+    import org.apache.spark.sql.functions.col
+    // sparse-to-dense random bucket sets per key; values with >6-decimal
+    // noise so the dec6 quantization boundary is actually exercised
+    val obsGen = Gen.chooseNum(1, 30).flatMap(m => Gen.listOfN(m,
+      Gen.zip(Gen.chooseNum(0, 2), Gen.chooseNum(0L, 40L),
+        Gen.chooseNum(-1000000, 1000000))))
+    cases(obsGen, n = 5).foreach { raw =>
+      // one row per (key, bucket): last write wins in the reference too
+      val obs = raw.map { case (k, b, v) => ((s"k$k", b), v / 7919.0) }
+        .toMap.toSeq.map { case ((k, b), v) => (k, b, v) }
+      val df = obs.toDF("k", "b", "v")
+      val got = graft.operators.TimeSeries.resampleFfillStats(df, "k", "b", "v")
+        .collect().map(r => (r.getString(0),
+          (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      val expect = obs.groupBy(_._1).map { case (k, rows) =>
+        val byBucket = rows.map(r => r._2 -> r._3).toMap
+        val (b0, b1) = (byBucket.keys.min, byBucket.keys.max)
+        // literal grid + forward fill, then the oracle's arithmetic:
+        // per-bucket dec6 quantization, exact sum, portable rounding
+        var lastV = 0.0
+        val filled = (b0 to b1).map { b =>
+          lastV = byBucket.getOrElse(b, lastV); lastV
+        }
+        // valueOf (shortest decimal repr), not new BigDecimal(binary
+        // expansion): Spark's double→DECIMAL cast quantizes the shortest
+        // repr, and the two disagree exactly at half boundaries
+        val dec6 = filled.map(v =>
+          java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP))
+        val mean = dec6.reduce(_.add(_)).doubleValue / filled.length
+        k -> (filled.length.toLong, byBucket.size.toLong,
+          math.floor(mean * 1e6 + 0.5) / 1e6)
+      }
+      assert(got === expect, s"obs=$obs")
+    }
+  }
+
   private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
 }
