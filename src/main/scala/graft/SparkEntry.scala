@@ -768,6 +768,56 @@ object SparkEntry {
       .orderBy(col("op").asc, col("o_custkey").asc)
   }
 
+  /** BM25 top-k lexical retrieval (Lucene-form idf) for a fixed term
+    * bag — one corpus scan, tiny broadcast stats, bounded top-k; see
+    * [[graft.operators.Retrieval.bm25TopK]] for the plan shape and
+    * the per-term DECIMAL(18,6) rounding that makes the double `ln`
+    * the only (±1 ulp, pre-rounding) library call in the score. */
+  private def q84(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.bm25TopK(Sources.table(s, dir, "documents"),
+      Seq("spark", "join", "window", "merge"), k = 20)
+
+  /** Overlapping token-window chunking (50-token chunks, stride 40) —
+    * the doc→embedding-unit splitter; a narrow generate+project with
+    * zero shuffles ([[TextAnalysis.chunkTokens]]). Chunk bodies are
+    * md5'd so the fixture output stays hash-comparable. */
+  private def q85(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkTokens(Sources.table(s, dir, "documents"), 50, 40)
+      .orderBy(col("doc_id").asc, col("chunk_id").asc)
+
+  /** Regex redaction with audit counts ([[TextAnalysis.redact]]):
+    * scrub a token class ('customer'|'order' standing in for the
+    * PII classes a release pipeline strips) and count matches per
+    * document — pure projection, pattern valid in Java regex and RE2
+    * alike so the oracle states the identical scrub. */
+  private def q86(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.redact(Sources.table(s, dir, "documents"),
+        "\\b(customer|order)\\b", "[PII]")
+      .select(col("doc_id"), col("n_redacted"), md5(col("text")).as("redacted_md5"))
+      .orderBy(col("doc_id").asc)
+
+  /** Brand revenue through the SALTED join path ([[Joins.saltedJoin]]):
+    * the skew-mitigation shape — hot fact keys sharded across 8 salt
+    * buckets, the dim side exploded ×8 — producing results identical
+    * to the plain join (the oracle IS the plain join). On fixtures no
+    * key is degenerate; the query exists to keep the salted plan
+    * (no cartesian, dim explode above the broadcast) under the
+    * correctness gate, because at 100 TB the one-hot-key fact table
+    * is where AQE's split-by-size gives up and salting is the fix. */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val li = Sources.table(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val dim = Sources.table(s, dir, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    Joins.saltedJoin(li, dim, "l_partkey", saltBuckets = 8, saltSource = col("l_orderkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), Aggregates.exactSum(col("rev")).as("__rev"))
+      .select(col("p_brand"), col("n_items"),
+        round(col("__rev").cast("double"), 2).as("revenue"))
+      .orderBy(col("p_brand").asc)
+  }
+
   /** Per-label embedding centroids (IVF coarse-quantizer shape). */
   private def q41(s: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroids(Sources.table(s, dir, "embeddings"))
@@ -1464,7 +1514,11 @@ object SparkEntry {
     "q80_subquery_exists" -> (q80 _),
     "q81_multiset_ops" -> (q81 _),
     "q82_gap_fill" -> (q82 _),
-    "q83_share_of_total" -> (q83 _))
+    "q83_share_of_total" -> (q83 _),
+    "q84_bm25_topk" -> (q84 _),
+    "q85_doc_chunking" -> (q85 _),
+    "q86_redaction" -> (q86 _),
+    "q87_salted_join" -> (q87 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -2264,5 +2318,56 @@ object SparkEntry {
                  floor(CAST(rev AS DOUBLE)
                        / CAST(sum(rev) OVER (PARTITION BY l_returnflag) AS DOUBLE)
                        * 1000000 + 0.5) / 1000000 AS share
-          FROM g ORDER BY l_returnflag ASC, l_linestatus ASC""")
+          FROM g ORDER BY l_returnflag ASC, l_linestatus ASC""",
+    // constants appear as the same literals on both sides (1.2 + 1,
+    // not 2.2) so each engine folds them with the identical IEEE op;
+    // per-term scores round at DECIMAL(18,6) before the order-free sum
+    "q84_bm25_topk" ->
+      s"""WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                              unnest(string_split(text, ' ')) AS term
+                       FROM documents),
+          hits AS (SELECT * FROM tok
+                   WHERE term IN ('spark', 'join', 'window', 'merge')),
+          tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+                 FROM hits GROUP BY 1, 2),
+          dfq AS (SELECT term, count(DISTINCT doc_id) AS df
+                  FROM hits GROUP BY 1),
+          stats AS (SELECT count(*) AS n_total,
+                           sum(len(string_split(text, ' '))) AS sum_dl
+                    FROM documents),
+          scored AS (SELECT tf.doc_id,
+                            CAST(ln(1.0 + (stats.n_total - dfq.df + 0.5)
+                                          / (dfq.df + 0.5))
+                                 * ((tf.tf * (1.2 + 1))
+                                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl
+                                         / (CAST(stats.sum_dl AS DOUBLE) / stats.n_total))))
+                              AS DECIMAL(18,6)) AS s
+                     FROM tf JOIN dfq ON tf.term = dfq.term, stats)
+          SELECT doc_id, count(*) AS n_terms, CAST(sum(s) AS DOUBLE) AS score
+          FROM scored GROUP BY doc_id
+          ORDER BY score DESC, doc_id ASC LIMIT 20""",
+    "q85_doc_chunking" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          st AS (SELECT doc_id, toks,
+                        unnest(generate_series(0, len(toks) - 1, 40)) AS start
+                 FROM t)
+          SELECT doc_id, CAST(start // 40 AS BIGINT) AS chunk_id,
+                 CAST(len(list_slice(toks, start + 1, start + 50)) AS BIGINT) AS n_tokens,
+                 md5(array_to_string(list_slice(toks, start + 1, start + 50), ' ')) AS chunk_hash
+          FROM st ORDER BY doc_id ASC, chunk_id ASC""",
+    "q86_redaction" ->
+      s"""SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '\\b(customer|order)\\b')) AS BIGINT)
+                   AS n_redacted,
+                 md5(regexp_replace(text, '\\b(customer|order)\\b', '[PII]', 'g'))
+                   AS redacted_md5
+          FROM documents ORDER BY doc_id ASC""",
+    // the salted join is result-identical to the plain join — the
+    // oracle states the plain form
+    "q87_salted_join" ->
+      s"""SELECT p_brand, count(*) AS n_items,
+                 round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                     AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_brand ORDER BY p_brand ASC""")
 }

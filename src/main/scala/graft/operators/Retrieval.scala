@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.TextFns._
+
+/** Lexical retrieval over the document corpus — the classic BM25
+  * ranking function (Robertson/Sparck Jones probabilistic model, the
+  * default scorer in Lucene/Elasticsearch), as a pure DataFrame
+  * pipeline: tokenize → term stats → per-(doc, term) partial scores →
+  * one hash agg → top-k. No UDFs, no driver loops; the only driver
+  * value is the top-k limit itself (TakeOrderedAndProject).
+  *
+  * Scale shape: the corpus is scanned ONCE for token rows; `df` and
+  * the corpus length stats are tiny aggregates (|query terms| rows and
+  * 1 row) that broadcast back into the scoring join, so the whole
+  * plan is scan → one shuffle on (doc_id, term) → broadcast joins →
+  * one shuffle on doc_id → bounded top-k. Nothing grows with k·|docs|.
+  *
+  * Portability: the per-term score is a double expression whose ops
+  * (+, −, ×, ÷) are IEEE-correctly-rounded and therefore bit-identical
+  * across engines given identical operand order; `ln` is the one
+  * library call with a ±1 ulp license, so scores are rounded at
+  * DECIMAL(18,6) per TERM before the order-free decimal sum — the
+  * same exact-sum idiom as [[graft.engine.Aggregates.exactSum]].
+  */
+object Retrieval {
+
+  /** Top-k documents by BM25 score for a bag of query terms.
+    *
+    * idf(t)  = ln(1 + (N − df + 0.5) / (df + 0.5))   (Lucene form: never
+    *           negative, unlike the raw Robertson idf)
+    * s(d, t) = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * score   = Σ_t dec6(s(d, t))
+    *
+    * Output: (doc_id, n_terms matched, score DOUBLE from the 6-decimal
+    * sum), ordered score DESC, doc_id ASC, limited to k. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    require(k > 0, "k must be positive")
+    val toks = tokens(col("text"))
+    // one corpus pass: token rows restricted to the query vocabulary
+    // immediately (the filter sits under the shuffle, so shuffle volume
+    // is matches, not the corpus), doc length carried alongside
+    val hits = docs
+      .select(col("doc_id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("term"))
+      .filter(col("term").isin(queryTerms.map(x => x: Any): _*))
+    val tf = hits.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    // document frequency per query term (≤ |queryTerms| rows)
+    val dfq = hits.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    // corpus stats: N and avgdl (integer token-count sum → exact, so
+    // the one double division is bit-portable)
+    val stats = docs.agg(count(lit(1)).as("n_total"),
+      sum(size(tokens(col("text"))).cast("long")).as("sum_dl"))
+    val avgdl = col("sum_dl").cast("double") / col("n_total")
+    val idf = log(lit(1.0) +
+      (col("n_total") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    tf.join(broadcast(dfq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), (idf * norm).cast(DecimalType(18, 6)).as("__s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("__s")).as("__score"))
+      .select(col("doc_id"), col("n_terms"),
+        col("__score").cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

@@ -112,6 +112,47 @@ object TextAnalysis {
       .withColumn("rep_ratio", lit(1.0) - col("n_distinct") / col("n_total"))
   }
 
+  /** Fixed-size overlapping token windows — the chunking step that
+    * turns documents into embedding/context-window-sized pieces
+    * (size `chunkSize` tokens, step `stride`; overlap = size − stride).
+    * Pure generate + per-row projection: `sequence` enumerates chunk
+    * starts, `slice` cuts the window — no UDF, no shuffle at all, and
+    * output volume is ~|tokens|·(size/stride), a constant factor of
+    * the input, so the op is a narrow map at any corpus scale.
+    * Output: (doc_id, chunk_id, n_tokens, chunk_hash md5-of-text) —
+    * the hash stands in for the chunk body in fixtures; callers
+    * wanting the text itself take `concat_ws(" ", slice(...))`
+    * directly. Every document emits at least one chunk (a doc shorter
+    * than `chunkSize` is its own chunk). */
+  def chunkTokens(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    require(stride <= chunkSize, "stride > chunkSize would drop tokens between chunks")
+    val toks = tokens(col("text"))
+    docs
+      .select(col("doc_id"), toks.as("__toks"),
+        explode(sequence(lit(0), size(toks) - 1, lit(stride))).as("__start"))
+      .select(col("doc_id"),
+        (col("__start") / stride).cast("long").as("chunk_id"),
+        slice(col("__toks"), col("__start") + 1, lit(chunkSize)).as("__chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("__chunk"))).as("chunk_hash"))
+  }
+
+  /** Regex scrub with audit trail — the PII-redaction shape (emails,
+    * phone numbers, ids → a class token) every training-data pipeline
+    * runs before release. Per-row projection only: `n_redacted` counts
+    * the matches (regexp_extract_all) and `text` carries the scrubbed
+    * body, so a downstream audit can aggregate redaction volume by
+    * source without diffing text. The pattern must be valid in both
+    * Java regex and RE2 (word boundaries, alternation, classes are —
+    * lookarounds are not) so the oracle can state the identical scrub. */
+  def redact(docs: DataFrame, pattern: String, replacement: String): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(pattern), lit(0)))
+        .cast("long").as("n_redacted"),
+      regexp_replace(col("text"), pattern, replacement).as("text"))
+
   /** The full curation decision, one row per document: every quality
     * signal as an explicit boolean REASON plus the final `keep` — the
     * auditable form a production filter wants (aggregate the reasons to

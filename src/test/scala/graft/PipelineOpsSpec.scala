@@ -1126,6 +1126,58 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25: scores rank multi-term high-tf docs first, n_terms counts matches") {
+    val d = docsOf(
+      1L -> "spark spark spark join alpha",
+      2L -> "spark alpha beta gamma delta",
+      3L -> "alpha beta gamma delta epsilon")
+    val got = Retrieval.bm25TopK(d, Seq("spark", "join"), k = 10).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L),
+      "doc 3 matches nothing and must be absent; doc 1 outranks doc 2")
+    assert(got.head.getAs[Long]("n_terms") === 2L)
+    assert(got(1).getAs[Long]("n_terms") === 1L)
+    val scores = got.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)))
+  }
+
+  test("bm25: closed-form score on a one-doc corpus") {
+    // N=1, df=1 → idf = ln(1 + 0.5/1.5); tf=1, dl=2=avgdl →
+    // norm = (k1+1)/(1 + k1·(1−b+b)) = 1, so score = round6(idf)
+    val got = Retrieval.bm25TopK(docsOf(1L -> "a b"), Seq("a"), k = 1).collect()
+    assert(got.length === 1)
+    val expected = BigDecimal(math.log(1.0 + 0.5 / 1.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.head.getAs[Double]("score") === expected)
+  }
+
+  test("chunking: stride windows cover every token; tail chunk is short") {
+    val text100 = (1 to 100).map(i => s"t$i").mkString(" ")
+    val chunks = TextAnalysis.chunkTokens(docsOf(1L -> text100), 50, 40)
+      .orderBy(col("chunk_id")).collect()
+    assert(chunks.map(_.getAs[Long]("chunk_id")).toSeq === Seq(0L, 1L, 2L))
+    assert(chunks.map(_.getAs[Long]("n_tokens")).toSeq === Seq(50L, 50L, 20L))
+    // every token index is inside at least one [start, start+50) window
+    // when stride ≤ size: total coverage ≥ n_tokens
+    assert(chunks.map(_.getAs[Long]("n_tokens")).sum >= 100L)
+    // first chunk hash = md5 of tokens 1..50 verbatim
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest((1 to 50).map(i => s"t$i").mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(chunks.head.getAs[String]("chunk_hash") === h)
+  }
+
+  test("chunking: a doc shorter than the chunk size is its own single chunk") {
+    val got = TextAnalysis.chunkTokens(docsOf(1L -> "x y z"), 50, 40).collect()
+    assert(got.length === 1 && got.head.getAs[Long]("n_tokens") === 3L)
+  }
+
+  test("redact: scrubs the pattern, counts matches, leaves the rest") {
+    val got = TextAnalysis.redact(docsOf(1L -> "customer pays order for value"),
+      "\\b(customer|order)\\b", "[PII]").collect().head
+    assert(got.getAs[Long]("n_redacted") === 2L)
+    assert(got.getAs[String]("text") === "[PII] pays [PII] for value")
+  }
+
   test("watermarked streaming agg runs (state-bounded variant)") {
     val agg = EventStream.hourlyAgg(EventStream.readEvents(spark, sfDir), withWatermark = true)
     val name = "wm_" + java.util.UUID.randomUUID().toString.replace("-", "")

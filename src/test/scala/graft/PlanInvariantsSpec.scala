@@ -137,6 +137,26 @@ class PlanInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("chunking is a narrow generate: q85 plans zero exchanges") {
+    val plan = planOf("q85_doc_chunking")
+    // one global sort for the deterministic output order is allowed
+    // (rangepartitioning); no hash-partition shuffle may appear — the
+    // operator itself is generate + project only
+    assert(!plan.contains("hashpartitioning"),
+      s"q85 chunking must not shuffle on a hash key:\n$plan")
+    assert(plan.contains("Generate explode"), s"q85 should explode chunk starts:\n$plan")
+  }
+
+  test("bm25 broadcasts its term/corpus stats and bounds the top-k") {
+    val plan = planOf("q84_bm25_topk")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q84 df join should broadcast the tiny term-stats side:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"q84 corpus stats (1 row) should broadcast, not shuffle:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q84 top-k must be bounded, not a full sort:\n$plan")
+  }
+
   test("staged tables build once and survive catalog cache clears") {
     import spark.implicits._
     var builds = 0
