@@ -818,6 +818,73 @@ object SparkEntry {
       .orderBy(col("p_brand").asc)
   }
 
+  /** Deterministic stratified fixed-n sample: exactly 3 documents per
+    * source, chosen by portable md5(doc_id) order (same idiom as q54's
+    * mixture rates — membership is a pure function of the data, so any
+    * engine/partitioning/rerun picks the identical rows). The
+    * row_number ≤ n idiom is rewritten to bounded per-group heaps by
+    * `RewriteRowNumberTopK`, so only k·|groups| rows cross the wire. */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    Sources.table(s, dir, "documents")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("source"), col("doc_id"), col("rn"))
+      .orderBy(col("source").asc, col("rn").asc)
+  }
+
+  /** Vocabulary pairs within edit distance 1 via SymSpell delete-one
+    * blocking ([[graft.operators.Fuzzy.editDistanceOnePairs]]) — the
+    * typo/variant merge step. The oracle brute-forces |V|² levenshtein
+    * (fine at fixture vocabulary); the engine side never builds the
+    * cross product. */
+  private def q89(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Fuzzy.editDistanceOnePairs(
+        Sources.table(s, dir, "part").select(col("p_brand").as("tok")), "tok")
+      .orderBy(col("tok_a").asc, col("tok_b").asc)
+
+  /** Ordered conversion funnel view → click → purchase: each stage
+    * keeps users whose earliest stage-event strictly follows their
+    * earliest prior-stage event (event_id is the unique order). Three
+    * per-user aggregates chained by joins on user_id — the stage
+    * tables are |users|-sized, so at scale each join broadcasts; no
+    * window, no self-cross. */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("event_id")).as("e1"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("event_id") > col("e1"))
+      .groupBy(col("user_id")).agg(min(col("event_id")).as("e2"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("event_id") > col("e2"))
+      .groupBy(col("user_id")).agg(min(col("event_id")).as("e3"))
+    Seq("1_view" -> v, "2_click" -> c, "3_purchase" -> p)
+      .map { case (n, df) => df.agg(count(lit(1)).as("n_users"))
+        .select(lit(n).as("stage"), col("n_users")) }
+      .reduce(_ union _)
+      .orderBy(col("stage").asc)
+  }
+
+  /** Cohort retention: users bucketed by their first active day, then
+    * distinct-active (cohort_day, day-offset) counts — the classic
+    * product-analytics matrix. Day ids stay in exact integer `div`
+    * arithmetic (the ns epoch exceeds 2^53 — double division would
+    * corrupt the day). Two user-keyed aggregates + one join; the
+    * cohort table is |users|-sized. */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("d"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_d"))
+    ev.distinct()
+      .join(cohort, "user_id")
+      .withColumn("offset_d", col("d") - col("cohort_d"))
+      .groupBy(col("cohort_d"), col("offset_d"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_d").asc, col("offset_d").asc)
+  }
+
   /** Per-label embedding centroids (IVF coarse-quantizer shape). */
   private def q41(s: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroids(Sources.table(s, dir, "embeddings"))
@@ -1518,7 +1585,11 @@ object SparkEntry {
     "q84_bm25_topk" -> (q84 _),
     "q85_doc_chunking" -> (q85 _),
     "q86_redaction" -> (q86 _),
-    "q87_salted_join" -> (q87 _))
+    "q87_salted_join" -> (q87 _),
+    "q88_stratified_sample" -> (q88 _),
+    "q89_fuzzy_pairs" -> (q89 _),
+    "q90_funnel" -> (q90 _),
+    "q91_cohort_retention" -> (q91 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -2369,5 +2440,44 @@ object SparkEntry {
                  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
                                      AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
           FROM lineitem JOIN part ON l_partkey = p_partkey
-          GROUP BY p_brand ORDER BY p_brand ASC""")
+          GROUP BY p_brand ORDER BY p_brand ASC""",
+    "q88_stratified_sample" ->
+      s"""SELECT source, doc_id, CAST(rn AS BIGINT) AS rn FROM (
+            SELECT source, doc_id,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+            FROM documents)
+          WHERE rn <= 3 ORDER BY source ASC, rn ASC""",
+    // the oracle brute-forces |V|^2 levenshtein over the (tiny fixture)
+    // vocabulary; the engine side uses delete-one blocking and never
+    // builds the cross product
+    "q89_fuzzy_pairs" ->
+      s"""WITH v AS (SELECT DISTINCT p_brand AS tok FROM part)
+          SELECT a.tok AS tok_a, b.tok AS tok_b,
+                 CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist
+          FROM v a JOIN v b ON a.tok < b.tok
+          WHERE levenshtein(a.tok, b.tok) <= 1
+          ORDER BY tok_a ASC, tok_b ASC""",
+    "q90_funnel" ->
+      s"""WITH v AS (SELECT user_id, min(event_id) AS e1 FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+          c AS (SELECT e.user_id, min(e.event_id) AS e2
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND e.event_id > v.e1 GROUP BY 1),
+          p AS (SELECT e.user_id, min(e.event_id) AS e3
+                FROM events e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.event_id > c.e2 GROUP BY 1)
+          SELECT stage, n_users FROM (
+            SELECT '1_view' AS stage, count(*) AS n_users FROM v
+            UNION ALL SELECT '2_click', count(*) FROM c
+            UNION ALL SELECT '3_purchase', count(*) FROM p)
+          ORDER BY stage ASC""",
+    "q91_cohort_retention" ->
+      s"""WITH e AS (SELECT DISTINCT user_id,
+                            epoch_ns(ts) // 86400000000000 AS d FROM events),
+          ch AS (SELECT user_id, min(d) AS cohort_d FROM e GROUP BY 1)
+          SELECT ch.cohort_d, e.d - ch.cohort_d AS offset_d,
+                 count(*) AS n_users
+          FROM e JOIN ch ON e.user_id = ch.user_id
+          GROUP BY 1, 2 ORDER BY cohort_d ASC, offset_d ASC""")
 }

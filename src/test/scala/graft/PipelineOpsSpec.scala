@@ -1178,6 +1178,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.getAs[String]("text") === "[PII] pays [PII] for value")
   }
 
+  test("fuzzy pairs: delete-one blocking finds exactly the distance-1 pairs") {
+    val toks = Seq("the", "teh", "thee", "spark", "spork", "zebra")
+      .toDF("tok")
+    val got = Fuzzy.editDistanceOnePairs(toks, "tok")
+      .collect().map(r => (r.getAs[String]("tok_a"), r.getAs[String]("tok_b"))).toSet
+    // brute-force ground truth over the same set
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vocab = Seq("the", "teh", "thee", "spark", "spork", "zebra")
+    val expected = (for (a <- vocab; b <- vocab if a < b && lev(a, b) <= 1)
+      yield (a, b)).toSet
+    assert(got === expected, s"got $got expected $expected")
+    assert(expected.contains(("spark", "spork")) && expected.contains(("the", "thee")))
+  }
+
+  test("funnel: stage membership requires strict event order") {
+    val ev = Seq(
+      // user 1: view(1) → click(2) → purchase(3): all 3 stages
+      (1L, 1L, "view"), (2L, 1L, "click"), (3L, 1L, "purchase"),
+      // user 2: click BEFORE first view — click stage not reached
+      (4L, 2L, "click"), (5L, 2L, "view"),
+      // user 3: view then purchase but no click — purchase not reached
+      (6L, 3L, "view"), (7L, 3L, "purchase"))
+      .toDF("event_id", "user_id", "event_type")
+    // exercise the same join-chain shape directly (SparkEntry.q90 binds
+    // to the fixture dir; here we reproduce its logic on literal rows)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("event_id")).as("e1"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("event_id") > col("e1"))
+      .groupBy(col("user_id")).agg(min(col("event_id")).as("e2"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("event_id") > col("e2"))
+      .groupBy(col("user_id")).agg(min(col("event_id")).as("e3"))
+    assert(v.count() === 3 && c.count() === 1 && p.count() === 1)
+    assert(c.collect().head.getAs[Long]("user_id") === 1L)
+  }
+
   test("watermarked streaming agg runs (state-bounded variant)") {
     val agg = EventStream.hourlyAgg(EventStream.readEvents(spark, sfDir), withWatermark = true)
     val name = "wm_" + java.util.UUID.randomUUID().toString.replace("-", "")

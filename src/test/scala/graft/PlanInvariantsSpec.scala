@@ -51,7 +51,7 @@ class PlanInvariantsSpec extends AnyFunSuite {
 
   test("per-group top-k idiom is rewritten to the custom operator") {
     Seq("q25_knn_cosine", "q09_dedup_latest", "q49_topk_per_group",
-        "q60_idf_terms").foreach { n =>
+        "q60_idf_terms", "q88_stratified_sample").foreach { n =>
       val plan = planOf(n)
       assert(plan.contains("TopKPerGroupFinal"), s"$n should use TopKPerGroup:\n$plan")
     }
