@@ -743,7 +743,8 @@ object SparkEntry {
       .agg(Aggregates.exactSum(
         col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
     g.select(col("l_returnflag"), col("l_linestatus"),
-        round(col("rev").cast("double"), 2).as("revenue"),
+        // decimal-domain 2-dp round (portable; see q95's note)
+        round(col("rev"), 2).cast("double").as("revenue"),
         Aggregates.round6Portable(col("rev").cast("double") /
           sum(col("rev")).over(Window.partitionBy(col("l_returnflag")))
             .cast("double")).as("share"))
@@ -814,7 +815,8 @@ object SparkEntry {
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_items"), Aggregates.exactSum(col("rev")).as("__rev"))
       .select(col("p_brand"), col("n_items"),
-        round(col("__rev").cast("double"), 2).as("revenue"))
+        // decimal-domain 2-dp round (portable; see q95's note)
+        round(col("__rev"), 2).cast("double").as("revenue"))
       .orderBy(col("p_brand").asc)
   }
 
@@ -883,6 +885,96 @@ object SparkEntry {
       .groupBy(col("cohort_d"), col("offset_d"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_d").asc, col("offset_d").asc)
+  }
+
+  /** Pearson correlation from EXACT decimal moments: corr(qty, price)
+    * per return flag via the 5-sum closed form, every Σ accumulated at
+    * DECIMAL(38,12) (order-free under any partial-agg merge), the
+    * final combination in doubles with identical operand order on both
+    * engines (±, ×, ÷, √ are all IEEE-correctly-rounded — no library
+    * call at all, unlike built-in `corr`, whose double accumulation is
+    * partition-order-dependent). One hash agg on the fact scan. */
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 12)
+    def dbl(c: String) = col(c).cast("double")
+    Sources.table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(d38)).as("sx"),
+        sum(col("l_extendedprice").cast(d38)).as("sy"),
+        sum((col("l_quantity") * col("l_extendedprice")).cast(d38)).as("sxy"),
+        sum((col("l_quantity") * col("l_quantity")).cast(d38)).as("sxx"),
+        sum((col("l_extendedprice") * col("l_extendedprice")).cast(d38)).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        Aggregates.round6Portable(
+          ((col("n") * dbl("sxy")) - (dbl("sx") * dbl("sy"))) /
+            (sqrt((col("n") * dbl("sxx")) - (dbl("sx") * dbl("sx"))) *
+             sqrt((col("n") * dbl("syy")) - (dbl("sy") * dbl("sy"))))
+        ).as("corr_qty_price"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
+  /** Null-safe join semantics (`<=>` / IS NOT DISTINCT FROM): view and
+    * click volumes matched on a NULLABLE key (k mod 10, zero mapped to
+    * NULL via nullif) — the one equality where NULL meets NULL. The
+    * null group joins like any other; a plain `=` would silently drop
+    * it. Aggregate-then-join: both sides are |keys|-sized. */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("kk", expr("nullif(k % 10, 0)"))
+    def side(t: String) = ev.filter(col("event_type") === t)
+      .groupBy(col("kk")).agg(count(lit(1)).as(s"n_$t"))
+    val v = side("view")
+    val c = side("click").withColumnRenamed("kk", "kk_c")
+    v.join(c, v("kk") <=> c("kk_c"))
+      .select(col("kk"), col("n_view"), col("n_click"))
+      .orderBy(col("kk").asc_nulls_first)
+  }
+
+  /** Min-gap event thinning (debounce-style dedup): drop events closer
+    * than 60 s to the PREVIOUS event of the same user (lag over the
+    * (ts, event_id) total order — strictly windowed, one shuffle on
+    * user_id, no running state). Gap arithmetic stays on the exact ns
+    * longs. Emits per-user kept/total audit counts. */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("prev_ts").isNull ||
+          col("ts") - col("prev_ts") >= lit(60000000000L), lit(1))).as("n_kept"))
+      .orderBy(col("user_id").asc)
+  }
+
+  /** Week-over-week revenue change per return flag: weekly exact-decimal
+    * revenue, lag window for the prior week, delta in exact decimal and
+    * pct in portable-rounded double. Week ids are integer `div` over
+    * epoch days — no calendar-week convention to disagree on. The lag
+    * window runs over the |flags|×|weeks| post-agg table, not the scan. */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val wk = expr("datediff(l_shipdate, DATE '1970-01-01') div 7").cast("long")
+    val g = Sources.table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), wk.as("wk"))
+      .agg(Aggregates.exactSum(
+        col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(col("wk").asc)
+    // 2-dp rounding happens in the EXACT decimal domain (round() is
+    // HALF_UP-away-from-zero on decimals in BOTH engines; decimal CASTs
+    // would not do — DuckDB's truncates), then converts to double —
+    // rounding the double instead diverges when the decimal sum's .xx5
+    // midpoint has no exact binary form (observed: 2630616.675 → Spark
+    // .68 via shortest-repr HALF_UP, DuckDB .67 via the binary value)
+    g.withColumn("prev", lag(col("rev"), 1).over(w))
+      .select(col("l_returnflag"), col("wk"),
+        round(col("rev"), 2).cast("double").as("revenue"),
+        round(col("rev") - col("prev"), 2).cast("double").as("wow_delta"),
+        Aggregates.round6Portable((col("rev") - col("prev")).cast("double") /
+          col("prev").cast("double")).as("wow_pct"))
+      .orderBy(col("l_returnflag").asc, col("wk").asc)
   }
 
   /** Per-label embedding centroids (IVF coarse-quantizer shape). */
@@ -1589,7 +1681,11 @@ object SparkEntry {
     "q88_stratified_sample" -> (q88 _),
     "q89_fuzzy_pairs" -> (q89 _),
     "q90_funnel" -> (q90 _),
-    "q91_cohort_retention" -> (q91 _))
+    "q91_cohort_retention" -> (q91 _),
+    "q92_exact_corr" -> (q92 _),
+    "q93_null_safe_join" -> (q93 _),
+    "q94_debounce" -> (q94 _),
+    "q95_wow_change" -> (q95 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -2385,7 +2481,7 @@ object SparkEntry {
                    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev
             FROM lineitem GROUP BY 1, 2)
           SELECT l_returnflag, l_linestatus,
-                 round(CAST(rev AS DOUBLE), 2) AS revenue,
+                 CAST(round(rev, 2) AS DOUBLE) AS revenue,
                  floor(CAST(rev AS DOUBLE)
                        / CAST(sum(rev) OVER (PARTITION BY l_returnflag) AS DOUBLE)
                        * 1000000 + 0.5) / 1000000 AS share
@@ -2437,8 +2533,8 @@ object SparkEntry {
     // oracle states the plain form
     "q87_salted_join" ->
       s"""SELECT p_brand, count(*) AS n_items,
-                 round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                                     AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+                 CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                     AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
           FROM lineitem JOIN part ON l_partkey = p_partkey
           GROUP BY p_brand ORDER BY p_brand ASC""",
     "q88_stratified_sample" ->
@@ -2479,5 +2575,57 @@ object SparkEntry {
           SELECT ch.cohort_d, e.d - ch.cohort_d AS offset_d,
                  count(*) AS n_users
           FROM e JOIN ch ON e.user_id = ch.user_id
-          GROUP BY 1, 2 ORDER BY cohort_d ASC, offset_d ASC""")
+          GROUP BY 1, 2 ORDER BY cohort_d ASC, offset_d ASC""",
+    // identical operand order to the Spark side: every Σ is an exact
+    // DECIMAL(38,12), the closed form combines them in doubles whose
+    // ops (including sqrt) are all IEEE-correctly-rounded
+    "q92_exact_corr" ->
+      s"""WITH m AS (
+            SELECT l_returnflag, count(*) AS n,
+                   sum(CAST(l_quantity AS DECIMAL(38,12))) AS sx,
+                   sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS sy,
+                   sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,12))) AS sxy,
+                   sum(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS sxx,
+                   sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12))) AS syy
+            FROM lineitem GROUP BY 1)
+          SELECT l_returnflag, n,
+                 floor(((n * CAST(sxy AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                       / (sqrt((n * CAST(sxx AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                          * sqrt((n * CAST(syy AS DOUBLE)) - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+                       * 1000000 + 0.5) / 1000000 AS corr_qty_price
+          FROM m ORDER BY l_returnflag ASC""",
+    "q93_null_safe_join" ->
+      s"""WITH e AS (SELECT event_type,
+                            nullif(CAST(json_extract_string(props, '$$.k') AS BIGINT) % 10, 0) AS kk
+                     FROM events),
+          v AS (SELECT kk, count(*) AS n_view FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+          c AS (SELECT kk, count(*) AS n_click FROM e
+                WHERE event_type = 'click' GROUP BY 1)
+          SELECT v.kk, n_view, n_click
+          FROM v JOIN c ON v.kk IS NOT DISTINCT FROM c.kk
+          ORDER BY v.kk ASC NULLS FIRST""",
+    "q94_debounce" ->
+      s"""WITH w AS (SELECT user_id, epoch_ns(ts) AS t, event_id,
+                            lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+                              ORDER BY epoch_ns(ts) ASC, event_id ASC) AS prev_t
+                     FROM events)
+          SELECT user_id, count(*) AS n_events,
+                 count(CASE WHEN prev_t IS NULL OR t - prev_t >= 60000000000
+                            THEN 1 END) AS n_kept
+          FROM w GROUP BY 1 ORDER BY user_id ASC""",
+    "q95_wow_change" ->
+      s"""WITH g AS (
+            SELECT l_returnflag,
+                   datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) // 7 AS wk,
+                   sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev
+            FROM lineitem GROUP BY 1, 2),
+          lg AS (SELECT *, lag(rev) OVER (PARTITION BY l_returnflag
+                                          ORDER BY wk ASC) AS prev FROM g)
+          SELECT l_returnflag, CAST(wk AS BIGINT) AS wk,
+                 CAST(round(rev, 2) AS DOUBLE) AS revenue,
+                 CAST(round(rev - prev, 2) AS DOUBLE) AS wow_delta,
+                 floor(CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE)
+                       * 1000000 + 0.5) / 1000000 AS wow_pct
+          FROM lg ORDER BY l_returnflag ASC, wk ASC""")
 }

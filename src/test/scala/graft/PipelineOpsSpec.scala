@@ -1221,6 +1221,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(c.collect().head.getAs[Long]("user_id") === 1L)
   }
 
+  test("exact-moment correlation agrees with built-in corr to float tolerance") {
+    import org.apache.spark.sql.types.DecimalType
+    val df = Sources.table(spark, sfDir, "lineitem")
+    val builtin = df.groupBy(col("l_returnflag"))
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val d38 = DecimalType(38, 12)
+    def dbl(c: String) = col(c).cast("double")
+    val exact = df.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(d38)).as("sx"),
+        sum(col("l_extendedprice").cast(d38)).as("sy"),
+        sum((col("l_quantity") * col("l_extendedprice")).cast(d38)).as("sxy"),
+        sum((col("l_quantity") * col("l_quantity")).cast(d38)).as("sxx"),
+        sum((col("l_extendedprice") * col("l_extendedprice")).cast(d38)).as("syy"))
+      .select(col("l_returnflag"),
+        (((col("n") * dbl("sxy")) - (dbl("sx") * dbl("sy"))) /
+          (sqrt((col("n") * dbl("sxx")) - (dbl("sx") * dbl("sx"))) *
+           sqrt((col("n") * dbl("syy")) - (dbl("sy") * dbl("sy"))))).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (k, v) =>
+      assert(math.abs(v - builtin(k)) < 1e-9, s"flag $k: exact $v vs builtin ${builtin(k)}")
+      assert(v >= -1.0 && v <= 1.0)
+    }
+  }
+
+  test("min-gap thinning keeps spaced events and drops rapid-fire ones") {
+    val ns = 1000000000L
+    val ev = Seq(
+      (1L, 1L, 0L * ns), (2L, 1L, 10L * ns), (3L, 1L, 70L * ns),   // gap 10s dropped, 60s kept
+      (4L, 2L, 0L * ns), (5L, 2L, 60L * ns), (6L, 2L, 120L * ns))  // all kept
+      .toDF("event_id", "user_id", "ts")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val kept = ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(when(col("prev_ts").isNull ||
+        col("ts") - col("prev_ts") >= lit(60000000000L), lit(1))).as("n_kept"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_kept")).toMap
+    assert(kept === Map(1L -> 2L, 2L -> 3L))
+  }
+
   test("watermarked streaming agg runs (state-bounded variant)") {
     val agg = EventStream.hourlyAgg(EventStream.readEvents(spark, sfDir), withWatermark = true)
     val name = "wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
