@@ -977,6 +977,18 @@ object SparkEntry {
       .orderBy(col("l_returnflag").asc, col("wk").asc)
   }
 
+  /** Triangle participation per document over the near-dup pair graph
+    * ([[graft.operators.Graph.triangleCounts]]): the clustering-
+    * coefficient signal that separates true duplicate CLIQUES (every
+    * pair also pairs with each other) from chains of borderline
+    * matches. Consumes the same staged pair table as q58/q59 — no
+    * fingerprint recompute; edge-iterator wedge joins, no cross
+    * product (covered by the catalog-wide no-cartesian plan test). */
+  private def q96(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.triangleCounts(stagedSimhashPairs(s, dir), "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("n_triangles"))
+      .orderBy(col("doc_id").asc)
+
   /** Per-label embedding centroids (IVF coarse-quantizer shape). */
   private def q41(s: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroids(Sources.table(s, dir, "embeddings"))
@@ -1685,7 +1697,8 @@ object SparkEntry {
     "q92_exact_corr" -> (q92 _),
     "q93_null_safe_join" -> (q93 _),
     "q94_debounce" -> (q94 _),
-    "q95_wow_change" -> (q95 _))
+    "q95_wow_change" -> (q95 _),
+    "q96_triangles" -> (q96 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -2627,5 +2640,19 @@ object SparkEntry {
                  CAST(round(rev - prev, 2) AS DOUBLE) AS wow_delta,
                  floor(CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE)
                        * 1000000 + 0.5) / 1000000 AS wow_pct
-          FROM lg ORDER BY l_returnflag ASC, wk ASC""")
+          FROM lg ORDER BY l_returnflag ASC, wk ASC""",
+    // triangles a<b<c once each: wedge (a,m)+(m,c) closed by (a,c)
+    "q96_triangles" ->
+      s"""WITH $simhashCte,
+          prs AS (SELECT a.doc_id AS a, b.doc_id AS b
+                  FROM fpt a JOIN fpt b ON a.doc_id < b.doc_id
+                  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+          tri AS (SELECT e1.a AS x, e1.m AS y, e2.c AS z
+                  FROM (SELECT a, b AS m FROM prs) e1
+                  JOIN (SELECT a AS m, b AS c FROM prs) e2 USING (m)
+                  WHERE EXISTS (SELECT 1 FROM prs e3
+                                WHERE e3.a = e1.a AND e3.b = e2.c)),
+          nodes AS (SELECT unnest([x, y, z]) AS doc_id FROM tri)
+          SELECT doc_id, count(*) AS n_triangles
+          FROM nodes GROUP BY doc_id ORDER BY doc_id ASC""")
 }

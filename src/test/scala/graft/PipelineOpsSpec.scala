@@ -1263,6 +1263,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(kept === Map(1L -> 2L, 2L -> 3L))
   }
 
+  test("triangle counts: K4 gives every node 3 triangles; paths give none") {
+    // K4 on {1,2,3,4}: C(4,3)=4 triangles, each node in C(3,2)=3
+    val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L)).toDF("s","d")
+    val got = Graph.triangleCounts(k4, "s", "d")
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("n_triangles")).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // orientation-independence: reversed/duplicated edges change nothing
+    val messy = Seq((2L,1L),(1L,3L),(4L,1L),(3L,2L),(2L,4L),(3L,4L),(1L,2L)).toDF("s","d")
+    val got2 = Graph.triangleCounts(messy, "s", "d")
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("n_triangles")).toMap
+    assert(got2 === got)
+    val path = Seq((1L,2L),(2L,3L),(3L,4L)).toDF("s","d")
+    assert(Graph.triangleCounts(path, "s", "d").count() === 0)
+  }
+
+  test("bm25 index/search returns results identical to the one-shot scorer") {
+    val d = Sources.table(spark, sfDir, "documents")
+    val terms = Seq("spark", "join", "window", "merge")
+    val oneShot = Retrieval.bm25TopK(d, terms, k = 20).collect()
+    val viaIndex = Retrieval.bm25Search(Retrieval.bm25Index(d), terms, k = 20).collect()
+    assert(oneShot.length === viaIndex.length && oneShot.nonEmpty)
+    oneShot.zip(viaIndex).foreach { case (a, b) =>
+      assert(a.getAs[Long]("doc_id") === b.getAs[Long]("doc_id"))
+      assert(a.getAs[Long]("n_terms") === b.getAs[Long]("n_terms"))
+      assert(a.getAs[Double]("score") === b.getAs[Double]("score"))
+    }
+  }
+
   test("watermarked streaming agg runs (state-bounded variant)") {
     val agg = EventStream.hourlyAgg(EventStream.readEvents(spark, sfDir), withWatermark = true)
     val name = "wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
