@@ -989,6 +989,65 @@ object SparkEntry {
       .select(col("node").as("doc_id"), col("n_triangles"))
       .orderBy(col("doc_id").asc)
 
+  /** Benchmark decontamination ([[TextAnalysis.ngramContamination]]):
+    * src0 plays the held-out eval set, every other source is training
+    * data; 5-gram collisions flag leaked passages. The eval gram set is
+    * BROADCAST (benchmarks are MBs; the corpus is the 100 TB side), so
+    * the whole check is a map-side probe — only contaminated docs are
+    * reported. */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.ngramContamination(
+        d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"), n = 5)
+      .filter(col("n_contaminated") > 0)
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        Aggregates.round6Portable(col("contamination")).as("contamination"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Sequence-packing placement ([[graft.operators.Packing.packedSpans]]):
+    * concat-and-chunk each source's documents (doc_id order) into
+    * 256-token training chunks — per-doc token offset and the chunk ids
+    * it spans, in pure integral window arithmetic. One hash shuffle on
+    * source; groups pack independently (no global sequential stream). */
+  private def q98(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packedSpans(docs(s, dir), "source", "doc_id",
+        size(graft.functions.TextFns.tokens(col("text"))), capacity = 256)
+      .orderBy(col("source").asc, col("doc_id").asc)
+
+  /** Adjacent-token pair frequencies, global top 20
+    * ([[TextAnalysis.adjacentPairCounts]]) — the first BPE merge-step
+    * statistic. Generate → map-side combine → one reduced shuffle; the
+    * top-k runs on the |pairs| table via TakeOrderedAndProject. */
+  private def q99(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.adjacentPairCounts(docs(s, dir))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(20)
+
+  /** Token co-occurrence lift over the top-30-df vocabulary
+    * ([[TextAnalysis.cooccurrenceLift]]), pairs in ≥ 5 docs — the
+    * PMI-family association signal in engine-exact ratio form. Vocab is
+    * broadcast; per-doc pair fan-out is C(30,2)-bounded. */
+  private def q100(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.cooccurrenceLift(docs(s, dir), vocabSize = 30, minPairDf = 5L)
+      .select(col("tok_a"), col("tok_b"), col("df_a"), col("df_b"), col("df_ab"),
+        Aggregates.round6Portable(col("lift")).as("lift"))
+      .orderBy(col("tok_a").asc, col("tok_b").asc)
+
+  /** Fixed-point PageRank over the staged near-dup pair graph
+    * ([[graft.operators.Graph.pageRankFixedPoint]], 4 rounds, d=0.85,
+    * base 10¹²): which cluster member is the hub every other duplicate
+    * points at — a centrality-based canonical-pick signal. Integer
+    * micro-unit arithmetic end to end, so ranks are bit-identical
+    * across engines and partitionings (the oracle re-runs the same
+    * recurrence in SQL). Consumes the SAME staged pair table as
+    * q58/q59/q96 — no fingerprint recompute. */
+  private def q101(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.pageRankFixedPoint(
+        stagedSimhashPairs(s, dir), "doc_a", "doc_b", iterations = 4)
+      .select(col("n").as("doc_id"), col("rank_fp"))
+      .orderBy(col("doc_id").asc)
+
   /** Per-label embedding centroids (IVF coarse-quantizer shape). */
   private def q41(s: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroids(Sources.table(s, dir, "embeddings"))
@@ -1698,7 +1757,12 @@ object SparkEntry {
     "q93_null_safe_join" -> (q93 _),
     "q94_debounce" -> (q94 _),
     "q95_wow_change" -> (q95 _),
-    "q96_triangles" -> (q96 _))
+    "q96_triangles" -> (q96 _),
+    "q97_decontamination" -> (q97 _),
+    "q98_seq_packing" -> (q98 _),
+    "q99_bpe_pairs" -> (q99 _),
+    "q100_cooccur_lift" -> (q100 _),
+    "q101_pagerank" -> (q101 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -2654,5 +2718,91 @@ object SparkEntry {
                                 WHERE e3.a = e1.a AND e3.b = e2.c)),
           nodes AS (SELECT unnest([x, y, z]) AS doc_id FROM tri)
           SELECT doc_id, count(*) AS n_triangles
-          FROM nodes GROUP BY doc_id ORDER BY doc_id ASC""")
+          FROM nodes GROUP BY doc_id ORDER BY doc_id ASC""",
+    "q97_decontamination" ->
+      s"""WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+                      FROM documents),
+          g AS (SELECT doc_id, source, array_to_string(toks[p:p+4], ' ') AS ngram
+                FROM (SELECT doc_id, source, toks,
+                             unnest(range(1, len(toks) - 3)) AS p
+                      FROM tk WHERE len(toks) >= 5)),
+          ev AS (SELECT DISTINCT ngram FROM g WHERE source = 'src0'),
+          tr AS (SELECT DISTINCT doc_id, ngram FROM g WHERE source != 'src0'),
+          agg AS (SELECT tr.doc_id, count(*) AS n_grams,
+                         count(ev.ngram) AS n_contaminated
+                  FROM tr LEFT JOIN ev ON tr.ngram = ev.ngram
+                  GROUP BY tr.doc_id)
+          SELECT doc_id, n_grams, n_contaminated,
+                 floor(CAST(n_contaminated AS DOUBLE) / n_grams
+                       * 1000000 + 0.5) / 1000000 AS contamination
+          FROM agg WHERE n_contaminated > 0 ORDER BY doc_id ASC""",
+    "q98_seq_packing" ->
+      s"""WITH t AS (SELECT source, doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                     FROM documents),
+          o AS (SELECT *, coalesce(sum(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS tok_offset FROM t)
+          SELECT source, doc_id, n_tokens,
+                 CAST(tok_offset AS BIGINT) AS tok_offset,
+                 CAST(tok_offset // 256 AS BIGINT) AS first_chunk,
+                 CAST((tok_offset + n_tokens - 1) // 256 AS BIGINT) AS last_chunk
+          FROM o ORDER BY source ASC, doc_id ASC""",
+    "q99_bpe_pairs" ->
+      s"""WITH tk AS (SELECT string_split(text, ' ') AS toks FROM documents),
+          p AS (SELECT array_to_string(toks[p:p+1], ' ') AS pair
+                FROM (SELECT toks, unnest(range(1, len(toks))) AS p
+                      FROM tk WHERE len(toks) >= 2))
+          SELECT pair, count(*) AS n FROM p GROUP BY pair
+          ORDER BY n DESC, pair ASC LIMIT 20""",
+    "q100_cooccur_lift" ->
+      s"""WITH dt AS (SELECT DISTINCT doc_id, tok FROM
+                        (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                         FROM documents)),
+          dfq AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok),
+          voc AS (SELECT tok, df FROM
+                    (SELECT *, row_number() OVER (ORDER BY df DESC, tok ASC)
+                       AS rn FROM dfq) WHERE rn <= 30),
+          vt AS (SELECT dt.doc_id, dt.tok, voc.df FROM dt JOIN voc USING (tok)),
+          nn AS (SELECT count(*) AS n_docs FROM documents),
+          pr AS (SELECT a.tok AS tok_a, b.tok AS tok_b,
+                        a.df AS df_a, b.df AS df_b, count(*) AS df_ab
+                 FROM vt a JOIN vt b
+                   ON a.doc_id = b.doc_id AND a.tok < b.tok
+                 GROUP BY 1, 2, 3, 4)
+          SELECT tok_a, tok_b, df_a, df_b, df_ab,
+                 floor(CAST(df_ab * nn.n_docs AS DOUBLE)
+                       / CAST(df_a * df_b AS DOUBLE) * 1000000 + 0.5) / 1000000
+                   AS lift
+          FROM pr, nn WHERE df_ab >= 5 ORDER BY tok_a ASC, tok_b ASC""",
+    "q101_pagerank" -> pagerankOracle)
+
+  /** 4 unrolled fixed-point PageRank rounds over the simhash pair graph
+    * — the identical integer recurrence [[graft.operators.Graph
+    * .pageRankFixedPoint]] runs (base 10¹², d = 85%): rᵢ₊₁(v) =
+    * 15·(base div N) div 100 + 85·(Σ rᵢ(u) div deg(u)) div 100. Pure
+    * integral arithmetic on both engines ⇒ bit-equal ranks. */
+  private def pagerankOracle: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""c$i AS (SELECT ed.m AS node, sum(r${i - 1}.r // deg.deg) AS s
+                  FROM ed JOIN r${i - 1} ON ed.n = r${i - 1}.node
+                          JOIN deg ON deg.n = ed.n
+                  GROUP BY ed.m),
+          r$i AS (SELECT node, (15 * (1000000000000 // nn.c)) // 100
+                        + (85 * s) // 100 AS r FROM c$i, nn)"""
+    }.mkString(",\n          ")
+    s"""WITH $simhashCte,
+        prs AS (SELECT a.doc_id AS da, b.doc_id AS db
+                FROM fpt a JOIN fpt b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        ed AS (SELECT da AS n, db AS m FROM prs
+               UNION SELECT db AS n, da AS m FROM prs),
+        deg AS (SELECT n, count(*) AS deg FROM ed GROUP BY n),
+        nn AS (SELECT count(*) AS c FROM deg),
+        r0 AS (SELECT deg.n AS node, 1000000000000 // nn.c AS r FROM deg, nn),
+        $rounds
+        SELECT CAST(node AS BIGINT) AS doc_id, CAST(r AS BIGINT) AS rank_fp
+        FROM r4 ORDER BY doc_id ASC"""
+  }
 }

@@ -264,6 +264,66 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** PageRank over an undirected edge list in FIXED-POINT integer
+    * arithmetic — node centrality for the near-dup graph (which member
+    * of a duplicate cluster is the "canonical hub"?) and any other
+    * entity graph a pipeline derives. Ranks are maintained as integer
+    * micro-units of `base` (default 10¹²), every step pure integral
+    * `div`/`*`/`+`: unlike double-accumulated PageRank, the result is
+    * bit-identical under ANY partition count, merge order, or engine —
+    * the same order-independence discipline as the exact-decimal
+    * aggregates, achieved here with `sum(LONG)` instead of decimals
+    * because the iteration itself must re-consume the values.
+    *
+    *   r₀ = base div N
+    *   rᵢ₊₁(v) = (100−d)·(base div N) div 100
+    *             + d·(Σ_{u∈Γ(v)} rᵢ(u) div deg(u)) div 100
+    *
+    * (d = damping percent, integer). Truncation loses ≤ deg(u) + 2
+    * micro-units per node per round — bounded, deterministic, and
+    * irrelevant at base 10¹². No dangling-mass term: on a symmetrized
+    * graph every node has deg ≥ 1. Per round: one join on the
+    * pre-partitioned edge table + one hash agg — the standard
+    * distributed PageRank shape, nothing on the driver except the
+    * initial node count (one scalar).
+    *
+    * Output: (`n`, `rank_fp`) with rank_fp in micro-units; divide by
+    * `base` for the probability. Σ rank_fp ≤ base (truncation only
+    * ever loses mass). */
+  def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+                         iterations: Int, base: Long = 1000000000000L,
+                         dampingPct: Int = 85,
+                         checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations >= 0 && dampingPct >= 0 && dampingPct <= 100 && base > 0,
+      "iterations >= 0, dampingPct in [0,100], base > 0")
+    // cut before symmetrizing: the union consumes the upstream pair
+    // pipeline twice otherwise (same reasoning as connectedComponents)
+    val e1 = cut(edges.select(col(srcCol).as("n"), col(dstCol).as("m"))
+      .filter(col("n") =!= col("m")).distinct(), checkpointDir)
+    val sym = e1.union(e1.select(col("m").as("n"), col("n").as("m")))
+    val deg = sym.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // edges partitioned once on the rank-join key; every round reuses
+    // the exchange instead of reshuffling the (large) edge side
+    val symPart = cut(sym.repartition(col("n")), checkpointDir)
+    val nNodes = deg.count() // one scalar to size r0; the only collect
+    if (nNodes == 0)
+      return deg.select(col("n"), col("deg").cast("long").as("rank_fp")).limit(0)
+    val r0 = base / nNodes
+    val teleport = (100L - dampingPct) * r0 / 100L
+    var ranks = deg.select(col("n"), lit(r0).as("r"))
+    for (_ <- 1 to iterations) {
+      val contrib = symPart
+        .join(ranks.join(deg, "n").select(col("n"), expr("r div deg").as("c")), "n")
+        .groupBy(col("m")).agg(sum(col("c")).as("s"))
+      // every node receives ≥ 1 contribution (deg ≥ 1 on the
+      // symmetrized graph), so contrib covers the full node set
+      ranks = cut(contrib.select(col("m").as("n"),
+        (lit(teleport) + expr(s"($dampingPct * s) div 100")).as("r")),
+        checkpointDir)
+    }
+    ranks.select(col("n"), col("r").as("rank_fp"))
+  }
+
   /** The dedup application of [[connectedComponents]]: given documents
     * and near-dup candidate pairs, keep each component's smallest
     * doc id as canonical and return the surviving corpus (canonical

@@ -179,4 +179,102 @@ object TextAnalysis {
       !(col("too_short") || col("low_stopword") ||
         col("high_repetition") || col("lang_mismatch")))
   }
+
+  /** Word n-grams as rows: (doc_id, ngram) with the gram joined by
+    * single spaces, one row per POSITION (duplicates preserved —
+    * callers wanting per-doc gram SETS apply `.distinct()`). Same
+    * generate+slice shape as [[chunkTokens]]: `sequence` enumerates
+    * start positions, `slice` cuts the window — codegen'd end to end,
+    * zero shuffles, output ≈ |tokens| rows per doc. Documents shorter
+    * than n tokens emit nothing (no gram exists; `sequence` would
+    * reject the descending bound). */
+  def wordNgrams(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    val toks = tokens(col("text"))
+    docs.select(col("doc_id"), toks.as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("__toks")) - (n - 1))).as("__p"),
+        col("__toks"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("__toks"), col("__p"), lit(n))).as("ngram"))
+  }
+
+  /** Benchmark decontamination: per training document, how many of its
+    * distinct word n-grams also appear anywhere in the EVAL corpus —
+    * the overlap check every serious pretraining pipeline runs so test
+    * sets don't leak into training data (the GPT-3/C4-style n-gram
+    * collision rule). Output: (doc_id, n_grams, n_contaminated,
+    * contamination ∈ [0,1]).
+    *
+    * Scale shape: the eval side is benchmark-sized (MBs) while train is
+    * the 100 TB corpus, so the distinct eval-gram set is BROADCAST and
+    * the whole check is a map-side hash probe over one generate pass —
+    * no shuffle of the corpus at all; the only wide op is the per-doc
+    * count agg. Train docs shorter than n tokens have no grams and drop
+    * out (callers treat absent = 0 overlap). */
+  def ngramContamination(train: DataFrame, evalDocs: DataFrame, n: Int): DataFrame = {
+    val evalGrams = broadcast(
+      wordNgrams(evalDocs, n).select(col("ngram")).distinct()
+        .withColumn("__hit", lit(1L)))
+    wordNgrams(train, n).distinct()
+      .join(evalGrams, Seq("ngram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("__hit")).as("n_contaminated"))
+      .withColumn("contamination", col("n_contaminated") / col("n_grams"))
+  }
+
+  /** Corpus-wide adjacent-token pair frequencies — the statistic behind
+    * the first BPE merge step (which pair to fuse next) and a cheap
+    * collocation signal. [[wordNgrams]] at n = 2 feeding one hash agg:
+    * generate → partial count → final count, the canonical map-side-
+    * combine shape (pair cardinality ≪ pair occurrences, so the
+    * shuffle carries the reduced table). */
+  def adjacentPairCounts(docs: DataFrame): DataFrame =
+    wordNgrams(docs, 2)
+      .groupBy(col("ngram").as("pair"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Token co-occurrence LIFT over a bounded vocabulary: for the
+    * `vocabSize` highest-document-frequency tokens (ties broken by
+    * token), every pair appearing together in ≥ `minPairDf` documents,
+    * scored lift = N·df(a,b) / (df(a)·df(b)) — the association measure
+    * PMI is the log of, kept in the ratio domain so the arithmetic is
+    * integer-product + one correctly-rounded double division (`log`
+    * is a libm call with no cross-engine rounding guarantee; the ratio
+    * is engine-exact and order-isomorphic to PMI).
+    *
+    * Scale shape: the vocabulary is top-k-bounded and BROADCAST, so the
+    * corpus scan reduces each document to its ≤ vocabSize member
+    * tokens before the self-join on doc_id — pair fan-out is
+    * ≤ C(vocabSize, 2) per document by construction, never |tokens|².
+    * The global top-k window runs on the |vocab| ≪ |corpus| df table. */
+  def cooccurrenceLift(docs: DataFrame, vocabSize: Int, minPairDf: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dt = docs.select(col("doc_id"),
+      explode(array_distinct(tokens(col("text")))).as("tok"))
+    val dfTab = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // post-agg global window over |distinct tokens| rows (same class as
+    // the Pareto ranks — never over the corpus scan)
+    val vocab = dfTab
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("df").desc, col("tok").asc)))
+      .filter(col("__rn") <= vocabSize).drop("__rn")
+    val vt = dt.join(broadcast(vocab), "tok")
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    vt.select(col("doc_id"), col("tok").as("tok_a"), col("df").as("df_a"))
+      .join(vt.select(col("doc_id"), col("tok").as("tok_b"), col("df").as("df_b")),
+        "doc_id")
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b"), col("df_a"), col("df_b"))
+      .agg(count(lit(1)).as("df_ab"))
+      .filter(col("df_ab") >= minPairDf)
+      .crossJoin(nDocs)
+      // exact integer products (≤ 2⁵³ for any df ≤ n_docs ≤ ~9·10⁷ per
+      // side at once — far past benchmark vocab scale), one correctly-
+      // rounded IEEE division: identical in every engine
+      .withColumn("lift", (col("df_ab") * col("n_docs")).cast("double") /
+        (col("df_a") * col("df_b")).cast("double"))
+  }
 }

@@ -1300,4 +1300,84 @@ class PipelineOpsSpec extends AnyFunSuite {
     // all but the final windows close
     assert(spark.table(name).count() > 0)
   }
+
+  test("wordNgrams emits every positional n-gram; short docs emit none") {
+    val d = docsOf(1L -> "a b c d", 2L -> "x")
+    val grams = TextAnalysis.wordNgrams(d, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(grams.toSet === Set((1L, "a b"), (1L, "b c"), (1L, "c d")))
+    // duplicates preserved per POSITION
+    val rep = TextAnalysis.wordNgrams(docsOf(3L -> "a b a b a"), 2)
+      .collect().map(_.getString(1))
+    assert(rep.sorted.toSeq === Seq("a b", "a b", "b a", "b a"))
+  }
+
+  test("ngram contamination: leaked passage flagged, clean doc absent") {
+    val evalSet = docsOf(100L -> "the quick brown fox jumps over the lazy dog")
+    val train = docsOf(
+      1L -> "intro text then the quick brown fox jumps over the fence", // shares 5-grams
+      2L -> "completely unrelated content with no overlap at all here")
+    val out = TextAnalysis.ngramContamination(train, evalSet, 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_contaminated"))).toMap
+    // doc 1 shares "the quick brown fox jumps", "quick brown fox jumps
+    // over" and "brown fox jumps over the" verbatim with the eval doc
+    assert(out(1L)._2 === 3L)
+    assert(out(2L)._2 === 0L)
+    assert(out(1L)._1 === 7L) // 11 tokens → 7 distinct 5-grams
+  }
+
+  test("packedSpans: offsets accumulate in order, chunk spans cross boundaries") {
+    val d = Seq(("s", 1L, 100L), ("s", 2L, 200L), ("s", 3L, 30L),
+                ("t", 9L, 300L))
+      .toDF("source", "doc_id", "n_tokens")
+    val out = Packing.packedSpans(d, "source", "doc_id", col("n_tokens"), 128)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Long]("tok_offset"), r.getAs[Long]("first_chunk"),
+         r.getAs[Long]("last_chunk"))).toMap
+    assert(out(("s", 1L)) === ((0L, 0L, 0L)))    // [0, 100)   → chunk 0
+    assert(out(("s", 2L)) === ((100L, 0L, 2L)))  // [100, 300) → chunks 0-2
+    assert(out(("s", 3L)) === ((300L, 2L, 2L)))  // [300, 330) → chunk 2
+    assert(out(("t", 9L)) === ((0L, 0L, 2L)))    // groups pack independently
+  }
+
+  test("adjacent pair counts preserve multiplicity and direction") {
+    val out = TextAnalysis.adjacentPairCounts(docsOf(1L -> "a b a b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a b" -> 2L, "b a" -> 1L))
+  }
+
+  test("cooccurrence lift: perfectly coupled tokens score n_docs/df") {
+    // x and y always co-occur (2 of 4 docs); z co-occurs with them once
+    val d = docsOf(1L -> "x y p q", 2L -> "x y z r", 3L -> "z s t u", 4L -> "v w s p")
+    val out = TextAnalysis.cooccurrenceLift(d, vocabSize = 50, minPairDf = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("df_ab"), r.getAs[Double]("lift"))).toMap
+    // lift(x,y) = N·df_ab/(df_a·df_b) = 4·2/(2·2) = 2.0
+    assert(out(("x", "y")) === ((2L, 2.0)))
+    // lift(x,z) = 4·1/(2·2) = 1.0 (independent-looking)
+    assert(out(("x", "z")) === ((1L, 1.0)))
+  }
+
+  test("cooccurrence lift: vocabulary bound caps the pair universe") {
+    val d = Sources.table(spark, sfDir, "documents")
+    val vocabOnly = TextAnalysis.cooccurrenceLift(d, vocabSize = 10, minPairDf = 1L)
+      .select(explode(array(col("tok_a"), col("tok_b"))).as("t")).distinct().count()
+    assert(vocabOnly <= 10)
+  }
+
+  test("fixed-point pagerank: symmetric clique stays uniform; path centers rank higher") {
+    val clique = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val cr = Graph.pageRankFixedPoint(clique, "a", "b", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cr.values.toSet.size === 1, s"clique must stay uniform: $cr")
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val pr = Graph.pageRankFixedPoint(path, "a", "b", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr(2L) > pr(1L) && pr(1L) === pr(3L),
+      s"path center must outrank symmetric ends: $pr")
+    // truncation only ever LOSES mass, and not much of it
+    val total = pr.values.sum
+    assert(total <= 1000000000000L && total > 990000000000L)
+  }
 }
