@@ -1048,6 +1048,54 @@ object SparkEntry {
       .select(col("n").as("doc_id"), col("rank_fp"))
       .orderBy(col("doc_id").asc)
 
+  /** Full regression line per return flag ([[SlopeOLS.fitLineExact]]):
+    * slope AND intercept AND R² of price~quantity from exact decimal
+    * moments — the q92 order-free discipline applied to the whole fit,
+    * one hash agg on the fact scan. */
+  private def q102(s: SparkSession, dir: String): DataFrame =
+    SlopeOLS.fitLineExact(Sources.table(s, dir, "lineitem"),
+        Seq("l_returnflag"), col("l_quantity"), col("l_extendedprice"), minN = 1)
+      .select(col("l_returnflag"), col("n_obs"),
+        Aggregates.round6Portable(col("slope")).as("slope"),
+        Aggregates.round6Portable(col("intercept")).as("intercept"),
+        Aggregates.round6Portable(col("r2")).as("r2"))
+      .orderBy(col("l_returnflag").asc)
+
+  /** Per-document token diversity as Gini impurity
+    * ([[TextAnalysis.tokenGini]]): unigram concentration in pure
+    * rational arithmetic (no `log`, engine-exact) — the entropy-family
+    * quality signal next to q51's 3-gram repetition ratio. */
+  private def q103(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenGini(docs(s, dir))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        Aggregates.round6Portable(col("gini")).as("gini"))
+      .orderBy(col("doc_id").asc)
+
+  /** Pairwise source-vocabulary Jaccard
+    * ([[TextAnalysis.vocabJaccardMatrix]]): which corpus slices are
+    * near-mirrors, from exact integer set sizes over the inverted
+    * (source, token) index — C(20,2) output rows at any corpus scale. */
+  private def q104(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabJaccardMatrix(docs(s, dir), "source")
+      .select(col("g_a"), col("g_b"), col("size_a"), col("size_b"),
+        col("n_common"),
+        Aggregates.round6Portable(col("jaccard")).as("jaccard"))
+      .orderBy(col("g_a").asc, col("g_b").asc)
+
+  /** Two-sample KS drift statistic ([[Aggregates.ks2Sample]]): view vs
+    * click value distributions, cumulative counts via the two-level
+    * (bucketed) prefix sum — no global-order window over the data —
+    * and the max taken on integer cross-multiplied deviations, so the
+    * extremum is engine-exact. */
+  private def q105(s: SparkSession, dir: String): DataFrame =
+    Aggregates.ks2Sample(
+        cleanEvents(s, dir).filter(col("event_type").isin("view", "click")),
+        col("value"), col("event_type") === "view",
+        v => floor(v).cast("long"))
+      .select(col("n_a"), col("n_b"),
+        Aggregates.round6Portable(col("ks_d")).as("ks_d"))
+      .orderBy(col("n_a").asc)
+
   /** Per-label embedding centroids (IVF coarse-quantizer shape). */
   private def q41(s: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroids(Sources.table(s, dir, "embeddings"))
@@ -1762,7 +1810,11 @@ object SparkEntry {
     "q98_seq_packing" -> (q98 _),
     "q99_bpe_pairs" -> (q99 _),
     "q100_cooccur_lift" -> (q100 _),
-    "q101_pagerank" -> (q101 _))
+    "q101_pagerank" -> (q101 _),
+    "q102_line_fit" -> (q102 _),
+    "q103_token_gini" -> (q103 _),
+    "q104_vocab_jaccard" -> (q104 _),
+    "q105_ks_drift" -> (q105 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -2776,7 +2828,85 @@ object SparkEntry {
                        / CAST(df_a * df_b AS DOUBLE) * 1000000 + 0.5) / 1000000
                    AS lift
           FROM pr, nn WHERE df_ab >= 5 ORDER BY tok_a ASC, tok_b ASC""",
-    "q101_pagerank" -> pagerankOracle)
+    "q101_pagerank" -> pagerankOracle,
+    "q102_line_fit" ->
+      s"""WITH m AS (
+            SELECT l_returnflag, count(*) AS n_obs,
+                   sum(CAST(l_quantity AS DECIMAL(38,12))) AS sx,
+                   sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS sy,
+                   sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,12))) AS sxy,
+                   sum(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS sxx,
+                   sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12))) AS syy
+            FROM lineitem GROUP BY 1),
+          c AS (SELECT l_returnflag, n_obs,
+                  (n_obs * CAST(sxy AS DOUBLE))
+                    - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) AS cn,
+                  (n_obs * CAST(sxx AS DOUBLE))
+                    - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS vxn,
+                  (n_obs * CAST(syy AS DOUBLE))
+                    - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS vyn,
+                  CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+                FROM m),
+          sl AS (SELECT *, CASE WHEN vxn = 0 THEN NULL ELSE cn / vxn END AS slope
+                 FROM c)
+          SELECT l_returnflag, n_obs,
+                 floor(slope * 1000000 + 0.5) / 1000000 AS slope,
+                 floor((syd - slope * sxd) / n_obs * 1000000 + 0.5) / 1000000
+                   AS intercept,
+                 CASE WHEN vxn = 0 OR vyn = 0 THEN NULL
+                      ELSE floor((cn * cn) / (vxn * vyn) * 1000000 + 0.5) / 1000000
+                 END AS r2
+          FROM sl ORDER BY l_returnflag ASC""",
+    "q103_token_gini" ->
+      s"""WITH tc AS (SELECT doc_id, tok, count(*) AS c FROM
+                        (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                         FROM documents) GROUP BY 1, 2),
+          m AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+                       sum(c * c) AS ssq
+                FROM tc GROUP BY 1)
+          SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_distinct,
+                 floor((1.0 - CAST(ssq AS DOUBLE)
+                              / CAST(n_tokens * n_tokens AS DOUBLE))
+                       * 1000000 + 0.5) / 1000000 AS gini
+          FROM m ORDER BY doc_id ASC""",
+    "q104_vocab_jaccard" ->
+      s"""WITH gt AS (SELECT DISTINCT g, tok FROM
+                        (SELECT source AS g,
+                                unnest(string_split(text, ' ')) AS tok
+                         FROM documents)),
+          sz AS (SELECT g, count(*) AS vsize FROM gt GROUP BY 1),
+          it AS (SELECT a.g AS g_a, b.g AS g_b, count(*) AS n_common
+                 FROM gt a JOIN gt b ON a.tok = b.tok AND a.g < b.g
+                 GROUP BY 1, 2)
+          SELECT g_a, g_b, sa.vsize AS size_a, sb.vsize AS size_b, n_common,
+                 floor(CAST(n_common AS DOUBLE)
+                       / CAST(sa.vsize + sb.vsize - n_common AS DOUBLE)
+                       * 1000000 + 0.5) / 1000000 AS jaccard
+          FROM it JOIN sz sa ON it.g_a = sa.g JOIN sz sb ON it.g_b = sb.g
+          ORDER BY g_a ASC, g_b ASC""",
+    // the oracle's one global-order cumulative window is the semantic
+    // spec; the engine side replaces it with the two-level bucketed
+    // prefix sum (Aggregates.ks2Sample)
+    "q105_ks_drift" ->
+      s"""WITH f AS (SELECT value AS v,
+                       count(CASE WHEN event_type = 'view' THEN 1 END) AS ca,
+                       count(CASE WHEN event_type = 'click' THEN 1 END) AS cb
+                     FROM events
+                     WHERE $sqlClean AND event_type IN ('view', 'click')
+                     GROUP BY value),
+          c AS (SELECT sum(ca) OVER w AS a, sum(cb) OVER w AS b FROM f
+                WINDOW w AS (ORDER BY v ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          t AS (SELECT max(a) AS n_a, max(b) AS n_b FROM c),
+          d AS (SELECT max(abs(CAST(a AS DECIMAL(38,0)) * t.n_b
+                               - CAST(b AS DECIMAL(38,0)) * t.n_a)) AS dnum,
+                       t.n_a, t.n_b
+                FROM c, t GROUP BY t.n_a, t.n_b)
+          SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                 floor(CAST(dnum AS DOUBLE)
+                       / CAST(CAST(n_a AS DECIMAL(38,0)) * n_b AS DOUBLE)
+                       * 1000000 + 0.5) / 1000000 AS ks_d
+          FROM d ORDER BY n_a ASC""")
 
   /** 4 unrolled fixed-point PageRank rounds over the simhash pair graph
     * — the identical integer recurrence [[graft.operators.Graph

@@ -181,6 +181,66 @@ object Aggregates {
     }.reduce(_ unionByName _)
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic, fully distributed:
+    * D = max over v of |F_A(v) − F_B(v)| between the empirical CDFs of
+    * the rows where `sideA` is true vs false — the standard drift test
+    * between two value distributions (today's corpus vs yesterday's,
+    * source A vs source B).
+    *
+    * Determinism: the max is taken over the INTEGER cross-multiplied
+    * form |a·n_B − b·n_A| (a, b = cumulative counts) at DECIMAL(38,0),
+    * so the extremum and the final single division are engine-exact —
+    * no double accumulation anywhere.
+    *
+    * Scale shape — the cumulative counts use a two-level prefix sum
+    * instead of one global-order window (which would move every
+    * distinct value through ONE partition): values bucket by
+    * `bucketOf(v)` (any monotone coarsening, e.g. floor(v)); cumsums
+    * run per-bucket in parallel windows, then per-bucket totals (one
+    * tiny |buckets|-row global window) provide each bucket's starting
+    * offset. The only growth axis is |buckets| — value-range-bounded,
+    * not data-bounded.
+    *
+    * Output: one row (n_a, n_b, ks_d). NULL/NaN rows must be filtered
+    * by the caller (CDFs are over observed values). */
+  def ks2Sample(df: DataFrame, value: Column, sideA: Column,
+                bucketOf: Column => Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val per = df
+      .select(value.as("v"), sideA.as("__a"))
+      .groupBy(col("v"))
+      .agg(count(when(col("__a"), 1)).as("ca"),
+        count(when(!col("__a"), 1)).as("cb"))
+      .withColumn("bk", bucketOf(col("v")))
+    // level 1: within-bucket running counts (parallel across buckets)
+    val wIn = Window.partitionBy(col("bk")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val inner = per
+      .withColumn("ia", sum(col("ca")).over(wIn))
+      .withColumn("ib", sum(col("cb")).over(wIn))
+    // level 2: bucket offsets from the |buckets|-row totals table
+    val wBk = Window.orderBy(col("bk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = per.groupBy(col("bk"))
+      .agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+      .withColumn("oa", coalesce(sum(col("ta")).over(wBk), lit(0L)))
+      .withColumn("ob", coalesce(sum(col("tb")).over(wBk), lit(0L)))
+      .select(col("bk"), col("oa"), col("ob"))
+    val cum = inner.join(broadcast(offsets), "bk")
+      .select((col("ia") + col("oa")).as("a"), (col("ib") + col("ob")).as("b"))
+    val tot = broadcast(cum.agg(max(col("a")).as("n_a"), max(col("b")).as("n_b")))
+    cum.crossJoin(tot)
+      .select(abs(col("a").cast(d38) * col("n_b") -
+        col("b").cast(d38) * col("n_a")).as("dnum"),
+        col("n_a"), col("n_b"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("dnum")).as("__dnum"))
+      .select(col("n_a"), col("n_b"),
+        (col("__dnum").cast("double") /
+          (col("n_a").cast(d38) * col("n_b")).cast("double")).as("ks_d"))
+  }
+
   /** Integrity audit over any table: total rows, per-column distinct counts
     * and missing(null-or-NaN) counts — the engine analog of the reference's
     * check_counts.py (reference: src/ingest/check_counts.py:19-44). */

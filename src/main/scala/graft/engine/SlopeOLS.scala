@@ -41,6 +41,47 @@ object SlopeOLS {
       when(varX === 0d, lit(null)).otherwise(covXY / varX))
   }
 
+  /** Full line fit — slope, intercept AND R² — from EXACT decimal
+    * moments (the q92 discipline applied to regression): the five Σs
+    * accumulate at DECIMAL(38,12), so the aggregation is order-free
+    * under any partial-merge schedule, and the closed-form combination
+    * runs in doubles with a fixed operand order (±, ×, ÷ are IEEE-
+    * correctly-rounded ⇒ engine-identical). Degenerate groups guard to
+    * NULL: vertical lines (var x = 0) have no slope; R² is NULL when
+    * either variance is 0 (constant y fits trivially; the ratio is
+    * 0/0). Same single hash-agg shape as [[slopeByMoments]] — O(1)
+    * state per group, one shuffle. */
+  def fitLineExact(df: DataFrame, keys: Seq[String], x: Column, y: Column,
+                   minN: Long): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val xd = x.cast("double")
+    val yd = y.cast("double")
+    val m = df
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum(xd.cast(d38)).as("sx"),
+        sum(yd.cast(d38)).as("sy"),
+        sum((xd * yd).cast(d38)).as("sxy"),
+        sum((xd * xd).cast(d38)).as("sxx"),
+        sum((yd * yd).cast(d38)).as("syy"))
+      .filter(col("n_obs") >= minN)
+    def dbl(c: String) = col(c).cast("double")
+    // n·Σxy − Σx·Σy and n·Σxx − Σx² (= n²·cov, n²·var): the standard
+    // cross-multiplied forms, exact decimals until the double cast
+    val covN = (col("n_obs") * dbl("sxy")) - (dbl("sx") * dbl("sy"))
+    val varXN = (col("n_obs") * dbl("sxx")) - (dbl("sx") * dbl("sx"))
+    val varYN = (col("n_obs") * dbl("syy")) - (dbl("sy") * dbl("sy"))
+    m.withColumn("slope", when(varXN === 0d, lit(null)).otherwise(covN / varXN))
+      .withColumn("intercept",
+        when(varXN === 0d, lit(null))
+          .otherwise((dbl("sy") - col("slope") * dbl("sx")) / col("n_obs")))
+      .withColumn("r2",
+        when(varXN === 0d || varYN === 0d, lit(null))
+          .otherwise((covN * covN) / (varXN * varYN)))
+      .drop("sx", "sy", "sxy", "sxx", "syy")
+  }
+
   /** Built-in-aggregate form: covar_pop/var_pop are the 1:1 Catalyst
     * built-ins for the same math (SURVEY.md §2.4). */
   def slopeByCovar(df: DataFrame, keys: Seq[String], x: Column, y: Column,

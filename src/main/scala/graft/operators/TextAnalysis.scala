@@ -277,4 +277,57 @@ object TextAnalysis {
       .withColumn("lift", (col("df_ab") * col("n_docs")).cast("double") /
         (col("df_a") * col("df_b")).cast("double"))
   }
+
+  /** Per-document token DIVERSITY as Gini impurity: 1 − Σᵢ(cᵢ/T)² over
+    * the token frequency distribution (cᵢ = count of token i, T total
+    * tokens). The entropy-family repetitiveness signal — low diversity
+    * = the doc hammers few tokens — chosen in the Gini form because it
+    * is pure RATIONAL arithmetic: Σcᵢ² and T are exact integers, the
+    * single division is IEEE-correctly-rounded, so the score is
+    * engine-exact (Shannon entropy would drag in `log`, a libm call
+    * with no cross-engine rounding guarantee). Complements
+    * [[repetitionRatio]] (3-gram structure) with unigram concentration.
+    * Two hash aggs keyed by doc: explode → per-(doc,token) count →
+    * per-doc moment — both map-side combinable. */
+  def tokenGini(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("__ssq"))
+      .withColumn("gini", lit(1.0) - col("__ssq").cast("double") /
+        (col("n_tokens") * col("n_tokens")).cast("double"))
+      .drop("__ssq")
+
+  /** Pairwise vocabulary Jaccard between corpus slices (sources,
+    * languages, snapshots): |Vₐ ∩ V_b| / |Vₐ ∪ V_b| for every unordered
+    * group pair — the corpus-audit matrix that shows which sources are
+    * near-mirrors of each other BEFORE any per-document dedup runs.
+    * Exact integer set sizes, one final correctly-rounded division.
+    *
+    * Scale shape: the (group, token) distinct table is the inverted
+    * index; the self-join on token fans out |groups-sharing-token|² per
+    * token, bounded by |groups|² — groups are sources/shards (hundreds,
+    * not millions), so the pair table is tiny even when the corpus is
+    * 100 TB. Stopword-class tokens dominate the join input; a df cap
+    * (drop tokens present in every group — they contribute to every
+    * intersection equally) is the standard trim if |groups| grows. */
+  def vocabJaccardMatrix(docs: DataFrame, groupCol: String): DataFrame = {
+    val gt = docs.select(col(groupCol).as("g"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      .distinct()
+    val sizes = gt.groupBy(col("g")).agg(count(lit(1)).as("vsize"))
+    val inter = gt.select(col("g").as("g_a"), col("tok"))
+      .join(gt.select(col("g").as("g_b"), col("tok")), "tok")
+      .filter(col("g_a") < col("g_b"))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("g").as("g_a"), col("vsize").as("size_a")), "g_a")
+      .join(sizes.select(col("g").as("g_b"), col("vsize").as("size_b")), "g_b")
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("size_a") + col("size_b") - col("n_common")).cast("double"))
+  }
 }

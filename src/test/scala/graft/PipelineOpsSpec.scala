@@ -1366,6 +1366,80 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(vocabOnly <= 10)
   }
 
+  test("fitLineExact recovers a perfect line; degenerate x yields NULLs") {
+    import graft.engine.SlopeOLS
+    val pts = Seq(("g", 1.0, 3.0), ("g", 2.0, 5.0), ("g", 3.0, 7.0),
+                  ("v", 2.0, 1.0), ("v", 2.0, 9.0)) // vertical: var x = 0
+      .toDF("k", "x", "y")
+    val fit = SlopeOLS.fitLineExact(pts, Seq("k"), col("x"), col("y"), minN = 1)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(r.fieldIndex("slope"))), Option(r.get(r.fieldIndex("intercept"))),
+         Option(r.get(r.fieldIndex("r2"))))).toMap
+    assert(fit("g") === ((Some(2.0), Some(1.0), Some(1.0)))) // y = 2x + 1 exactly
+    assert(fit("v") === ((None, None, None)))
+  }
+
+  test("token gini: concentration lowers diversity; uniform tokens maximize it") {
+    val out = TextAnalysis.tokenGini(docsOf(
+        1L -> "a a b",       // p = (2/3, 1/3) → 1 − 5/9
+        2L -> "a b c",       // uniform → 1 − 3/9
+        3L -> "a a a a"))    // single token → 0
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct"),
+         r.getAs[Double]("gini"))).toMap
+    assert(out(1L) === ((3L, 2L, 1.0 - 5.0 / 9.0)))
+    assert(out(2L) === ((3L, 3L, 1.0 - 3.0 / 9.0)))
+    assert(out(3L) === ((4L, 1L, 0.0)))
+  }
+
+  test("vocab jaccard: overlap ratio from exact set sizes") {
+    val d = Seq((1L, "a b c d", "s1"), (2L, "c d e f", "s2"), (3L, "x y", "s3"))
+      .toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+    val out = TextAnalysis.vocabJaccardMatrix(d, "source")
+      .collect().map(r => (r.getAs[String]("g_a"), r.getAs[String]("g_b")) ->
+        (r.getAs[Long]("n_common"), r.getAs[Double]("jaccard"))).toMap
+    // s1={a,b,c,d}, s2={c,d,e,f}: ∩=2, ∪=6 → 1/3; s3 shares nothing → absent
+    assert(out === Map(("s1", "s2") -> ((2L, 2.0 / 6.0))))
+  }
+
+  test("ks2Sample: identical samples give D=0, disjoint ranges give D=1") {
+    import graft.engine.Aggregates
+    def ks(rows: Seq[(Double, Boolean)]): (Long, Long, Double) = {
+      val r = Aggregates.ks2Sample(rows.toDF("value", "is_a"),
+        col("value"), col("is_a"), v => floor(v).cast("long")).head()
+      (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Double]("ks_d"))
+    }
+    val same = ks(Seq(1.0 -> true, 2.0 -> true, 1.0 -> false, 2.0 -> false))
+    assert(same === ((2L, 2L, 0.0)))
+    val disjoint = ks(Seq(1.0 -> true, 2.0 -> true, 11.0 -> false, 12.0 -> false))
+    assert(disjoint === ((2L, 2L, 1.0)))
+    // interleaved: A={1,3}, B={2,4} → max gap 1/2 (after 1, after 3)
+    val inter = ks(Seq(1.0 -> true, 3.0 -> true, 2.0 -> false, 4.0 -> false))
+    assert(inter === ((2L, 2L, 0.5)))
+  }
+
+  test("ks2Sample agrees with a single-window reference on fixture events") {
+    import graft.engine.Aggregates
+    import org.apache.spark.sql.expressions.Window
+    val ev = Sources.table(spark, sfDir, "events")
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .filter(col("event_type").isin("view", "click"))
+    val fast = Aggregates.ks2Sample(ev, col("value"),
+      col("event_type") === "view", v => floor(v).cast("long")).head()
+    // reference: one global cumulative window (fine at spec scale)
+    val per = ev.groupBy(col("value").as("v"))
+      .agg(count(when(col("event_type") === "view", 1)).as("ca"),
+        count(when(col("event_type") === "click", 1)).as("cb"))
+    val w = Window.orderBy(col("v").asc).rowsBetween(Window.unboundedPreceding, 0)
+    val cum = per.withColumn("a", sum("ca").over(w)).withColumn("b", sum("cb").over(w))
+    val na = cum.agg(max("a")).head().getLong(0)
+    val nb = cum.agg(max("b")).head().getLong(0)
+    val dnum = cum.select(abs(col("a") * nb - col("b") * na).as("d"))
+      .agg(max("d")).head().getLong(0)
+    assert(fast.getAs[Long]("n_a") === na && fast.getAs[Long]("n_b") === nb)
+    assert(fast.getAs[Double]("ks_d") === dnum.toDouble / (na.toDouble * nb.toDouble))
+  }
+
   test("fixed-point pagerank: symmetric clique stays uniform; path centers rank higher") {
     val clique = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
     val cr = Graph.pageRankFixedPoint(clique, "a", "b", iterations = 4)

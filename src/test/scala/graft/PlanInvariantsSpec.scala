@@ -137,6 +137,33 @@ class PlanInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed tables join with zero shuffle exchanges") {
+    import org.apache.spark.sql.functions.col
+    // the 100 TB co-located-join layout: both sides pre-bucketed on the
+    // join key → SortMergeJoin consumes the bucket layout directly
+    val suffix = System.nanoTime()
+    val (ta, tb) = (s"plan_spec_bkt_a_$suffix", s"plan_spec_bkt_b_$suffix")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val ev = graft.engine.Sources.table(spark, sfDir, "events")
+      ev.select(col("user_id"), col("value"))
+        .write.bucketBy(8, "user_id").sortBy("user_id").saveAsTable(ta)
+      ev.select(col("user_id"), col("event_type"))
+        .write.bucketBy(8, "user_id").sortBy("user_id").saveAsTable(tb)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = spark.table(ta).join(spark.table(tb), "user_id")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed-bucketed equi-join must not reshuffle either side:\n$plan")
+      assert(plan.contains("SortMergeJoin"),
+        s"expected a sort-merge join over the bucket layout:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql(s"DROP TABLE IF EXISTS $ta")
+      spark.sql(s"DROP TABLE IF EXISTS $tb")
+    }
+  }
+
   test("chunking is a narrow generate: q85 plans zero exchanges") {
     val plan = planOf("q85_doc_chunking")
     // one global sort for the deterministic output order is allowed
