@@ -1096,6 +1096,164 @@ object SparkEntry {
         Aggregates.round6Portable(col("ks_d")).as("ks_d"))
       .orderBy(col("n_a").asc)
 
+  /** SCD-2 history build ([[graft.operators.TimeSeries.scd2Intervals]]):
+    * the per-user event_type change log compressed into validity
+    * intervals — consecutive same-type events collapse into one version
+    * carrying [valid_from, valid_to) in exact ns arithmetic. */
+  private def q106(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.scd2Intervals(
+        // µs domain: DuckDB reads the TIMESTAMP(NANOS) parquet at µs
+        // precision, so µs is the exact cross-engine time resolution
+        // for any query that OUTPUTS timestamps (ns stays internal
+        // elsewhere)
+        events(s, dir).withColumn("ts_us", expr("ts div 1000")),
+        Seq("user_id"), "ts_us", "event_id", "event_type")
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from"), col("valid_to"))
+      .orderBy(col("user_id").asc, col("version").asc)
+
+  /** Overlapping-interval merge (gaps-and-islands,
+    * [[graft.operators.TimeSeries.mergeIntervals]]): each event spans
+    * [ts, ts + value seconds); touching/overlapping spans per user
+    * collapse to islands. Integer ns arithmetic end to end (the only
+    * double op, value·10⁹, is a single IEEE multiply + floor — bit
+    * identical in any engine). */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    // µs domain (see q106): start/duration in exact integer µs
+    val iv = cleanEvents(s, dir).filter(col("value") > 0)
+      .select(col("user_id"), expr("ts div 1000").as("start_us"),
+        (expr("ts div 1000")
+          + floor(col("value") * lit(1e6)).cast("long")).as("end_us"))
+    graft.operators.TimeSeries.mergeIntervals(iv, Seq("user_id"),
+        "start_us", "end_us")
+      .select(col("user_id"), col("island"), col("merged_start"),
+        col("merged_end"), col("n_intervals"))
+      .orderBy(col("user_id").asc, col("island").asc)
+  }
+
+  /** 2-D dominance skyline ([[graft.operators.Skyline]]): the users no
+    * other user beats on BOTH mean value and consistency — the
+    * unweighted Pareto frontier complementing q05's rank-sum composite.
+    * Runs the grid-prune + per-x-min + running-min pipeline; the oracle
+    * is the O(n²) NOT EXISTS definition, so the pruned plan must
+    * reproduce textbook dominance exactly. */
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    val stats = Aggregates.groupedStats(cleanEvents(s, dir),
+        Seq("user_id"), "value", minN = 30)
+      .select(col("user_id"), r6(col("avg_value")).as("avg_value"),
+        r6(col("stddev_value")).as("stddev_value"))
+    graft.operators.Skyline.skyline2dMin(stats, "avg_value", "stddev_value",
+        buckets = 64)
+      .orderBy(col("avg_value").asc, col("user_id").asc)
+  }
+
+  /** Sparse TF-IDF cosine pairs via the inverted-index self-join
+    * ([[graft.operators.Retrieval.tfidfCosinePairs]]) — lexical
+    * near-dup over the df-banded vocabulary; decimal-exact dots/norms. */
+  private def q109(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.tfidfCosinePairs(docs(s, dir),
+        minDf = 2, maxDf = 100, minCosine = 0.30)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+
+  /** Unigram-LM mean token log-probability per document
+    * ([[TextAnalysis.unigramLogprob]]) — the perplexity-proxy quality
+    * score of a pretraining filter. */
+  private def q110(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogprob(docs(s, dir))
+      .orderBy(col("doc_id").asc)
+
+  /** KMV bottom-k distinct sketch per source
+    * ([[Aggregates.kmvDistinct]], k = 256) vs the exact distinct count —
+    * deterministic md5 hashing makes even the ESTIMATE oracle-checkable,
+    * unlike seeded HLL (q36). Runs on the bounded-heap TopKPerGroup
+    * physical operator. */
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("source"),
+      explode(graft.functions.TextFns.tokens(col("text"))).as("tk"))
+    Aggregates.kmvDistinct(toks, "source", col("tk"), k = 256)
+      .join(toks.groupBy(col("source"))
+        .agg(countDistinct(col("tk")).as("exact_distinct")), "source")
+      .select(col("source"), col("n_hashes"), col("kth_hash"),
+        col("est_distinct"), col("exact_distinct"))
+      .orderBy(col("source").asc)
+  }
+
+  /** Golden-record survivorship ([[Dedup.goldenRecord]]): one master row
+    * per user where each attribute independently keeps its latest
+    * non-null value — value and the props.k payload surviving from
+    * DIFFERENT events when the newest event is missing one of them. */
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .withColumn("ts_us", expr("ts div 1000")) // µs domain (see q106)
+      .withColumn("clean_value",
+        when(Cleaning.notMissing(col("value")), col("value")))
+      .withColumn("k_prop",
+        get_json_object(col("props"), "$.k").cast("long"))
+    Dedup.goldenRecord(ev, Seq("user_id"), "ts_us", "event_id",
+        Seq("clean_value", "k_prop", "event_type"))
+      .select(col("user_id"), r6(col("clean_value")).as("last_value"),
+        col("k_prop").as("last_k"), col("event_type").as("last_type"),
+        col("last_seen"), col("n_rows"))
+      .orderBy(col("user_id").asc)
+  }
+
+  /** Rolling z-score anomaly detection
+    * ([[graft.operators.TimeSeries.rollingZScore]]): each value scored
+    * against its user's 20 preceding observations (exact decimal window
+    * moments), anomalies = |z| > 2.5 with ≥ 10 context rows. */
+  private def q113(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.rollingZScore(cleanEvents(s, dir),
+        Seq("user_id"), "event_id", "value", n = 20, minCtx = 10)
+      .filter(abs(col("zscore")) > 2.5)
+      .select(col("user_id"), col("event_id"), r6(col("value")).as("value"),
+        col("n_ctx"), r6(col("zscore")).as("zscore"))
+      .orderBy(col("user_id").asc, col("event_id").asc)
+
+  /** Session transition paths: 30-min-gap sessionization (lag + running
+    * flag sum, the q37 semantics in window form) then (type → next type)
+    * bigram counts WITHIN sessions — the path-analysis query behind
+    * funnels like q90. */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    // µs domain (see q106) so the gap comparison is cross-engine exact
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val gapUs = 1800L * 1000000L
+    val sess = events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("__pt", lag(col("ts_us"), 1).over(w))
+      .withColumn("__nf",
+        when(col("__pt").isNull || col("ts_us") - col("__pt") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__nf")).over(w))
+    val wSess = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("__sid"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    sess.withColumn("__next", lead(col("event_type"), 1).over(wSess))
+      .filter(col("__next").isNotNull)
+      .groupBy(col("event_type").as("et_from"), col("__next").as("et_to"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy(col("n_transitions").desc, col("et_from").asc, col("et_to").asc)
+  }
+
+  /** Snapshot reconciliation under the gate ([[Dedup.tableDiff]]):
+    * yesterday's corpus (events with id % 4 ≠ 0) vs today's, as
+    * latest-per-user snapshots — per-status key counts. The diff ships
+    * 32-byte row digests, never full rows; the oracle compares the
+    * actual columns null-safely, so digest equality must coincide with
+    * value equality. */
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    def snap(df: DataFrame): DataFrame = Dedup.latestByKey(
+        df.select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value")),
+        Seq("user_id"), Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("event_type"), col("value"))
+    val ev = cleanEvents(s, dir)
+    Dedup.tableDiff(snap(ev.filter(col("event_id") % 4 =!= 0)), snap(ev),
+        Seq("user_id"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n_keys"))
+      .orderBy(col("status").asc)
+  }
+
   /** Per-label embedding centroids (IVF coarse-quantizer shape). */
   private def q41(s: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroids(Sources.table(s, dir, "embeddings"))
@@ -1814,7 +1972,17 @@ object SparkEntry {
     "q102_line_fit" -> (q102 _),
     "q103_token_gini" -> (q103 _),
     "q104_vocab_jaccard" -> (q104 _),
-    "q105_ks_drift" -> (q105 _))
+    "q105_ks_drift" -> (q105 _),
+    "q106_scd2_intervals" -> (q106 _),
+    "q107_interval_merge" -> (q107 _),
+    "q108_skyline" -> (q108 _),
+    "q109_tfidf_pairs" -> (q109 _),
+    "q110_unigram_logprob" -> (q110 _),
+    "q111_kmv_distinct" -> (q111 _),
+    "q112_golden_record" -> (q112 _),
+    "q113_anomaly_zscore" -> (q113 _),
+    "q114_session_paths" -> (q114 _),
+    "q115_snapshot_diff" -> (q115 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -2906,7 +3074,209 @@ object SparkEntry {
                  floor(CAST(dnum AS DOUBLE)
                        / CAST(CAST(n_a AS DECIMAL(38,0)) * n_b AS DOUBLE)
                        * 1000000 + 0.5) / 1000000 AS ks_d
-          FROM d ORDER BY n_a ASC""")
+          FROM d ORDER BY n_a ASC""",
+    "q106_scd2_intervals" ->
+      s"""WITH s AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type,
+                       lag(epoch_us(ts)) OVER w AS pt,
+                       lag(event_type) OVER w AS pa
+                     FROM events
+                     WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts) ASC, event_id ASC)),
+          c AS (SELECT user_id, t, event_id, event_type FROM s
+                WHERE pt IS NULL OR event_type IS DISTINCT FROM pa)
+          SELECT user_id, CAST(row_number() OVER w2 AS BIGINT) AS version,
+                 event_type, t AS valid_from, lead(t) OVER w2 AS valid_to
+          FROM c WINDOW w2 AS (PARTITION BY user_id
+                               ORDER BY t ASC, event_id ASC)
+          ORDER BY user_id ASC, version ASC""",
+    "q107_interval_merge" ->
+      s"""WITH iv AS (SELECT user_id, epoch_us(ts) AS st,
+                        epoch_us(ts)
+                          + CAST(floor(value * 1000000.0) AS BIGINT) AS en
+                      FROM events WHERE $sqlClean AND value > 0),
+          w1 AS (SELECT user_id, st, en,
+                   max(en) OVER (PARTITION BY user_id
+                                 ORDER BY st ASC, en ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS prev_en
+                 FROM iv),
+          f AS (SELECT user_id, st, en,
+                  CASE WHEN prev_en IS NULL OR st > prev_en
+                       THEN 1 ELSE 0 END AS nf FROM w1),
+          isl AS (SELECT user_id, st, en,
+                    sum(nf) OVER (PARTITION BY user_id
+                                  ORDER BY st ASC, en ASC) AS island FROM f)
+          SELECT user_id, CAST(island AS BIGINT) AS island,
+                 min(st) AS merged_start, max(en) AS merged_end,
+                 count(*) AS n_intervals
+          FROM isl GROUP BY user_id, island
+          ORDER BY user_id ASC, island ASC""",
+    // textbook O(n²) dominance spec — the engine's pruned two-stage plan
+    // must reproduce it exactly
+    "q108_skyline" ->
+      s"""WITH st AS (SELECT user_id, round(avg(value), 6) AS avg_value,
+                        round(stddev_pop(value), 6) AS stddev_value
+                      FROM events WHERE $sqlClean
+                      GROUP BY user_id HAVING count(*) >= 30)
+          SELECT user_id, avg_value, stddev_value FROM st p
+          WHERE NOT EXISTS (
+            SELECT 1 FROM st q
+            WHERE q.avg_value <= p.avg_value
+              AND q.stddev_value <= p.stddev_value
+              AND (q.avg_value < p.avg_value
+                   OR q.stddev_value < p.stddev_value))
+          ORDER BY avg_value ASC, user_id ASC""",
+    "q109_tfidf_pairs" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                       FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+          dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
+                  HAVING count(*) BETWEEN 2 AND 100),
+          n AS (SELECT count(*) AS n_total FROM documents),
+          wt AS (SELECT tf.doc_id, tf.term,
+                   CAST(tf.tf * ln(CAST(n_total AS DOUBLE) / df)
+                        AS DECIMAL(18,6)) AS w
+                 FROM tf JOIN dfq USING (term), n),
+          nr AS (SELECT doc_id, sum(w * w) AS norm2 FROM wt GROUP BY 1),
+          dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS n_shared, sum(a.w * b.w) AS dot
+                   FROM wt a JOIN wt b
+                     ON a.term = b.term AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+          cs AS (SELECT doc_a, doc_b, n_shared,
+                   round(CAST(dot AS DOUBLE)
+                         / (sqrt(CAST(na.norm2 AS DOUBLE))
+                            * sqrt(CAST(nb.norm2 AS DOUBLE))), 6) AS cosine
+                 FROM dots JOIN nr na ON na.doc_id = dots.doc_a
+                           JOIN nr nb ON nb.doc_id = dots.doc_b)
+          SELECT doc_a, doc_b, n_shared, cosine FROM cs
+          WHERE cosine >= 0.30 ORDER BY doc_a ASC, doc_b ASC""",
+    "q110_unigram_logprob" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+                       FROM documents),
+          c AS (SELECT tk, count(*) AS cnt FROM tok GROUP BY 1),
+          t AS (SELECT sum(cnt) AS t_total FROM c),
+          lm AS (SELECT tk, CAST(ln(CAST(cnt AS DOUBLE))
+                                 - ln(CAST(t_total AS DOUBLE))
+                                 AS DECIMAL(18,6)) AS lp FROM c, t)
+          SELECT doc_id, count(*) AS n_tokens,
+                 round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+          FROM tok JOIN lm USING (tk)
+          GROUP BY doc_id ORDER BY doc_id ASC""",
+    "q111_kmv_distinct" ->
+      s"""WITH tok AS (SELECT DISTINCT source,
+                         unnest(string_split(text, ' ')) AS tk
+                       FROM documents),
+          h AS (SELECT source,
+                  ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM tok),
+          bk AS (SELECT source, h FROM h
+                 QUALIFY row_number() OVER (PARTITION BY source
+                                            ORDER BY h ASC) <= 256),
+          agg AS (SELECT source, count(*) AS n_hashes, max(h) AS kth_hash
+                  FROM bk GROUP BY 1),
+          ex AS (SELECT source, count(*) AS exact_distinct
+                 FROM tok GROUP BY 1)
+          SELECT agg.source, n_hashes, kth_hash,
+                 CASE WHEN n_hashes < 256 THEN CAST(n_hashes AS DOUBLE)
+                      ELSE round(255 * CAST(1152921504606846976 AS DOUBLE)
+                                 / kth_hash, 6) END AS est_distinct,
+                 exact_distinct
+          FROM agg JOIN ex ON agg.source = ex.source
+          ORDER BY agg.source ASC""",
+    "q112_golden_record" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+                        event_type, value,
+                        CAST(json_extract_string(props, '$$.k') AS BIGINT)
+                          AS k_prop
+                      FROM events),
+          lv AS (SELECT user_id, value FROM (
+                   SELECT user_id, value, row_number() OVER (
+                     PARTITION BY user_id ORDER BY t DESC, event_id DESC) AS rn
+                   FROM ev WHERE value IS NOT NULL AND NOT isnan(value))
+                 WHERE rn = 1),
+          lk AS (SELECT user_id, k_prop FROM (
+                   SELECT user_id, k_prop, row_number() OVER (
+                     PARTITION BY user_id ORDER BY t DESC, event_id DESC) AS rn
+                   FROM ev WHERE k_prop IS NOT NULL) WHERE rn = 1),
+          lt AS (SELECT user_id, event_type FROM (
+                   SELECT user_id, event_type, row_number() OVER (
+                     PARTITION BY user_id ORDER BY t DESC, event_id DESC) AS rn
+                   FROM ev WHERE event_type IS NOT NULL) WHERE rn = 1),
+          ag AS (SELECT user_id, max(t) AS last_seen, count(*) AS n_rows
+                 FROM ev GROUP BY 1)
+          SELECT ag.user_id, round(lv.value, 6) AS last_value,
+                 lk.k_prop AS last_k, lt.event_type AS last_type,
+                 ag.last_seen, ag.n_rows
+          FROM ag LEFT JOIN lv USING (user_id) LEFT JOIN lk USING (user_id)
+                  LEFT JOIN lt USING (user_id)
+          ORDER BY ag.user_id ASC""",
+    // operand order mirrors TimeSeries.rollingZScore exactly: decimal
+    // window sums → double mean/var/σ → one division per score
+    "q113_anomaly_zscore" ->
+      s"""WITH w AS (SELECT user_id, event_id, value,
+                       count(value) OVER win AS n_ctx,
+                       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER win
+                            AS DOUBLE) AS s1,
+                       CAST(sum(CAST(value AS DECIMAL(18,6))
+                                * CAST(value AS DECIMAL(18,6))) OVER win
+                            AS DOUBLE) AS s2
+                     FROM events WHERE $sqlClean
+                     WINDOW win AS (PARTITION BY user_id ORDER BY event_id ASC
+                                    ROWS BETWEEN 20 PRECEDING
+                                             AND 1 PRECEDING)),
+          z AS (SELECT user_id, event_id, value, n_ctx,
+                  (value - s1 / n_ctx)
+                    / sqrt(greatest((s2 - s1 * s1 / n_ctx) / n_ctx, 0.0))
+                    AS zscore
+                FROM w
+                WHERE n_ctx >= 10
+                  AND sqrt(greatest((s2 - s1 * s1 / n_ctx) / n_ctx, 0.0)) > 0)
+          SELECT user_id, event_id, round(value, 6) AS value, n_ctx,
+                 round(zscore, 6) AS zscore
+          FROM z WHERE abs(zscore) > 2.5
+          ORDER BY user_id ASC, event_id ASC""",
+    "q114_session_paths" ->
+      s"""WITH w AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type,
+                       lag(epoch_us(ts)) OVER win AS pt
+                     FROM events
+                     WINDOW win AS (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts) ASC, event_id ASC)),
+          f AS (SELECT *, CASE WHEN pt IS NULL OR t - pt > 1800000000
+                               THEN 1 ELSE 0 END AS nf FROM w),
+          sess AS (SELECT user_id, t, event_id, event_type,
+                     sum(nf) OVER (PARTITION BY user_id
+                                   ORDER BY t ASC, event_id ASC) AS sid
+                   FROM f),
+          tr AS (SELECT event_type AS et_from,
+                   lead(event_type) OVER (PARTITION BY user_id, sid
+                                          ORDER BY t ASC, event_id ASC)
+                     AS et_to
+                 FROM sess)
+          SELECT et_from, et_to, count(*) AS n_transitions
+          FROM tr WHERE et_to IS NOT NULL GROUP BY 1, 2
+          ORDER BY n_transitions DESC, et_from ASC, et_to ASC""",
+    // compares the actual columns null-safely — digest equality on the
+    // engine side must coincide with value equality
+    "q115_snapshot_diff" ->
+      s"""WITH ce AS (SELECT user_id, epoch_ns(ts) AS t, event_id,
+                        event_type, value
+                      FROM events WHERE $sqlClean),
+          a AS (SELECT user_id, event_type, value FROM (
+                  SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY t DESC, event_id DESC) AS rn
+                  FROM ce WHERE event_id % 4 <> 0) WHERE rn = 1),
+          b AS (SELECT user_id, event_type, value FROM (
+                  SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY t DESC, event_id DESC) AS rn
+                  FROM ce) WHERE rn = 1),
+          d AS (SELECT CASE WHEN b.user_id IS NULL THEN 'removed'
+                            WHEN a.user_id IS NULL THEN 'added'
+                            WHEN a.event_type IS DISTINCT FROM b.event_type
+                              OR a.value IS DISTINCT FROM b.value
+                            THEN 'changed' ELSE 'unchanged' END AS status
+                FROM a FULL OUTER JOIN b ON a.user_id = b.user_id)
+          SELECT status, count(*) AS n_keys FROM d GROUP BY 1
+          ORDER BY status ASC""")
 
   /** 4 unrolled fixed-point PageRank rounds over the simhash pair graph
     * — the identical integer recurrence [[graft.operators.Graph

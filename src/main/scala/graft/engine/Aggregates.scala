@@ -252,4 +252,41 @@ object Aggregates {
         missingCols.map(c => count(when(Cleaning.isMissing(col(c)), 1)).as(s"n_missing_$c"))
     df.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** KMV (k-minimum-values) distinct sketch per group: keep the k
+    * smallest 60-bit md5 hashes of the items, estimate
+    * |distinct| ≈ (k−1) / u(k) where u(k) = kth-min hash normalized to
+    * (0,1] — the classic bottom-k estimator (Bar-Yossef et al. 2002).
+    * Unlike HLL the sketch is DETERMINISTIC given the data (md5, no
+    * seed), so the estimate itself is oracle-checkable cross-engine;
+    * the retained hash set doubles as a mergeable uniform sample of the
+    * distinct domain.
+    *
+    * Plan shape: distinct(group, item) collapses duplicates map-side,
+    * then the bounded-heap TopKPerGroup keeps O(k) rows per group —
+    * never a full sort, never a per-group collect. Groups with fewer
+    * than k distinct items report the EXACT count (estimate = n).
+    * Output: group, `n_hashes` (≤ k), `kth_hash`, `est_distinct`. */
+  def kmvDistinct(df: DataFrame, groupCol: String, item: Column,
+                  k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val hashed = df
+      .select(col(groupCol), item.as("__item"))
+      .distinct()
+      .select(col(groupCol),
+        conv(substring(md5(col("__item")), 1, 15), 16, 10)
+          .cast("long").as("__h"))
+    val bottomK = Ranking.topKPerGroup(hashed, Seq(groupCol),
+      Seq("__h" -> true), k)
+    bottomK.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_hashes"), max(col("__h")).as("kth_hash"))
+      .select(col(groupCol), col("n_hashes"), col("kth_hash"),
+        // u(k) = kth_hash / 2^60; below k distinct items the group is
+        // exact by construction (every hash was kept)
+        when(col("n_hashes") < k, col("n_hashes").cast("double"))
+          .otherwise(round((lit(k - 1).cast("double")
+              * lit(1152921504606846976L).cast("double")) // 2^60
+            / col("kth_hash"), 6))
+          .as("est_distinct"))
+  }
 }

@@ -77,4 +77,33 @@ object Dedup {
           .when(col("__h_a") =!= col("__h_b"), lit("changed"))
           .otherwise(lit("unchanged")).as("status"): _*)
   }
+
+  /** Golden-record survivorship: collapse all rows of a key into ONE
+    * record where each attribute independently keeps its latest NON-NULL
+    * value — the master-data merge policy [[latestByKey]] cannot express
+    * (keep-1 drops an older row even when it holds the only non-null
+    * phone number).
+    *
+    * Per attribute: `max(struct(order, tie, attr))` over rows where the
+    * attribute is non-null — struct comparison is lexicographic, so the
+    * max is the attr at the latest (order, tie); rows where it is null
+    * contribute nothing. One hash aggregate, fully mergeable partials
+    * (each partial is one struct per attribute), O(groups) shuffle —
+    * no window sort, unlike keep-1. `tieCol` must make (order, tie)
+    * unique per key so the comparison never reaches the attr field.
+    * Output: keys, each attr (latest non-null), `last_seen` (max order
+    * over ALL rows), `n_rows`. */
+  def goldenRecord(df: DataFrame, keys: Seq[String], orderCol: String,
+                   tieCol: String, attrs: Seq[String]): DataFrame = {
+    require(attrs.nonEmpty, "goldenRecord needs at least one attribute")
+    val picks = attrs.map { a =>
+      max(when(col(a).isNotNull,
+        struct(col(orderCol), col(tieCol), col(a))))
+        .getField(a).as(a)
+    }
+    df.groupBy(keys.map(col): _*)
+      .agg(picks.head,
+        (picks.tail :+ max(col(orderCol)).as("last_seen")
+          :+ count(lit(1)).as("n_rows")): _*)
+  }
 }

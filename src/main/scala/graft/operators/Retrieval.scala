@@ -116,4 +116,59 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Sparse TF-IDF cosine similarity pairs via an inverted-index
+    * self-join — the LEXICAL near-dup counterpart of the dense
+    * embedding-cosine path (`Similarity.nearDupPairs`): two documents
+    * are similar when their tf·idf vectors point the same way, computed
+    * without ever materializing a vector.
+    *
+    * The join is on the TERM (postings self-join, doc_a < doc_b), so
+    * candidate volume is Σ_t df(t)², not n² — and the df band
+    * [minDf, maxDf] is what makes that safe at corpus scale: df < 2
+    * terms cannot produce a pair (pruned for free), df > maxDf terms
+    * are stopword-like, contribute ~0 idf weight, and would each fan
+    * out df² join rows, so they are dropped and the cosine is defined
+    * over the banded vocabulary (document this to consumers: scores
+    * are relative to the pruned term space, the standard IR practice).
+    *
+    * Exactness: w = dec6(tf · ln(N/df)) per (doc, term) — ln carries
+    * the usual ±1-ulp license so it is rounded ONCE at weight
+    * construction; every sum after that (w², wa·wb) is exact DECIMAL,
+    * so dot products and norms are order- and partition-independent
+    * and the final cosine is bit-portable.
+    *
+    * Output: (doc_a, doc_b, n_shared terms, cosine) with
+    * cosine ≥ minCosine. */
+  def tfidfCosinePairs(docs: DataFrame, minDf: Long, maxDf: Long,
+                       minCosine: Double): DataFrame = {
+    require(minDf >= 2, "minDf < 2 is never useful: df=1 terms cannot pair")
+    val postings = bm25Index(docs).postings // (doc_id, term, tf, dl)
+    val dfq = postings.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df").between(minDf, maxDf))
+    val n = docs.agg(count(lit(1)).as("n_total"))
+    val weighted = postings
+      .join(broadcast(dfq), Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * log(col("n_total").cast("double") / col("df")))
+          .cast(DecimalType(18, 6)).as("w"))
+    val norms = weighted.groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("w")).as("norm2"))
+    val dots = weighted.as("a")
+      .join(weighted.as("b"), Seq("term"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("a.w") * col("b.w")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("norm2").as("na")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("norm2").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.TextFns._
 
@@ -314,6 +315,39 @@ object TextAnalysis {
     * 100 TB. Stopword-class tokens dominate the join input; a df cap
     * (drop tokens present in every group — they contribute to every
     * intersection equally) is the standard trim if |groups| grows. */
+  /** Unigram language-model scoring: each document's mean token
+    * log-probability under the CORPUS unigram distribution — the
+    * perplexity-proxy quality signal of pretraining pipelines (rare-junk
+    * documents score far below fluent text; the actual filter thresholds
+    * on this column). p(t) = count(t)/T over all token OCCURRENCES.
+    *
+    * Shape: one corpus scan → token counts (map-side combinable), the
+    * per-token lp = dec6(ln count − ln T) joined back into the exploded
+    * tokens — the LM table is vocabulary-sized; at web scale it is the
+    * natural broadcast/bucketed-join side. Every token is in the LM by
+    * construction (scored corpus = training corpus); scoring a DIFFERENT
+    * corpus needs the OOV handling of [[ngramContamination]]'s probe
+    * join instead. ln is rounded once per token type at DECIMAL(18,6)
+    * (±1-ulp license, same idiom as BM25), then per-doc sums are exact
+    * decimal — order-free, bit-portable.
+    *
+    * Output: doc_id, n_tokens, avg_logprob (6-dp). */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+    val counts = toks.groupBy(col("tk")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("t_total"))
+    val lm = counts.crossJoin(broadcast(total))
+      .select(col("tk"),
+        (log(col("cnt").cast("double")) - log(col("t_total").cast("double")))
+          .cast(DecimalType(18, 6)).as("lp"))
+    toks.join(lm, Seq("tk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("lp")).cast("double") / count(lit(1))).as("__m"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("__m"), 6).as("avg_logprob"))
+  }
+
   def vocabJaccardMatrix(docs: DataFrame, groupCol: String): DataFrame = {
     val gt = docs.select(col(groupCol).as("g"),
         explode(array_distinct(tokens(col("text")))).as("tok"))

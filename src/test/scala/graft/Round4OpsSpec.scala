@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Aggregates, Dedup}
+import graft.operators.{Retrieval, Skyline, TextAnalysis, TimeSeries}
+
+/** Round-4 operators: SCD2 / interval merge / rolling z-score
+  * (TimeSeries), golden record (Dedup), 2-D skyline, TF-IDF cosine
+  * pairs, unigram LM scoring, KMV distinct sketch. */
+class Round4OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------- SCD2
+
+  test("scd2Intervals compresses consecutive equal values and chains intervals") {
+    val log = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "a"), // same attr → one version
+      (1L, 30L, 3L, "b"),                     // change
+      (1L, 40L, 4L, "a"),                     // change back → NEW version
+      (2L, 10L, 5L, "x"))
+      .toDF("k", "t", "id", "attr")
+    val got = TimeSeries.scd2Intervals(log, Seq("k"), "t", "id", "attr")
+      .select("k", "version", "attr", "valid_from", "valid_to")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long])))
+      .toSet
+    assert(got === Set(
+      (1L, 1L, "a", 10L, Some(30L)),
+      (1L, 2L, "b", 30L, Some(40L)),
+      (1L, 3L, "a", 40L, None),
+      (2L, 1L, "x", 10L, None)))
+  }
+
+  test("scd2Intervals treats NULL→NULL as no change and NULL→value as a change") {
+    val log = Seq(
+      (1L, 10L, 1L, None), (1L, 20L, 2L, None),
+      (1L, 30L, 3L, Some("v")))
+      .toDF("k", "t", "id", "attr")
+    val versions = TimeSeries.scd2Intervals(log, Seq("k"), "t", "id", "attr")
+      .select("version", "attr").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toSet
+    assert(versions === Set(1L -> None, 2L -> Some("v")))
+  }
+
+  // --------------------------------------------------- interval merge
+
+  test("mergeIntervals merges overlapping and touching, keeps disjoint apart") {
+    val iv = Seq(
+      (1L, 1L, 5L), (1L, 4L, 9L), (1L, 9L, 12L), // chain → one island
+      (1L, 20L, 25L),                            // disjoint
+      (1L, 21L, 22L),                            // contained in previous
+      (2L, 0L, 1L))
+      .toDF("k", "s", "e")
+    val got = TimeSeries.mergeIntervals(iv, Seq("k"), "s", "e")
+      .select("k", "merged_start", "merged_end", "n_intervals")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === Set((1L, 1L, 12L, 3L), (1L, 20L, 25L, 2L), (2L, 0L, 1L, 1L)))
+  }
+
+  // -------------------------------------------------- rolling z-score
+
+  test("rollingZScore: constant context yields NULL score, spike scores high") {
+    val rows = (1 to 12).map(i => (1L, i.toLong, 10.0)) :+ (1L, 13L, 20.0)
+    val df = rows.toDF("k", "ord", "v")
+    val out = TimeSeries.rollingZScore(df, Seq("k"), "ord", "v", n = 20, minCtx = 5)
+      .select("ord", "n_ctx", "zscore").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .toMap
+    // rows inside the constant run: std = 0 → no score
+    assert(out(10L)._2.isEmpty)
+    // the spike at ord=13 sees 12 context rows of constant 10.0 → std 0 → NULL too
+    assert(out(13L)._2.isEmpty)
+    // with a mixed context the score is defined and positive for a high value
+    val mixed = ((1 to 10).map(i => (1L, i.toLong, i.toDouble)) :+ (1L, 11L, 100.0))
+      .toDF("k", "ord", "v")
+    val z11 = TimeSeries.rollingZScore(mixed, Seq("k"), "ord", "v", n = 20, minCtx = 5)
+      .filter(col("ord") === 11).select("zscore").head().getDouble(0)
+    assert(z11 > 3.0)
+  }
+
+  test("rollingZScore n_ctx never includes the current row") {
+    val df = (1 to 6).map(i => (1L, i.toLong, i.toDouble)).toDF("k", "ord", "v")
+    val ctx = TimeSeries.rollingZScore(df, Seq("k"), "ord", "v", n = 3, minCtx = 1)
+      .select("ord", "n_ctx").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ctx === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  // ----------------------------------------------------- golden record
+
+  test("goldenRecord survives each attribute independently from different rows") {
+    val df = Seq(
+      // key 1: newest row misses phone, older row has it
+      (1L, 30L, 3L, Some("c@x"), None),
+      (1L, 20L, 2L, None, Some("555")),
+      (1L, 10L, 1L, Some("a@x"), Some("111")),
+      // key 2: attribute entirely null
+      (2L, 10L, 4L, Some("z@x"), None))
+      .toDF("k", "t", "id", "email", "phone")
+    val got = Dedup.goldenRecord(df, Seq("k"), "t", "id", Seq("email", "phone"))
+      .select("k", "email", "phone", "last_seen", "n_rows")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === Set(
+      (1L, "c@x", "555", 30L, 3L),
+      (2L, "z@x", null, 10L, 1L)))
+  }
+
+  // ----------------------------------------------------------- skyline
+
+  private def bruteSkyline(pts: Seq[(Double, Double)]): Set[(Double, Double)] =
+    pts.filter { p =>
+      !pts.exists(q => q._1 <= p._1 && q._2 <= p._2 &&
+        (q._1 < p._1 || q._2 < p._2))
+    }.toSet
+
+  test("skyline2dMin equals the brute-force dominance definition on random points") {
+    val rnd = new scala.util.Random(42)
+    val pts = Seq.fill(400)((math.floor(rnd.nextDouble() * 100) / 10,
+      math.floor(rnd.nextDouble() * 100) / 10))
+    val df = pts.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      .toDF("id", "x", "y")
+    val got = Skyline.skyline2dMin(df, "x", "y", buckets = 16)
+      .select("x", "y").collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(got === bruteSkyline(pts))
+  }
+
+  test("skyline keeps duplicate frontier points and drops NULL/NaN rows") {
+    val df = Seq(
+      (1L, 1.0, 5.0), (2L, 1.0, 5.0),          // equal points: both stay
+      (3L, 2.0, 5.0),                          // dominated via strict x
+      (4L, 0.5, 9.0), (5L, 3.0, 1.0),          // frontier
+      (6L, Double.NaN, 0.0))                   // excluded
+      .toDF("id", "x", "y")
+    val ids = Skyline.skyline2dMin(df, "x", "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L, 4L, 5L))
+  }
+
+  // ------------------------------------------------- tf-idf cosine pairs
+
+  test("tfidfCosinePairs: identical docs score 1, df band prunes ubiquitous terms") {
+    val docs = Seq(
+      (1L, "alpha beta gamma common"),
+      (2L, "alpha beta gamma common"),
+      (3L, "delta epsilon zeta common"),
+      (4L, "eta theta iota common"))
+      .toDF("doc_id", "text")
+    // maxDf = 3 drops "common" (df 4); the identical pair scores exactly 1
+    val pairs = Retrieval.tfidfCosinePairs(docs, minDf = 2, maxDf = 3,
+        minCosine = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(pairs.keySet === Set((1L, 2L)))
+    assert(pairs((1L, 2L)) === 1.0)
+  }
+
+  // ------------------------------------------------------ unigram LM
+
+  test("unigramLogprob: uniform vocabulary gives ln(1/V) per token") {
+    val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    // every token occurs once, T = 4 → lp = ln(1/4) rounded at 6dp
+    val expected = BigDecimal(math.log(1.0) - math.log(4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextAnalysis.unigramLogprob(docs)
+      .select("doc_id", "n_tokens", "avg_logprob").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    got.foreach { case (_, n, lp) =>
+      assert(n === 2L)
+      assert(math.abs(lp - expected) < 1e-9)
+    }
+  }
+
+  // ------------------------------------------------------ KMV sketch
+
+  test("kmvDistinct is exact below k and ~accurate above k") {
+    val below = (1 to 50).map(i => ("g", s"item$i")).toDF("grp", "item")
+    val ex = Aggregates.kmvDistinct(below, "grp", col("item"), k = 256)
+      .select("n_hashes", "est_distinct").head()
+    assert(ex.getLong(0) === 50L && ex.getDouble(1) === 50.0)
+
+    val big = (1 to 20000).map(i => ("g", s"item$i")).toDF("grp", "item")
+    val est = Aggregates.kmvDistinct(big, "grp", col("item"), k = 256)
+      .select("est_distinct").head().getDouble(0)
+    // k = 256 → relative error ~ 1/√k ≈ 6%; allow 3σ
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.20, s"estimate $est")
+  }
+}
