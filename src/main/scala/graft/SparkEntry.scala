@@ -895,16 +895,28 @@ object SparkEntry {
     * call at all, unlike built-in `corr`, whose double accumulation is
     * partition-order-dependent). One hash agg on the fact scan. */
   private def q92(s: SparkSession, dir: String): DataFrame = {
-    val d38 = org.apache.spark.sql.types.DecimalType(38, 12)
+    // Scaled-INTEGER moments: quantity is integral and price is 2-dp
+    // money, so x = quantity and y = price CENTS are exact longs and
+    // the five Σs run as limbSums two-limb long accumulations — whole
+    // per-row path in codegen, no per-row BigDecimal (measured ~6× vs
+    // DECIMAL(38,12) accumulators), reconstructed exactly per group.
+    // Pearson correlation is scale-invariant, so the cents domain is
+    // the same statistic; the oracle accumulates the SAME integers
+    // (DuckDB sums BIGINT into exact HUGEINT).
     def dbl(c: String) = col(c).cast("double")
+    val q = col("l_quantity").cast("long")
+    val pc = floor(col("l_extendedprice") * lit(100) + lit(0.5)).cast("long")
+    val aggs = Aggregates.limbSums(q, "sx") ++ Aggregates.limbSums(pc, "sy") ++
+      Aggregates.limbSums(q * pc, "sxy") ++ Aggregates.limbSums(q * q, "sxx") ++
+      Aggregates.limbSums(pc * pc, "syy")
     Sources.table(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("l_quantity").cast(d38)).as("sx"),
-        sum(col("l_extendedprice").cast(d38)).as("sy"),
-        sum((col("l_quantity") * col("l_extendedprice")).cast(d38)).as("sxy"),
-        sum((col("l_quantity") * col("l_quantity")).cast(d38)).as("sxx"),
-        sum((col("l_extendedprice") * col("l_extendedprice")).cast(d38)).as("syy"))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+      .select(col("l_returnflag"), col("n"),
+        Aggregates.limbTotal("sx").as("sx"), Aggregates.limbTotal("sy").as("sy"),
+        Aggregates.limbTotal("sxy").as("sxy"),
+        Aggregates.limbTotal("sxx").as("sxx"),
+        Aggregates.limbTotal("syy").as("syy"))
       .select(col("l_returnflag"), col("n"),
         Aggregates.round6Portable(
           ((col("n") * dbl("sxy")) - (dbl("sx") * dbl("sy"))) /
@@ -1053,11 +1065,16 @@ object SparkEntry {
     * moments — the q92 order-free discipline applied to the whole fit,
     * one hash agg on the fact scan. */
   private def q102(s: SparkSession, dir: String): DataFrame =
-    SlopeOLS.fitLineExact(Sources.table(s, dir, "lineitem"),
-        Seq("l_returnflag"), col("l_quantity"), col("l_extendedprice"), minN = 1)
+    // fixed-point path (limb long sums; see q92): y in cents, so slope
+    // and intercept come out ×100 and one double division restores
+    // dollars — the identical literal division sits in the oracle
+    SlopeOLS.fitLineFixedPoint(Sources.table(s, dir, "lineitem"),
+        Seq("l_returnflag"), col("l_quantity").cast("long"),
+        floor(col("l_extendedprice") * lit(100) + lit(0.5)).cast("long"),
+        minN = 1)
       .select(col("l_returnflag"), col("n_obs"),
-        Aggregates.round6Portable(col("slope")).as("slope"),
-        Aggregates.round6Portable(col("intercept")).as("intercept"),
+        Aggregates.round6Portable(col("slope") / 100).as("slope"),
+        Aggregates.round6Portable(col("intercept") / 100).as("intercept"),
         Aggregates.round6Portable(col("r2")).as("r2"))
       .orderBy(col("l_returnflag").asc)
 
@@ -2876,15 +2893,18 @@ object SparkEntry {
     // identical operand order to the Spark side: every Σ is an exact
     // DECIMAL(38,12), the closed form combines them in doubles whose
     // ops (including sqrt) are all IEEE-correctly-rounded
+    // same INTEGER moments as the engine's limb sums — x = quantity,
+    // y = price cents; DuckDB's BIGINT sum accumulates in exact HUGEINT
     "q92_exact_corr" ->
-      s"""WITH m AS (
+      s"""WITH sc AS (SELECT l_returnflag,
+                        CAST(l_quantity AS BIGINT) AS x,
+                        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+                      FROM lineitem),
+          m AS (
             SELECT l_returnflag, count(*) AS n,
-                   sum(CAST(l_quantity AS DECIMAL(38,12))) AS sx,
-                   sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS sy,
-                   sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,12))) AS sxy,
-                   sum(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS sxx,
-                   sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12))) AS syy
-            FROM lineitem GROUP BY 1)
+                   sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM sc GROUP BY 1)
           SELECT l_returnflag, n,
                  floor(((n * CAST(sxy AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
                        / (sqrt((n * CAST(sxx AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
@@ -2997,15 +3017,18 @@ object SparkEntry {
                    AS lift
           FROM pr, nn WHERE df_ab >= 5 ORDER BY tok_a ASC, tok_b ASC""",
     "q101_pagerank" -> pagerankOracle,
+    // integer moments in the cents domain (see q92); slope/intercept
+    // divide by the same literal 100 the engine divides by
     "q102_line_fit" ->
-      s"""WITH m AS (
+      s"""WITH sc AS (SELECT l_returnflag,
+                        CAST(l_quantity AS BIGINT) AS x,
+                        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+                      FROM lineitem),
+          m AS (
             SELECT l_returnflag, count(*) AS n_obs,
-                   sum(CAST(l_quantity AS DECIMAL(38,12))) AS sx,
-                   sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS sy,
-                   sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,12))) AS sxy,
-                   sum(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS sxx,
-                   sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12))) AS syy
-            FROM lineitem GROUP BY 1),
+                   sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM sc GROUP BY 1),
           c AS (SELECT l_returnflag, n_obs,
                   (n_obs * CAST(sxy AS DOUBLE))
                     - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) AS cn,
@@ -3018,9 +3041,9 @@ object SparkEntry {
           sl AS (SELECT *, CASE WHEN vxn = 0 THEN NULL ELSE cn / vxn END AS slope
                  FROM c)
           SELECT l_returnflag, n_obs,
-                 floor(slope * 1000000 + 0.5) / 1000000 AS slope,
-                 floor((syd - slope * sxd) / n_obs * 1000000 + 0.5) / 1000000
-                   AS intercept,
+                 floor(slope / 100 * 1000000 + 0.5) / 1000000 AS slope,
+                 floor((syd - slope * sxd) / n_obs / 100 * 1000000 + 0.5)
+                   / 1000000 AS intercept,
                  CASE WHEN vxn = 0 OR vyn = 0 THEN NULL
                       ELSE floor((cn * cn) / (vxn * vyn) * 1000000 + 0.5) / 1000000
                  END AS r2

@@ -174,6 +174,33 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------- fixed-point moments
+
+  test("fitLineFixedPoint is bit-identical to the decimal fitLineExact on integers") {
+    val rnd = new scala.util.Random(7)
+    val df = Seq.tabulate(5000) { i =>
+      (s"g${i % 3}", (i % 97).toLong, (i % 97) * 37L + rnd.nextInt(1000) - 500L)
+    }.toDF("k", "x", "y")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("k", "n_obs", "slope", "intercept", "r2")
+        .orderBy(col("k")).collect().map(_.toSeq).toSeq
+    val exact = graft.engine.SlopeOLS.fitLineExact(
+      df, Seq("k"), col("x"), col("y"), minN = 1)
+    val fixed = graft.engine.SlopeOLS.fitLineFixedPoint(
+      df, Seq("k"), col("x"), col("y"), minN = 1)
+    assert(rows(fixed) === rows(exact))
+  }
+
+  test("limbSums reconstructs exact totals incl. negatives and a would-overflow square") {
+    import graft.engine.Aggregates.{limbSums, limbTotal}
+    val big = 3000000000L // 3e9: square 9e18 ≈ long max — one row already on the edge
+    val df = Seq(-5L, 7L, big, -big, 123456789L).toDF("m")
+    val got = df.agg(limbSums(col("m"), "t").head, limbSums(col("m"), "t").tail: _*)
+      .select(limbTotal("t").cast("string"))
+      .head().getString(0)
+    assert(BigDecimal(got) === BigDecimal(-5L + 7L + big - big + 123456789L))
+  }
+
   // ------------------------------------------------------ KMV sketch
 
   test("kmvDistinct is exact below k and ~accurate above k") {
