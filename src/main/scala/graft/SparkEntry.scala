@@ -1271,6 +1271,67 @@ object SparkEntry {
       .orderBy(col("status").asc)
   }
 
+  /** Int8 scalar-quantization audit per embedding
+    * ([[Similarity.quantizeInt8Audit]]): the ANN-index compression
+    * step's quality stats — per-vector scale, max |q|, worst-dim
+    * reconstruction error. Every op a deterministic IEEE primitive. */
+  private def q116(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8Audit(Sources.table(s, dir, "embeddings"))
+      .select(col("vec_id"), col("n_dims"), r6(col("scale")).as("scale"),
+        col("max_q"), r6(col("max_abs_err")).as("max_abs_err"))
+      .orderBy(col("vec_id").asc)
+
+  /** Last-touch attribution: each purchase credited to the most recent
+    * preceding view/click IN ITS SESSION (q114's µs sessionization),
+    * via `last(..., ignoreNulls)` over the unbounded-to-1-preceding
+    * frame — purchases with no prior touch fall to 'none'. */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val gapUs = 1800L * 1000000L
+    val sess = events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("__pt", lag(col("ts_us"), 1).over(w))
+      .withColumn("__nf",
+        when(col("__pt").isNull || col("ts_us") - col("__pt") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__nf")).over(w))
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("__sid"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    sess
+      .withColumn("last_touch",
+        last(when(col("event_type").isin("view", "click"), col("event_type")),
+          ignoreNulls = true).over(wPrev))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("last_touch"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy(col("channel").asc)
+  }
+
+  /** Directional n-gram containment pairs
+    * ([[NearDup.containmentPairs]]): quote/subset detection — the
+    * asymmetric relation Jaccard (q24) misses. Shingle-df band caps
+    * the inverted-index fan-out. */
+  private def q118(s: SparkSession, dir: String): DataFrame =
+    NearDup.containmentPairs(docs(s, dir), minContainment = 0.8,
+        maxShingleDf = 50)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_common"),
+        r6(col("containment")).as("containment"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+
+  /** Local clustering coefficient per near-dup graph node
+    * ([[graft.operators.Graph.clusteringCoefficients]]): cc 1.0 =
+    * true duplicate clique, low cc = chain of borderline matches —
+    * over the SAME staged pair table as q58/q59/q96. */
+  private def q119(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.clusteringCoefficients(
+        stagedSimhashPairs(s, dir), "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("degree"), col("n_triangles"),
+        r6(col("clustering")).as("clustering"))
+      .orderBy(col("doc_id").asc)
+
   /** Per-label embedding centroids (IVF coarse-quantizer shape). */
   private def q41(s: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroids(Sources.table(s, dir, "embeddings"))
@@ -1999,7 +2060,11 @@ object SparkEntry {
     "q112_golden_record" -> (q112 _),
     "q113_anomaly_zscore" -> (q113 _),
     "q114_session_paths" -> (q114 _),
-    "q115_snapshot_diff" -> (q115 _))
+    "q115_snapshot_diff" -> (q115 _),
+    "q116_quantize_audit" -> (q116 _),
+    "q117_attribution" -> (q117 _),
+    "q118_containment" -> (q118 _),
+    "q119_clustering_coeff" -> (q119 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -3299,7 +3364,96 @@ object SparkEntry {
                             THEN 'changed' ELSE 'unchanged' END AS status
                 FROM a FULL OUTER JOIN b ON a.user_id = b.user_id)
           SELECT status, count(*) AS n_keys FROM d GROUP BY 1
-          ORDER BY status ASC""")
+          ORDER BY status ASC""",
+    // q = floor(x/scale + ½) with scale always spelled maxabs/127, so
+    // both engines run the identical IEEE op sequence
+    "q116_quantize_audit" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+          ed AS (SELECT vec_id, i AS dim, v[i] AS x
+                 FROM e, (SELECT unnest(range(1, ${EmbeddingDim + 1})) AS i) t),
+          m AS (SELECT vec_id, x,
+                  max(abs(x)) OVER (PARTITION BY vec_id) AS maxabs FROM ed),
+          qz AS (SELECT vec_id, x, maxabs, maxabs / 127 AS scale,
+                   CASE WHEN maxabs = 0 THEN 0
+                        ELSE floor(x / (maxabs / 127) + 0.5) END AS q
+                 FROM m),
+          er AS (SELECT vec_id, scale, q,
+                   CASE WHEN maxabs = 0 THEN 0.0
+                        ELSE abs(x - q * (maxabs / 127)) END AS err
+                 FROM qz)
+          SELECT vec_id, count(*) AS n_dims,
+                 round(max(scale), 6) AS scale,
+                 CAST(max(abs(q)) AS BIGINT) AS max_q,
+                 round(max(err), 6) AS max_abs_err
+          FROM er GROUP BY vec_id ORDER BY vec_id ASC""",
+    "q117_attribution" ->
+      s"""WITH w AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type,
+                       lag(epoch_us(ts)) OVER win AS pt
+                     FROM events
+                     WINDOW win AS (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts) ASC, event_id ASC)),
+          f AS (SELECT *, CASE WHEN pt IS NULL OR t - pt > 1800000000
+                               THEN 1 ELSE 0 END AS nf FROM w),
+          sess AS (SELECT user_id, t, event_id, event_type,
+                     sum(nf) OVER (PARTITION BY user_id
+                                   ORDER BY t ASC, event_id ASC) AS sid
+                   FROM f),
+          att AS (SELECT event_type,
+                    last_value(CASE WHEN event_type IN ('view', 'click')
+                                    THEN event_type END IGNORE NULLS)
+                      OVER (PARTITION BY user_id, sid
+                            ORDER BY t ASC, event_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS last_touch
+                  FROM sess)
+          SELECT coalesce(last_touch, 'none') AS channel,
+                 count(*) AS n_purchases
+          FROM att WHERE event_type = 'purchase'
+          GROUP BY 1 ORDER BY channel ASC""",
+    // threshold applies to the UNROUNDED ratio on both sides; the
+    // 6-dp rounding is output-only
+    "q118_containment" ->
+      s"""WITH $sqlShingles,
+          bd AS (SELECT shingle FROM sh GROUP BY shingle
+                 HAVING count(*) <= 50),
+          b AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN bd USING (shingle)),
+          sz AS (SELECT doc_id, count(*) AS n_a FROM b GROUP BY 1),
+          it AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   count(*) AS n_common
+                 FROM b x JOIN b y
+                   ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+                 GROUP BY 1, 2)
+          SELECT doc_a, doc_b, n_a, n_common,
+                 round(CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+                   AS containment
+          FROM it JOIN sz ON sz.doc_id = it.doc_a
+          WHERE CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) >= 0.8
+          ORDER BY doc_a ASC, doc_b ASC""",
+    "q119_clustering_coeff" ->
+      s"""WITH $simhashCte,
+          prs AS (SELECT a.doc_id AS a, b.doc_id AS b
+                  FROM fpt a JOIN fpt b ON a.doc_id < b.doc_id
+                  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+          deg AS (SELECT node, count(*) AS degree FROM
+                    (SELECT unnest([a, b]) AS node FROM prs)
+                  GROUP BY node),
+          tri AS (SELECT e1.a AS x, e1.m AS y, e2.c AS z
+                  FROM (SELECT a, b AS m FROM prs) e1
+                  JOIN (SELECT a AS m, b AS c FROM prs) e2 USING (m)
+                  WHERE EXISTS (SELECT 1 FROM prs e3
+                                WHERE e3.a = e1.a AND e3.b = e2.c)),
+          tc AS (SELECT doc_id, count(*) AS n_triangles FROM
+                   (SELECT unnest([x, y, z]) AS doc_id FROM tri)
+                 GROUP BY doc_id)
+          SELECT deg.node AS doc_id, deg.degree,
+                 coalesce(tc.n_triangles, 0) AS n_triangles,
+                 CASE WHEN deg.degree >= 2
+                      THEN round(CAST(2 * coalesce(tc.n_triangles, 0) AS DOUBLE)
+                                 / CAST(deg.degree * (deg.degree - 1) AS DOUBLE), 6)
+                      ELSE 0.0 END AS clustering
+          FROM deg LEFT JOIN tc ON tc.doc_id = deg.node
+          ORDER BY doc_id ASC""")
 
   /** 4 unrolled fixed-point PageRank rounds over the simhash pair graph
     * — the identical integer recurrence [[graft.operators.Graph

@@ -264,6 +264,31 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient per node:
+    * cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — how close a node's
+    * neighborhood is to a clique (cc 1.0 = true duplicate cluster,
+    * low cc = chain of borderline matches). Degree comes from the SAME
+    * canonicalized distinct edge set [[triangleCounts]] counts over,
+    * so T(v) ≤ C(deg, 2) holds by construction. Degree-1 nodes have no
+    * possible triangle: cc = 0 (the 0/0 case pinned, not NULL). Two
+    * aggs + one left join, all on node keys. */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String,
+                             dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    deg.join(triangleCounts(edges, srcCol, dstCol), Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          (lit(2L) * col("n_triangles")).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** PageRank over an undirected edge list in FIXED-POINT integer
     * arithmetic — node centrality for the near-dup graph (which member
     * of a duplicate cluster is the "canonical hub"?) and any other

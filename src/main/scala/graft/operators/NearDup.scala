@@ -261,4 +261,40 @@ object NearDup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
   }
+
+  /** DIRECTIONAL n-gram containment: c(a→b) = |S(a) ∩ S(b)| / |S(a)| —
+    * the asymmetric near-dup relation symmetric Jaccard misses: a short
+    * quote inside a long document has tiny Jaccard but containment ≈ 1
+    * for the quote side. Output is ordered pairs (both directions when
+    * both clear the threshold).
+    *
+    * Same inverted-index shape as [[ngramJaccardPairs]] (shingle
+    * equi-join, never n²), plus a df cap on the shingle itself: a
+    * shingle shared by df docs fans out df² join rows, and boilerplate
+    * shingles ("all rights reserved …") are exactly the ones that say
+    * nothing about containment — `maxShingleDf` drops them BEFORE the
+    * join (both the intersection AND the denominator count only banded
+    * shingles, keeping the ratio's numerator ⊆ denominator). */
+  def containmentPairs(docs: DataFrame, minContainment: Double,
+                       maxShingleDf: Long): DataFrame = {
+    val sh = Shingles.table(docs, None)
+    val banded = sh.join(
+      sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxShingleDf)
+        .select(col("shingle")),
+      Seq("shingle"), "left_semi")
+    val sizes = banded.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = banded.select(col("shingle"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("n_a")), "doc_a")
+      .withColumn("containment",
+        col("n_common").cast("double") / col("n_a").cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_common"),
+        col("containment"))
+  }
 }

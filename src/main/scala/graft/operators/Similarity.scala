@@ -81,6 +81,38 @@ object Similarity {
       .groupBy(col("label"), col("dim"))
       .agg(avg(col("v")).as("centroid"))
 
+  /** Symmetric int8 scalar quantization audit — the ANN-index
+    * compression step (4× smaller vectors) with its reconstruction
+    * error measured per vector: scale = max|x|/127,
+    * q(x) = floor(x/scale + ½) (portable half-up; |q| ≤ 127 by
+    * construction since |x|/scale ≤ 127), err = max|x − q·scale|.
+    * For a production index the q values would land in a BYTE array
+    * column; this operator reports the quantization QUALITY stats a
+    * pipeline gates on (worst-dim absolute error vs the ~scale/2
+    * theoretical bound). Zero vectors quantize to zeros with zero
+    * error. One posexplode + one agg, every op a deterministic IEEE
+    * primitive — the audit is engine-exact. */
+  def quantizeInt8Audit(emb: DataFrame): DataFrame = {
+    val perDim = emb
+      .select(col("vec_id"), posexplode(asDouble(col("embedding"))))
+      .select(col("vec_id"), col("col").as("x"))
+    val scaled = perDim
+      .withColumn("maxabs", max(abs(col("x"))).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))))
+      .withColumn("scale", col("maxabs") / 127)
+      .withColumn("q",
+        when(col("maxabs") === 0d, lit(0L))
+          .otherwise(floor(col("x") / col("scale") + lit(0.5))))
+      .withColumn("err",
+        when(col("maxabs") === 0d, lit(0.0))
+          .otherwise(abs(col("x") - col("q") * col("scale"))))
+    scaled.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dims"),
+        max(col("scale")).as("scale"),
+        max(abs(col("q"))).as("max_q"),
+        max(col("err")).as("max_abs_err"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥
     * threshold. Exact O(n²) form — at corpus scale, generate candidates
     * with [[lshBucketedKnn]]/[[ivfKnn]] blocking first and reserve this

@@ -201,6 +201,54 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(BigDecimal(got) === BigDecimal(-5L + 7L + big - big + 123456789L))
   }
 
+  // ------------------------------------------- clustering coefficient
+
+  test("clusteringCoefficients: clique nodes 1.0, path interiors 0, tails lower the hub") {
+    // K3 {1,2,3} with a pendant 4 attached to 3; plus path 10-11-12
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L)).toDF("s", "d")
+    val cc = graft.operators.Graph.clusteringCoefficients(edges, "s", "d")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(cc(1L) === ((2L, 1L, 1.0)))
+    assert(cc(2L) === ((2L, 1L, 1.0)))
+    // hub 3: degree 3, one triangle of three possible pairs → 1/3
+    assert(cc(3L)._1 === 3L && math.abs(cc(3L)._3 - 1.0 / 3) < 1e-12)
+    assert(cc(4L) === ((1L, 0L, 0.0)))   // pendant: degree 1 pins to 0
+    assert(cc(11L) === ((2L, 0L, 0.0)))  // path interior: no closure
+  }
+
+  // --------------------------------------------- int8 quantization
+
+  test("quantizeInt8Audit: scale/max_q/error bound, zero vector exact") {
+    val emb = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.quantizeInt8Audit(emb)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    val (n1, scale1, maxQ1, err1) = out(1L)
+    assert(n1 === 4L && maxQ1 === 127L)
+    assert(math.abs(scale1 - 1.0 / 127) < 1e-15)
+    assert(err1 <= scale1 / 2 + 1e-15, s"err $err1 exceeds half-step ${scale1 / 2}")
+    assert(out(2L) === ((4L, 0.0, 0L, 0.0)))
+  }
+
+  // ------------------------------------------------- containment
+
+  test("containmentPairs: quote fully inside a long doc scores 1 one-way only") {
+    val quote = "alpha beta gamma delta epsilon"
+    val long = s"intro words here $quote trailing content words beyond"
+    val docs = Seq((1L, quote), (2L, long),
+      (3L, "unrelated body of totally different tokens")).toDF("doc_id", "text")
+    val got = graft.operators.NearDup.containmentPairs(docs,
+        minContainment = 0.9, maxShingleDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(got.keySet === Set((1L, 2L)), s"got $got") // directional: only quote→doc
+    assert(got((1L, 2L)) === 1.0)
+  }
+
   // ------------------------------------------------------ KMV sketch
 
   test("kmvDistinct is exact below k and ~accurate above k") {
