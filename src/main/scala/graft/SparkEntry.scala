@@ -1332,6 +1332,65 @@ object SparkEntry {
         r6(col("clustering")).as("clustering"))
       .orderBy(col("doc_id").asc)
 
+  /** Deterministic weighted selection ([[Sampling.weightedSelect]]):
+    * top-5 docs per source by the Efraimidis–Spirakis key u^(1/w) with
+    * a data-derived quality weight — probabilistic quality-weighted
+    * corpus selection that is still a pure function of the data. */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("w",
+      lit(0.5) + (col("n_chars") % 100).cast("double") / 100)
+    graft.operators.Sampling.weightedSelect(d, col("doc_id"), "source",
+        col("w"), n = 5, salt = "sel-v1")
+      .select(col("source"), col("doc_id"), col("__sel_key").as("sel_key"))
+      .orderBy(col("source").asc, col("sel_key").desc, col("doc_id").asc)
+  }
+
+  /** Regression residual outliers: the q102 fixed-point line fit
+    * broadcast back onto the fact rows (train-then-apply, the model-
+    * scoring join shape), top-5 |residual| per flag on the bounded-heap
+    * TopKPerGroup. Residuals stay in the cents domain until the final
+    * /100. */
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    val li = Sources.table(s, dir, "lineitem")
+    val pc = floor(col("l_extendedprice") * lit(100) + lit(0.5)).cast("long")
+    val fit = SlopeOLS.fitLineFixedPoint(li, Seq("l_returnflag"),
+        col("l_quantity").cast("long"), pc, minN = 1)
+      .select(col("l_returnflag"), col("slope"), col("intercept"))
+    val scored = li
+      .join(broadcast(fit), Seq("l_returnflag"))
+      .withColumn("resid_c", pc -
+        (col("slope") * col("l_quantity").cast("long") + col("intercept")))
+      .withColumn("abs_resid", abs(col("resid_c")))
+    Ranking.topKPerGroup(scored, Seq("l_returnflag"),
+        Seq("abs_resid" -> false, "l_orderkey" -> true, "l_linenumber" -> true),
+        k = 5)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"),
+        Aggregates.round6Portable(col("resid_c") / 100).as("residual"))
+      .orderBy(col("l_returnflag").asc, col("abs_resid").desc,
+        col("l_orderkey").asc, col("l_linenumber").asc)
+  }
+
+  /** Partition-skew audit: per-supplier row counts reduced to the
+    * numbers an engine operator actually alerts on — key count, max,
+    * median, mean, and max/median skew factor. The shape that decides
+    * "does this join need salting?" (q87) before it runs. */
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    val counts = Sources.table(s, dir, "lineitem")
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_rows"))
+    counts
+      .agg(count(lit(1)).as("n_keys"),
+        max(col("n_rows")).as("max_rows"),
+        expr("percentile(n_rows, 0.5)").as("median_raw"),
+        avg(col("n_rows")).as("avg_raw"))
+      .select(col("n_keys"), col("max_rows"),
+        Aggregates.round6Portable(col("median_raw")).as("median_rows"),
+        Aggregates.round6Portable(col("avg_raw")).as("avg_rows"),
+        Aggregates.round6Portable(
+          col("max_rows").cast("double") / col("median_raw")).as("skew_factor"))
+      .orderBy(col("n_keys").asc)
+  }
+
   /** Per-label embedding centroids (IVF coarse-quantizer shape). */
   private def q41(s: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroids(Sources.table(s, dir, "embeddings"))
@@ -2064,7 +2123,10 @@ object SparkEntry {
     "q116_quantize_audit" -> (q116 _),
     "q117_attribution" -> (q117 _),
     "q118_containment" -> (q118 _),
-    "q119_clustering_coeff" -> (q119 _))
+    "q119_clustering_coeff" -> (q119 _),
+    "q120_weighted_select" -> (q120 _),
+    "q121_residual_outliers" -> (q121 _),
+    "q122_skew_audit" -> (q122 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -3453,7 +3515,64 @@ object SparkEntry {
                                  / CAST(deg.degree * (deg.degree - 1) AS DOUBLE), 6)
                       ELSE 0.0 END AS clustering
           FROM deg LEFT JOIN tc ON tc.doc_id = deg.node
-          ORDER BY doc_id ASC""")
+          ORDER BY doc_id ASC""",
+    "q120_weighted_select" ->
+      s"""WITH d AS (SELECT doc_id, source,
+                       0.5 + CAST(n_chars % 100 AS DOUBLE) / 100 AS w
+                     FROM documents),
+          k AS (SELECT doc_id, source,
+                  floor(pow((('0x' || substr(md5(doc_id || 'sel-v1'), 1, 8))::BIGINT
+                             + 1) / 4294967296.0, 1.0 / w)
+                        * 1000000 + 0.5) / 1000000 AS sel_key
+                FROM d),
+          sel AS (SELECT * FROM k QUALIFY row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY sel_key DESC, doc_id ASC) <= 5)
+          SELECT source, doc_id, sel_key FROM sel
+          ORDER BY source ASC, sel_key DESC, doc_id ASC""",
+    // the q102 cents-domain fit re-derived, broadcast onto the rows,
+    // ranked by the UNROUNDED |residual| (every op deterministic IEEE)
+    "q121_residual_outliers" ->
+      s"""WITH sc AS (SELECT l_returnflag,
+                        CAST(l_quantity AS BIGINT) AS x,
+                        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+                      FROM lineitem),
+          m AS (SELECT l_returnflag, count(*) AS n_obs,
+                  sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                  sum(x * x) AS sxx FROM sc GROUP BY 1),
+          c AS (SELECT l_returnflag, n_obs,
+                  n_obs * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cn,
+                  n_obs * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vxn,
+                  CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+                FROM m),
+          fit AS (SELECT l_returnflag, cn / vxn AS slope,
+                    (syd - (cn / vxn) * sxd) / n_obs AS intercept FROM c),
+          r AS (SELECT li.l_returnflag, li.l_orderkey, li.l_linenumber,
+                  li.l_quantity,
+                  CAST(floor(li.l_extendedprice * 100 + 0.5) AS BIGINT)
+                    - (fit.slope * CAST(li.l_quantity AS BIGINT)
+                       + fit.intercept) AS resid
+                FROM lineitem li JOIN fit USING (l_returnflag)),
+          top AS (SELECT * FROM r QUALIFY row_number() OVER (
+                    PARTITION BY l_returnflag
+                    ORDER BY abs(resid) DESC, l_orderkey ASC,
+                             l_linenumber ASC) <= 5)
+          SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+                 floor(resid / 100 * 1000000 + 0.5) / 1000000 AS residual
+          FROM top ORDER BY l_returnflag ASC, abs(resid) DESC,
+                            l_orderkey ASC, l_linenumber ASC""",
+    "q122_skew_audit" ->
+      s"""WITH counts AS (SELECT l_suppkey, count(*) AS n_rows
+                          FROM lineitem GROUP BY 1)
+          SELECT count(*) AS n_keys, max(n_rows) AS max_rows,
+                 floor(quantile_cont(n_rows, 0.5) * 1000000 + 0.5) / 1000000
+                   AS median_rows,
+                 floor(avg(n_rows) * 1000000 + 0.5) / 1000000 AS avg_rows,
+                 floor(CAST(max(n_rows) AS DOUBLE) / quantile_cont(n_rows, 0.5)
+                       * 1000000 + 0.5) / 1000000 AS skew_factor
+          FROM counts ORDER BY n_keys ASC""")
 
   /** 4 unrolled fixed-point PageRank rounds over the simhash pair graph
     * — the identical integer recurrence [[graft.operators.Graph

@@ -72,4 +72,30 @@ object Sampling {
       .withColumn("copy_no", explode(sequence(lit(1L), col("__copies"))))
       .drop("__copies")
   }
+
+  /** Deterministic WEIGHTED selection without replacement: top `n` rows
+    * per group by the Efraimidis–Spirakis key u^(1/w) — each row's
+    * inclusion probability scales with its weight (quality-weighted
+    * corpus selection: "keep the best-looking n docs per source, but
+    * probabilistically, so no weight class is cut off sharply"), yet
+    * the selected set is a pure function of (id, salt, weights):
+    * rerun-stable, engine-portable, no RNG state.
+    *
+    * u = (h32 + 1) / 2³² ∈ (0, 1] from the row id's md5 (uniform, never
+    * 0 so the power is defined); `pow` carries the usual ±1-ulp library
+    * license, so keys round at 6 dp before ranking (the BM25/ln
+    * discipline) with the id as total tie-break. Selection runs on the
+    * bounded-heap TopKPerGroup — O(n) state per group, no full sort.
+    * Weights must be strictly positive. */
+  def weightedSelect(df: DataFrame, idCol: Column, groupCol: String,
+                     weight: Column, n: Int, salt: String): DataFrame = {
+    val u = (conv(substring(md5(concat(idCol.cast("string"), lit(salt))), 1, 8),
+      16, 10).cast("long") + 1) / lit(4294967296.0)
+    val key = floor(pow(u, lit(1.0) / weight) * lit(1e6) + lit(0.5)) / lit(1e6)
+    val keyed = df
+      .withColumn("__sel_key", key)
+      .withColumn("__sel_id", idCol.cast("long"))
+    graft.engine.Ranking.topKPerGroup(keyed, Seq(groupCol),
+      Seq("__sel_key" -> false, "__sel_id" -> true), n)
+  }
 }
