@@ -237,6 +237,32 @@ class Round4OpsSpec extends AnyFunSuite {
 
   // ------------------------------------------------- containment
 
+  test("containmentPairs prefix filter loses no pairs vs brute force") {
+    // random token soups with heavy overlap so containment pairs exist
+    // at several thresholds; brute force = definition over 3-shingles
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector.tabulate(30)(i => s"w$i")
+    val texts = Seq.tabulate(40) { i =>
+      val n = 6 + rnd.nextInt(20)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val docs = texts.toDF("doc_id", "text")
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val sets = texts.map { case (id, t) => id -> shingles(t) }.toMap
+    for (t <- Seq(0.5, 0.8, 1.0)) {
+      val brute = (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+        if a != b && sa.nonEmpty
+        common = (sa intersect sb).size
+        if common.toDouble / sa.size >= t
+      } yield (a, b)).toSet
+      val got = graft.operators.NearDup.containmentPairs(docs, t, maxShingleDf = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === brute, s"threshold $t: missing=${brute -- got} extra=${got -- brute}")
+    }
+  }
+
   test("containmentPairs: quote fully inside a long doc scores 1 one-way only") {
     val quote = "alpha beta gamma delta epsilon"
     val long = s"intro words here $quote trailing content words beyond"
