@@ -1391,6 +1391,18 @@ object SparkEntry {
       .orderBy(col("n_keys").asc)
   }
 
+  /** Label-propagation communities over the near-dup graph
+    * ([[graft.operators.Graph.labelPropagation]], 3 rounds):
+    * neighbor-majority voting with the min-label tie-break that makes
+    * plain LPA deterministic — denser groupings than q58's connected
+    * components (a bridge edge merges components, not communities).
+    * Fourth consumer of the staged pair table. */
+  private def q123(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.labelPropagation(stagedSimhashPairs(s, dir),
+        "doc_a", "doc_b", rounds = 3)
+      .select(col("n").as("doc_id"), col("community"))
+      .orderBy(col("doc_id").asc)
+
   /** Per-label embedding centroids (IVF coarse-quantizer shape). */
   private def q41(s: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroids(Sources.table(s, dir, "embeddings"))
@@ -2126,7 +2138,8 @@ object SparkEntry {
     "q119_clustering_coeff" -> (q119 _),
     "q120_weighted_select" -> (q120 _),
     "q121_residual_outliers" -> (q121 _),
-    "q122_skew_audit" -> (q122 _))
+    "q122_skew_audit" -> (q122 _),
+    "q123_lpa_communities" -> (q123 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -3572,7 +3585,31 @@ object SparkEntry {
                  floor(avg(n_rows) * 1000000 + 0.5) / 1000000 AS avg_rows,
                  floor(CAST(max(n_rows) AS DOUBLE) / quantile_cont(n_rows, 0.5)
                        * 1000000 + 0.5) / 1000000 AS skew_factor
-          FROM counts ORDER BY n_keys ASC""")
+          FROM counts ORDER BY n_keys ASC""",
+    "q123_lpa_communities" -> lpaOracle)
+
+  /** 3 unrolled label-propagation rounds over the simhash pair graph —
+    * the identical recurrence [[graft.operators.Graph.labelPropagation]]
+    * runs: neighbor-majority vote, ties to the smallest label
+    * (row_number ORDER BY c DESC, lbl ASC ≡ the engine's
+    * max(struct(c, −lbl))). */
+  private def lpaOracle: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""v$i AS (SELECT e.n, l${i - 1}.lbl, count(*) AS c
+                  FROM e JOIN l${i - 1} ON e.m = l${i - 1}.n GROUP BY 1, 2),
+          l$i AS (SELECT n, lbl FROM v$i
+                  QUALIFY row_number() OVER (PARTITION BY n
+                    ORDER BY c DESC, lbl ASC) = 1)"""
+    }.mkString(",\n")
+    s"""WITH $simhashCte,
+        prs AS (SELECT a.doc_id AS a, b.doc_id AS b
+                FROM fpt a JOIN fpt b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        e AS (SELECT a AS n, b AS m FROM prs UNION SELECT b, a FROM prs),
+        l0 AS (SELECT DISTINCT n, n AS lbl FROM e),
+        $rounds
+        SELECT n AS doc_id, lbl AS community FROM l3 ORDER BY doc_id ASC"""
+  }
 
   /** 4 unrolled fixed-point PageRank rounds over the simhash pair graph
     * — the identical integer recurrence [[graft.operators.Graph

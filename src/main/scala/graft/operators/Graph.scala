@@ -349,6 +349,46 @@ object Graph {
     ranks.select(col("n"), col("r").as("rank_fp"))
   }
 
+  /** Synchronous label propagation — community detection by neighbor
+    * majority vote: every node starts as its own label, and each round
+    * adopts the label most common among its NEIGHBORS (ties → smallest
+    * label, so the vote is total-ordered and the result deterministic
+    * under any partitioning — plain LPA's arbitrary tie-break is
+    * exactly what makes it non-reproducible). Fixed `rounds`, no
+    * convergence test: like [[pageRankFixedPoint]], the unrolled
+    * recurrence is what a SQL oracle can replay exactly.
+    *
+    * Per round: one join of the label table into the pre-partitioned
+    * symmetric edge list + one (node, label) count agg + one argmax
+    * agg via `max(struct(count, −label))` — O(1) state per (node,
+    * label) pair, nothing on the driver. Communities are denser than
+    * [[connectedComponents]]' (a bridge edge joins two components but
+    * not two LPA communities).
+    *
+    * Output: (`n`, `community` = converged-ish label after `rounds`). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 0, "rounds must be >= 0")
+    val e1 = cut(edges.select(col(srcCol).as("n"), col(dstCol).as("m"))
+      .filter(col("n") =!= col("m")).distinct(), checkpointDir)
+    val sym = e1.union(e1.select(col("m").as("n"), col("n").as("m")))
+    val symPart = cut(sym.repartition(col("m")), checkpointDir)
+    var labels = sym.select(col("n")).distinct()
+      .select(col("n"), col("n").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val votes = symPart
+        .join(labels.select(col("n").as("m"), col("lbl")), "m")
+        .groupBy(col("n"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      labels = cut(votes
+        .groupBy(col("n"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("w"))
+        .select(col("n"), (-col("w.neg")).as("lbl")), checkpointDir)
+    }
+    labels.select(col("n"), col("lbl").as("community"))
+  }
+
   /** The dedup application of [[connectedComponents]]: given documents
     * and near-dup candidate pairs, keep each component's smallest
     * doc id as canonical and return the surviving corpus (canonical

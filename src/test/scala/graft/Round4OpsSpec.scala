@@ -218,6 +218,26 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(cc(11L) === ((2L, 0L, 0.0)))  // path interior: no closure
   }
 
+  // --------------------------------------------- label propagation
+
+  test("labelPropagation: bridged triangles settle into two communities") {
+    // K3 {1,2,3} — 3—4 bridge — K3 {4,5,6}; hand-simulated 3 rounds of
+    // neighbor-majority with min-label ties: {1,2,3}→1, {4,5,6}→3
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("s", "d")
+    val got = graft.operators.Graph.labelPropagation(edges, "s", "d", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagation round 0 is the identity labeling") {
+    val edges = Seq((7L, 8L)).toDF("s", "d")
+    val got = graft.operators.Graph.labelPropagation(edges, "s", "d", rounds = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(7L -> 7L, 8L -> 8L))
+  }
+
   // --------------------------------------------- int8 quantization
 
   test("quantizeInt8Audit: scale/max_q/error bound, zero vector exact") {
