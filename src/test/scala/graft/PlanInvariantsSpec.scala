@@ -57,6 +57,33 @@ class PlanInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("round-4 selection/sketch queries run on bounded heaps, not window sorts") {
+    Seq("q111_kmv_distinct", "q120_weighted_select",
+        "q121_residual_outliers").foreach { n =>
+      val plan = planOf(n)
+      assert(plan.contains("TopKPerGroupFinal"), s"$n should use TopKPerGroup:\n$plan")
+      assert(!plan.contains("row_number"), s"$n should not plan a window sort:\n$plan")
+    }
+  }
+
+  test("residual scoring broadcasts the per-group fit, never shuffles the fact for it") {
+    val plan = planOf("q121_residual_outliers")
+    assert(plan.contains("BroadcastHashJoin"), s"q121 fit join should broadcast:\n$plan")
+  }
+
+  test("skyline prune joins a broadcast threshold table") {
+    val plan = planOf("q108_skyline")
+    assert(plan.contains("BroadcastHashJoin"), s"q108:\n$plan")
+  }
+
+  test("rolling z-score plans growing frames, not a bounded sliding frame") {
+    val plan = planOf("q113_anomaly_zscore")
+    assert(plan.contains("unboundedpreceding"),
+      s"q113 should use prefix frames:\n$plan")
+    // the O(frame)-per-row shape this operator exists to avoid
+    assert(!plan.contains("-20, -1"), s"q113 still plans a sliding frame:\n$plan")
+  }
+
   test("grouping-set queries Expand the per-group re-agg, not the fact scan") {
     Seq("q39_rollup_revenue", "q52_cube_quantity", "q62_grouping_sets").foreach { n =>
       val plan = planOf(n)
