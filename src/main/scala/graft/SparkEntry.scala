@@ -1403,6 +1403,21 @@ object SparkEntry {
       .select(col("n").as("doc_id"), col("community"))
       .orderBy(col("doc_id").asc)
 
+  /** Pattern categories for the q124 audit — Java∩RE2 dialect (q86
+    * discipline) so both engines count identically. */
+  private val AuditPatterns = Seq(
+    "entity" -> "\\b(customer|order|supplier)\\b",
+    "number" -> "\\b[0-9]+\\b",
+    "capitalized" -> "\\b[A-Z][a-z]+\\b")
+
+  /** Multi-category pattern audit ([[TextAnalysis.multiPatternAudit]]):
+    * per (source, category) documents-hit and match totals, one corpus
+    * scan for all categories — the compliance pre-scan before q86's
+    * redaction. */
+  private def q124(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.multiPatternAudit(docs(s, dir), AuditPatterns)
+      .orderBy(col("source").asc, col("category").asc)
+
   /** Per-label embedding centroids (IVF coarse-quantizer shape). */
   private def q41(s: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroids(Sources.table(s, dir, "embeddings"))
@@ -2139,7 +2154,8 @@ object SparkEntry {
     "q120_weighted_select" -> (q120 _),
     "q121_residual_outliers" -> (q121 _),
     "q122_skew_audit" -> (q122 _),
-    "q123_lpa_communities" -> (q123 _))
+    "q123_lpa_communities" -> (q123 _),
+    "q124_pattern_audit" -> (q124 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -3586,7 +3602,23 @@ object SparkEntry {
                  floor(CAST(max(n_rows) AS DOUBLE) / quantile_cont(n_rows, 0.5)
                        * 1000000 + 0.5) / 1000000 AS skew_factor
           FROM counts ORDER BY n_keys ASC""",
-    "q123_lpa_communities" -> lpaOracle)
+    "q123_lpa_communities" -> lpaOracle,
+    "q124_pattern_audit" -> {
+      val cats = Seq(
+        ("entity", "\\b(customer|order|supplier)\\b"),
+        ("number", "\\b[0-9]+\\b"),
+        ("capitalized", "\\b[A-Z][a-z]+\\b"))
+      val arms = cats.map { case (n, p) =>
+        s"""SELECT source, '$n' AS category,
+               CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n
+            FROM documents"""
+      }.mkString(" UNION ALL ")
+      s"""WITH c AS ($arms)
+          SELECT source, category,
+                 count(CASE WHEN n > 0 THEN 1 END) AS n_docs_hit,
+                 CAST(sum(n) AS BIGINT) AS n_matches
+          FROM c GROUP BY 1, 2 ORDER BY source ASC, category ASC"""
+    })
 
   /** 3 unrolled label-propagation rounds over the simhash pair graph —
     * the identical recurrence [[graft.operators.Graph.labelPropagation]]

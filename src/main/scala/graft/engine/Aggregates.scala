@@ -296,6 +296,11 @@ object Aggregates {
     require(k >= 2, "KMV needs k >= 2")
     val hashed = df
       .select(col(groupCol), item.as("__item"))
+      // NULL items are excluded BEFORE hashing (distinct-count
+      // convention) — md5(NULL) is NULL and a NULL key would sort
+      // differently per engine (Spark ASC = NULLS FIRST, DuckDB =
+      // NULLS LAST), silently poisoning the bottom-k
+      .filter(col("__item").isNotNull)
       .distinct()
       .select(col(groupCol),
         conv(substring(md5(col("__item")), 1, 15), 16, 10)

@@ -154,6 +154,33 @@ object TextAnalysis {
         .cast("long").as("n_redacted"),
       regexp_replace(col("text"), pattern, replacement).as("text"))
 
+  /** Multi-category pattern audit in ONE corpus scan: each category's
+    * match count is an independent `regexp_extract_all` projection over
+    * the same row, then `stack` unpivots (category, count) pairs and a
+    * per-(source, category) aggregate reports documents-hit and total
+    * matches — the PII/compliance pre-scan run before a [[redact]]
+    * pass, priced at one scan regardless of category count. Patterns
+    * must stay in the Java∩RE2 common dialect (the q86 discipline) to
+    * keep the audit engine-portable. Category names feed SQL
+    * identifiers/literals: letters/digits/underscore only. */
+  def multiPatternAudit(docs: DataFrame,
+                        patterns: Seq[(String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "need at least one pattern category")
+    require(patterns.forall(_._1.matches("[A-Za-z0-9_]+")),
+      "category names must be [A-Za-z0-9_]+")
+    val counted = docs.select(col("source") +: patterns.map { case (n, p) =>
+      size(regexp_extract_all(col("text"), lit(p), lit(0)))
+        .cast("long").as(s"__c_$n")
+    }: _*)
+    val stacked = counted.select(col("source"), expr(
+      s"stack(${patterns.size}, " +
+        patterns.map(p => s"'${p._1}', __c_${p._1}").mkString(", ") +
+        ") AS (category, n)"))
+    stacked.groupBy(col("source"), col("category"))
+      .agg(count(when(col("n") > 0, 1)).as("n_docs_hit"),
+        sum(col("n")).as("n_matches"))
+  }
+
   /** The full curation decision, one row per document: every quality
     * signal as an explicit boolean REASON plus the final `keep` — the
     * auditable form a production filter wants (aggregate the reasons to

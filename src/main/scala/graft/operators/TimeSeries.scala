@@ -91,7 +91,10 @@ object TimeSeries {
     * exceeds the running max end of every earlier interval (window max,
     * 1-preceding frame), then a running sum of the island flags labels
     * islands and a per-(key, island) aggregate collapses them. Same
-    * (key × start) sort serves both windows; parallel across keys. */
+    * (key × start) sort serves both windows; parallel across keys.
+    * Precondition: end ≥ start per row (a malformed negative-length
+    * interval would silently split islands its true extent should
+    * bridge — validate upstream, as q107's `value > 0` filter does). */
   def mergeIntervals(df: DataFrame, keyCols: Seq[String],
                      startCol: String, endCol: String): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)

@@ -295,6 +295,25 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(got((1L, 2L)) === 1.0)
   }
 
+  // --------------------------------------------- multi-pattern audit
+
+  test("multiPatternAudit counts every category from one scan, zero-hit rows kept") {
+    val docs = Seq(
+      (1L, "customer 42 has order 7", "a"),
+      (2L, "no digits here at all", "a"),
+      (3L, "supplier 1 2 3", "b"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.multiPatternAudit(docs, Seq(
+        "entity" -> "\\b(customer|order|supplier)\\b",
+        "number" -> "\\b[0-9]+\\b"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got(("a", "entity")) === ((1L, 2L)))  // doc 1 only: customer + order
+    assert(got(("a", "number")) === ((1L, 2L)))  // doc 1 only: 42 and 7
+    assert(got(("b", "entity")) === ((1L, 1L)))
+    assert(got(("b", "number")) === ((1L, 3L)))
+  }
+
   // ------------------------------------------------------ KMV sketch
 
   test("kmvDistinct is exact below k and ~accurate above k") {
