@@ -1116,7 +1116,8 @@ object SparkEntry {
   /** SCD-2 history build ([[graft.operators.TimeSeries.scd2Intervals]]):
     * the per-user event_type change log compressed into validity
     * intervals — consecutive same-type events collapse into one version
-    * carrying [valid_from, valid_to) in exact ns arithmetic. */
+    * carrying [valid_from, valid_to) in exact integer µs arithmetic
+    * (the cross-engine time resolution — see the ts_us note below). */
   private def q106(s: SparkSession, dir: String): DataFrame =
     graft.operators.TimeSeries.scd2Intervals(
         // µs domain: DuckDB reads the TIMESTAMP(NANOS) parquet at µs
@@ -1132,8 +1133,8 @@ object SparkEntry {
   /** Overlapping-interval merge (gaps-and-islands,
     * [[graft.operators.TimeSeries.mergeIntervals]]): each event spans
     * [ts, ts + value seconds); touching/overlapping spans per user
-    * collapse to islands. Integer ns arithmetic end to end (the only
-    * double op, value·10⁹, is a single IEEE multiply + floor — bit
+    * collapse to islands. Integer µs arithmetic end to end (the only
+    * double op, value·10⁶, is a single IEEE multiply + floor — bit
     * identical in any engine). */
   private def q107(s: SparkSession, dir: String): DataFrame = {
     // µs domain (see q106): start/duration in exact integer µs
@@ -1226,26 +1227,36 @@ object SparkEntry {
         col("n_ctx"), r6(col("zscore")).as("zscore"))
       .orderBy(col("user_id").asc, col("event_id").asc)
 
-  /** Session transition paths: 30-min-gap sessionization (lag + running
-    * flag sum, the q37 semantics in window form) then (type → next type)
-    * bigram counts WITHIN sessions — the path-analysis query behind
-    * funnels like q90. */
-  private def q114(s: SparkSession, dir: String): DataFrame = {
-    // µs domain (see q106) so the gap comparison is cross-engine exact
+  /** 30-min-gap sessionization in the µs domain (see q106), shared by
+    * q114 (transition paths) and q117 (attribution): lag + running flag
+    * sum per user — the q37 semantics in window form. Adds `ts_us` and
+    * `__sid`. A gap/tie change here changes BOTH consumers (their
+    * oracles share [[sessionCtes]] the same way). */
+  private def sessionized(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"))
       .orderBy(col("ts_us").asc, col("event_id").asc)
     val gapUs = 1800L * 1000000L
-    val sess = events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+    events(s, dir).withColumn("ts_us", expr("ts div 1000"))
       .withColumn("__pt", lag(col("ts_us"), 1).over(w))
       .withColumn("__nf",
         when(col("__pt").isNull || col("ts_us") - col("__pt") > gapUs, 1L)
           .otherwise(0L))
       .withColumn("__sid", sum(col("__nf")).over(w))
-    val wSess = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id"), col("__sid"))
-      .orderBy(col("ts_us").asc, col("event_id").asc)
-    sess.withColumn("__next", lead(col("event_type"), 1).over(wSess))
+  }
+
+  /** Per-(user, session) event order — the frame both session
+    * consumers scan within. */
+  private def sessionWindow = org.apache.spark.sql.expressions.Window
+    .partitionBy(col("user_id"), col("__sid"))
+    .orderBy(col("ts_us").asc, col("event_id").asc)
+
+  /** Session transition paths: (type → next type) bigram counts WITHIN
+    * sessions — the path-analysis query behind funnels like q90. */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    val wSess = sessionWindow
+    sessionized(s, dir)
+      .withColumn("__next", lead(col("event_type"), 1).over(wSess))
       .filter(col("__next").isNotNull)
       .groupBy(col("event_type").as("et_from"), col("__next").as("et_to"))
       .agg(count(lit(1)).as("n_transitions"))
@@ -1286,21 +1297,9 @@ object SparkEntry {
     * via `last(..., ignoreNulls)` over the unbounded-to-1-preceding
     * frame — purchases with no prior touch fall to 'none'. */
   private def q117(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id"))
-      .orderBy(col("ts_us").asc, col("event_id").asc)
-    val gapUs = 1800L * 1000000L
-    val sess = events(s, dir).withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("__pt", lag(col("ts_us"), 1).over(w))
-      .withColumn("__nf",
-        when(col("__pt").isNull || col("ts_us") - col("__pt") > gapUs, 1L)
-          .otherwise(0L))
-      .withColumn("__sid", sum(col("__nf")).over(w))
-    val wPrev = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id"), col("__sid"))
-      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val wPrev = sessionWindow
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    sess
+    sessionized(s, dir)
       .withColumn("last_touch",
         last(when(col("event_type").isin("view", "click"), col("event_type")),
           ignoreNulls = true).over(wPrev))
@@ -3323,9 +3322,10 @@ object SparkEntry {
                      ON a.term = b.term AND a.doc_id < b.doc_id
                    GROUP BY 1, 2),
           cs AS (SELECT doc_a, doc_b, n_shared,
-                   round(CAST(dot AS DOUBLE)
+                   floor(CAST(dot AS DOUBLE)
                          / (sqrt(CAST(na.norm2 AS DOUBLE))
-                            * sqrt(CAST(nb.norm2 AS DOUBLE))), 6) AS cosine
+                            * sqrt(CAST(nb.norm2 AS DOUBLE)))
+                         * 1000000 + 0.5) / 1000000 AS cosine
                  FROM dots JOIN nr na ON na.doc_id = dots.doc_a
                            JOIN nr nb ON nb.doc_id = dots.doc_b)
           SELECT doc_a, doc_b, n_shared, cosine FROM cs
@@ -3339,7 +3339,8 @@ object SparkEntry {
                                  - ln(CAST(t_total AS DOUBLE))
                                  AS DECIMAL(18,6)) AS lp FROM c, t)
           SELECT doc_id, count(*) AS n_tokens,
-                 round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+                 floor(CAST(sum(lp) AS DOUBLE) / count(*)
+                       * 1000000 + 0.5) / 1000000 AS avg_logprob
           FROM tok JOIN lm USING (tk)
           GROUP BY doc_id ORDER BY doc_id ASC""",
     "q111_kmv_distinct" ->
@@ -3357,8 +3358,9 @@ object SparkEntry {
                  FROM tok GROUP BY 1)
           SELECT agg.source, n_hashes, kth_hash,
                  CASE WHEN n_hashes < 256 THEN CAST(n_hashes AS DOUBLE)
-                      ELSE round(255 * CAST(1152921504606846976 AS DOUBLE)
-                                 / kth_hash, 6) END AS est_distinct,
+                      ELSE floor(255 * CAST(1152921504606846976 AS DOUBLE)
+                                 / kth_hash * 1000000 + 0.5) / 1000000
+                      END AS est_distinct,
                  exact_distinct
           FROM agg JOIN ex ON agg.source = ex.source
           ORDER BY agg.source ASC""",
@@ -3415,17 +3417,7 @@ object SparkEntry {
           FROM z WHERE abs(zscore) > 2.5
           ORDER BY user_id ASC, event_id ASC""",
     "q114_session_paths" ->
-      s"""WITH w AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type,
-                       lag(epoch_us(ts)) OVER win AS pt
-                     FROM events
-                     WINDOW win AS (PARTITION BY user_id
-                                    ORDER BY epoch_us(ts) ASC, event_id ASC)),
-          f AS (SELECT *, CASE WHEN pt IS NULL OR t - pt > 1800000000
-                               THEN 1 ELSE 0 END AS nf FROM w),
-          sess AS (SELECT user_id, t, event_id, event_type,
-                     sum(nf) OVER (PARTITION BY user_id
-                                   ORDER BY t ASC, event_id ASC) AS sid
-                   FROM f),
+      s"""WITH $sessionCtes,
           tr AS (SELECT event_type AS et_from,
                    lead(event_type) OVER (PARTITION BY user_id, sid
                                           ORDER BY t ASC, event_id ASC)
@@ -3479,17 +3471,7 @@ object SparkEntry {
                  round(max(err), 6) AS max_abs_err
           FROM er GROUP BY vec_id ORDER BY vec_id ASC""",
     "q117_attribution" ->
-      s"""WITH w AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type,
-                       lag(epoch_us(ts)) OVER win AS pt
-                     FROM events
-                     WINDOW win AS (PARTITION BY user_id
-                                    ORDER BY epoch_us(ts) ASC, event_id ASC)),
-          f AS (SELECT *, CASE WHEN pt IS NULL OR t - pt > 1800000000
-                               THEN 1 ELSE 0 END AS nf FROM w),
-          sess AS (SELECT user_id, t, event_id, event_type,
-                     sum(nf) OVER (PARTITION BY user_id
-                                   ORDER BY t ASC, event_id ASC) AS sid
-                   FROM f),
+      s"""WITH $sessionCtes,
           att AS (SELECT event_type,
                     last_value(CASE WHEN event_type IN ('view', 'click')
                                     THEN event_type END IGNORE NULLS)
@@ -3619,6 +3601,21 @@ object SparkEntry {
                  CAST(sum(n) AS BIGINT) AS n_matches
           FROM c GROUP BY 1, 2 ORDER BY source ASC, category ASC"""
     })
+
+  /** Shared 30-min µs sessionization CTE chain — the oracle mirror of
+    * [[sessionized]], consumed by both the q114 and q117 oracles. */
+  private val sessionCtes: String =
+    s"""w AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type,
+               lag(epoch_us(ts)) OVER win AS pt
+             FROM events
+             WINDOW win AS (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) ASC, event_id ASC)),
+        f AS (SELECT *, CASE WHEN pt IS NULL OR t - pt > 1800000000
+                             THEN 1 ELSE 0 END AS nf FROM w),
+        sess AS (SELECT user_id, t, event_id, event_type,
+                   sum(nf) OVER (PARTITION BY user_id
+                                 ORDER BY t ASC, event_id ASC) AS sid
+                 FROM f)"""
 
   /** 3 unrolled label-propagation rounds over the simhash pair graph —
     * the identical recurrence [[graft.operators.Graph.labelPropagation]]

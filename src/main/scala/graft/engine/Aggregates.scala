@@ -313,9 +313,9 @@ object Aggregates {
         // u(k) = kth_hash / 2^60; below k distinct items the group is
         // exact by construction (every hash was kept)
         when(col("n_hashes") < k, col("n_hashes").cast("double"))
-          .otherwise(round((lit(k - 1).cast("double")
+          .otherwise(round6Portable((lit(k - 1).cast("double")
               * lit(1152921504606846976L).cast("double")) // 2^60
-            / col("kth_hash"), 6))
+            / col("kth_hash")))
           .as("est_distinct"))
   }
 }

@@ -249,11 +249,19 @@ object Graph {
     * making wedge work O(m^{3/2}) worst-case) — one extra degree agg +
     * join, same shape otherwise. Near-dup pair graphs are small dense
     * cliques where id-orientation is already balanced. */
-  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = edges
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    triangleCountsCanonical(canonicalEdges(edges, srcCol, dstCol))
+
+  /** id-oriented distinct edge set (a < b) — the shared normalization
+    * of [[triangleCounts]] and [[clusteringCoefficients]]. */
+  private def canonicalEdges(edges: DataFrame, srcCol: String,
+                             dstCol: String): DataFrame =
+    edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+
+  private def triangleCountsCanonical(e: DataFrame): DataFrame = {
     val wedges = e.select(col("a"), col("b").as("m"))
       .join(e.select(col("a").as("m"), col("b").as("c")), "m")
     val closed = wedges.join(e.select(col("a"), col("b").as("c")),
@@ -274,13 +282,10 @@ object Graph {
     * aggs + one left join, all on node keys. */
   def clusteringCoefficients(edges: DataFrame, srcCol: String,
                              dstCol: String): DataFrame = {
-    val e = edges
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+    val e = canonicalEdges(edges, srcCol, dstCol)
     val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-    deg.join(triangleCounts(edges, srcCol, dstCol), Seq("node"), "left")
+    deg.join(triangleCountsCanonical(e), Seq("node"), "left")
       .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
       .withColumn("clustering",
         when(col("degree") >= 2,
@@ -370,7 +375,11 @@ object Graph {
                        rounds: Int,
                        checkpointDir: Option[String] = None): DataFrame = {
     require(rounds >= 0, "rounds must be >= 0")
-    val e1 = cut(edges.select(col(srcCol).as("n"), col(dstCol).as("m"))
+    // canonicalize orientation BEFORE distinct (like triangleCounts):
+    // an edge log carrying both (a,b) and (b,a) would otherwise
+    // survive distinct() twice and double that neighbor's vote
+    val e1 = cut(edges.select(least(col(srcCol), col(dstCol)).as("n"),
+        greatest(col(srcCol), col(dstCol)).as("m"))
       .filter(col("n") =!= col("m")).distinct(), checkpointDir)
     val sym = e1.union(e1.select(col("m").as("n"), col("n").as("m")))
     val symPart = cut(sym.repartition(col("m")), checkpointDir)

@@ -144,8 +144,10 @@ object Retrieval {
                        minCosine: Double): DataFrame = {
     require(minDf >= 2, "minDf < 2 is never useful: df=1 terms cannot pair")
     val postings = bm25Index(docs).postings // (doc_id, term, tf, dl)
+    // postings are unique per (doc_id, term) by construction, so a
+    // plain count IS the document frequency — no distinct aggregate
     val dfq = postings.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .agg(count(lit(1)).as("df"))
       .filter(col("df").between(minDf, maxDf))
     val n = docs.agg(count(lit(1)).as("n_total"))
     val weighted = postings
@@ -166,8 +168,12 @@ object Retrieval {
       .join(norms.select(col("doc_id").as("doc_a"), col("norm2").as("na")), "doc_a")
       .join(norms.select(col("doc_id").as("doc_b"), col("norm2").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
-        round(col("dot").cast("double") /
-          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+        // round6Portable, not round(): the threshold filters on the
+        // ROUNDED cosine, so an engine-dependent half-boundary round
+        // would flip row MEMBERSHIP, not just a cell value
+        graft.engine.Aggregates.round6Portable(
+          col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
           .as("cosine"))
       .filter(col("cosine") >= minCosine)
   }

@@ -372,7 +372,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         (sum(col("lp")).cast("double") / count(lit(1))).as("__m"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("__m"), 6).as("avg_logprob"))
+        graft.engine.Aggregates.round6Portable(col("__m")).as("avg_logprob"))
   }
 
   def vocabJaccardMatrix(docs: DataFrame, groupCol: String): DataFrame = {

@@ -231,6 +231,15 @@ class Round4OpsSpec extends AnyFunSuite {
       4L -> 3L, 5L -> 3L, 6L -> 3L))
   }
 
+  test("labelPropagation: a reverse-duplicate edge must not double a vote") {
+    // (1,3) and (3,1) are the same undirected edge; node 1's round-1
+    // vote is a {2,3} tie → min label 2, not 3
+    val edges = Seq((1L, 2L), (1L, 3L), (3L, 1L)).toDF("s", "d")
+    val got = graft.operators.Graph.labelPropagation(edges, "s", "d", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 2L, s"got $got")
+  }
+
   test("labelPropagation round 0 is the identity labeling") {
     val edges = Seq((7L, 8L)).toDF("s", "d")
     val got = graft.operators.Graph.labelPropagation(edges, "s", "d", rounds = 0)
