@@ -1417,6 +1417,53 @@ object SparkEntry {
     TextAnalysis.multiPatternAudit(docs(s, dir), AuditPatterns)
       .orderBy(col("source").asc, col("category").asc)
 
+  /** Empirical CDF per event type in BUCKETED form: per (type,
+    * floor(value)) counts, then a running sum over the bucket table
+    * only — the scale-correct percentile/calibration curve (a
+    * percent_rank window over raw rows would sort an entire type's
+    * partition; this windows |buckets| rows). Fractions via exact
+    * integer cumulative ÷ total. */
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("bucket").asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    cleanEvents(s, dir)
+      .groupBy(col("event_type"), floor(col("value")).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cum_n", sum(col("n")).over(wRun))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .select(col("event_type"), col("bucket"), col("n"), col("cum_n"),
+        Aggregates.round6Portable(
+          col("cum_n").cast("double") / col("total").cast("double")).as("ecdf"))
+      .orderBy(col("event_type").asc, col("bucket").asc)
+  }
+
+  /** Zipf rank–frequency fit: ln(count) ~ ln(rank) over the corpus
+    * vocabulary ([[SlopeOLS.fitLineExact]] on dec6-rounded logs — the
+    * products of two 6-dp values are exact at DECIMAL(38,12), so the
+    * moments are order-free). slope ≈ −zipf exponent; the fit runs on
+    * the vocabulary-sized frequency table, never the token stream. */
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("tk").asc)
+    val freq = docs(s, dir)
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("tk"))
+      .groupBy(col("tk")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("grp", lit("corpus"))
+      .withColumn("lx", (floor(log(col("rank").cast("double")) * lit(1e6)
+        + lit(0.5)) / lit(1e6)))
+      .withColumn("ly", (floor(log(col("cnt").cast("double")) * lit(1e6)
+        + lit(0.5)) / lit(1e6)))
+    SlopeOLS.fitLineExact(freq, Seq("grp"), col("lx"), col("ly"), minN = 1)
+      .select(col("n_obs").as("vocab_size"),
+        Aggregates.round6Portable(col("slope")).as("zipf_slope"),
+        Aggregates.round6Portable(col("intercept")).as("intercept"),
+        Aggregates.round6Portable(col("r2")).as("r2"))
+      .orderBy(col("vocab_size").asc)
+  }
+
   /** Per-label embedding centroids (IVF coarse-quantizer shape). */
   private def q41(s: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroids(Sources.table(s, dir, "embeddings"))
@@ -2154,7 +2201,9 @@ object SparkEntry {
     "q121_residual_outliers" -> (q121 _),
     "q122_skew_audit" -> (q122 _),
     "q123_lpa_communities" -> (q123 _),
-    "q124_pattern_audit" -> (q124 _))
+    "q124_pattern_audit" -> (q124 _),
+    "q125_ecdf" -> (q125 _),
+    "q126_zipf_fit" -> (q126 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -3600,7 +3649,57 @@ object SparkEntry {
                  count(CASE WHEN n > 0 THEN 1 END) AS n_docs_hit,
                  CAST(sum(n) AS BIGINT) AS n_matches
           FROM c GROUP BY 1, 2 ORDER BY source ASC, category ASC"""
-    })
+    },
+    "q125_ecdf" ->
+      s"""WITH b AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket,
+                       count(*) AS n
+                     FROM events WHERE $sqlClean GROUP BY 1, 2),
+          c AS (SELECT event_type, bucket, n,
+                  sum(n) OVER (PARTITION BY event_type
+                               ORDER BY bucket ASC) AS cum_n,
+                  sum(n) OVER (PARTITION BY event_type) AS total FROM b)
+          SELECT event_type, bucket, n, CAST(cum_n AS BIGINT) AS cum_n,
+                 floor(CAST(cum_n AS DOUBLE) / CAST(total AS DOUBLE)
+                       * 1000000 + 0.5) / 1000000 AS ecdf
+          FROM c ORDER BY event_type ASC, bucket ASC""",
+    // 6-dp-floored logs make every product exact in double (<= 47
+    // mantissa bits), so the decimal moments equal the engine's
+    "q126_zipf_fit" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tk
+                       FROM documents),
+          f AS (SELECT tk, count(*) AS cnt FROM tok GROUP BY 1),
+          r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tk ASC)
+                       AS rank FROM f),
+          l AS (SELECT floor(ln(CAST(rank AS DOUBLE)) * 1000000 + 0.5)
+                         / 1000000 AS lx,
+                       floor(ln(CAST(cnt AS DOUBLE)) * 1000000 + 0.5)
+                         / 1000000 AS ly FROM r),
+          m AS (SELECT count(*) AS n_obs,
+                  sum(CAST(lx AS DECIMAL(38,12))) AS sx,
+                  sum(CAST(ly AS DECIMAL(38,12))) AS sy,
+                  sum(CAST(lx * ly AS DECIMAL(38,12))) AS sxy,
+                  sum(CAST(lx * lx AS DECIMAL(38,12))) AS sxx,
+                  sum(CAST(ly * ly AS DECIMAL(38,12))) AS syy
+                FROM l),
+          c AS (SELECT n_obs,
+                  (n_obs * CAST(sxy AS DOUBLE))
+                    - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) AS cn,
+                  (n_obs * CAST(sxx AS DOUBLE))
+                    - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS vxn,
+                  (n_obs * CAST(syy AS DOUBLE))
+                    - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS vyn,
+                  CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+                FROM m),
+          sl AS (SELECT *, CASE WHEN vxn = 0 THEN NULL ELSE cn / vxn END
+                       AS slope FROM c)
+          SELECT n_obs AS vocab_size,
+                 floor(slope * 1000000 + 0.5) / 1000000 AS zipf_slope,
+                 floor((syd - slope * sxd) / n_obs * 1000000 + 0.5) / 1000000
+                   AS intercept,
+                 CASE WHEN vxn = 0 OR vyn = 0 THEN NULL
+                      ELSE floor((cn * cn) / (vxn * vyn) * 1000000 + 0.5)
+                           / 1000000 END AS r2
+          FROM sl ORDER BY vocab_size ASC""")
 
   /** Shared 30-min µs sessionization CTE chain — the oracle mirror of
     * [[sessionized]], consumed by both the q114 and q117 oracles. */

@@ -277,7 +277,8 @@ object NearDup {
     * join (both the intersection AND the denominator count only banded
     * shingles, keeping the ratio's numerator ⊆ denominator). */
   def containmentPairs(docs: DataFrame, minContainment: Double,
-                       maxShingleDf: Long): DataFrame = {
+                       maxShingleDf: Long,
+                       prefixFilter: Boolean = false): DataFrame = {
     require(minContainment > 0 && minContainment <= 1,
       "minContainment must be in (0, 1]")
     val sh = Shingles.table(docs, None)
@@ -290,43 +291,65 @@ object NearDup {
       Seq("shingle")))
     val sizes = banded.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
 
-    // PREFIX FILTER (PPJoin family): if |S(a)∩S(b)| ≥ t·n_a then S(b)
-    // must hit one of a's p = n_a − ⌈t·n_a⌉ + 1 first shingles in ANY
-    // fixed total order (missing all p leaves at most n_a − p < t·n_a
-    // shared) — rarest-first (df asc) makes those prefix shingles the
-    // lowest-fan-out ones. So the candidate join is prefix(a) ⋈
-    // postings(b): Σ_s df_prefix(s)·df(s) rows instead of Σ_s df(s)²
-    // (measured 4.0 s → 1.1 s at sf0.1 on the SAME unchanged oracle).
-    // ⌈t·n_a⌉ in exact basis-point integer arithmetic — a float ceil
-    // at an integer boundary would silently shrink the prefix below
-    // the lemma's bound and lose recall.
-    val tBp = math.round(minContainment * 10000).toInt
-    val wDoc = Window.partitionBy(col("doc_id"))
-      .orderBy(col("__df").asc, col("shingle").asc)
-    val prefix = banded
-      .withColumn("__r", row_number().over(wDoc))
-      .join(sizes, "doc_id")
-      .filter(col("__r") <=
-        col("n_a") - expr(s"(n_a * $tBp + 9999) div 10000") + 1)
-      .select(col("shingle"), col("doc_id").as("doc_a"))
     // df = 1 shingles appear in exactly one doc: they count toward the
     // n_a denominator but can never land in an intersection, so every
     // join side drops them (on web corpora the singleton tail IS the
     // bulk of the postings)
     val joinable = banded.filter(col("__df") >= 2)
-    val cand = prefix
-      .join(joinable.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
-      .filter(col("doc_a") =!= col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
 
-    // exact verify on candidates only: walk a's postings, keep those b
-    // also has, count per pair
-    val inter = cand
-      .join(joinable.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(joinable.select(col("doc_id").as("doc_b"), col("shingle")),
-        Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
+    // Two exact plans for the intersection counts, chosen by the
+    // caller's knowledge of the df distribution:
+    //
+    //  - prefixFilter = false (default): straight postings self-join,
+    //    Σ_s df(s)² candidate rows. Cheapest when df is near-uniform
+    //    and small (the banded synthetic fixture: 2.5 s vs 8 s at
+    //    sf0.1 — the prefix machinery's verify fan-out Σ_cand·|S(a)|
+    //    EXCEEDS Σ df² there).
+    //  - prefixFilter = true: PPJoin-family candidate generation for
+    //    df-SKEWED corpora where Σ df² explodes. If |S(a)∩S(b)| ≥
+    //    t·n_a then S(b) must hit one of a's p = n_a − ⌈t·n_a⌉ + 1
+    //    first shingles in ANY fixed total order (missing all p leaves
+    //    at most n_a − p < t·n_a shared); rarest-first (df asc) makes
+    //    those prefix shingles the lowest-fan-out ones, so candidates
+    //    come from prefix(a) ⋈ postings(b) (Σ_s df_prefix(s)·df(s))
+    //    and only candidates get the exact verify walk. ⌈t·n_a⌉ is
+    //    exact basis-point integer arithmetic — a float ceil at an
+    //    integer boundary would silently shrink the prefix below the
+    //    lemma's bound and lose recall.
+    //
+    // Both return identical results (brute-force equivalence property
+    // test covers both paths).
+    val inter =
+      if (!prefixFilter) {
+        joinable.select(col("shingle"), col("doc_id").as("doc_a"))
+          .join(joinable.select(col("shingle"), col("doc_id").as("doc_b")),
+            Seq("shingle"))
+          .filter(col("doc_a") =!= col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_common"))
+      } else {
+        val tBp = math.round(minContainment * 10000).toInt
+        val wDoc = Window.partitionBy(col("doc_id"))
+          .orderBy(col("__df").asc, col("shingle").asc)
+        val prefix = banded
+          .withColumn("__r", row_number().over(wDoc))
+          .join(sizes, "doc_id")
+          .filter(col("__r") <=
+            col("n_a") - expr(s"(n_a * $tBp + 9999) div 10000") + 1)
+          .select(col("shingle"), col("doc_id").as("doc_a"))
+        val cand = prefix
+          .join(joinable.select(col("shingle"), col("doc_id").as("doc_b")),
+            Seq("shingle"))
+          .filter(col("doc_a") =!= col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        cand
+          .join(joinable.select(col("doc_id").as("doc_a"), col("shingle")),
+            Seq("doc_a"))
+          .join(joinable.select(col("doc_id").as("doc_b"), col("shingle")),
+            Seq("doc_b", "shingle"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_common"))
+      }
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_a")), "doc_a")
       .withColumn("containment",

@@ -279,16 +279,18 @@ class Round4OpsSpec extends AnyFunSuite {
     def shingles(t: String): Set[String] =
       t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
     val sets = texts.map { case (id, t) => id -> shingles(t) }.toMap
-    for (t <- Seq(0.5, 0.8, 1.0)) {
+    for (t <- Seq(0.5, 0.8, 1.0); prefixed <- Seq(false, true)) {
       val brute = (for {
         (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
         if a != b && sa.nonEmpty
         common = (sa intersect sb).size
         if common.toDouble / sa.size >= t
       } yield (a, b)).toSet
-      val got = graft.operators.NearDup.containmentPairs(docs, t, maxShingleDf = 1000)
+      val got = graft.operators.NearDup.containmentPairs(docs, t,
+          maxShingleDf = 1000, prefixFilter = prefixed)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(got === brute, s"threshold $t: missing=${brute -- got} extra=${got -- brute}")
+      assert(got === brute,
+        s"threshold $t prefix=$prefixed: missing=${brute -- got} extra=${got -- brute}")
     }
   }
 
