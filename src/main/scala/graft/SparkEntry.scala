@@ -1464,6 +1464,43 @@ object SparkEntry {
       .orderBy(col("vocab_size").asc)
   }
 
+  /** Duplicate-cluster quality report: the staged CLUSTERS and PAIRS
+    * tables joined into per-cluster size / intra-pair count / pair
+    * density (1.0 = every member pairs with every other — a true
+    * clique; low = a chain the clustering coefficient (q119) flags
+    * per node). Pure composition of staged artifacts — no fingerprint
+    * or CC recompute. */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val clusters = stagedSimhashClusters(s, dir)
+    val sizes = clusters.groupBy(col("component").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"))
+    val pairCounts = stagedSimhashPairs(s, dir)
+      .join(clusters.select(col("n").as("doc_a"),
+        col("component").as("cluster_id")), "doc_a")
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_pairs"))
+    sizes.join(pairCounts, Seq("cluster_id"))
+      .select(col("cluster_id"), col("n_docs"), col("n_pairs"),
+        Aggregates.round6Portable(col("n_pairs").cast("double") * 2 /
+          (col("n_docs") * (col("n_docs") - 1)).cast("double"))
+          .as("pair_density"))
+      .orderBy(col("cluster_id").asc)
+  }
+
+  /** Deterministic MODE per group: the most frequent floor(value)
+    * bucket per event type, ties to the smallest bucket via
+    * max(struct(count, −bucket)) — one extra O(buckets) agg after the
+    * count, never a sort of the raw rows. (Built-in `mode()` breaks
+    * ties arbitrarily — useless under a hash gate.) */
+  private def q128(s: SparkSession, dir: String): DataFrame =
+    cleanEvents(s, dir)
+      .groupBy(col("event_type"), floor(col("value")).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("n"), (-col("bucket")).as("neg"))).as("w"))
+      .select(col("event_type"), (-col("w.neg")).as("mode_bucket"),
+        col("w.n").as("n_rows"))
+      .orderBy(col("event_type").asc)
+
   /** Per-label embedding centroids (IVF coarse-quantizer shape). */
   private def q41(s: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroids(Sources.table(s, dir, "embeddings"))
@@ -2203,7 +2240,9 @@ object SparkEntry {
     "q123_lpa_communities" -> (q123 _),
     "q124_pattern_audit" -> (q124 _),
     "q125_ecdf" -> (q125 _),
-    "q126_zipf_fit" -> (q126 _))
+    "q126_zipf_fit" -> (q126 _),
+    "q127_cluster_report" -> (q127 _),
+    "q128_mode_per_group" -> (q128 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -3699,7 +3738,36 @@ object SparkEntry {
                  CASE WHEN vxn = 0 OR vyn = 0 THEN NULL
                       ELSE floor((cn * cn) / (vxn * vyn) * 1000000 + 0.5)
                            / 1000000 END AS r2
-          FROM sl ORDER BY vocab_size ASC""")
+          FROM sl ORDER BY vocab_size ASC""",
+    "q127_cluster_report" ->
+      s"""WITH RECURSIVE $simhashCte,
+          prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM fpt a JOIN fpt b ON a.doc_id < b.doc_id
+                  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+          edges AS (SELECT doc_a AS n, doc_b AS m FROM prs
+                    UNION SELECT doc_b AS n, doc_a AS m FROM prs),
+          reach(n, lbl) AS (
+            SELECT n, n FROM edges
+            UNION
+            SELECT e.n, r.lbl FROM edges e JOIN reach r ON e.m = r.n),
+          cl AS (SELECT n, min(lbl) AS cluster_id FROM reach GROUP BY n),
+          sz AS (SELECT cluster_id, count(*) AS n_docs FROM cl GROUP BY 1),
+          pc AS (SELECT cl.cluster_id, count(*) AS n_pairs
+                 FROM prs JOIN cl ON prs.doc_a = cl.n GROUP BY 1)
+          SELECT sz.cluster_id AS cluster_id, n_docs, n_pairs,
+                 floor(CAST(n_pairs AS DOUBLE) * 2
+                       / CAST(n_docs * (n_docs - 1) AS DOUBLE)
+                       * 1000000 + 0.5) / 1000000 AS pair_density
+          FROM sz JOIN pc ON sz.cluster_id = pc.cluster_id
+          ORDER BY sz.cluster_id ASC""",
+    "q128_mode_per_group" ->
+      s"""WITH b AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket,
+                       count(*) AS n
+                     FROM events WHERE $sqlClean GROUP BY 1, 2)
+          SELECT event_type, bucket AS mode_bucket, n AS n_rows FROM b
+          QUALIFY row_number() OVER (PARTITION BY event_type
+                                     ORDER BY n DESC, bucket ASC) = 1
+          ORDER BY event_type ASC""")
 
   /** Shared 30-min µs sessionization CTE chain — the oracle mirror of
     * [[sessionized]], consumed by both the q114 and q117 oracles. */
