@@ -1501,6 +1501,17 @@ object SparkEntry {
         col("w.n").as("n_rows"))
       .orderBy(col("event_type").asc)
 
+  /** α = ½ EWMA over each user's last 8 observations
+    * ([[graft.operators.TimeSeries.ewmaHalf]]): every weight is a pure
+    * exponent shift, so the smoothing is exact IEEE arithmetic with no
+    * decimal machinery — the trend signal beside q113's anomaly flags. */
+  private def q129(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.ewmaHalf(cleanEvents(s, dir),
+        Seq("user_id"), "event_id", "value", k = 8)
+      .select(col("user_id"), col("event_id"), r6(col("value")).as("value"),
+        Aggregates.round6Portable(col("ewma")).as("ewma"))
+      .orderBy(col("user_id").asc, col("event_id").asc)
+
   /** Per-label embedding centroids (IVF coarse-quantizer shape). */
   private def q41(s: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroids(Sources.table(s, dir, "embeddings"))
@@ -2242,7 +2253,8 @@ object SparkEntry {
     "q125_ecdf" -> (q125 _),
     "q126_zipf_fit" -> (q126 _),
     "q127_cluster_report" -> (q127 _),
-    "q128_mode_per_group" -> (q128 _))
+    "q128_mode_per_group" -> (q128 _),
+    "q129_ewma" -> (q129 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -3767,7 +3779,8 @@ object SparkEntry {
           SELECT event_type, bucket AS mode_bucket, n AS n_rows FROM b
           QUALIFY row_number() OVER (PARTITION BY event_type
                                      ORDER BY n DESC, bucket ASC) = 1
-          ORDER BY event_type ASC""")
+          ORDER BY event_type ASC""",
+    "q129_ewma" -> ewmaOracle)
 
   /** Shared 30-min µs sessionization CTE chain — the oracle mirror of
     * [[sessionized]], consumed by both the q114 and q117 oracles. */
@@ -3783,6 +3796,30 @@ object SparkEntry {
                    sum(nf) OVER (PARTITION BY user_id
                                  ORDER BY t ASC, event_id ASC) AS sid
                  FROM f)"""
+
+  /** Mirror of [[graft.operators.TimeSeries.ewmaHalf]] (k = 8): the
+    * same left-associated term chain with exact binary-fraction weight
+    * literals, lag-0 written as the bare column. */
+  private val ewmaOracle: String = {
+    val k = 8
+    def pw(j: Int) = java.math.BigDecimal.valueOf(math.pow(0.5, j)).toPlainString
+    val lagCols = (1 until k).map(j => s"lag(value, $j) OVER win AS l$j").mkString(",\n                 ")
+    val num = (0 until k).map {
+      case 0 => s"coalesce(value * ${pw(0)}, 0.0)"
+      case j => s"coalesce(l$j * ${pw(j)}, 0.0)"
+    }.mkString(" + ")
+    val den = (0 until k).map {
+      case 0 => s"CASE WHEN value IS NOT NULL THEN ${pw(0)} ELSE 0.0 END"
+      case j => s"CASE WHEN l$j IS NOT NULL THEN ${pw(j)} ELSE 0.0 END"
+    }.mkString(" + ")
+    s"""WITH w AS (SELECT user_id, event_id, value,
+                 $lagCols
+               FROM events WHERE $sqlClean
+               WINDOW win AS (PARTITION BY user_id ORDER BY event_id ASC))
+        SELECT user_id, event_id, round(value, 6) AS value,
+               floor(($num) / ($den) * 1000000 + 0.5) / 1000000 AS ewma
+        FROM w ORDER BY user_id ASC, event_id ASC"""
+  }
 
   /** 3 unrolled label-propagation rounds over the simhash pair graph —
     * the identical recurrence [[graft.operators.Graph.labelPropagation]]

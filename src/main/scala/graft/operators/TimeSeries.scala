@@ -112,6 +112,33 @@ object TimeSeries {
         count(lit(1)).as("n_intervals"))
   }
 
+  /** Exponentially-weighted moving average with α = ½ over the last
+    * `k` observations per key — the trend-smoothing signal next to
+    * [[rollingZScore]]'s anomaly flags. α = ½ is chosen so EVERY
+    * weight 2⁻ʲ is a pure exponent shift: v·2⁻ʲ is exact in IEEE
+    * doubles (no rounding at all), the weight sums are exact binary
+    * fractions, and the single final division is correctly rounded —
+    * the whole statistic is engine-portable without any decimal
+    * machinery. Truncating at k bounds the lag chain (k fixed lag
+    * columns, one window sort) and the dropped tail weight is 2⁻ᵏ of
+    * the total — immaterial at k ≥ 8. Rows with fewer than k
+    * predecessors renormalize over the weights present (lag NULL ⇒
+    * term and weight both drop). */
+  def ewmaHalf(df: DataFrame, keyCols: Seq[String], orderCol: String,
+               valueCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 62, "k in [1, 62]")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol).asc)
+    val terms = (0 until k).map { j =>
+      // j = 0 is the row itself (lag-0 support differs across engines)
+      val lagged = if (j == 0) col(valueCol) else lag(col(valueCol), j).over(w)
+      (coalesce(lagged * lit(math.pow(0.5, j)), lit(0.0)),
+        when(lagged.isNotNull, lit(math.pow(0.5, j))).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    df.withColumn("ewma", num / den)
+  }
+
   /** Rolling z-score anomaly detection: each value scored against the
     * mean/stddev of the `n` PRECEDING observations in its key's series
     * (the current row never sees itself — no self-masking). Moments come
