@@ -1512,6 +1512,52 @@ object SparkEntry {
         Aggregates.round6Portable(col("ewma")).as("ewma"))
       .orderBy(col("user_id").asc, col("event_id").asc)
 
+  /** MinHash estimator audit: for every LSH candidate pair, the
+    * signature-agreement Jaccard ESTIMATE (matching components / k)
+    * next to the exact shingle Jaccard — the sketch-quality report
+    * that sizes k. Deterministic md5 signatures make even the
+    * estimator oracle-checkable (unlike seeded sketches); one shared
+    * signature table feeds both the buckets and the estimate. */
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sig = graft.operators.Shingles.shared(
+      NearDup.minHashSignatures(d, MinhashK))
+    val bk = NearDup.lshBuckets(sig, LshBands, LshRows)
+    val cand = bk.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+      .join(bk.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
+        Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val a = sig.select(col("doc_id").as("doc_a") +:
+      (0 until MinhashK).map(i => col(s"s$i").as(s"a$i")): _*)
+    val b = sig.select(col("doc_id").as("doc_b") +:
+      (0 until MinhashK).map(i => col(s"s$i").as(s"b$i")): _*)
+    val matches = (0 until MinhashK)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = cand.join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / MinhashK).as("est_raw"))
+    val sh = graft.operators.Shingles.table(d, None)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+    est
+      .join(common, Seq("doc_a", "doc_b"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        Aggregates.round6Portable(col("est_raw")).as("est_jaccard"),
+        Aggregates.round6Portable(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("exact_jaccard"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
   /** Per-label embedding centroids (IVF coarse-quantizer shape). */
   private def q41(s: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroids(Sources.table(s, dir, "embeddings"))
@@ -2254,7 +2300,8 @@ object SparkEntry {
     "q126_zipf_fit" -> (q126 _),
     "q127_cluster_report" -> (q127 _),
     "q128_mode_per_group" -> (q128 _),
-    "q129_ewma" -> (q129 _))
+    "q129_ewma" -> (q129 _),
+    "q130_minhash_audit" -> (q130 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -3780,7 +3827,33 @@ object SparkEntry {
           QUALIFY row_number() OVER (PARTITION BY event_type
                                      ORDER BY n DESC, bucket ASC) = 1
           ORDER BY event_type ASC""",
-    "q129_ewma" -> ewmaOracle)
+    "q129_ewma" -> ewmaOracle,
+    "q130_minhash_audit" ->
+      s"""$minhashCtes,
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bk a JOIN bk b ON a.band = b.band
+                     AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+          est AS (SELECT doc_a, doc_b,
+                    CAST(CASE WHEN sa.s0 = sb.s0 THEN 1 ELSE 0 END + CASE WHEN sa.s1 = sb.s1 THEN 1 ELSE 0 END + CASE WHEN sa.s2 = sb.s2 THEN 1 ELSE 0 END + CASE WHEN sa.s3 = sb.s3 THEN 1 ELSE 0 END + CASE WHEN sa.s4 = sb.s4 THEN 1 ELSE 0 END + CASE WHEN sa.s5 = sb.s5 THEN 1 ELSE 0 END + CASE WHEN sa.s6 = sb.s6 THEN 1 ELSE 0 END + CASE WHEN sa.s7 = sb.s7 THEN 1 ELSE 0 END + CASE WHEN sa.s8 = sb.s8 THEN 1 ELSE 0 END + CASE WHEN sa.s9 = sb.s9 THEN 1 ELSE 0 END + CASE WHEN sa.s10 = sb.s10 THEN 1 ELSE 0 END + CASE WHEN sa.s11 = sb.s11 THEN 1 ELSE 0 END AS DOUBLE) / 12 AS est_raw
+                  FROM cand JOIN sig sa ON sa.doc_id = cand.doc_a
+                            JOIN sig sb ON sb.doc_id = cand.doc_b),
+          sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+          cm AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   count(*) AS n_common
+                 FROM sh x JOIN sh y ON x.shingle = y.shingle
+                   AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2)
+          SELECT est.doc_a, est.doc_b,
+                 floor(est_raw * 1000000 + 0.5) / 1000000 AS est_jaccard,
+                 floor(CAST(coalesce(cm.n_common, 0) AS DOUBLE)
+                       / CAST(sa.n_sh + sb.n_sh - coalesce(cm.n_common, 0)
+                              AS DOUBLE) * 1000000 + 0.5) / 1000000
+                   AS exact_jaccard
+          FROM est LEFT JOIN cm ON cm.doc_a = est.doc_a
+                                AND cm.doc_b = est.doc_b
+               JOIN sz sa ON sa.doc_id = est.doc_a
+               JOIN sz sb ON sb.doc_id = est.doc_b
+          ORDER BY est.doc_a ASC, est.doc_b ASC""")
 
   /** Shared 30-min µs sessionization CTE chain — the oracle mirror of
     * [[sessionized]], consumed by both the q114 and q117 oracles. */
