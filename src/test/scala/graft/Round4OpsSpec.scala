@@ -90,6 +90,17 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(ctx === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
   }
 
+  // ------------------------------------------------------------- EWMA
+
+  test("ewmaHalf: exponent-shift weights give exactly the hand-computed smoothing") {
+    val df = Seq((1L, 1L, 8.0), (1L, 2L, 4.0), (1L, 3L, 2.0)).toDF("k", "ord", "v")
+    val got = TimeSeries.ewmaHalf(df, Seq("k"), "ord", "v", k = 8)
+      .select("ord", "ewma").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 8.0)                              // only itself
+    assert(got(2L) === (4.0 + 8.0 * 0.5) / 1.5)          // renormalized head
+    assert(got(3L) === (2.0 + 4.0 * 0.5 + 8.0 * 0.25) / 1.75)
+  }
+
   // ----------------------------------------------------- golden record
 
   test("goldenRecord survives each attribute independently from different rows") {
