@@ -1558,6 +1558,33 @@ object SparkEntry {
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
+  /** Stateful streaming dedup run to completion over the fixture batch
+    * ([[graft.streaming.EventStream.runDedupOnce]]):
+    * dropDuplicatesWithinWatermark on (user_id, event_type, day), then a
+    * survivor-set summary. Which duplicate survives is arrival-order
+    * dependent, so the summary counts only the key set — deterministic
+    * and equal to batch DISTINCT, which is what the oracle checks. */
+  private def q131(s: SparkSession, dir: String): DataFrame =
+    EventStream.runDedupOnce(s, dir)
+
+  /** Stateful streaming per-user stats with EXACT decimal state
+    * ([[graft.streaming.EventStream.runUserStatsExactOnce]]):
+    * flatMapGroupsWithState accumulating (n, Σv, Σv²) in BigDecimal —
+    * the arbitrary-state API under the hash gate, possible only because
+    * the state is order-independent (float Welford state is not). */
+  private def q132(s: SparkSession, dir: String): DataFrame =
+    EventStream.runUserStatsExactOnce(s, dir)
+
+  /** Exact skewness / excess kurtosis of order quantity per return flag
+    * ([[Aggregates.higherMoments]]): third/fourth central moments from
+    * exact integer power sums — the distribution-shape audit a mixture
+    * rebalance reads before deciding what to up/downsample. */
+  private def q133(s: SparkSession, dir: String): DataFrame =
+    Aggregates.higherMoments(Sources.table(s, dir, "lineitem"),
+        Seq("l_returnflag"), col("l_quantity"))
+      .orderBy(col("l_returnflag").asc)
+
+
   /** Per-label embedding centroids (IVF coarse-quantizer shape). */
   private def q41(s: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroids(Sources.table(s, dir, "embeddings"))
@@ -2301,7 +2328,10 @@ object SparkEntry {
     "q127_cluster_report" -> (q127 _),
     "q128_mode_per_group" -> (q128 _),
     "q129_ewma" -> (q129 _),
-    "q130_minhash_audit" -> (q130 _))
+    "q130_minhash_audit" -> (q130 _),
+    "q131_stream_dedup" -> (q131 _),
+    "q132_stream_user_stats" -> (q132 _),
+    "q133_higher_moments" -> (q133 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -3853,7 +3883,55 @@ object SparkEntry {
                                 AND cm.doc_b = est.doc_b
                JOIN sz sa ON sa.doc_id = est.doc_a
                JOIN sz sb ON sb.doc_id = est.doc_b
-          ORDER BY est.doc_a ASC, est.doc_b ASC""")
+          ORDER BY est.doc_a ASC, est.doc_b ASC""",
+    "q131_stream_dedup" ->
+      s"""SELECT event_type, count(*) AS n_keys,
+                 count(DISTINCT user_id) AS n_users,
+                 count(DISTINCT day) AS n_days
+          FROM (SELECT DISTINCT user_id, event_type,
+                       strftime(ts, '%Y-%m-%d') AS day FROM events)
+          GROUP BY event_type ORDER BY event_type ASC""",
+    "q132_stream_user_stats" ->
+      s"""WITH m AS (
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+                   CAST(sum(CAST(value AS DECIMAL(18,6)) *
+                            CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sq
+            FROM events WHERE $sqlClean GROUP BY user_id)
+          SELECT user_id, n_events,
+                 floor((sv / n_events) * 1000000 + 0.5) / 1000000 AS mean_value,
+                 floor(sqrt(greatest(sq / n_events
+                                     - (sv / n_events) * (sv / n_events), 0))
+                       * 1000000 + 0.5) / 1000000 AS stddev_value
+          FROM m ORDER BY user_id ASC""",
+    "q133_higher_moments" ->
+      s"""WITH p AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v
+                     FROM lineitem),
+          s AS (SELECT l_returnflag, count(*) AS n,
+                       sum(v) AS s1, sum(v*v) AS s2,
+                       sum(v*v*v) AS s3, sum(v*v*v*v) AS s4
+                FROM p GROUP BY l_returnflag),
+          d AS (SELECT l_returnflag, n,
+                       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                       CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS s2n,
+                       CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS s3n,
+                       CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS s4n
+                FROM s),
+          m AS (SELECT l_returnflag, n, mean,
+                       s2n - mean * mean AS m2,
+                       s3n - 3.0 * mean * s2n + 2.0 * mean * mean * mean AS m3,
+                       s4n - 4.0 * mean * s3n + 6.0 * mean * mean * s2n
+                           - 3.0 * (mean * mean) * (mean * mean) AS m4
+                FROM d)
+          SELECT l_returnflag, n,
+                 floor(mean * 1000000 + 0.5) / 1000000 AS mean_value,
+                 CASE WHEN m2 > 0 THEN
+                   floor(m3 / (m2 * sqrt(m2)) * 1000000 + 0.5) / 1000000
+                 END AS skewness,
+                 CASE WHEN m2 > 0 THEN
+                   floor((m4 / (m2 * m2) - 3.0) * 1000000 + 0.5) / 1000000
+                 END AS kurtosis
+          FROM m ORDER BY l_returnflag ASC""")
 
   /** Shared 30-min µs sessionization CTE chain — the oracle mirror of
     * [[sessionized]], consumed by both the q114 and q117 oracles. */

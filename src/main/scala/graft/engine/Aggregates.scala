@@ -318,4 +318,41 @@ object Aggregates {
             / col("kth_hash")))
           .as("est_distinct"))
   }
+
+  /** Exact skewness / excess kurtosis per group over an INTEGER-valued
+    * measure, from exact power sums Σv, Σv², Σv³, Σv⁴.
+    *
+    * The per-row powers are plain long arithmetic (|v| ≤ ~55k keeps v⁴
+    * in a long) and the sums are DECIMAL(38,0) — exact integers under
+    * any merge order, so the central-moment doubles derived from them
+    * are bit-identical on every engine that follows the same expression
+    * shape (the oracle mirrors it term for term, with m2^1.5 spelled
+    * m2·√m2 because `pow` is libm-dependent while ·/√ are IEEE
+    * correctly-rounded). One partial+final hash agg, one shuffle of
+    * 5 numbers per key — the cheapest possible plan for 4 moments.
+    * Degenerate groups (m2 = 0) yield NULL moments, not ±Inf. */
+  def higherMoments(df: DataFrame, keys: Seq[String], intMeasure: Column): DataFrame = {
+    val v = intMeasure.cast("long")
+    val dec = (c: Column) => c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val agged = df.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(dec(v)).as("s1"),
+      sum(dec(v * v)).as("s2"),
+      sum(dec(v * v * v)).as("s3"),
+      sum(dec(v * v * v * v)).as("s4"))
+    val nD = col("n").cast("double")
+    val mean = col("s1").cast("double") / nD
+    val s2n = col("s2").cast("double") / nD
+    val s3n = col("s3").cast("double") / nD
+    val s4n = col("s4").cast("double") / nD
+    val m2 = s2n - mean * mean
+    val m3 = s3n - lit(3.0) * mean * s2n + lit(2.0) * mean * mean * mean
+    val m4 = s4n - lit(4.0) * mean * s3n + lit(6.0) * mean * mean * s2n -
+      lit(3.0) * (mean * mean) * (mean * mean)
+    agged.select(keys.map(col) ++ Seq(
+      col("n"),
+      round6Portable(mean).as("mean_value"),
+      when(m2 > 0, round6Portable(m3 / (m2 * sqrt(m2)))).as("skewness"),
+      when(m2 > 0, round6Portable(m4 / (m2 * m2) - lit(3.0))).as("kurtosis")): _*)
+  }
 }

@@ -196,4 +196,120 @@ object EventStream {
         graft.engine.Aggregates.round6Portable(col("avg_value")).as("avg_value"))
       .orderBy(col("hour_start").asc, col("event_type").asc)
   }
+
+  /** Run the stateful streaming dedup to completion over the fixture
+    * batch and return a batch summary of the survivors.
+    *
+    * Dedup key is (user_id, event_type, day) — a derived event-time
+    * column in the key exercises the real pipeline shape (dedup on a
+    * business key that includes a time bucket). The watermark delay is
+    * set past the fixture's 30-day span so the run is a *global* dedup
+    * regardless of how AvailableNow splits micro-batches; which duplicate
+    * survives per key is arrival-order-dependent, so the summary counts
+    * only the surviving key set (deterministic) and never projects
+    * survivor payloads. In production the delay would be hours, trading
+    * cross-horizon duplicates for bounded state — same plan, one knob. */
+  def runDedupOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val partConf = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(partConf)
+    val q = try {
+      spark.conf.set(partConf, "8")
+      val keyed = readEvents(spark, sfDir)
+        .withColumn("day", date_format(col("ts_utc"), "yyyy-MM-dd"))
+      dedupedStream(keyed, Seq("user_id", "event_type", "day"), "35 days")
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set(partConf, prev)
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_keys"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("day")).as("n_days"))
+      .orderBy(col("event_type").asc)
+  }
+
+  /** Exact-decimal per-key moment state (n, Σv, Σv²). Sums are
+    * java.math.BigDecimal — integer arithmetic at fixed scale, so the
+    * accumulated value is independent of arrival order, micro-batch
+    * split, and partition count; the float-Welford state
+    * ([[UserState]]) is NOT (its last ulp moves with merge order, which
+    * a hash gate would see). */
+  case class ExactMomentState(n: Long, sum: java.math.BigDecimal,
+                              ssq: java.math.BigDecimal)
+
+  /** Emitted per key per micro-batch: raw exact moments. */
+  case class ExactMoments(user_id: Long, n_events: Long,
+                          sum_v: java.math.BigDecimal,
+                          ssq_v: java.math.BigDecimal)
+
+  /** Run per-user stats as *stateful streaming with exact-decimal
+    * state* to completion, returning the final batch result.
+    *
+    * The stream quantizes `value` with the SAME engine cast the batch
+    * exact aggregates use (DECIMAL(18,6), see
+    * [[graft.engine.Aggregates.exactSum]]); the state then accumulates
+    * Σv (scale 6) and Σv² (scale 12) in exact BigDecimal arithmetic.
+    * Mean/σ_pop are derived AFTER the stateful op, in DataFrame
+    * expressions mirrored verbatim by the SQL oracle — so the result is
+    * bit-identical to the batch computation under any state-store
+    * layout. Each micro-batch emits a running row per touched key;
+    * the final `max(struct(n_events, …))` keeps the last emission per
+    * key (n is monotone), making the summary AvailableNow-split-proof
+    * like [[runDedupOnce]]. */
+  def runUserStatsExactOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val name = "ustats_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val partConf = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(partConf)
+    val q = try {
+      spark.conf.set(partConf, "8")
+      val zero = java.math.BigDecimal.ZERO
+      val moments = readEvents(spark, sfDir)
+        .filter(graft.engine.Cleaning.notMissing(col("value")))
+        .select(col("user_id"), col("value").cast("decimal(18,6)").as("v6"))
+        .as[(Long, java.math.BigDecimal)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[ExactMomentState, ExactMoments](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[(Long, java.math.BigDecimal)],
+           state: GroupState[ExactMomentState]) =>
+            var s = state.getOption.getOrElse(ExactMomentState(0L, zero, zero))
+            rows.foreach { case (_, v) =>
+              s = ExactMomentState(s.n + 1, s.sum.add(v), s.ssq.add(v.multiply(v)))
+            }
+            state.update(s)
+            Iterator(ExactMoments(user, s.n, s.sum, s.ssq))
+        }
+      moments.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set(partConf, prev)
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    // mean = Σv/n, σ_pop = sqrt(Σv²/n − mean²): double math over exact
+    // decimal sums, expression-for-expression the oracle's form
+    val meanRaw = col("m.sum_v").cast("double") / col("m.n_events")
+    val varRaw = greatest(
+      col("m.ssq_v").cast("double") / col("m.n_events") - meanRaw * meanRaw,
+      lit(0.0))
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("sum_v"), col("ssq_v"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        graft.engine.Aggregates.round6Portable(meanRaw).as("mean_value"),
+        graft.engine.Aggregates.round6Portable(sqrt(varRaw)).as("stddev_value"))
+      .orderBy(col("user_id").asc)
+  }
 }

@@ -829,6 +829,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(perKey === 1L, "watermarked dedup must emit each key once")
   }
 
+  test("streaming dedup summary equals batch DISTINCT (q131 shape)") {
+    // survivor identity is arrival-order dependent; the surviving KEY SET
+    // is not — runDedupOnce's summary must equal batch distinct-key counts
+    val streamed = EventStream.runDedupOnce(spark, sfDir).collect().toSeq
+    val batch = Sources.table(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"),
+        date_format(col("ts_utc"), "yyyy-MM-dd").as("day"))
+      .distinct()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_keys"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("day")).as("n_days"))
+      .orderBy(col("event_type").asc)
+      .collect().toSeq
+    assert(streamed === batch)
+  }
+
+  test("exact-state streaming user stats are bit-identical to batch (q132 shape)") {
+    // not approximate: BigDecimal state + identical post-expressions
+    // must reproduce the batch decimal aggregation exactly
+    val streamed = EventStream.runUserStatsExactOnce(spark, sfDir).collect().toSeq
+    val v6 = col("value").cast("decimal(18,6)")
+    val meanRaw = col("sv").cast("double") / col("n_events")
+    val varRaw = greatest(
+      col("sq").cast("double") / col("n_events") - meanRaw * meanRaw, lit(0.0))
+    val batch = Sources.table(spark, sfDir, "events")
+      .filter(graft.engine.Cleaning.notMissing(col("value")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(v6).as("sv"), sum(v6 * v6).as("sq"))
+      .select(col("user_id"), col("n_events"),
+        graft.engine.Aggregates.round6Portable(meanRaw).as("mean_value"),
+        graft.engine.Aggregates.round6Portable(sqrt(varRaw)).as("stddev_value"))
+      .orderBy(col("user_id").asc)
+      .collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("stream-stream join matches the batch time-bounded join") {
     val joined = EventStream.streamStreamJoin(
       EventStream.readEvents(spark, sfDir), EventStream.readEvents(spark, sfDir))

@@ -224,4 +224,15 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(builds === 1, "second consumer must scan the staged parquet, not rebuild")
     assert(first === second && first === Set(1L -> 2L, 3L -> 4L))
   }
+
+  test("q133 higher moments: one partial+final agg pair, no Expand, pruned scan") {
+    val plan = planOf("q133_higher_moments")
+    // 4 moments in ONE grouped pass: exactly one partial+final HashAggregate
+    // pair (5 sums as ordinary agg buffers), no Expand row multiplication
+    assert("HashAggregate".r.findAllIn(plan).length === 2, s"q133:\n$plan")
+    assert(!plan.contains("Expand"), s"q133 must not multiply fact rows:\n$plan")
+    val scan = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("l_returnflag") && scan.contains("l_quantity") &&
+      !scan.contains("l_extendedprice"), s"q133 scan not pruned: $scan")
+  }
 }

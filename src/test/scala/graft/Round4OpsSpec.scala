@@ -350,4 +350,25 @@ class Round4OpsSpec extends AnyFunSuite {
     // k = 256 → relative error ~ 1/√k ≈ 6%; allow 3σ
     assert(math.abs(est - 20000.0) / 20000.0 < 0.20, s"estimate $est")
   }
+
+  // ------------------------------------------- exact higher moments
+
+  test("higherMoments matches hand-computed skew/kurtosis") {
+    // {1,2,3,4,10}: mean 4; central moments m2 = 10, m3 = 36, m4 = 278.8
+    // skew = 36/10^1.5 ≈ 1.138420, kurtosis = 278.8/100 − 3 = −0.212
+    val df = Seq(1, 2, 3, 4, 10).map(("g", _)).toDF("grp", "v")
+    val r = Aggregates.higherMoments(df, Seq("grp"), col("v")).head()
+    assert(r.getAs[Long]("n") === 5L)
+    assert(r.getAs[Double]("mean_value") === 4.0)
+    assert(math.abs(r.getAs[Double]("skewness") - 1.138420) < 1e-6)
+    assert(math.abs(r.getAs[Double]("kurtosis") - (-0.212)) < 1e-6)
+  }
+
+  test("higherMoments yields NULL shape stats on a constant group") {
+    val df = Seq(7, 7, 7).map(("c", _)).toDF("grp", "v")
+    val r = Aggregates.higherMoments(df, Seq("grp"), col("v")).head()
+    assert(r.getAs[Double]("mean_value") === 7.0)
+    assert(r.isNullAt(r.fieldIndex("skewness")))
+    assert(r.isNullAt(r.fieldIndex("kurtosis")))
+  }
 }
