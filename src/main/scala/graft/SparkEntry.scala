@@ -3907,7 +3907,7 @@ object SparkEntry {
     "q133_higher_moments" ->
       s"""WITH p AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v
                      FROM lineitem),
-          s AS (SELECT l_returnflag, count(*) AS n,
+          s AS (SELECT l_returnflag, count(v) AS n,
                        sum(v) AS s1, sum(v*v) AS s2,
                        sum(v*v*v) AS s3, sum(v*v*v*v) AS s4
                 FROM p GROUP BY l_returnflag),

@@ -100,8 +100,13 @@ object Aggregates {
     * expansion, and the two disagree when the shortest repr lands
     * exactly on a half boundary (observed at sf0.1: 65.3103125 →
     * 65.310313 vs 65.310312). NaN passes through (Spark's floor would
-    * collapse it to 0 via the long cast); positive-domain helper
-    * (floor(x+½) rounds negatives toward +∞, not away from zero). */
+    * collapse it to 0 via the long cast). SIGNED semantics: an exact
+    * half always rounds toward +∞ (so −0.5 µ → 0, not −1 µ) — NOT
+    * round-half-away-from-zero. Every signed caller (z-scores, slopes,
+    * skewness q133, log-space fits) relies on the oracle mirroring the
+    * identical floor(x·10⁶+½) expression, which makes the choice of
+    * half-rule invisible to the gate; it only matters to callers who
+    * re-implement the rounding independently. */
   def round6Portable(c: Column): Column =
     when(isnan(c), c).otherwise(floor(c * lit(1e6) + lit(0.5)) / lit(1e6))
 
@@ -330,12 +335,24 @@ object Aggregates {
     * m2·√m2 because `pow` is libm-dependent while ·/√ are IEEE
     * correctly-rounded). One partial+final hash agg, one shuffle of
     * 5 numbers per key — the cheapest possible plan for 4 moments.
-    * Degenerate groups (m2 = 0) yield NULL moments, not ±Inf. */
+    * Degenerate groups (m2 = 0) yield NULL moments, not ±Inf.
+    *
+    * The domain precondition is ENFORCED per row, not comment-only:
+    * a non-integral measure would truncate differently per engine
+    * (Spark long cast truncates, DuckDB BIGINT cast rounds) and
+    * |v| > 55000 silently wraps v⁴ past Long.Max under non-ANSI
+    * arithmetic — both fail loudly here instead (`raise_error`). */
   def higherMoments(df: DataFrame, keys: Seq[String], intMeasure: Column): DataFrame = {
-    val v = intMeasure.cast("long")
+    val vd = intMeasure.cast("double")
+    val inDomain = vd.isNull || (abs(vd) <= lit(55000.0) && vd === floor(vd))
+    val v = when(inDomain, intMeasure.cast("long"))
+      .otherwise(raise_error(concat(
+        lit("higherMoments: measure must be integer-valued with |v| <= 55000, got "),
+        intMeasure.cast("string"))))
     val dec = (c: Column) => c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
     val agged = df.groupBy(keys.map(col): _*).agg(
-      count(lit(1)).as("n"),
+      count(v).as("n"),  // non-null measures only — sums skip nulls, so
+                         // a count including them would skew every moment
       sum(dec(v)).as("s1"),
       sum(dec(v * v)).as("s2"),
       sum(dec(v * v * v)).as("s3"),

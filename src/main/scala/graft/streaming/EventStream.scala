@@ -165,23 +165,26 @@ object EventStream {
          r_ts >= l_ts AND r_ts < l_ts + INTERVAL 1 HOUR"""))
   }
 
-  /** Run the streaming aggregation to completion over the fixture batch
-    * and return the final result as a batch DataFrame.
-    *
-    * The stream's state-store count (= shuffle partitions at plan time)
-    * drives per-batch checkpoint I/O: this one windowed agg holds a few
-    * thousand windows, so 8 stores suffice — running it at a batch
-    * session's 32+ partitions quadruples commit-log work for nothing.
-    * The conf is restored after the plan is bound. */
-  def runHourlyOnce(spark: SparkSession, sfDir: String): DataFrame = {
-    val name = "hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
+  /** Shared run-to-completion scaffolding for the batch-gate streaming
+    * queries: start `stream` into a uniquely-named memory sink with 8
+    * shuffle partitions (= state stores — a few thousand keys of state
+    * never justifies a batch session's 32+ stores' commit-log work; the
+    * conf is snapshotted into the cloned session at `start()`, so
+    * restoring it immediately after is safe), drain it, derive the
+    * summary, MATERIALIZE it (localCheckpoint — summary-sized by
+    * contract), and drop the sink table. Without the drop every
+    * invocation would permanently retain its full emission set in
+    * driver memory — bench iterations would leak linearly. */
+  private def runToMemory(spark: SparkSession, prefix: String, mode: String,
+                          stream: DataFrame)
+                         (summarize: DataFrame => DataFrame): DataFrame = {
+    val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
     val partConf = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(partConf)
     val q = try {
       spark.conf.set(partConf, "8")
-      hourlyAgg(readEvents(spark, sfDir), withWatermark = false)
-        .writeStream
-        .outputMode("complete")
+      stream.writeStream
+        .outputMode(mode)
         .format("memory")
         .queryName(name)
         .trigger(Trigger.AvailableNow())
@@ -190,12 +193,20 @@ object EventStream {
     try {
       q.processAllAvailable()
     } finally q.stop()
-    spark.table(name)
-      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
-        col("event_type"), col("n_events"),
-        graft.engine.Aggregates.round6Portable(col("avg_value")).as("avg_value"))
-      .orderBy(col("hour_start").asc, col("event_type").asc)
+    try summarize(spark.table(name)).localCheckpoint(true)
+    finally spark.catalog.dropTempView(name)
   }
+
+  /** Run the streaming aggregation to completion over the fixture batch
+    * and return the final result as a batch DataFrame. */
+  def runHourlyOnce(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(spark, "hourly_", "complete",
+        hourlyAgg(readEvents(spark, sfDir), withWatermark = false)) { t =>
+      t.select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n_events"),
+          graft.engine.Aggregates.round6Portable(col("avg_value")).as("avg_value"))
+        .orderBy(col("hour_start").asc, col("event_type").asc)
+    }
 
   /** Run the stateful streaming dedup to completion over the fixture
     * batch and return a batch summary of the survivors.
@@ -210,30 +221,16 @@ object EventStream {
     * survivor payloads. In production the delay would be hours, trading
     * cross-horizon duplicates for bounded state — same plan, one knob. */
   def runDedupOnce(spark: SparkSession, sfDir: String): DataFrame = {
-    val name = "dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val partConf = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(partConf)
-    val q = try {
-      spark.conf.set(partConf, "8")
-      val keyed = readEvents(spark, sfDir)
-        .withColumn("day", date_format(col("ts_utc"), "yyyy-MM-dd"))
-      dedupedStream(keyed, Seq("user_id", "event_type", "day"), "35 days")
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally spark.conf.set(partConf, prev)
-    try {
-      q.processAllAvailable()
-    } finally q.stop()
-    spark.table(name)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_keys"),
-        countDistinct(col("user_id")).as("n_users"),
-        countDistinct(col("day")).as("n_days"))
-      .orderBy(col("event_type").asc)
+    val keyed = readEvents(spark, sfDir)
+      .withColumn("day", date_format(col("ts_utc"), "yyyy-MM-dd"))
+    runToMemory(spark, "dedup_", "append",
+        dedupedStream(keyed, Seq("user_id", "event_type", "day"), "35 days")) { t =>
+      t.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_keys"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("day")).as("n_days"))
+        .orderBy(col("event_type").asc)
+    }
   }
 
   /** Exact-decimal per-key moment state (n, Σv, Σv²). Sums are
@@ -266,50 +263,36 @@ object EventStream {
     * like [[runDedupOnce]]. */
   def runUserStatsExactOnce(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val name = "ustats_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val partConf = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(partConf)
-    val q = try {
-      spark.conf.set(partConf, "8")
-      val zero = java.math.BigDecimal.ZERO
-      val moments = readEvents(spark, sfDir)
-        .filter(graft.engine.Cleaning.notMissing(col("value")))
-        .select(col("user_id"), col("value").cast("decimal(18,6)").as("v6"))
-        .as[(Long, java.math.BigDecimal)]
-        .groupByKey(_._1)
-        .flatMapGroupsWithState[ExactMomentState, ExactMoments](
-          OutputMode.Append, GroupStateTimeout.NoTimeout) {
-          (user: Long, rows: Iterator[(Long, java.math.BigDecimal)],
-           state: GroupState[ExactMomentState]) =>
-            var s = state.getOption.getOrElse(ExactMomentState(0L, zero, zero))
-            rows.foreach { case (_, v) =>
-              s = ExactMomentState(s.n + 1, s.sum.add(v), s.ssq.add(v.multiply(v)))
-            }
-            state.update(s)
-            Iterator(ExactMoments(user, s.n, s.sum, s.ssq))
-        }
-      moments.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally spark.conf.set(partConf, prev)
-    try {
-      q.processAllAvailable()
-    } finally q.stop()
+    val zero = java.math.BigDecimal.ZERO
+    val moments = readEvents(spark, sfDir)
+      .filter(graft.engine.Cleaning.notMissing(col("value")))
+      .select(col("user_id"), col("value").cast("decimal(18,6)").as("v6"))
+      .as[(Long, java.math.BigDecimal)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ExactMomentState, ExactMoments](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.math.BigDecimal)],
+         state: GroupState[ExactMomentState]) =>
+          var s = state.getOption.getOrElse(ExactMomentState(0L, zero, zero))
+          rows.foreach { case (_, v) =>
+            s = ExactMomentState(s.n + 1, s.sum.add(v), s.ssq.add(v.multiply(v)))
+          }
+          state.update(s)
+          Iterator(ExactMoments(user, s.n, s.sum, s.ssq))
+      }
     // mean = Σv/n, σ_pop = sqrt(Σv²/n − mean²): double math over exact
     // decimal sums, expression-for-expression the oracle's form
     val meanRaw = col("m.sum_v").cast("double") / col("m.n_events")
     val varRaw = greatest(
       col("m.ssq_v").cast("double") / col("m.n_events") - meanRaw * meanRaw,
       lit(0.0))
-    spark.table(name)
-      .groupBy(col("user_id"))
-      .agg(max(struct(col("n_events"), col("sum_v"), col("ssq_v"))).as("m"))
-      .select(col("user_id"), col("m.n_events").as("n_events"),
-        graft.engine.Aggregates.round6Portable(meanRaw).as("mean_value"),
-        graft.engine.Aggregates.round6Portable(sqrt(varRaw)).as("stddev_value"))
-      .orderBy(col("user_id").asc)
+    runToMemory(spark, "ustats_", "append", moments.toDF()) { t =>
+      t.groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("sum_v"), col("ssq_v"))).as("m"))
+        .select(col("user_id"), col("m.n_events").as("n_events"),
+          graft.engine.Aggregates.round6Portable(meanRaw).as("mean_value"),
+          graft.engine.Aggregates.round6Portable(sqrt(varRaw)).as("stddev_value"))
+        .orderBy(col("user_id").asc)
+    }
   }
 }

@@ -846,6 +846,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming dedup is state-store-backend agnostic (RocksDB = default)") {
+    // the default HDFSBackedStateStore keeps state on-heap — fine for a
+    // gate fixture, memory-bound at 100 TB key cardinalities. RocksDB is
+    // the cluster-scale backend (off-heap, spillable, incremental
+    // checkpoints); the streamed result must be identical under both.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    val rocks = try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      EventStream.runDedupOnce(spark, sfDir).collect().toSeq
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    val default = EventStream.runDedupOnce(spark, sfDir).collect().toSeq
+    assert(rocks === default)
+  }
+
   test("exact-state streaming user stats are bit-identical to batch (q132 shape)") {
     // not approximate: BigDecimal state + identical post-expressions
     // must reproduce the batch decimal aggregation exactly

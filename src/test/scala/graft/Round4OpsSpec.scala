@@ -371,4 +371,27 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("skewness")))
     assert(r.isNullAt(r.fieldIndex("kurtosis")))
   }
+
+  test("higherMoments fails loudly outside its exact domain") {
+    // non-integral: would truncate (Spark) vs round (DuckDB) — refuse
+    val frac = Seq(("g", 10.7), ("g", 2.0)).toDF("grp", "v")
+    val e1 = intercept[Exception] {
+      Aggregates.higherMoments(frac, Seq("grp"), col("v")).collect()
+    }
+    assert(e1.getMessage.contains("higherMoments") ||
+      e1.getCause.getMessage.contains("higherMoments"))
+    // |v| > 55000: v^4 would wrap past Long.Max silently — refuse
+    val big = Seq(("g", 100000.0), ("g", 1.0)).toDF("grp", "v")
+    val e2 = intercept[Exception] {
+      Aggregates.higherMoments(big, Seq("grp"), col("v")).collect()
+    }
+    assert(e2.getMessage.contains("higherMoments") ||
+      e2.getCause.getMessage.contains("higherMoments"))
+    // nulls stay in-domain (skipped by the sums, not errors)
+    val withNull = Seq(("g", Some(3.0)), ("g", None), ("g", Some(5.0)))
+      .toDF("grp", "v")
+    val r = Aggregates.higherMoments(withNull, Seq("grp"), col("v")).head()
+    assert(r.getAs[Long]("n") === 2L)  // nulls excluded from n AND sums
+    assert(r.getAs[Double]("mean_value") === 4.0)
+  }
 }
