@@ -476,6 +476,56 @@ object SparkEntry {
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median"))
       .orderBy(col("event_type").asc)
 
+  /** percentile_approx in its EXACT regime — the q76 trick (Space-Saving
+    * with capacity ≥ vocabulary) applied to the quantile sketch: GK with
+    * accuracy ≫ n bounds rank error εn < 1, so the sketch returns a true
+    * order statistic and pairs with DuckDB `quantile_disc` exactly. q36
+    * keeps the default-accuracy sketch behavior (rows-only by design);
+    * this query proves the quantile path itself against the oracle. At
+    * 100 TB the SAME expression with accuracy ~10⁴ is the one-pass
+    * mergeable sketch — exactness degrades gracefully with n/accuracy,
+    * nothing else in the plan changes. */
+  private def q135(s: SparkSession, dir: String): DataFrame =
+    cleanEvents(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(col("value")).as("n"),
+        percentile_approx(col("value"), lit(0.5), lit(2000000)).as("__p50"),
+        percentile_approx(col("value"), lit(0.9), lit(2000000)).as("__p90"))
+      .select(col("event_type"), col("n"),
+        Aggregates.round6Portable(col("__p50")).as("p50"),
+        Aggregates.round6Portable(col("__p90")).as("p90"))
+      .orderBy(col("event_type").asc)
+
+  /** Distribution-position window functions — ntile/percent_rank/
+    * cume_dist, the last ranking-family members the catalog didn't
+    * exercise. Quartile buckets per event_type with per-bucket value
+    * range and the top row's percent_rank/cume_dist; the window orders
+    * by (value, event_id) so ties are broken deterministically — with a
+    * unique total order all three functions are engine-portable (ntile
+    * bucket assignment is order-dependent under ties, rank-based
+    * percent_rank/cume_dist collapse to row_number forms). Scale shape:
+    * one sort per event_type partition (the same shuffle any exact
+    * ranking needs); at 100 TB prefer the mergeable GK sketch (q135)
+    * when ±εn rank error is acceptable — this exact form is for
+    * cardinality-bounded keys. */
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    cleanEvents(s, dir)
+      .select(col("event_type"), col("value"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("__pr"),
+        cume_dist().over(w).as("__cd"))
+      .groupBy(col("event_type"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        Aggregates.round6Portable(min(col("value"))).as("lo"),
+        Aggregates.round6Portable(max(col("value"))).as("hi"),
+        Aggregates.round6Portable(max(col("__pr"))).as("max_pct_rank"),
+        Aggregates.round6Portable(max(col("__cd"))).as("max_cume_dist"))
+      .orderBy(col("event_type").asc, col("quartile").asc)
+  }
+
   /** Gap-based sessionization with Spark's native `session_window`
     * (1-hour inactivity gap), oracle'd by the equivalent lag/cumulative-sum
     * formulation in SQL. Output uses per-user session ordinals instead of
@@ -2331,7 +2381,9 @@ object SparkEntry {
     "q130_minhash_audit" -> (q130 _),
     "q131_stream_dedup" -> (q131 _),
     "q132_stream_user_stats" -> (q132 _),
-    "q133_higher_moments" -> (q133 _))
+    "q133_higher_moments" -> (q133 _),
+    "q134_distribution_position" -> (q134 _),
+    "q135_exact_regime_quantiles" -> (q135 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -3931,7 +3983,31 @@ object SparkEntry {
                  CASE WHEN m2 > 0 THEN
                    floor((m4 / (m2 * m2) - 3.0) * 1000000 + 0.5) / 1000000
                  END AS kurtosis
-          FROM m ORDER BY l_returnflag ASC""")
+          FROM m ORDER BY l_returnflag ASC""",
+    "q134_distribution_position" ->
+      s"""WITH r AS (
+            SELECT event_type, value,
+                   ntile(4) OVER w AS quartile,
+                   percent_rank() OVER w AS pr,
+                   cume_dist() OVER w AS cd
+            FROM events WHERE $sqlClean
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY value ASC, event_id ASC))
+          SELECT event_type, quartile, count(*) AS n,
+                 floor(min(value) * 1000000 + 0.5) / 1000000 AS lo,
+                 floor(max(value) * 1000000 + 0.5) / 1000000 AS hi,
+                 floor(max(pr) * 1000000 + 0.5) / 1000000 AS max_pct_rank,
+                 floor(max(cd) * 1000000 + 0.5) / 1000000 AS max_cume_dist
+          FROM r GROUP BY event_type, quartile
+          ORDER BY event_type ASC, quartile ASC""",
+    "q135_exact_regime_quantiles" ->
+      s"""SELECT event_type, count(value) AS n,
+                 floor(quantile_disc(value, 0.5) * 1000000 + 0.5) / 1000000
+                   AS p50,
+                 floor(quantile_disc(value, 0.9) * 1000000 + 0.5) / 1000000
+                   AS p90
+          FROM events WHERE $sqlClean
+          GROUP BY event_type ORDER BY event_type ASC""")
 
   /** Shared 30-min µs sessionization CTE chain — the oracle mirror of
     * [[sessionized]], consumed by both the q114 and q117 oracles. */

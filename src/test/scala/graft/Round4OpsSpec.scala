@@ -394,4 +394,41 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n") === 2L)  // nulls excluded from n AND sums
     assert(r.getAs[Double]("mean_value") === 4.0)
   }
+
+  // --------------------------------- sketch exact-regime (q135 shape)
+
+  test("percentile_approx in exact regime picks the lower-middle order statistic") {
+    // accuracy >> n ⇒ GK rank error < 1 row ⇒ a true order statistic;
+    // even-n median takes the LOWER middle — the convention DuckDB's
+    // quantile_disc shares, which is what makes the q135 oracle exact
+    val even = Seq(1.0, 2.0, 3.0, 4.0).map(("g", _)).toDF("grp", "v")
+    val odd = Seq(1.0, 2.0, 3.0).map(("g", _)).toDF("grp", "v")
+    def p50(df: org.apache.spark.sql.DataFrame) = df.groupBy("grp")
+      .agg(percentile_approx(col("v"), lit(0.5), lit(2000000)).as("p"))
+      .head().getDouble(1)
+    assert(p50(even) === 2.0)
+    assert(p50(odd) === 2.0)
+  }
+
+  // ----------------------------- distribution-position windows (q134)
+
+  test("ntile/percent_rank/cume_dist are deterministic under a unique total order") {
+    import org.apache.spark.sql.expressions.Window
+    // 6 rows, tied values (5.0 × 3) — tie broken by id, so ntile(4)
+    // buckets are fixed: sizes 2,2,1,1 over ids ordered (3,1,5),(2,6),(4)
+    val df = Seq((1L, 5.0), (2L, 7.0), (3L, 1.0), (4L, 9.0), (5L, 5.0), (6L, 5.0))
+      .toDF("id", "v")
+    val w = Window.orderBy(col("v").asc, col("id").asc)
+    val got = df.select(col("id"), ntile(4).over(w).as("q"),
+        percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // order: id3(1.0), id1(5.0), id5(5.0), id6(5.0), id2(7.0), id4(9.0)
+    assert(got(3L) === ((1, 0.0, 1.0 / 6)))
+    assert(got(1L) === ((1, 1.0 / 5, 2.0 / 6)))
+    assert(got(5L) === ((2, 2.0 / 5, 3.0 / 6)))
+    assert(got(6L) === ((2, 3.0 / 5, 4.0 / 6)))
+    assert(got(2L) === ((3, 4.0 / 5, 5.0 / 6)))
+    assert(got(4L) === ((4, 1.0, 1.0)))
+  }
 }
