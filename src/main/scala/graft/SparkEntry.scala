@@ -434,7 +434,7 @@ object SparkEntry {
   /** As-of join: each 'view' event matched to the user's latest
     * prior-or-equal 'click' (composed operator — Spark has no native
     * as-of join; DuckDB's native ASOF JOIN is the oracle). Times compared
-    * on the raw nanosecond longs so both engines see identical ordering. */
+    * on the raw microsecond longs so both engines see identical ordering. */
   private def q34(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
     val views = ev.filter(col("event_type") === "view")
@@ -770,7 +770,7 @@ object SparkEntry {
     * the two forms agree exactly. */
   private def q82(s: SparkSession, dir: String): DataFrame = {
     val clean = cleanEvents(s, dir)
-      .withColumn("h", expr("ts div 3600000000000"))
+      .withColumn("h", expr("ts div 3600000000"))
     val obs = clean.groupBy(col("user_id"), col("h"))
       .agg(max(struct(col("event_id"), col("value"))).getField("value").as("v"))
     graft.operators.TimeSeries.resampleFfillStats(obs, "user_id", "h", "v")
@@ -922,12 +922,11 @@ object SparkEntry {
   /** Cohort retention: users bucketed by their first active day, then
     * distinct-active (cohort_day, day-offset) counts — the classic
     * product-analytics matrix. Day ids stay in exact integer `div`
-    * arithmetic (the ns epoch exceeds 2^53 — double division would
-    * corrupt the day). Two user-keyed aggregates + one join; the
+    * arithmetic on the µs epoch. Two user-keyed aggregates + one join; the
     * cohort table is |users|-sized. */
   private def q91(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
-      .select(col("user_id"), expr("ts div 86400000000000").as("d"))
+      .select(col("user_id"), expr("ts div 86400000000").as("d"))
     val cohort = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_d"))
     ev.distinct()
       .join(cohort, "user_id")
@@ -997,7 +996,7 @@ object SparkEntry {
   /** Min-gap event thinning (debounce-style dedup): drop events closer
     * than 60 s to the PREVIOUS event of the same user (lag over the
     * (ts, event_id) total order — strictly windowed, one shuffle on
-    * user_id, no running state). Gap arithmetic stays on the exact ns
+    * user_id, no running state). Gap arithmetic stays on the exact µs
     * longs. Emits per-user kept/total audit counts. */
   private def q94(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -1007,7 +1006,7 @@ object SparkEntry {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         count(when(col("prev_ts").isNull ||
-          col("ts") - col("prev_ts") >= lit(60000000000L), lit(1))).as("n_kept"))
+          col("ts") - col("prev_ts") >= lit(60000000L), lit(1))).as("n_kept"))
       .orderBy(col("user_id").asc)
   }
 
@@ -1170,11 +1169,10 @@ object SparkEntry {
     * (the cross-engine time resolution — see the ts_us note below). */
   private def q106(s: SparkSession, dir: String): DataFrame =
     graft.operators.TimeSeries.scd2Intervals(
-        // µs domain: DuckDB reads the TIMESTAMP(NANOS) parquet at µs
-        // precision, so µs is the exact cross-engine time resolution
-        // for any query that OUTPUTS timestamps (ns stays internal
-        // elsewhere)
-        events(s, dir).withColumn("ts_us", expr("ts div 1000")),
+        // µs domain: the fixtures store TIMESTAMP(MICROS), so the raw
+        // `ts` long IS the exact cross-engine time resolution for any
+        // query that outputs timestamps
+        events(s, dir).withColumn("ts_us", col("ts")),
         Seq("user_id"), "ts_us", "event_id", "event_type")
       .select(col("user_id"), col("version"), col("event_type"),
         col("valid_from"), col("valid_to"))
@@ -1189,8 +1187,8 @@ object SparkEntry {
   private def q107(s: SparkSession, dir: String): DataFrame = {
     // µs domain (see q106): start/duration in exact integer µs
     val iv = cleanEvents(s, dir).filter(col("value") > 0)
-      .select(col("user_id"), expr("ts div 1000").as("start_us"),
-        (expr("ts div 1000")
+      .select(col("user_id"), col("ts").as("start_us"),
+        (col("ts")
           + floor(col("value") * lit(1e6)).cast("long")).as("end_us"))
     graft.operators.TimeSeries.mergeIntervals(iv, Seq("user_id"),
         "start_us", "end_us")
@@ -1252,7 +1250,7 @@ object SparkEntry {
     * DIFFERENT events when the newest event is missing one of them. */
   private def q112(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
-      .withColumn("ts_us", expr("ts div 1000")) // µs domain (see q106)
+      .withColumn("ts_us", col("ts")) // µs domain (see q106)
       .withColumn("clean_value",
         when(Cleaning.notMissing(col("value")), col("value")))
       .withColumn("k_prop",
@@ -1287,7 +1285,7 @@ object SparkEntry {
       .partitionBy(col("user_id"))
       .orderBy(col("ts_us").asc, col("event_id").asc)
     val gapUs = 1800L * 1000000L
-    events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+    events(s, dir).withColumn("ts_us", col("ts"))
       .withColumn("__pt", lag(col("ts_us"), 1).over(w))
       .withColumn("__nf",
         when(col("__pt").isNull || col("ts_us") - col("__pt") > gapUs, 1L)
@@ -1634,6 +1632,156 @@ object SparkEntry {
         Seq("l_returnflag"), col("l_quantity"))
       .orderBy(col("l_returnflag").asc)
 
+  /** Segment-level (line-level-analog) corpus dedup — the C4/RefinedWeb
+    * quality signal: split each doc into non-overlapping 8-token
+    * segments, flag every segment whose exact text recurs in a SECOND
+    * document, report the per-doc duplicated-segment fraction. The
+    * fixture corpus has no newlines, so the fixed-width token segment
+    * stands in for the "line"; the operator shape is identical. Scale:
+    * explode → one hash-agg on the segment key (countDistinct doc) →
+    * one equi-join back — candidate volume is corpus token count, never
+    * pairs. Docs shorter than one segment are out of scope (dropped on
+    * both sides). */
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    val segs = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"),
+        explode(expr("sequence(0, int(size(toks) / 8) - 1)")).as("i"),
+        col("toks"))
+      .select(col("doc_id"),
+        expr("array_join(slice(toks, i * 8 + 1, 8), ' ')").as("seg"))
+    val spread = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+    segs.join(spread, Seq("seg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("n_docs_with") > 1, lit(1L)).otherwise(lit(0L)))
+          .as("n_dup_segments"))
+      .select(col("doc_id"), col("n_segments"), col("n_dup_segments"),
+        Aggregates.round6Portable(col("n_dup_segments").cast("double") /
+          col("n_segments").cast("double")).as("dup_fraction"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Exact weighted median (quantity-weighted extended price per return
+    * flag): pre-aggregate weight per distinct value (kills ties AND
+    * bounds the window input to |distinct values| per group), then one
+    * cumulative-weight window picks the smallest value whose cumulative
+    * weight reaches half the total. All weight arithmetic is DECIMAL —
+    * exact under any merge order — so the 2·cw ≥ tw threshold is
+    * engine-portable. Scale: one hash-agg on (group, value) + one
+    * window per group over the aggregated table. */
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPrice = Sources.table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(Aggregates.exactSum(col("l_quantity")).as("w"))
+    val cum = byPrice
+      .withColumn("cw", sum(col("w")).over(Window
+        .partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice").asc)))
+      .withColumn("tw", sum(col("w")).over(Window
+        .partitionBy(col("l_returnflag"))))
+    cum.filter(col("cw") * 2 >= col("tw"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("__wm"),
+        max(col("tw")).as("__tw"))
+      .select(col("l_returnflag"),
+        Aggregates.round6Portable(col("__wm")).as("weighted_median"),
+        col("__tw").cast("double").as("total_weight"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
+  /** Ordered string aggregation (LISTAGG surface): per language, the
+    * sorted distinct source list as one CSV cell. Built as
+    * array_join(array_sort(collect_set)) — set-sized state, total order
+    * imposed BEFORE concatenation, so the cell is deterministic under
+    * any partitioning (a bare collect_list concat would not be). */
+  private def q138(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        collect_set(col("source")).as("__srcs"))
+      .select(col("lang"), col("n_docs"), col("n_sources"),
+        array_join(array_sort(col("__srcs")), ",").as("sources_csv"))
+      .orderBy(col("lang").asc)
+
+  /** Bitwise / boolean aggregate surface: bit_and / bit_or over the
+    * user-id bits, bit_xor over event ids (order-independent parity —
+    * the cheap set-reconciliation fingerprint), bool_and / bool_or over
+    * value predicates. All five are one-word mergeable state — the
+    * cheapest class of distributed aggregate there is. */
+  private def q139(s: SparkSession, dir: String): DataFrame =
+    cleanEvents(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("bit_and(user_id)").as("uid_and"),
+        expr("bit_or(user_id)").as("uid_or"),
+        expr("bit_xor(event_id)").as("eid_xor"),
+        expr("bool_and(value > 0)").as("all_positive"),
+        expr("bool_or(value > 1000)").as("any_large"))
+      .orderBy(col("event_type").asc)
+
+  /** Calendar-spine densification: generate the full day spine between
+    * the first and last order date (sequence + explode over a ONE-ROW
+    * aggregate — no driver round-trip, no collect), left-join the daily
+    * order counts, and report per-month active/zero-day coverage. The
+    * spine side is |days| rows — broadcast-sized at any corpus scale —
+    * so the join never shuffles the fact table beyond its own daily
+    * pre-aggregation. */
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    val orders = Sources.table(s, dir, "orders")
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n_orders"))
+    val spine = orders
+      .agg(min(to_date(col("o_orderdate"))).as("lo"),
+        max(to_date(col("o_orderdate"))).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
+    spine.join(daily, Seq("d"), "left")
+      .withColumn("n_orders", coalesce(col("n_orders"), lit(0L)))
+      .groupBy(date_format(col("d"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("n_orders") > 0, lit(1L)).otherwise(lit(0L)))
+          .as("n_active_days"),
+        sum(when(col("n_orders") === 0, lit(1L)).otherwise(lit(0L)))
+          .as("n_zero_days"),
+        sum(col("n_orders")).as("n_orders"))
+      .orderBy(col("month").asc)
+  }
+
+  /** χ² contingency audit (event_type × day-of-week independence): cell
+    * counts from one hash-agg, row/column/grand totals via windows over
+    * the |types|·7-cell table (post-agg tiny — the windows never touch
+    * the fact scan), expected count and per-cell χ² contribution from
+    * exact integer counts. Reported per cell — no cross-cell double
+    * summation, so every output is a deterministic scalar chain off
+    * exact longs. Day-of-week is pure epoch-day arithmetic ((d+4) mod 7,
+    * 0 = Sunday) — no locale, no calendar library, engine-portable. */
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = events(s, dir)
+      .withColumn("dow",
+        ((expr("datediff(ts_utc, DATE '1970-01-01')") + 4) % 7).cast("long"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("o"))
+    val withTotals = cells
+      .withColumn("rt", sum(col("o")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("ct", sum(col("o")).over(Window.partitionBy(col("dow"))))
+      .withColumn("g", sum(col("o")).over(Window.partitionBy()))
+    val e = (col("rt").cast("double") * col("ct").cast("double")) /
+      col("g").cast("double")
+    withTotals
+      .withColumn("e", e)
+      .select(col("event_type"), col("dow"), col("o"),
+        Aggregates.round6Portable(col("e")).as("expected"),
+        Aggregates.round6Portable(
+          (col("o").cast("double") - col("e")) *
+          (col("o").cast("double") - col("e")) / col("e")).as("chi2_cell"))
+      .orderBy(col("event_type").asc, col("dow").asc)
+  }
+
 
   /** Per-label embedding centroids (IVF coarse-quantizer shape). */
   private def q41(s: SparkSession, dir: String): DataFrame =
@@ -1863,7 +2011,7 @@ object SparkEntry {
     * DECIMAL (order-independent partial sums across peers). */
   private def q63(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sec = expr("ts div 1000000000")
+    val sec = expr("ts div 1000000")
     val w = Window.partitionBy(col("user_id")).orderBy(sec)
       .rangeBetween(-3599, 0)
     cleanEvents(s, dir)
@@ -2383,7 +2531,13 @@ object SparkEntry {
     "q132_stream_user_stats" -> (q132 _),
     "q133_higher_moments" -> (q133 _),
     "q134_distribution_position" -> (q134 _),
-    "q135_exact_regime_quantiles" -> (q135 _))
+    "q135_exact_regime_quantiles" -> (q135 _),
+    "q136_segment_dedup" -> (q136 _),
+    "q137_weighted_median" -> (q137 _),
+    "q138_ordered_string_agg" -> (q138 _),
+    "q139_bitwise_aggs" -> (q139 _),
+    "q140_date_spine" -> (q140 _),
+    "q141_chi_square_cells" -> (q141 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -3151,12 +3305,11 @@ object SparkEntry {
                 SELECT o_custkey FROM orders WHERE o_totalprice < 50000)
           GROUP BY o_custkey
           ORDER BY op ASC, o_custkey ASC""",
-    // epoch_ns // 3.6e12 mirrors Spark's `ts div 3600000000000` in exact
-    // integer arithmetic (the ns epoch exceeds 2^53 — double division
-    // would corrupt the hour); max_by ≡ max(struct(event_id, value)).value
+    // epoch_us // 3.6e9 mirrors Spark's `ts div 3600000000` in exact
+    // integer arithmetic; max_by ≡ max(struct(event_id, value)).value
     "q82_gap_fill" ->
       s"""WITH clean AS (
-            SELECT user_id, epoch_ns(ts) // 3600000000000 AS h, event_id, value
+            SELECT user_id, epoch_us(ts) // 3600000000 AS h, event_id, value
             FROM events WHERE $sqlClean),
           obs AS (SELECT user_id, h, max_by(value, event_id) AS v
                   FROM clean GROUP BY 1, 2),
@@ -4007,7 +4160,89 @@ object SparkEntry {
                  floor(quantile_disc(value, 0.9) * 1000000 + 0.5) / 1000000
                    AS p90
           FROM events WHERE $sqlClean
-          GROUP BY event_type ORDER BY event_type ASC""")
+          GROUP BY event_type ORDER BY event_type ASC""",
+    "q136_segment_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+          f AS (SELECT doc_id, toks, CAST(floor(len(toks) / 8) AS INT) AS nseg
+                FROM t WHERE len(toks) >= 8),
+          seg AS (SELECT doc_id,
+                    array_to_string(toks[i*8+1 : i*8+8], ' ') AS seg
+                  FROM f, unnest(range(0, nseg)) AS u(i)),
+          d AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM seg GROUP BY seg),
+          j AS (SELECT s.doc_id,
+                  CASE WHEN d.nd > 1 THEN 1 ELSE 0 END AS isdup
+                FROM seg s JOIN d USING (seg))
+          SELECT doc_id, count(*) AS n_segments,
+                 CAST(sum(isdup) AS BIGINT) AS n_dup_segments,
+                 floor(CAST(sum(isdup) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       * 1000000 + 0.5) / 1000000 AS dup_fraction
+          FROM j GROUP BY doc_id ORDER BY doc_id ASC""",
+    "q137_weighted_median" ->
+      """WITH bp AS (SELECT l_returnflag, l_extendedprice,
+                       sum(CAST(l_quantity AS DECIMAL(18,6))) AS w
+                     FROM lineitem GROUP BY 1, 2),
+          c AS (SELECT l_returnflag, l_extendedprice, w,
+                  sum(w) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice ASC) AS cw,
+                  sum(w) OVER (PARTITION BY l_returnflag) AS tw
+                FROM bp)
+          SELECT l_returnflag,
+                 floor(min(l_extendedprice) * 1000000 + 0.5) / 1000000
+                   AS weighted_median,
+                 CAST(max(tw) AS DOUBLE) AS total_weight
+          FROM c WHERE cw * 2 >= tw
+          GROUP BY l_returnflag ORDER BY l_returnflag ASC""",
+    "q138_ordered_string_agg" ->
+      """SELECT lang, count(*) AS n_docs,
+                count(DISTINCT source) AS n_sources,
+                string_agg(DISTINCT source, ',' ORDER BY source ASC)
+                  AS sources_csv
+         FROM documents GROUP BY lang ORDER BY lang ASC""",
+    "q139_bitwise_aggs" ->
+      s"""SELECT event_type, count(*) AS n,
+                 bit_and(user_id) AS uid_and, bit_or(user_id) AS uid_or,
+                 bit_xor(event_id) AS eid_xor,
+                 bool_and(value > 0) AS all_positive,
+                 bool_or(value > 1000) AS any_large
+          FROM events WHERE $sqlClean
+          GROUP BY event_type ORDER BY event_type ASC""",
+    "q140_date_spine" ->
+      """WITH mm AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+                            CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
+          spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                           AS DATE) AS d FROM mm),
+          daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                           count(*) AS n_orders FROM orders GROUP BY 1)
+          SELECT strftime(s.d, '%Y-%m') AS month, count(*) AS n_days,
+                 CAST(sum(CASE WHEN coalesce(n_orders, 0) > 0
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_active_days,
+                 CAST(sum(CASE WHEN coalesce(n_orders, 0) = 0
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_days,
+                 CAST(sum(coalesce(n_orders, 0)) AS BIGINT) AS n_orders
+          FROM spine s LEFT JOIN daily ON s.d = daily.d
+          GROUP BY 1 ORDER BY 1 ASC""",
+    "q141_chi_square_cells" ->
+      """WITH cells AS (
+            SELECT event_type,
+                   CAST((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                         + 4) % 7 AS BIGINT) AS dow,
+                   count(*) AS o
+            FROM events GROUP BY 1, 2),
+          t AS (SELECT event_type, dow, o,
+                  sum(o) OVER (PARTITION BY event_type) AS rt,
+                  sum(o) OVER (PARTITION BY dow) AS ct,
+                  sum(o) OVER () AS g
+                FROM cells),
+          x AS (SELECT event_type, dow, o,
+                  (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+                    / CAST(g AS DOUBLE) AS e
+                FROM t)
+          SELECT event_type, dow, o,
+                 floor(e * 1000000 + 0.5) / 1000000 AS expected,
+                 floor((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+                       * 1000000 + 0.5) / 1000000 AS chi2_cell
+          FROM x ORDER BY event_type ASC, dow ASC""")
 
   /** Shared 30-min µs sessionization CTE chain — the oracle mirror of
     * [[sessionized]], consumed by both the q114 and q117 oracles. */

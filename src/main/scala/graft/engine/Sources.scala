@@ -64,11 +64,14 @@ object Sources {
     StructField("r_regionkey", IntegerType),
     StructField("r_name", StringType)))
 
-  /** `ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader only
-    * accepts as a nanos-since-epoch LONG (spark.sql.legacy.parquet.nanosAsLong).
-    * [[table]] sets that conf and adds a derived micros-precision `ts_utc`
-    * TimestampType column via integer division (ns values exceed 2^53, so
-    * double division would corrupt them). */
+  /** `ts` is parquet TIMESTAMP(MICROS) stored as physical INT64; pinning
+    * LONG here reads the raw micros-since-epoch integer, which the exact
+    * time arithmetic throughout the catalog (gaps, intervals, sessions)
+    * operates on directly. [[table]] adds the derived `ts_utc`
+    * TimestampType column (`timestamp_micros(ts)`). NOTE: earlier
+    * fixture generations wrote TIMESTAMP(NANOS); [[nanosAsLongConf]] is
+    * kept so a ns-typed file still reads as LONG rather than failing —
+    * but the micros derivation assumes the current µs fixtures. */
   val events: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -207,29 +210,36 @@ object Sources {
     require(fs.delete(old, true), s"compaction done but cannot remove $old")
   }
 
-  /** Session conf required to scan TIMESTAMP(NANOS) parquet (`events.ts`):
-    * Spark's vectorized reader only accepts nanos as a since-epoch LONG.
-    * There is no per-read option for this, so it is session-level by
-    * necessity — harness entry points (`Verify`, `Bench`, the test
-    * session) set it at session construction via this constant. */
+  /** Compatibility conf from the TIMESTAMP(NANOS) fixture era (rounds
+    * 1-3): lets a ns-typed parquet column read as a since-epoch LONG.
+    * The round-4 fixtures are TIMESTAMP(MICROS) — physical INT64, which
+    * the pinned LONG schema reads directly — so this is now a no-op on
+    * the shipped testdata; harness entry points still set it at session
+    * construction so older ns fixtures remain scannable. */
   val nanosAsLongConf: (String, String) =
     "spark.sql.legacy.parquet.nanosAsLong" -> "true"
 
-  /** Scan one fixture table with its pinned schema. For `events`, reads the
-    * nanos timestamp as LONG and derives `ts_utc: timestamp` (micros).
-    *
-    * Callers should set [[nanosAsLongConf]] when building the session; if
-    * an externally built session lacks it, it is set here as a fallback
-    * (the scan cannot execute without it — note this changes how any
-    * OTHER ns-timestamp parquet in the same session is typed, which is
-    * why session construction is the preferred place). */
-  /** ONE definition of the nanos-long → micros-timestamp derivation,
-    * shared by the pinned and inferred read paths — drift between the
-    * two would silently break their drop-in interchangeability. */
+  /** Scan one fixture table with its pinned schema. For `events`, reads
+    * the micros timestamp as its raw LONG and derives `ts_utc: timestamp`.
+    */
+  /** ONE definition of the micros-long → timestamp derivation, shared by
+    * the pinned and inferred read paths — drift between the two would
+    * silently break their drop-in interchangeability. The pinned path
+    * reads `ts` as LONG µs; the inferred path gets whatever the footer
+    * declares (TIMESTAMP_NTZ for the µs fixtures), so it is normalized
+    * back to the same (`ts`: LONG µs, `ts_utc`: timestamp) shape — all
+    * harness sessions run in UTC, making the NTZ→instant cast exact. */
   private def deriveTsUtc(df: DataFrame): DataFrame =
-    if (df.columns.contains("ts"))
-      df.withColumn("ts_utc", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (!df.columns.contains("ts")) df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts_utc",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts)"))
+      case _ =>
+        import org.apache.spark.sql.functions.{col, unix_micros}
+        val utc = col("ts").cast(org.apache.spark.sql.types.TimestampType)
+        df.withColumn("ts_utc", utc).withColumn("ts", unix_micros(utc))
+    }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events" &&
@@ -244,8 +254,8 @@ object Sources {
     * schema (reference: src/processing/mongo_avg_laptime_by_driver
     * .py:30) instead of demanding a declared one. For parquet the
     * footer IS the schema (zero sampling cost, exact types), so this
-    * reads whatever the file declares; the events nanos→`ts_utc`
-    * derivation still applies when a `ts` column is present, so
+    * reads whatever the file declares; the events `ts`/`ts_utc`
+    * normalization still applies when a `ts` column is present, so
     * inferred and pinned scans stay drop-in interchangeable. Prefer
     * [[table]] for production pipelines: a pinned StructType fails
     * LOUDLY on upstream drift, where inference silently changes

@@ -15,8 +15,8 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
 object Typed {
 
   /** `value`/`props` are nullable in the fixtures → Option fields;
-    * `ts` stays the raw nanos LONG (see Sources.events), `ts_utc` the
-    * derived micros timestamp. */
+    * `ts` stays the raw micros LONG (see Sources.events), `ts_utc` the
+    * derived timestamp. */
   final case class Event(event_id: Long, ts: Long, user_id: Long,
                          event_type: String, value: Option[Double],
                          props: Option[String], ts_utc: java.sql.Timestamp)

@@ -18,8 +18,9 @@ import graft.engine.Sources
   */
 object EventStream {
 
-  /** Streaming source over the events fixture (schema pinned; nanos ts
-    * read as long, micros ts derived — same convention as Sources). */
+  /** Streaming source over the events fixture (schema pinned; µs ts
+    * read as its raw long, `ts_utc` derived — same convention as
+    * Sources; the nanosAsLong conf is the ns-era compatibility shim). */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // FileStreamSource needs a directory basePath; a glob that matches the
@@ -27,7 +28,7 @@ object EventStream {
     spark.readStream
       .schema(Sources.events)
       .parquet(s"$sfDir/events.parque[t]")
-      .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts_utc", expr("timestamp_micros(ts)"))
   }
 
   /** Hourly tumbling-window counts/averages per event type, with an
