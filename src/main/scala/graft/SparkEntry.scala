@@ -1666,23 +1666,38 @@ object SparkEntry {
 
   /** Exact weighted median (quantity-weighted extended price per return
     * flag): pre-aggregate weight per distinct value (kills ties AND
-    * bounds the window input to |distinct values| per group), then one
-    * cumulative-weight window picks the smallest value whose cumulative
-    * weight reaches half the total. All weight arithmetic is DECIMAL —
-    * exact under any merge order — so the 2·cw ≥ tw threshold is
-    * engine-portable. Scale: one hash-agg on (group, value) + one
-    * window per group over the aggregated table. */
+    * bounds the window input to |distinct values| per group), then a
+    * TWO-LEVEL cumulative weight (the ks2Sample pattern) picks the
+    * smallest value whose cumulative weight reaches half the total.
+    * Level 1 runs per (flag, price-bucket) — parallel windows, no
+    * global per-flag sort over the distinct-value table; level 2 adds
+    * each bucket's starting offset from the |flags|·|buckets|-row
+    * totals table (broadcast). All weight arithmetic is DECIMAL — exact
+    * under any merge order — so the 2·cw ≥ tw threshold is
+    * engine-portable. The only growth axis beyond the hash-agg is
+    * |buckets| — value-range-bounded, not data-bounded. */
   private def q137(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byPrice = Sources.table(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_extendedprice"))
       .agg(Aggregates.exactSum(col("l_quantity")).as("w"))
-    val cum = byPrice
-      .withColumn("cw", sum(col("w")).over(Window
-        .partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice").asc)))
-      .withColumn("tw", sum(col("w")).over(Window
-        .partitionBy(col("l_returnflag"))))
-    cum.filter(col("cw") * 2 >= col("tw"))
+      .withColumn("bk", floor(col("l_extendedprice") / 1000.0).cast("long"))
+    val wIn = Window.partitionBy(col("l_returnflag"), col("bk"))
+      .orderBy(col("l_extendedprice").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val inner = byPrice.withColumn("cw_in", sum(col("w")).over(wIn))
+    val wBk = Window.partitionBy(col("l_returnflag")).orderBy(col("bk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = byPrice.groupBy(col("l_returnflag"), col("bk"))
+      .agg(sum(col("w")).as("tw_bk"))
+      .withColumn("off", sum(col("tw_bk")).over(wBk))
+      .select(col("l_returnflag"), col("bk"),
+        coalesce(col("off"), lit(0).cast("decimal(28,6)")).as("off"))
+    val tot = byPrice.groupBy(col("l_returnflag"))
+      .agg(sum(col("w")).as("tw"))
+    inner.join(broadcast(offs), Seq("l_returnflag", "bk"))
+      .join(broadcast(tot), Seq("l_returnflag"))
+      .filter((col("cw_in") + col("off")) * 2 >= col("tw"))
       .groupBy(col("l_returnflag"))
       .agg(min(col("l_extendedprice")).as("__wm"),
         max(col("tw")).as("__tw"))
@@ -1739,7 +1754,7 @@ object SparkEntry {
       .agg(min(to_date(col("o_orderdate"))).as("lo"),
         max(to_date(col("o_orderdate"))).as("hi"))
       .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
-    spine.join(daily, Seq("d"), "left")
+    spine.join(broadcast(daily), Seq("d"), "left")
       .withColumn("n_orders", coalesce(col("n_orders"), lit(0L)))
       .groupBy(date_format(col("d"), "yyyy-MM").as("month"))
       .agg(count(lit(1)).as("n_days"),
@@ -1780,6 +1795,167 @@ object SparkEntry {
           (col("o").cast("double") - col("e")) *
           (col("o").cast("double") - col("e")) / col("e")).as("chi2_cell"))
       .orderBy(col("event_type").asc, col("dow").asc)
+  }
+
+  /** Benford first-digit audit over order totals — the classic
+    * fabricated-data screen. Digit extraction is string-based on the
+    * exact integer part (no log10 — its last-ulp behavior differs
+    * between libm implementations near powers of ten); the Benford
+    * expectations are pinned 6-dp literals on BOTH sides, so the only
+    * runtime float work is one division and one subtraction per digit
+    * row. One hash-agg over the fact scan; everything after runs on 9
+    * rows. */
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Sources.table(s, dir, "orders")
+      .select(expr(
+        "cast(substring(cast(cast(floor(o_totalprice) as bigint) as string), 1, 1) as bigint)")
+        .as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val benford = expr("""cast(CASE digit
+        WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091 WHEN 3 THEN 0.124939
+        WHEN 4 THEN 0.096910 WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+        WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 ELSE 0.045757 END
+        as double)""")
+    counts
+      .withColumn("__total", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("__obs", col("n").cast("double") / col("__total").cast("double"))
+      .withColumn("benford_p", benford)
+      .select(col("digit"), col("n"),
+        Aggregates.round6Portable(col("__obs")).as("observed_p"),
+        col("benford_p"),
+        Aggregates.round6Portable(abs(col("__obs") - col("benford_p")))
+          .as("abs_dev"))
+      .orderBy(col("digit").asc)
+  }
+
+  /** Median-absolute-deviation outlier screen per event type — the
+    * robust alternative to q113's z-scores (a few extreme values move
+    * a mean/stddev fence, not a median/MAD fence). Two exact-percentile
+    * passes (group median, then median absolute deviation) with the
+    * group-cardinality-sized stats broadcast back each time — the same
+    * two-pass broadcast shape as q65's winsorization, never a second
+    * fact shuffle. */
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    val e = cleanEvents(s, dir)
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("med")).as("__med"),
+        max(col("mad")).as("__mad"),
+        sum(when(col("dev") > col("mad") * 3, lit(1L)).otherwise(lit(0L)))
+          .as("n_outliers"))
+      .select(col("event_type"), col("n"),
+        Aggregates.round6Portable(col("__med")).as("median_value"),
+        Aggregates.round6Portable(col("__mad")).as("mad"),
+        col("n_outliers"))
+      .orderBy(col("event_type").asc)
+  }
+
+  /** Linear-interpolation resampling (the interpolating sibling of
+    * q82's forward-fill): hourly grid per user, interior points get
+    * v + (vn−v)·frac between the bracketing observations. The explode
+    * is bounded by grid span (run-length segments, not per-row
+    * repetition); the per-user average folds the interpolated series
+    * through the pre-round→DECIMAL exact-sum pattern so the output is
+    * merge-order independent. */
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val obs = cleanEvents(s, dir)
+      .withColumn("h", expr("ts div 3600000000"))
+      .groupBy(col("user_id"), col("h"))
+      .agg(max(struct(col("event_id"), col("value"))).getField("value").as("v"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h").asc)
+    val seg = obs
+      .withColumn("hn", lead(col("h"), 1).over(w))
+      .withColumn("vn", lead(col("v"), 1).over(w))
+    val interp = seg
+      .filter(col("hn").isNotNull && (col("hn") - col("h")) > 1)
+      .select(col("user_id"), col("h"), col("v"), col("hn"), col("vn"),
+        explode(expr("sequence(h + 1, hn - 1)")).as("g"))
+      .withColumn("vi", col("v") + (col("vn") - col("v")) *
+        ((col("g") - col("h")).cast("double") /
+          (col("hn") - col("h")).cast("double")))
+      .select(col("user_id"), col("vi"), lit(1L).as("is_interp"))
+    val all = obs.select(col("user_id"), col("v").as("vi"),
+        lit(0L).as("is_interp"))
+      .unionByName(interp)
+    all.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_grid"),
+        sum(col("is_interp")).as("n_interp"),
+        sum(Aggregates.round6Portable(col("vi"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("__s"))
+      .select(col("user_id"), col("n_grid"), col("n_interp"),
+        Aggregates.round6Portable(
+          col("__s").cast("double") / col("n_grid").cast("double"))
+          .as("avg_filled"))
+      .orderBy(col("user_id").asc)
+  }
+
+  /** 7-day rolling correlation between daily order count and daily
+    * revenue — exact decimal/integer moment sums over a RANGE frame,
+    * closed form in doubles with the [[SlopeOLS]] operand order. The
+    * unpartitioned window runs over the |days| pre-aggregated rows
+    * (driver-documented post-agg pattern), never the fact scan. */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Sources.table(s, dir, "orders")
+      .groupBy(expr("datediff(o_orderdate, DATE '1970-01-01')")
+        .cast("long").as("d"))
+      .agg(count(lit(1)).as("x"),
+        Aggregates.exactSum(col("o_totalprice"), 18, 2).as("y"))
+    val f = Window.orderBy(col("d").asc).rangeBetween(-6, 0)
+    // pre-project the products, then ONE select over the shared frame —
+    // chained withColumn would plan six separate Window operators
+    val m = daily
+      .withColumn("xx", col("x") * col("x"))
+      .withColumn("xy", col("y") * col("x"))
+      .withColumn("yy", col("y") * col("y"))
+      .select(col("d"), col("x"), col("y"),
+        count(lit(1)).over(f).as("fn"),
+        sum(col("x")).over(f).as("sx"),
+        sum(col("y")).over(f).as("sy"),
+        sum(col("xx")).over(f).as("sxx"),
+        sum(col("xy")).over(f).as("sxy"),
+        sum(col("yy")).over(f).as("syy"))
+    def dbl(c: String) = col(c).cast("double")
+    val covN = (dbl("fn") * dbl("sxy")) - (dbl("sx") * dbl("sy"))
+    val varXN = (dbl("fn") * dbl("sxx")) - (dbl("sx") * dbl("sx"))
+    val varYN = (dbl("fn") * dbl("syy")) - (dbl("sy") * dbl("sy"))
+    m.select(col("d"), col("fn").as("n_days"), col("x").as("n_orders"),
+        col("y").cast("double").as("revenue"),
+        Aggregates.round6Portable(
+          when(varXN === 0d || varYN === 0d, lit(null))
+            .otherwise(covN / sqrt(varXN * varYN))).as("corr7"))
+      .orderBy(col("d").asc)
+  }
+
+  /** Shannon entropy (nats) of each language's token distribution:
+    * H = ln(T) − (Σ c·ln c)/T — the per-term c·ln c doubles go through
+    * the 6-dp DECIMAL exact-sum pattern (q110), so the vocabulary-sized
+    * summation is merge-order independent. The diversity score a corpus
+    * mixer reads next to q126's Zipf fit. */
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    val c = docs(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tk"))
+      .groupBy(col("lang"), col("tk"))
+      .agg(count(lit(1)).as("cnt"))
+    c.groupBy(col("lang"))
+      .agg(count(lit(1)).as("vocab"), sum(col("cnt")).as("total_tokens"),
+        sum((col("cnt").cast("double") * log(col("cnt").cast("double")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("__sclogc"))
+      .select(col("lang"), col("vocab"), col("total_tokens"),
+        Aggregates.round6Portable(
+          log(col("total_tokens").cast("double")) -
+            col("__sclogc").cast("double") /
+              col("total_tokens").cast("double")).as("entropy_nats"))
+      .orderBy(col("lang").asc)
   }
 
 
@@ -2537,7 +2713,12 @@ object SparkEntry {
     "q138_ordered_string_agg" -> (q138 _),
     "q139_bitwise_aggs" -> (q139 _),
     "q140_date_spine" -> (q140 _),
-    "q141_chi_square_cells" -> (q141 _))
+    "q141_chi_square_cells" -> (q141 _),
+    "q142_benford" -> (q142 _),
+    "q143_mad_outliers" -> (q143 _),
+    "q144_linear_interp" -> (q144 _),
+    "q145_rolling_corr" -> (q145 _),
+    "q146_token_entropy" -> (q146 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -4242,7 +4423,112 @@ object SparkEntry {
                  floor(e * 1000000 + 0.5) / 1000000 AS expected,
                  floor((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
                        * 1000000 + 0.5) / 1000000 AS chi2_cell
-          FROM x ORDER BY event_type ASC, dow ASC""")
+          FROM x ORDER BY event_type ASC, dow ASC""",
+    "q142_benford" ->
+      """WITH counts AS (
+            SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                       AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                   count(*) AS n
+            FROM orders GROUP BY 1),
+          t AS (SELECT digit, n, CAST(n AS DOUBLE)
+                         / CAST(sum(n) OVER () AS DOUBLE) AS obs,
+                       CAST(CASE digit
+                         WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
+                         WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910
+                         WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+                         WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+                         ELSE 0.045757 END AS DOUBLE) AS benford_p
+                FROM counts)
+          SELECT digit, n,
+                 floor(obs * 1000000 + 0.5) / 1000000 AS observed_p,
+                 benford_p,
+                 floor(abs(obs - benford_p) * 1000000 + 0.5) / 1000000
+                   AS abs_dev
+          FROM t ORDER BY digit ASC""",
+    "q143_mad_outliers" ->
+      s"""WITH e AS (SELECT event_type, value FROM events WHERE $sqlClean),
+          m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                FROM e GROUP BY 1),
+          d AS (SELECT e.event_type, abs(value - med) AS dev, med
+                FROM e JOIN m USING (event_type)),
+          m2 AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+                 FROM d GROUP BY 1)
+          SELECT d.event_type, count(*) AS n,
+                 floor(max(med) * 1000000 + 0.5) / 1000000 AS median_value,
+                 floor(max(mad) * 1000000 + 0.5) / 1000000 AS mad,
+                 CAST(sum(CASE WHEN dev > mad * 3 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_outliers
+          FROM d JOIN m2 USING (event_type)
+          GROUP BY 1 ORDER BY 1 ASC""",
+    "q144_linear_interp" ->
+      s"""WITH clean AS (
+            SELECT user_id, epoch_us(ts) // 3600000000 AS h, event_id, value
+            FROM events WHERE $sqlClean),
+          obs AS (SELECT user_id, h, max_by(value, event_id) AS v
+                  FROM clean GROUP BY 1, 2),
+          seg AS (SELECT user_id, h, v,
+                    lead(h) OVER w AS hn, lead(v) OVER w AS vn
+                  FROM obs
+                  WINDOW w AS (PARTITION BY user_id ORDER BY h ASC)),
+          interp AS (SELECT user_id,
+                       v + (vn - v) * (CAST(g - h AS DOUBLE)
+                                       / CAST(hn - h AS DOUBLE)) AS vi,
+                       1 AS is_interp
+                     FROM seg, unnest(generate_series(h + 1, hn - 1)) AS u(g)
+                     WHERE hn IS NOT NULL AND hn - h > 1),
+          allg AS (SELECT user_id, v AS vi, 0 AS is_interp FROM obs
+                   UNION ALL SELECT * FROM interp)
+          SELECT user_id, count(*) AS n_grid,
+                 CAST(sum(is_interp) AS BIGINT) AS n_interp,
+                 floor(CAST(sum(CAST(floor(vi * 1000000 + 0.5) / 1000000
+                                     AS DECIMAL(18,6))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000
+                   AS avg_filled
+          FROM allg GROUP BY user_id ORDER BY user_id ASC""",
+    "q145_rolling_corr" ->
+      """WITH daily AS (
+            SELECT date_diff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS d,
+                   count(*) AS x,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+            FROM orders GROUP BY 1),
+          m AS (SELECT d, x, y,
+                  count(*) OVER f AS fn,
+                  sum(x) OVER f AS sx, sum(y) OVER f AS sy,
+                  sum(x * x) OVER f AS sxx, sum(y * x) OVER f AS sxy,
+                  sum(y * y) OVER f AS syy
+                FROM daily
+                WINDOW f AS (ORDER BY d ASC
+                             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)),
+          c AS (SELECT d, fn, x, y,
+                  CAST(fn AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+                  CAST(fn AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varxn,
+                  CAST(fn AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS varyn
+                FROM m)
+          SELECT CAST(d AS BIGINT) AS d, fn AS n_days, x AS n_orders,
+                 CAST(y AS DOUBLE) AS revenue,
+                 CASE WHEN varxn = 0 OR varyn = 0 THEN NULL
+                      ELSE floor(covn / sqrt(varxn * varyn)
+                                 * 1000000 + 0.5) / 1000000 END AS corr7
+          FROM c ORDER BY d ASC""",
+    "q146_token_entropy" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tk
+                      FROM documents),
+          c AS (SELECT lang, tk, count(*) AS cnt FROM tok GROUP BY 1, 2),
+          g AS (SELECT lang, count(*) AS vocab,
+                       CAST(sum(cnt) AS BIGINT) AS total_tokens,
+                       sum(CAST(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))
+                                AS DECIMAL(18,6))) AS sclogc
+                FROM c GROUP BY lang)
+          SELECT lang, vocab, total_tokens,
+                 floor((ln(CAST(total_tokens AS DOUBLE))
+                        - CAST(sclogc AS DOUBLE)
+                          / CAST(total_tokens AS DOUBLE))
+                       * 1000000 + 0.5) / 1000000 AS entropy_nats
+          FROM g ORDER BY lang ASC""")
 
   /** Shared 30-min µs sessionization CTE chain — the oracle mirror of
     * [[sessionized]], consumed by both the q114 and q117 oracles. */

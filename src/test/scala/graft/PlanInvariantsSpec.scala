@@ -235,4 +235,35 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(scan.contains("l_returnflag") && scan.contains("l_quantity") &&
       !scan.contains("l_extendedprice"), s"q133 scan not pruned: $scan")
   }
+
+  test("weighted median: level-1 window partitions by (flag, bucket); offsets broadcast") {
+    val plan = planOf("q137_weighted_median")
+    // the distinct-value-sized cumulative sum must run in parallel per
+    // price bucket — a window partitioned by the flag alone would sort
+    // every distinct value through |flags| partitions
+    assert("windowspecdefinition\\(l_returnflag#\\d+, bk#\\d+".r
+      .findAllIn(plan).nonEmpty,
+      s"q137 level-1 window must partition by (flag, bucket):\n$plan")
+    // bucket offsets and flag totals join back broadcast, no extra shuffle
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"q137 offsets/totals must broadcast:\n$plan")
+  }
+
+  test("MAD screen broadcasts both percentile-stats tables") {
+    val plan = planOf("q143_mad_outliers")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"q143 must broadcast the per-group median and MAD tables:\n$plan")
+  }
+
+  test("date spine joins the daily aggregate broadcast") {
+    val plan = planOf("q140_date_spine")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q140 spine ⋈ daily must be a broadcast join:\n$plan")
+  }
+
+  test("rolling correlation computes all six moments in ONE window pass") {
+    val plan = planOf("q145_rolling_corr")
+    assert("Window \\[".r.findAllIn(plan).length === 1,
+      s"q145 must fuse count/sums into a single Window operator:\n$plan")
+  }
 }
