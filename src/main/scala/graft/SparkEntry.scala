@@ -1958,6 +1958,116 @@ object SparkEntry {
       .orderBy(col("lang").asc)
   }
 
+  /** Welch's two-sample t between each event type and the pooled rest —
+    * the mean-shift drift test next to q105's distributional KS. Group
+    * and grand moments come from ONE exact-decimal aggregation (the
+    * rest-side moments are grand − group, exact in DECIMAL); t and the
+    * Welch–Satterthwaite df are a fixed-order scalar chain off those
+    * rationals. Sample (n−1) variances, as Welch prescribes. */
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val g = cleanEvents(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n1"),
+        sum(col("value").cast(d38)).as("s1"),
+        sum((col("value") * col("value")).cast(d38)).as("q1"))
+    val tot = Window.partitionBy()
+    val m = g
+      .withColumn("n2", sum(col("n1")).over(tot) - col("n1"))
+      .withColumn("s2", sum(col("s1")).over(tot) - col("s1"))
+      .withColumn("q2", sum(col("q1")).over(tot) - col("q1"))
+    def dbl(c: String) = col(c).cast("double")
+    def meanOf(sc: String, nc: String) = dbl(sc) / dbl(nc)
+    // sample variance: (Σv² − (Σv)²/n) / (n−1), operand order pinned
+    def varOf(qc: String, sc: String, nc: String) =
+      (dbl(qc) - (dbl(sc) * dbl(sc)) / dbl(nc)) / (dbl(nc) - lit(1.0))
+    val se1 = varOf("q1", "s1", "n1") / dbl("n1")
+    val se2 = varOf("q2", "s2", "n2") / dbl("n2")
+    val se = se1 + se2
+    m.select(col("event_type"), col("n1").as("n_in"), col("n2").as("n_out"),
+        Aggregates.round6Portable(meanOf("s1", "n1") - meanOf("s2", "n2"))
+          .as("mean_diff"),
+        Aggregates.round6Portable(
+          (meanOf("s1", "n1") - meanOf("s2", "n2")) / sqrt(se)).as("t_stat"),
+        Aggregates.round6Portable((se * se) /
+          ((se1 * se1) / (dbl("n1") - lit(1.0)) +
+            (se2 * se2) / (dbl("n2") - lit(1.0)))).as("welch_df"))
+      .orderBy(col("event_type").asc)
+  }
+
+  /** Count-min sketch audit — the point-query sketch next to
+    * Space-Saving (q76) and KMV (q111): D=4 deterministic md5-derived
+    * hash rows × W=1024 counters, estimate = min over rows of the
+    * landed cell count, always ≥ exact. Deterministic hashing makes
+    * the ESTIMATE oracle-checkable (the q111 trick); reported for the
+    * top-20 exact-frequency tokens. At 100 TB the cell table is the
+    * sketch: 4096 mergeable counters from one hash-agg, while the
+    * exact side it audits is the expensive one. */
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    val W = 1024
+    val cnt = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("tk"))
+      .groupBy(col("tk")).agg(count(lit(1)).as("n"))
+    // row-d hash: 12 bits of md5("d:tk") mod W — nibbles 6..8 (16³ ≡ 0
+    // mod 1024, so the low nibbles fully determine the bucket and the
+    // oracle parses only three hex chars)
+    def h(d: Int) =
+      (expr(s"cast(conv(substring(md5(concat('$d:', tk)), 6, 3), 16, 10) as bigint)")
+        % W).as("c")
+    val hashes = cnt.select(col("tk"), col("n"),
+      explode(array((0 until 4).map(d =>
+        struct(lit(d).as("d"), h(d))): _*)).as("hh"))
+      .select(col("tk"), col("n"), col("hh.d").as("d"), col("hh.c").as("c"))
+    val cells = hashes.groupBy(col("d"), col("c"))
+      .agg(sum(col("n")).as("cell_n"))
+    val top = cnt.orderBy(col("n").desc, col("tk").asc).limit(20)
+    hashes.join(broadcast(top.select(col("tk"))), Seq("tk"))
+      .join(cells, Seq("d", "c"))
+      .groupBy(col("tk"))
+      .agg(max(col("n")).as("exact_n"), min(col("cell_n")).as("cms_est"))
+      .select(col("tk"), col("exact_n"), col("cms_est"),
+        (col("cms_est") - col("exact_n")).as("overcount"))
+      .orderBy(col("exact_n").desc, col("tk").asc)
+  }
+
+  /** first_value / nth_value / last_value window surface: each user's
+    * first, second and latest event value under the (ts, event_id)
+    * total order — one full-frame window pass, collapsed to a row per
+    * user (the window outputs are per-user constants; max() just picks
+    * them). The trajectory summary (entry point → latest state) a
+    * feature store materializes per entity. */
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cleanEvents(s, dir)
+      .select(col("user_id"),
+        first(col("value")).over(w).as("fv"),
+        nth_value(col("value"), 2).over(w).as("sv"),
+        last(col("value")).over(w).as("lv"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        Aggregates.round6Portable(max(col("fv"))).as("first_value"),
+        Aggregates.round6Portable(max(col("sv"))).as("second_value"),
+        Aggregates.round6Portable(max(col("lv"))).as("last_value"))
+      .orderBy(col("user_id").asc)
+  }
+
+  /** k-core of the near-dup graph ([[graft.operators.Graph
+    * .kCoreFixedRounds]], k = 2, 4 peel rounds): chains and pendant
+    * docs peel away, leaving only nodes embedded in cycles/cliques —
+    * the "dense duplicate neighborhood" set a curation pass treats
+    * with maximum suspicion. Fixed-round form so the oracle unrolls
+    * the identical peels (idempotent past convergence; same pattern
+    * as the q123 LPA oracle). Consumes the staged pair table. */
+  private def q150(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.kCoreFixedRounds(stagedSimhashPairs(s, dir),
+        "doc_a", "doc_b", k = 2, rounds = 4)
+      .select(col("node").as("doc_id"), col("core_degree"))
+      .orderBy(col("doc_id").asc)
+
 
   /** Per-label embedding centroids (IVF coarse-quantizer shape). */
   private def q41(s: SparkSession, dir: String): DataFrame =
@@ -2718,7 +2828,11 @@ object SparkEntry {
     "q143_mad_outliers" -> (q143 _),
     "q144_linear_interp" -> (q144 _),
     "q145_rolling_corr" -> (q145 _),
-    "q146_token_entropy" -> (q146 _))
+    "q146_token_entropy" -> (q146 _),
+    "q147_welch_t" -> (q147 _),
+    "q148_count_min" -> (q148 _),
+    "q149_value_trajectory" -> (q149 _),
+    "q150_kcore" -> (q150 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -4528,7 +4642,93 @@ object SparkEntry {
                         - CAST(sclogc AS DOUBLE)
                           / CAST(total_tokens AS DOUBLE))
                        * 1000000 + 0.5) / 1000000 AS entropy_nats
-          FROM g ORDER BY lang ASC""")
+          FROM g ORDER BY lang ASC""",
+    "q147_welch_t" ->
+      s"""WITH g AS (SELECT event_type, count(*) AS n1,
+                       sum(CAST(value AS DECIMAL(38,12))) AS s1,
+                       sum(CAST(value * value AS DECIMAL(38,12))) AS q1
+                     FROM events WHERE $sqlClean GROUP BY 1),
+          m AS (SELECT event_type, n1, s1, q1,
+                  CAST(sum(n1) OVER () - n1 AS BIGINT) AS n2,
+                  sum(s1) OVER () - s1 AS s2,
+                  sum(q1) OVER () - q1 AS q2
+                FROM g),
+          d AS (SELECT event_type, n1, n2,
+                  CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+                  CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+                  (CAST(q1 AS DOUBLE)
+                     - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                       / CAST(n1 AS DOUBLE))
+                    / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE) AS se1,
+                  (CAST(q2 AS DOUBLE)
+                     - (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                       / CAST(n2 AS DOUBLE))
+                    / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE) AS se2
+                FROM m)
+          SELECT event_type, n1 AS n_in, n2 AS n_out,
+                 floor((m1 - m2) * 1000000 + 0.5) / 1000000 AS mean_diff,
+                 floor((m1 - m2) / sqrt(se1 + se2) * 1000000 + 0.5) / 1000000
+                   AS t_stat,
+                 floor(((se1 + se2) * (se1 + se2))
+                       / ((se1 * se1) / (CAST(n1 AS DOUBLE) - 1.0)
+                          + (se2 * se2) / (CAST(n2 AS DOUBLE) - 1.0))
+                       * 1000000 + 0.5) / 1000000 AS welch_df
+          FROM d ORDER BY event_type ASC""",
+    "q148_count_min" -> {
+      def nib(pos: Int) =
+        s"(strpos('0123456789abcdef', substr(md5(d || ':' || tk), $pos, 1)) - 1)"
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tk
+                       FROM documents),
+          cnt AS (SELECT tk, count(*) AS n FROM tok GROUP BY 1),
+          hs AS (SELECT tk, n, d,
+                   (${nib(6)} * 256 + ${nib(7)} * 16 + ${nib(8)}) % 1024 AS c
+                 FROM cnt, unnest([0, 1, 2, 3]) AS u(d)),
+          cells AS (SELECT d, c, CAST(sum(n) AS BIGINT) AS cell_n
+                    FROM hs GROUP BY 1, 2),
+          top AS (SELECT tk FROM cnt ORDER BY n DESC, tk ASC LIMIT 20)
+          SELECT hs.tk, CAST(max(n) AS BIGINT) AS exact_n,
+                 CAST(min(cell_n) AS BIGINT) AS cms_est,
+                 CAST(min(cell_n) - max(n) AS BIGINT) AS overcount
+          FROM hs JOIN top USING (tk) JOIN cells USING (d, c)
+          GROUP BY hs.tk ORDER BY exact_n DESC, tk ASC"""
+    },
+    "q149_value_trajectory" ->
+      s"""WITH w AS (SELECT user_id, value,
+                       first_value(value) OVER win AS fv,
+                       nth_value(value, 2) OVER win AS sv,
+                       last_value(value) OVER win AS lv
+                     FROM events WHERE $sqlClean
+                     WINDOW win AS (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND UNBOUNDED FOLLOWING))
+          SELECT user_id, count(*) AS n_events,
+                 floor(max(fv) * 1000000 + 0.5) / 1000000 AS first_value,
+                 floor(max(sv) * 1000000 + 0.5) / 1000000 AS second_value,
+                 floor(max(lv) * 1000000 + 0.5) / 1000000 AS last_value
+          FROM w GROUP BY user_id ORDER BY user_id ASC""",
+    "q150_kcore" -> {
+      // every round CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+      // the unrolled peels reference each round several times — inlining
+      // would re-run the quadratic pair join once per reference
+      val rounds = (1 to 4).map { r =>
+        s"""d$r AS MATERIALIZED (SELECT node, count(*) AS deg
+                  FROM (SELECT a AS node FROM e${r - 1}
+                        UNION ALL SELECT b AS node FROM e${r - 1})
+                  GROUP BY 1),
+          e$r AS MATERIALIZED (SELECT a, b FROM e${r - 1}
+                WHERE a IN (SELECT node FROM d$r WHERE deg >= 2)
+                  AND b IN (SELECT node FROM d$r WHERE deg >= 2))"""
+      }.mkString(",\n          ")
+      s"""WITH $simhashCte,
+          e0 AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b
+                 FROM fpt a JOIN fpt b ON a.doc_id < b.doc_id
+                 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+          $rounds
+          SELECT node AS doc_id, count(*) AS core_degree
+          FROM (SELECT a AS node FROM e4 UNION ALL SELECT b AS node FROM e4)
+          GROUP BY 1 ORDER BY doc_id ASC"""
+    })
 
   /** Shared 30-min µs sessionization CTE chain — the oracle mirror of
     * [[sessionized]], consumed by both the q114 and q117 oracles. */

@@ -398,6 +398,37 @@ object Graph {
     labels.select(col("n"), col("lbl").as("community"))
   }
 
+  /** k-core: iteratively peel nodes of degree < k until only the k-core
+    * remains; returns each surviving node with its in-core degree.
+    *
+    * FIXED-ROUND form: runs exactly `rounds` peel iterations. Peeling is
+    * idempotent once converged, so any `rounds` ≥ the peel depth yields
+    * the true k-core, and an unconverged run is still a deterministic
+    * function of (edges, k, rounds) — which is what lets an external
+    * oracle unroll the identical rounds (the q123 LPA pattern). Each
+    * round is one degree hash-agg + two semi-joins on the shrinking
+    * edge set; per-round lineage cut via [[cut]]. */
+  def kCoreFixedRounds(edges: DataFrame, srcCol: String, dstCol: String,
+                       k: Int, rounds: Int,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1 && rounds >= 0, "k >= 1, rounds >= 0")
+    var e = cut(edges.select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct(), checkpointDir)
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("node"))
+      e = cut(e
+        .join(keep.select(col("node").as("a")), "a", "left_semi")
+        .join(keep.select(col("node").as("b")), "b", "left_semi")
+        .select(col("a"), col("b")), checkpointDir)
+    }
+    e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_degree"))
+  }
+
   /** The dedup application of [[connectedComponents]]: given documents
     * and near-dup candidate pairs, keep each component's smallest
     * doc id as canonical and return the surviving corpus (canonical
