@@ -2068,6 +2068,155 @@ object SparkEntry {
       .select(col("node").as("doc_id"), col("core_degree"))
       .orderBy(col("doc_id").asc)
 
+  /** Percentile bridge: each probe value scored by its percentile in a
+    * REFERENCE distribution (even epoch days = reference, odd = probe)
+    * — the "where does today sit in yesterday's CDF" drift primitive.
+    * Values quantize to 6-dp longs; the reference ECDF is a per-type
+    * cumulative table over distinct quantized values; the probe side
+    * lands on the largest reference value ≤ it via [[AsOfJoin.asofLeft]]
+    * ON THE VALUE DOMAIN — the same merge-ordered operator that matches
+    * timestamps. below-median share uses the exact integer form
+    * 2·cum < n_ref (no float threshold). */
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = cleanEvents(s, dir)
+      .withColumn("vk", floor(col("value") * lit(1e6)).cast("long"))
+      .withColumn("is_ref", (expr("ts div 86400000000") % 2) === 0)
+    val cum = base.filter(col("is_ref"))
+      .groupBy(col("event_type"), col("vk"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("ncum", sum(col("cnt")).over(Window
+        .partitionBy(col("event_type")).orderBy(col("vk").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("event_type"), col("vk"), col("ncum"))
+    val nref = base.filter(col("is_ref"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_ref"))
+    val probe = base.filter(!col("is_ref"))
+      .select(col("event_type"), col("vk"))
+    graft.operators.AsOfJoin.asofLeft(probe, cum,
+        keys = Seq("event_type"), timeCol = "vk",
+        carry = Map("ncum" -> "ncum"))
+      .withColumn("ncum", coalesce(col("ncum"), lit(0L)))
+      .join(broadcast(nref), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_probe"), max(col("n_ref")).as("n_ref"),
+        sum(Aggregates.round6Portable(
+            col("ncum").cast("double") / col("n_ref").cast("double"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("__sp"),
+        sum(when(col("ncum") * 2 < col("n_ref"), lit(1L)).otherwise(lit(0L)))
+          .as("n_below_median"))
+      .select(col("event_type"), col("n_probe"), col("n_ref"),
+        Aggregates.round6Portable(
+          col("__sp").cast("double") / col("n_probe").cast("double"))
+          .as("avg_pct"),
+        col("n_below_median"))
+      .orderBy(col("event_type").asc)
+  }
+
+  /** Herfindahl–Hirschman concentration of revenue across suppliers per
+    * return flag — the "is this segment dominated by few producers"
+    * audit. Shares come from exact decimal revenue; the |suppliers|-
+    * sized Σ share² goes through the 6-dp DECIMAL exact-sum pattern. */
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySupp = Sources.table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_suppkey"))
+      .agg(Aggregates.exactSum(
+        col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val share = bySupp
+      .withColumn("tot", sum(col("rev")).over(Window
+        .partitionBy(col("l_returnflag"))))
+      .withColumn("sh", col("rev").cast("double") / col("tot").cast("double"))
+    share.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(Aggregates.round6Portable(col("sh") * col("sh"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("__hhi"))
+      .select(col("l_returnflag"), col("n_suppliers"),
+        Aggregates.round6Portable(col("__hhi").cast("double")).as("hhi"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
+  /** Sorted-neighborhood near-dup blocking (the entity-resolution
+    * classic, a THIRD candidate generator next to LSH banding and the
+    * prefix filter): sort fingerprints within top-byte buckets, compare
+    * each doc to its next 3 neighbors in sort order via lead windows,
+    * keep Hamming ≤ 3. Bucketed so the sort parallelizes (pairs
+    * crossing a bucket boundary are the standard single-pass SNM miss —
+    * production runs multiple sort keys); window input is |docs| rows
+    * spread across 256 buckets. */
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = NearDup.simHash(docs(s, dir))
+      .withColumn("bk", expr("shiftright(simhash, 24)"))
+    val w = Window.partitionBy(col("bk"))
+      .orderBy(col("simhash").asc, col("doc_id").asc)
+    val withLeads = fp.select(
+      Seq(col("bk"), col("doc_id"), col("simhash")) ++
+        (1 to 3).flatMap(i => Seq(
+          lead(col("doc_id"), i).over(w).as(s"nid$i"),
+          lead(col("simhash"), i).over(w).as(s"nfp$i"))): _*)
+    (1 to 3).map { i =>
+      withLeads.filter(col(s"nid$i").isNotNull)
+        .select(least(col("doc_id"), col(s"nid$i")).as("doc_a"),
+          greatest(col("doc_id"), col(s"nid$i")).as("doc_b"),
+          expr(s"bit_count(simhash ^ nfp$i)").cast("long").as("hamming"))
+    }.reduce(_ unionByName _)
+      .filter(col("hamming") <= 3)
+      .distinct()
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  /** Population stability index per event type between even and odd
+    * epoch days — THE production drift score next to KS (q105) and
+    * Welch (q147). Fixed-width value bins (the q64 grid); PSI sums
+    * (p−q)·ln(p/q) over bins present on both sides (reported next to
+    * the common-bin count so coverage is visible); the per-bin terms
+    * go through the 6-dp DECIMAL exact-sum pattern. */
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    val base = cleanEvents(s, dir)
+      .withColumn("bin", floor(col("value") / 10.0).cast("long"))
+      .withColumn("side", (expr("ts div 86400000000") % 2) === 0)
+    val cells = base.groupBy(col("event_type"), col("bin"))
+      .agg(count(when(col("side"), 1)).as("na"),
+        count(when(!col("side"), 1)).as("nb"))
+    val tot = cells.groupBy(col("event_type"))
+      .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    val p = col("na").cast("double") / col("ta").cast("double")
+    val q = col("nb").cast("double") / col("tb").cast("double")
+    cells.join(broadcast(tot), Seq("event_type"))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_common_bins"),
+        sum(Aggregates.round6Portable((p - q) * log(p / q))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("__psi"))
+      .select(col("event_type"), col("n_common_bins"),
+        Aggregates.round6Portable(col("__psi").cast("double")).as("psi"))
+      .orderBy(col("event_type").asc)
+  }
+
+  /** Wilson 95% score interval for each event type's conversion rate
+    * (value > 100 as the conversion event): the binomial interval that
+    * behaves at small n and extreme p, from exact (n, k) via a pinned
+    * scalar chain with z as a 6-dp literal — the A/B-test readout. */
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    val z = lit(1.959964)
+    val agg = cleanEvents(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > 100, lit(1L)).otherwise(lit(0L))).as("k"))
+    val nd = col("n").cast("double")
+    val p = col("k").cast("double") / nd
+    val denom = lit(1.0) + (z * z) / nd
+    val center = (p + (z * z) / (nd * lit(2.0))) / denom
+    val half = (z * sqrt(p * (lit(1.0) - p) / nd +
+      (z * z) / (nd * nd * lit(4.0)))) / denom
+    agg.select(col("event_type"), col("n"), col("k"),
+        Aggregates.round6Portable(p).as("rate"),
+        Aggregates.round6Portable(center - half).as("wilson_lo"),
+        Aggregates.round6Portable(center + half).as("wilson_hi"))
+      .orderBy(col("event_type").asc)
+  }
+
 
   /** Per-label embedding centroids (IVF coarse-quantizer shape). */
   private def q41(s: SparkSession, dir: String): DataFrame =
@@ -2832,7 +2981,12 @@ object SparkEntry {
     "q147_welch_t" -> (q147 _),
     "q148_count_min" -> (q148 _),
     "q149_value_trajectory" -> (q149 _),
-    "q150_kcore" -> (q150 _))
+    "q150_kcore" -> (q150 _),
+    "q151_percentile_bridge" -> (q151 _),
+    "q152_hhi" -> (q152 _),
+    "q153_sorted_neighborhood" -> (q153 _),
+    "q154_psi" -> (q154 _),
+    "q155_wilson_interval" -> (q155 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -4728,7 +4882,114 @@ object SparkEntry {
           SELECT node AS doc_id, count(*) AS core_degree
           FROM (SELECT a AS node FROM e4 UNION ALL SELECT b AS node FROM e4)
           GROUP BY 1 ORDER BY doc_id ASC"""
-    })
+    },
+    "q151_percentile_bridge" ->
+      s"""WITH base AS (
+            SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS vk,
+                   (epoch_us(ts) // 86400000000) % 2 = 0 AS is_ref
+            FROM events WHERE $sqlClean),
+          cum AS (SELECT event_type, vk,
+                    CAST(sum(count(*)) OVER (PARTITION BY event_type
+                      ORDER BY vk ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                      AS ncum
+                  FROM base WHERE is_ref GROUP BY event_type, vk),
+          nref AS (SELECT event_type, count(*) AS n_ref
+                   FROM base WHERE is_ref GROUP BY 1),
+          probe AS (SELECT event_type, vk FROM base WHERE NOT is_ref),
+          j AS (SELECT p.event_type, coalesce(c.ncum, 0) AS ncum
+                FROM probe p ASOF LEFT JOIN cum c
+                  ON p.event_type = c.event_type AND p.vk >= c.vk)
+          SELECT j.event_type, count(*) AS n_probe, max(n_ref) AS n_ref,
+                 floor(CAST(sum(CAST(floor(CAST(ncum AS DOUBLE)
+                                           / CAST(n_ref AS DOUBLE)
+                                           * 1000000 + 0.5) / 1000000
+                                     AS DECIMAL(18,6))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000
+                   AS avg_pct,
+                 CAST(sum(CASE WHEN ncum * 2 < n_ref THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_below_median
+          FROM j JOIN nref USING (event_type)
+          GROUP BY 1 ORDER BY 1 ASC""",
+    "q152_hhi" ->
+      """WITH s AS (
+            SELECT l_returnflag, l_suppkey,
+                   sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,6))) AS rev
+            FROM lineitem GROUP BY 1, 2),
+          sh AS (SELECT l_returnflag,
+                   CAST(rev AS DOUBLE)
+                     / CAST(sum(rev) OVER (PARTITION BY l_returnflag)
+                            AS DOUBLE) AS sh
+                 FROM s)
+          SELECT l_returnflag, count(*) AS n_suppliers,
+                 floor(CAST(sum(CAST(floor(sh * sh * 1000000 + 0.5) / 1000000
+                                     AS DECIMAL(18,6))) AS DOUBLE)
+                       * 1000000 + 0.5) / 1000000 AS hhi
+          FROM sh GROUP BY 1 ORDER BY 1 ASC""",
+    "q153_sorted_neighborhood" -> {
+      val leads = (1 to 3).flatMap(i => Seq(
+        s"lead(doc_id, $i) OVER w AS nid$i",
+        s"lead(simhash, $i) OVER w AS nfp$i")).mkString(", ")
+      val arms = (1 to 3).map(i =>
+        s"""SELECT least(doc_id, nid$i) AS a, greatest(doc_id, nid$i) AS b,
+                   bit_count(xor(simhash, nfp$i)) AS h
+            FROM l WHERE nid$i IS NOT NULL""").mkString(" UNION ")
+      s"""WITH $simhashCte,
+          f AS (SELECT doc_id, simhash, simhash // 16777216 AS bk FROM fpt),
+          l AS (SELECT bk, doc_id, simhash, $leads
+                FROM f WINDOW w AS (PARTITION BY bk
+                                    ORDER BY simhash ASC, doc_id ASC)),
+          prs AS ($arms)
+          SELECT DISTINCT a AS doc_a, b AS doc_b, CAST(h AS BIGINT) AS hamming
+          FROM prs WHERE h <= 3 ORDER BY doc_a ASC, doc_b ASC"""
+    },
+    "q154_psi" ->
+      s"""WITH base AS (
+            SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
+                   (epoch_us(ts) // 86400000000) % 2 = 0 AS side
+            FROM events WHERE $sqlClean),
+          cells AS (SELECT event_type, bin,
+                      count(CASE WHEN side THEN 1 END) AS na,
+                      count(CASE WHEN NOT side THEN 1 END) AS nb
+                    FROM base GROUP BY 1, 2),
+          tot AS (SELECT event_type, CAST(sum(na) AS BIGINT) AS ta,
+                         CAST(sum(nb) AS BIGINT) AS tb
+                  FROM cells GROUP BY 1),
+          t AS (SELECT c.event_type,
+                  CAST(na AS DOUBLE) / CAST(ta AS DOUBLE) AS p,
+                  CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE) AS q
+                FROM cells c JOIN tot USING (event_type)
+                WHERE na > 0 AND nb > 0)
+          SELECT event_type, count(*) AS n_common_bins,
+                 floor(CAST(sum(CAST(floor((p - q) * ln(p / q)
+                                           * 1000000 + 0.5) / 1000000
+                                     AS DECIMAL(18,6))) AS DOUBLE)
+                       * 1000000 + 0.5) / 1000000 AS psi
+          FROM t GROUP BY 1 ORDER BY 1 ASC""",
+    "q155_wilson_interval" ->
+      s"""WITH a AS (SELECT event_type, count(*) AS n,
+                       CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS k
+                     FROM events WHERE $sqlClean GROUP BY 1),
+          c AS (SELECT event_type, n, k,
+                  CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                  CAST(n AS DOUBLE) AS nd,
+                  CAST(1.959964 AS DOUBLE) AS zv
+                FROM a),
+          w AS (SELECT event_type, n, k, p,
+                  (p + (zv * zv) / (nd * 2.0)) / (1.0 + (zv * zv) / nd)
+                    AS center,
+                  (zv * sqrt(p * (1.0 - p) / nd
+                             + (zv * zv) / (nd * nd * 4.0)))
+                    / (1.0 + (zv * zv) / nd) AS half
+                FROM c)
+          SELECT event_type, n, k,
+                 floor(p * 1000000 + 0.5) / 1000000 AS rate,
+                 floor((center - half) * 1000000 + 0.5) / 1000000
+                   AS wilson_lo,
+                 floor((center + half) * 1000000 + 0.5) / 1000000
+                   AS wilson_hi
+          FROM w ORDER BY event_type ASC""")
 
   /** Shared 30-min µs sessionization CTE chain — the oracle mirror of
     * [[sessionized]], consumed by both the q114 and q117 oracles. */
