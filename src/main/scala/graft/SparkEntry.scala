@@ -2217,6 +2217,147 @@ object SparkEntry {
       .orderBy(col("event_type").asc)
   }
 
+  /** Autocorrelation function of the daily order count at lags 1–7 —
+    * the seasonality probe (a weekly cycle shows as an ACF spike at 7).
+    * Daily counts are integers, so every moment (Σx, Σxy, …) per lag is
+    * an exact BIGINT sum; the correlation is the [[SlopeOLS]]-order
+    * scalar chain off those integers. Lag pairs come from ONE window
+    * pass emitting all 7 lagged columns over the |days|-row table. */
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Sources.table(s, dir, "orders")
+      .groupBy(expr("datediff(o_orderdate, DATE '1970-01-01')")
+        .cast("long").as("d"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.orderBy(col("d").asc)
+    val lagged = daily.select(Seq(col("d"), col("x")) ++
+      (1 to 7).map(l => lag(col("x"), l).over(w).as(s"y$l")): _*)
+    val arms = (1 to 7).map { l =>
+      lagged.filter(col(s"y$l").isNotNull)
+        .select(lit(l.toLong).as("lag_d"), col("x"), col(s"y$l").as("y"))
+    }.reduce(_ unionByName _)
+    val m = arms.groupBy(col("lag_d"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    def dbl(c: String) = col(c).cast("double")
+    val covN = (dbl("n_pairs") * dbl("sxy")) - (dbl("sx") * dbl("sy"))
+    val varXN = (dbl("n_pairs") * dbl("sxx")) - (dbl("sx") * dbl("sx"))
+    val varYN = (dbl("n_pairs") * dbl("syy")) - (dbl("sy") * dbl("sy"))
+    m.select(col("lag_d"), col("n_pairs"),
+        Aggregates.round6Portable(
+          when(varXN === 0d || varYN === 0d, lit(null))
+            .otherwise(covN / sqrt(varXN * varYN))).as("acf"))
+      .orderBy(col("lag_d").asc)
+  }
+
+  /** CUSUM changepoint scan over daily revenue: the day maximizing
+    * |Σ_{i≤t}(y_i − ȳ)| — where the revenue level most decisively
+    * shifts. The cumulative revenue is an exact DECIMAL prefix (one
+    * window over the |days| post-agg table); CUSUM_t = cum_t − t·ȳ is a
+    * pinned double chain off (exact decimal, exact integers); the
+    * argmax tie-breaks on the earlier day via one min(struct). Output
+    * also reports the exact before/after mean levels. */
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Sources.table(s, dir, "orders")
+      .groupBy(expr("datediff(o_orderdate, DATE '1970-01-01')")
+        .cast("long").as("d"))
+      .agg(Aggregates.exactSum(col("o_totalprice"), 18, 2).as("y"))
+    val w = Window.orderBy(col("d").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy()
+    val c = daily
+      .withColumn("t", row_number().over(Window.orderBy(col("d").asc))
+        .cast("long"))
+      .withColumn("cum", sum(col("y")).over(w))
+      .withColumn("sAll", sum(col("y")).over(tot))
+      .withColumn("nAll", count(lit(1)).over(tot))
+    val mean = col("sAll").cast("double") / col("nAll").cast("double")
+    val cusum = col("cum").cast("double") - (col("t").cast("double") * mean)
+    val scored = c.select(col("d"), col("t"), col("cum"), col("sAll"),
+      col("nAll"), cusum.as("cusum"),
+      Aggregates.round6Portable(abs(cusum)).as("abs_cusum"))
+    scored
+      .select(min(struct((-col("abs_cusum")).as("neg"), col("d").as("d"),
+        col("t").as("t"), col("cusum").as("cusum"), col("cum").as("cum"),
+        col("sAll").as("sAll"), col("nAll").as("nAll"))).as("m"))
+      .select(col("m.d").as("split_day"), col("m.t").as("t"),
+        col("m.nAll").as("n_days"),
+        Aggregates.round6Portable(col("m.cusum")).as("cusum"),
+        (-col("m.neg")).as("abs_cusum"),
+        Aggregates.round6Portable(
+          col("m.cum").cast("double") / col("m.t").cast("double"))
+          .as("mean_before"),
+        Aggregates.round6Portable(
+          (col("m.sAll") - col("m.cum")).cast("double") /
+            (col("m.nAll") - col("m.t")).cast("double")).as("mean_after"))
+  }
+
+  /** NULL-semantics scalar surface over the RAW (dirty) events:
+    * coalesce / nullif / null-vs-NaN classification in one pass — the
+    * audit distinguishing "absent" from "not-a-number" from "present
+    * zero", which q10's integrity counts summarize but don't decompose.
+    * The imputed mean treats NULL as 0 and drops NaN, all in exact
+    * DECIMAL. */
+  private def q158(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("value").isNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_value_null"),
+        sum(when(isnan(col("value")), lit(1L)).otherwise(lit(0L)))
+          .as("n_value_nan"),
+        sum(when(col("props").isNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_props_null"),
+        count(expr("nullif(value, 0.0)")).as("n_nonzero_nonnull"),
+        sum(when(!isnan(coalesce(col("value"), lit(0.0))),
+            coalesce(col("value"), lit(0.0))
+              .cast(org.apache.spark.sql.types.DecimalType(18, 6))))
+          .as("__s"),
+        sum(when(!isnan(coalesce(col("value"), lit(0.0))), lit(1L))
+          .otherwise(lit(0L))).as("__n"))
+      .select(col("event_type"), col("n_rows"), col("n_value_null"),
+        col("n_value_nan"), col("n_props_null"), col("n_nonzero_nonnull"),
+        Aggregates.round6Portable(
+          col("__s").cast("double") / col("__n").cast("double"))
+          .as("imputed_mean"))
+      .orderBy(col("event_type").asc)
+
+  /** String-function surface per part brand: upper / reverse / lpad /
+    * concat_ws / substring composed into deterministic min/max
+    * profiles — the canonicalization toolbox a schema-matching pass
+    * uses, exercised end to end against the oracle's identical
+    * built-ins. */
+  private def q159(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        min(upper(col("p_name"))).as("min_name_upper"),
+        max(reverse(col("p_name"))).as("max_name_rev"),
+        min(expr("lpad(cast(p_size as string), 3, '0')")).as("min_size_pad"),
+        max(concat_ws("-", col("p_brand"),
+          substring(col("p_name"), 1, 5))).as("max_tag"))
+      .orderBy(col("p_brand").asc)
+
+  /** Calendar-function surface: month truncation, quarter extraction,
+    * last-day-of-month, and weekend classification via the portable
+    * epoch-day arithmetic ((d+4) mod 7 ∈ {0,6}) — no locale, no
+    * calendar library. Dates leave the query as strings so both
+    * engines hash identical bytes. */
+  private def q160(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "orders")
+      .withColumn("m", to_date(date_trunc("month", col("o_orderdate"))))
+      .groupBy(date_format(col("m"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(quarter(col("m")).cast("long")).as("q"),
+        min(date_format(last_day(col("m")), "yyyy-MM-dd")).as("month_end"),
+        sum(when(((expr("datediff(o_orderdate, DATE '1970-01-01')") + 4) % 7)
+            .isin(0, 6), lit(1L)).otherwise(lit(0L))).as("n_weekend_orders"))
+      .orderBy(col("month").asc)
+
 
   /** Per-label embedding centroids (IVF coarse-quantizer shape). */
   private def q41(s: SparkSession, dir: String): DataFrame =
@@ -2986,7 +3127,12 @@ object SparkEntry {
     "q152_hhi" -> (q152 _),
     "q153_sorted_neighborhood" -> (q153 _),
     "q154_psi" -> (q154 _),
-    "q155_wilson_interval" -> (q155 _))
+    "q155_wilson_interval" -> (q155 _),
+    "q156_acf" -> (q156 _),
+    "q157_cusum" -> (q157 _),
+    "q158_null_semantics" -> (q158 _),
+    "q159_string_surface" -> (q159 _),
+    "q160_datetime_surface" -> (q160 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -4989,7 +5135,106 @@ object SparkEntry {
                    AS wilson_lo,
                  floor((center + half) * 1000000 + 0.5) / 1000000
                    AS wilson_hi
-          FROM w ORDER BY event_type ASC""")
+          FROM w ORDER BY event_type ASC""",
+    "q156_acf" -> {
+      val lags = (1 to 7).map(l => s"lag(x, $l) OVER w AS y$l").mkString(", ")
+      val arms = (1 to 7).map(l =>
+        s"SELECT $l AS lag_d, x, y$l AS y FROM lg WHERE y$l IS NOT NULL")
+        .mkString(" UNION ALL ")
+      s"""WITH daily AS (
+            SELECT date_diff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS d, count(*) AS x
+            FROM orders GROUP BY 1),
+          lg AS (SELECT d, x, $lags FROM daily WINDOW w AS (ORDER BY d ASC)),
+          arms AS ($arms),
+          m AS (SELECT lag_d, count(*) AS n_pairs,
+                  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(x * y) AS BIGINT) AS sxy,
+                  CAST(sum(x * x) AS BIGINT) AS sxx,
+                  CAST(sum(y * y) AS BIGINT) AS syy
+                FROM arms GROUP BY 1),
+          c AS (SELECT lag_d, n_pairs,
+                  CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+                  CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varxn,
+                  CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS varyn
+                FROM m)
+          SELECT CAST(lag_d AS BIGINT) AS lag_d, n_pairs,
+                 CASE WHEN varxn = 0 OR varyn = 0 THEN NULL
+                      ELSE floor(covn / sqrt(varxn * varyn)
+                                 * 1000000 + 0.5) / 1000000 END AS acf
+          FROM c ORDER BY lag_d ASC"""
+    },
+    "q157_cusum" ->
+      """WITH daily AS (
+            SELECT date_diff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS d,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+            FROM orders GROUP BY 1),
+          c AS (SELECT d,
+                  CAST(row_number() OVER (ORDER BY d ASC) AS BIGINT) AS t,
+                  sum(y) OVER (ORDER BY d ASC ROWS UNBOUNDED PRECEDING)
+                    AS cum,
+                  sum(y) OVER () AS sAll,
+                  CAST(count(*) OVER () AS BIGINT) AS nAll
+                FROM daily),
+          s AS (SELECT d, t, cum, sAll, nAll,
+                  CAST(cum AS DOUBLE)
+                    - (CAST(t AS DOUBLE)
+                       * (CAST(sAll AS DOUBLE) / CAST(nAll AS DOUBLE)))
+                    AS cusum
+                FROM c),
+          sc AS (SELECT *, floor(abs(cusum) * 1000000 + 0.5) / 1000000
+                        AS abs_cusum FROM s),
+          top AS (SELECT * FROM sc ORDER BY abs_cusum DESC, d ASC LIMIT 1)
+          SELECT d AS split_day, t, nAll AS n_days,
+                 floor(cusum * 1000000 + 0.5) / 1000000 AS cusum, abs_cusum,
+                 floor(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE)
+                       * 1000000 + 0.5) / 1000000 AS mean_before,
+                 floor(CAST(sAll - cum AS DOUBLE)
+                       / CAST(nAll - t AS DOUBLE)
+                       * 1000000 + 0.5) / 1000000 AS mean_after
+          FROM top""",
+    "q158_null_semantics" ->
+      """SELECT event_type, count(*) AS n_rows,
+                CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_value_null,
+                CAST(sum(CASE WHEN isnan(value) THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_value_nan,
+                CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_props_null,
+                count(nullif(value, 0.0)) AS n_nonzero_nonnull,
+                floor(CAST(sum(CASE WHEN NOT isnan(coalesce(value, 0.0))
+                                    THEN CAST(coalesce(value, 0.0)
+                                              AS DECIMAL(18,6)) END)
+                           AS DOUBLE)
+                      / CAST(sum(CASE WHEN NOT isnan(coalesce(value, 0.0))
+                                      THEN 1 ELSE 0 END) AS DOUBLE)
+                      * 1000000 + 0.5) / 1000000 AS imputed_mean
+         FROM events GROUP BY 1 ORDER BY 1 ASC""",
+    "q159_string_surface" ->
+      """SELECT p_brand, count(*) AS n_parts,
+                min(upper(p_name)) AS min_name_upper,
+                max(reverse(p_name)) AS max_name_rev,
+                min(lpad(CAST(p_size AS VARCHAR), 3, '0')) AS min_size_pad,
+                max(concat_ws('-', p_brand, substring(p_name, 1, 5)))
+                  AS max_tag
+         FROM part GROUP BY 1 ORDER BY 1 ASC""",
+    "q160_datetime_surface" ->
+      """WITH o AS (SELECT o_orderdate,
+                      date_trunc('month', CAST(o_orderdate AS DATE)) AS m
+                    FROM orders)
+          SELECT strftime(m, '%Y-%m') AS month, count(*) AS n_orders,
+                 CAST(min(extract(quarter FROM m)) AS BIGINT) AS q,
+                 min(strftime(last_day(m), '%Y-%m-%d')) AS month_end,
+                 CAST(sum(CASE WHEN (date_diff('day', DATE '1970-01-01',
+                                               CAST(o_orderdate AS DATE))
+                                     + 4) % 7 IN (0, 6)
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_weekend_orders
+          FROM o GROUP BY 1 ORDER BY 1 ASC""")
 
   /** Shared 30-min µs sessionization CTE chain — the oracle mirror of
     * [[sessionized]], consumed by both the q114 and q117 oracles. */

@@ -1319,6 +1319,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(kept === Map(1L -> 2L, 2L -> 3L))
   }
 
+  test("k-core peel: paths dissolve, cycles survive, cliques keep full degree") {
+    // 2-core of a path is empty: endpoints peel, exposing new endpoints
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    assert(Graph.kCoreFixedRounds(path, "a", "b", k = 2, rounds = 4)
+      .count() === 0)
+    // a cycle IS its own 2-core (every node degree exactly 2)
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val c = Graph.kCoreFixedRounds(cycle, "a", "b", k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+    // K4 plus a pendant chain: the chain peels, the clique stays at k=3
+    val k4tail = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val k3 = Graph.kCoreFixedRounds(k4tail, "a", "b", k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k3 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // idempotence past convergence: extra rounds change nothing
+    val more = Graph.kCoreFixedRounds(k4tail, "a", "b", k = 3, rounds = 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more === k3)
+    // orientation/duplicate noise is canonicalized away
+    val messy = Seq((2L, 1L), (1L, 2L), (3L, 1L), (4L, 1L), (3L, 2L),
+      (4L, 2L), (4L, 3L), (5L, 4L), (6L, 5L)).toDF("a", "b")
+    val m = Graph.kCoreFixedRounds(messy, "a", "b", k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === k3)
+  }
+
+  test("count-min estimates dominate exact counts (q148 invariant)") {
+    val r = SparkEntry.queries("q148_count_min")(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("cms_est") >= row.getAs[Long]("exact_n"),
+        s"CMS must never undercount: $row")
+      assert(row.getAs[Long]("overcount") ===
+        row.getAs[Long]("cms_est") - row.getAs[Long]("exact_n"))
+    }
+  }
+
   test("triangle counts: K4 gives every node 3 triangles; paths give none") {
     // K4 on {1,2,3,4}: C(4,3)=4 triangles, each node in C(3,2)=3
     val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L)).toDF("s","d")
