@@ -167,6 +167,16 @@ object Sources {
       .option("header", "true").option("delimiter", delimiter)
       .csv(path)
 
+  /** Schema-pinned ORC scan — the second columnar format (both ship in
+    * Spark; ORC carries its own footer schema exactly like parquet, so
+    * the pinned StructType plays the same fail-loud role). */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** ORC writer (zlib default; splittable stripes). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Register every fixture table as a temp view so the WHOLE engine is
     * reachable through pure `spark.sql(...)` — the injected functions
     * (graft_dot, graft_nfc) already are via [[graft.GraftExtensions]],

@@ -1319,6 +1319,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(kept === Map(1L -> 2L, 2L -> 3L))
   }
 
+  test("ORC round-trip preserves schema and values; pushdown reaches the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val src = Sources.table(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Sources.writeOrc(src, dir)
+    val back = Sources.readOrc(spark, dir, src.schema)
+    assert(back.schema === src.schema)
+    assert(back.count() === src.count())
+    // same aggregate answers through the second columnar format
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg(back) === agg(src))
+    // predicate pushdown reaches the ORC scan like it does parquet
+    val plan = back.filter(col("event_type") === "click")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("event_type"),
+      s"ORC scan should carry pushed filters:\n$plan")
+  }
+
   test("k-core peel: paths dissolve, cycles survive, cliques keep full degree") {
     // 2-core of a path is empty: endpoints peel, exposing new endpoints
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
