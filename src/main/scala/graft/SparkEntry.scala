@@ -2358,6 +2358,59 @@ object SparkEntry {
             .isin(0, 6), lit(1L)).otherwise(lit(0L))).as("n_weekend_orders"))
       .orderBy(col("month").asc)
 
+  /** Pure-SQL entry path: the whole query is ONE `spark.sql` text over
+    * [[Sources.registerTables]] views, including an injected-function
+    * call (`graft_nfc`, registered by [[GraftExtensions]]) — proving a
+    * SQL-only user reaches the same engine, same plans, same gate. The
+    * Catalyst plan is identical to the DataFrame form (same star join,
+    * broadcast dims, exact decimal revenue). */
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    Sources.registerTables(s, dir)
+    s.sql("""
+      SELECT r_name AS region, graft_nfc(n_name) AS nation,
+             count(*) AS n_orders,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                  AS DOUBLE) AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, graft_nfc(n_name)
+      ORDER BY region ASC, nation ASC""")
+  }
+
+  /** Referential-integrity audit across every fixture foreign key in
+    * one result — child row count, distinct key count, orphan count
+    * (anti-join) per relation. Each arm is a pair of counts plus a
+    * LeftAnti hash join; the five arms union into the one DQ report a
+    * warehouse runs nightly. */
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    def arm(rel: String, child: DataFrame, ck: String,
+            parent: DataFrame, pk: String): DataFrame = {
+      val orphans = child.select(col(ck).as("k"))
+        .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+      child.agg(count(lit(1)).as("n_child"),
+          countDistinct(col(ck)).as("n_keys"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(rel).as("relation"), col("n_child"), col("n_keys"),
+          col("n_orphans"))
+    }
+    val li = Sources.table(s, dir, "lineitem")
+    val o = Sources.table(s, dir, "orders")
+    Seq(
+      arm("lineitem.orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+      arm("lineitem.partkey->part", li, "l_partkey",
+        Sources.table(s, dir, "part"), "p_partkey"),
+      arm("lineitem.suppkey->supplier", li, "l_suppkey",
+        Sources.table(s, dir, "supplier"), "s_suppkey"),
+      arm("orders.custkey->customer", o, "o_custkey",
+        Sources.table(s, dir, "customer"), "c_custkey"),
+      arm("customer.nationkey->nation", Sources.table(s, dir, "customer"),
+        "c_nationkey", Sources.table(s, dir, "nation"), "n_nationkey"))
+      .reduce(_ unionByName _)
+      .orderBy(col("relation").asc)
+  }
+
 
   /** Per-label embedding centroids (IVF coarse-quantizer shape). */
   private def q41(s: SparkSession, dir: String): DataFrame =
@@ -3132,7 +3185,9 @@ object SparkEntry {
     "q157_cusum" -> (q157 _),
     "q158_null_semantics" -> (q158 _),
     "q159_string_surface" -> (q159 _),
-    "q160_datetime_surface" -> (q160 _))
+    "q160_datetime_surface" -> (q160 _),
+    "q161_sql_surface" -> (q161 _),
+    "q162_fk_audit" -> (q162 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -5234,7 +5289,41 @@ object SparkEntry {
                                      + 4) % 7 IN (0, 6)
                                THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_weekend_orders
-          FROM o GROUP BY 1 ORDER BY 1 ASC""")
+          FROM o GROUP BY 1 ORDER BY 1 ASC""",
+    // graft_nfc is NFC normalization PLUS per-codepoint lowercase
+    // (casefold-normalize); on the ASCII fixture names DuckDB's
+    // lower(nfc_normalize(x)) is the exact analog
+    "q161_sql_surface" ->
+      """SELECT r_name AS region, lower(nfc_normalize(n_name)) AS nation,
+                count(*) AS n_orders,
+                CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                     AS DOUBLE) AS revenue
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, lower(nfc_normalize(n_name))
+         ORDER BY region ASC, nation ASC""",
+    "q162_fk_audit" -> {
+      val arms = Seq(
+        ("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        ("lineitem.partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        ("lineitem.suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        ("orders.custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        ("customer.nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey")).map { case (rel, c, ck, p, pk) =>
+        s"""SELECT '$rel' AS relation,
+                   (SELECT count(*) FROM $c) AS n_child,
+                   (SELECT count(DISTINCT $ck) FROM $c) AS n_keys,
+                   (SELECT count(*) FROM $c
+                    WHERE $ck NOT IN (SELECT $pk FROM $p)) AS n_orphans"""
+      }.mkString(" UNION ALL ")
+      s"SELECT * FROM ($arms) ORDER BY relation ASC"
+    })
 
   /** Shared 30-min µs sessionization CTE chain — the oracle mirror of
     * [[sessionized]], consumed by both the q114 and q117 oracles. */
