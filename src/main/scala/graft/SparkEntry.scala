@@ -2232,10 +2232,14 @@ object SparkEntry {
     val w = Window.orderBy(col("d").asc)
     val lagged = daily.select(Seq(col("d"), col("x")) ++
       (1 to 7).map(l => lag(col("x"), l).over(w).as(s"y$l")): _*)
-    val arms = (1 to 7).map { l =>
-      lagged.filter(col(s"y$l").isNotNull)
-        .select(lit(l.toLong).as("lag_d"), col("x"), col(s"y$l").as("y"))
-    }.reduce(_ unionByName _)
+    // unpivot via stack (a generator), NOT a 7-arm union — a union would
+    // re-plan the scan+aggregate subtree once per lag; this keeps ONE
+    // orders scan and one daily aggregate, with the seven lag windows
+    // sharing a single sort
+    val arms = lagged.select(col("x"), expr(
+        "stack(7, " + (1 to 7).map(l => s"${l}L, y$l").mkString(", ") +
+          ") as (lag_d, y)"))
+      .filter(col("y").isNotNull)
     val m = arms.groupBy(col("lag_d"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),

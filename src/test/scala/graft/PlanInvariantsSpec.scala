@@ -266,4 +266,36 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert("Window \\[".r.findAllIn(plan).length === 1,
       s"q145 must fuse count/sums into a single Window operator:\n$plan")
   }
+
+  test("count-min probes broadcast the top-k token set") {
+    val plan = planOf("q148_count_min")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q148 top-token probe must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q148 top-20 must be a bounded top-k, not a full sort:\n$plan")
+  }
+
+  test("sorted-neighborhood windows partition by the fingerprint bucket") {
+    val plan = planOf("q153_sorted_neighborhood")
+    assert("windowspecdefinition\\(bk#\\d+".r.findAllIn(plan).nonEmpty,
+      s"q153 lead windows must run per bucket, not one global sort:\n$plan")
+  }
+
+  test("ACF reads orders once: stack-unpivot, one scan, one shared sort") {
+    val plan = planOf("q156_acf")
+    // each lag distance is its own frame (7 Window nodes are inherent),
+    // but they must share ONE scan + daily aggregate + sort — a union
+    // formulation re-plans the subtree per lag
+    assert("Scan parquet".r.findAllIn(plan).length === 1,
+      s"q156 must scan orders exactly once:\n$plan")
+    // exactly two sorts: the shared window-input sort + the final ORDER BY
+    assert("Sort \\[".r.findAllIn(plan).length === 2,
+      s"q156 lag windows must share one sort:\n$plan")
+  }
+
+  test("SQL-text entry (q161) plans broadcast dims like the DataFrame form") {
+    val plan = planOf("q161_sql_surface")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3,
+      s"q161 star join must broadcast every dimension:\n$plan")
+  }
 }
