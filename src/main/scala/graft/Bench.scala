@@ -8,8 +8,6 @@ object Bench {
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config(graft.engine.Sources.nanosAsLongConf._1,
-        graft.engine.Sources.nanosAsLongConf._2)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

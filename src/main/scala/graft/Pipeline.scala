@@ -90,7 +90,6 @@ object Pipeline {
       .withExtensions(new GraftExtensions).master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
-      .config(Sources.nanosAsLongConf._1, Sources.nanosAsLongConf._2)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val rates = Map("src1" -> 1.0, "src2" -> 1.0, "src3" -> 0.5,

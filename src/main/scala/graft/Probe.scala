@@ -21,8 +21,6 @@ object Probe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      .config(graft.engine.Sources.nanosAsLongConf._1,
-        graft.engine.Sources.nanosAsLongConf._2)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session so per-query numbers aren't polluted by JVM startup

@@ -22,6 +22,32 @@ object SparkEntry {
 
   private def r6(c: Column): Column = round(c, 6)
 
+  /** Pearson correlation from (n, Σx, Σy, Σxy, Σx², Σy²) — the
+    * [[graft.engine.SlopeOLS]] operand order, 6-dp rounded, NULL when
+    * either variance is zero. ONE definition (used by q145, q156) so
+    * every moment-based correlation keeps the identical IEEE chain its
+    * oracle mirrors character for character. */
+  private def corrFromMoments(n: Column, sx: Column, sy: Column,
+      sxy: Column, sxx: Column, syy: Column): Column = {
+    def d(c: Column) = c.cast("double")
+    val covN = (d(n) * d(sxy)) - (d(sx) * d(sy))
+    val varXN = (d(n) * d(sxx)) - (d(sx) * d(sx))
+    val varYN = (d(n) * d(syy)) - (d(sy) * d(sy))
+    Aggregates.round6Portable(
+      when(varXN === 0d || varYN === 0d, lit(null))
+        .otherwise(covN / sqrt(varXN * varYN)))
+  }
+
+  /** Portable day-of-week, 0 = Sunday: (epoch_day + 4) mod 7 — pure
+    * integer arithmetic, no locale, no calendar library. The SQL twin
+    * is [[sqlDow]]; q141/q160 use BOTH, so they live here once. */
+  private def dowOf(dateExpr: String): Column =
+    ((expr(s"datediff($dateExpr, DATE '1970-01-01')") + 4) % 7).cast("long")
+
+  /** DuckDB mirror of [[dowOf]]. */
+  private def sqlDow(c: String): String =
+    s"(date_diff('day', DATE '1970-01-01', CAST($c AS DATE)) + 4) % 7"
+
   private def events(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "events")
 
@@ -1643,14 +1669,18 @@ object SparkEntry {
     * pairs. Docs shorter than one segment are out of scope (dropped on
     * both sides). */
   private def q136(s: SparkSession, dir: String): DataFrame = {
-    val segs = docs(s, dir)
+    // persisted: the corpus-sized explode feeds BOTH the spread
+    // aggregate and the join probe side — without the persist the
+    // tokenize+slice pipeline runs twice (ReuseExchange is not
+    // guaranteed across the two subtrees)
+    val segs = graft.operators.Shingles.shared(docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 8)
       .select(col("doc_id"),
         explode(expr("sequence(0, int(size(toks) / 8) - 1)")).as("i"),
         col("toks"))
       .select(col("doc_id"),
-        expr("array_join(slice(toks, i * 8 + 1, 8), ' ')").as("seg"))
+        expr("array_join(slice(toks, i * 8 + 1, 8), ' ')").as("seg")))
     val spread = segs.groupBy(col("seg"))
       .agg(countDistinct(col("doc_id")).as("n_docs_with"))
     segs.join(spread, Seq("seg"))
@@ -1777,8 +1807,7 @@ object SparkEntry {
   private def q141(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cells = events(s, dir)
-      .withColumn("dow",
-        ((expr("datediff(ts_utc, DATE '1970-01-01')") + 4) % 7).cast("long"))
+      .withColumn("dow", dowOf("ts_utc"))
       .groupBy(col("event_type"), col("dow"))
       .agg(count(lit(1)).as("o"))
     val withTotals = cells
@@ -1811,6 +1840,9 @@ object SparkEntry {
       .select(expr(
         "cast(substring(cast(cast(floor(o_totalprice) as bigint) as string), 1, 1) as bigint)")
         .as("digit"))
+      // totals in [0,1) have first digit 0 (no Benford expectation) and
+      // negative totals parse to NULL — both out of the law's domain
+      .filter(col("digit").between(1, 9))
       .groupBy(col("digit"))
       .agg(count(lit(1)).as("n"))
     val benford = expr("""cast(CASE digit
@@ -1912,27 +1944,26 @@ object SparkEntry {
         Aggregates.exactSum(col("o_totalprice"), 18, 2).as("y"))
     val f = Window.orderBy(col("d").asc).rangeBetween(-6, 0)
     // pre-project the products, then ONE select over the shared frame —
-    // chained withColumn would plan six separate Window operators
+    // chained withColumn would plan six separate Window operators.
+    // Count moments go through DECIMAL: a BIGINT Σx² wraps silently at
+    // scale (non-ANSI) while the DuckDB oracle promotes to HUGEINT —
+    // decimal sums are exact on both engines (the q92/q133 rule).
+    val d20 = org.apache.spark.sql.types.DecimalType(20, 0)
     val m = daily
-      .withColumn("xx", col("x") * col("x"))
-      .withColumn("xy", col("y") * col("x"))
+      .withColumn("xx", col("x").cast(d20) * col("x").cast(d20))
+      .withColumn("xy", col("y") * col("x").cast(d20))
       .withColumn("yy", col("y") * col("y"))
       .select(col("d"), col("x"), col("y"),
         count(lit(1)).over(f).as("fn"),
-        sum(col("x")).over(f).as("sx"),
+        sum(col("x").cast(d20)).over(f).as("sx"),
         sum(col("y")).over(f).as("sy"),
         sum(col("xx")).over(f).as("sxx"),
         sum(col("xy")).over(f).as("sxy"),
         sum(col("yy")).over(f).as("syy"))
-    def dbl(c: String) = col(c).cast("double")
-    val covN = (dbl("fn") * dbl("sxy")) - (dbl("sx") * dbl("sy"))
-    val varXN = (dbl("fn") * dbl("sxx")) - (dbl("sx") * dbl("sx"))
-    val varYN = (dbl("fn") * dbl("syy")) - (dbl("sy") * dbl("sy"))
     m.select(col("d"), col("fn").as("n_days"), col("x").as("n_orders"),
         col("y").cast("double").as("revenue"),
-        Aggregates.round6Portable(
-          when(varXN === 0d || varYN === 0d, lit(null))
-            .otherwise(covN / sqrt(varXN * varYN))).as("corr7"))
+        corrFromMoments(col("fn"), col("sx"), col("sy"), col("sxy"),
+          col("sxx"), col("syy")).as("corr7"))
       .orderBy(col("d").asc)
   }
 
@@ -2240,20 +2271,18 @@ object SparkEntry {
         "stack(7, " + (1 to 7).map(l => s"${l}L, y$l").mkString(", ") +
           ") as (lag_d, y)"))
       .filter(col("y").isNotNull)
+    // DECIMAL moments (not BIGINT): wrap-proof at scale, exact on both
+    // engines — see the q145 note
+    val d20 = org.apache.spark.sql.types.DecimalType(20, 0)
     val m = arms.groupBy(col("lag_d"))
       .agg(count(lit(1)).as("n_pairs"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
-    def dbl(c: String) = col(c).cast("double")
-    val covN = (dbl("n_pairs") * dbl("sxy")) - (dbl("sx") * dbl("sy"))
-    val varXN = (dbl("n_pairs") * dbl("sxx")) - (dbl("sx") * dbl("sx"))
-    val varYN = (dbl("n_pairs") * dbl("syy")) - (dbl("sy") * dbl("sy"))
+        sum(col("x").cast(d20)).as("sx"), sum(col("y").cast(d20)).as("sy"),
+        sum(col("x").cast(d20) * col("y").cast(d20)).as("sxy"),
+        sum(col("x").cast(d20) * col("x").cast(d20)).as("sxx"),
+        sum(col("y").cast(d20) * col("y").cast(d20)).as("syy"))
     m.select(col("lag_d"), col("n_pairs"),
-        Aggregates.round6Portable(
-          when(varXN === 0d || varYN === 0d, lit(null))
-            .otherwise(covN / sqrt(varXN * varYN))).as("acf"))
+        corrFromMoments(col("n_pairs"), col("sx"), col("sy"), col("sxy"),
+          col("sxx"), col("syy")).as("acf"))
       .orderBy(col("lag_d").asc)
   }
 
@@ -2358,8 +2387,8 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_orders"),
         min(quarter(col("m")).cast("long")).as("q"),
         min(date_format(last_day(col("m")), "yyyy-MM-dd")).as("month_end"),
-        sum(when(((expr("datediff(o_orderdate, DATE '1970-01-01')") + 4) % 7)
-            .isin(0, 6), lit(1L)).otherwise(lit(0L))).as("n_weekend_orders"))
+        sum(when(dowOf("o_orderdate").isin(0, 6), lit(1L))
+          .otherwise(lit(0L))).as("n_weekend_orders"))
       .orderBy(col("month").asc)
 
   /** Pure-SQL entry path: the whole query is ONE `spark.sql` text over
@@ -4877,10 +4906,9 @@ object SparkEntry {
           FROM spine s LEFT JOIN daily ON s.d = daily.d
           GROUP BY 1 ORDER BY 1 ASC""",
     "q141_chi_square_cells" ->
-      """WITH cells AS (
+      s"""WITH cells AS (
             SELECT event_type,
-                   CAST((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
-                         + 4) % 7 AS BIGINT) AS dow,
+                   CAST(${sqlDow("ts")} AS BIGINT) AS dow,
                    count(*) AS o
             FROM events GROUP BY 1, 2),
           t AS (SELECT event_type, dow, o,
@@ -4902,7 +4930,8 @@ object SparkEntry {
             SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
                                        AS VARCHAR), 1, 1) AS BIGINT) AS digit,
                    count(*) AS n
-            FROM orders GROUP BY 1),
+            FROM orders
+            GROUP BY 1 HAVING digit BETWEEN 1 AND 9),
           t AS (SELECT digit, n, CAST(n AS DOUBLE)
                          / CAST(sum(n) OVER () AS DOUBLE) AS obs,
                        CAST(CASE digit
@@ -5282,15 +5311,13 @@ object SparkEntry {
                   AS max_tag
          FROM part GROUP BY 1 ORDER BY 1 ASC""",
     "q160_datetime_surface" ->
-      """WITH o AS (SELECT o_orderdate,
+      s"""WITH o AS (SELECT o_orderdate,
                       date_trunc('month', CAST(o_orderdate AS DATE)) AS m
                     FROM orders)
           SELECT strftime(m, '%Y-%m') AS month, count(*) AS n_orders,
                  CAST(min(extract(quarter FROM m)) AS BIGINT) AS q,
                  min(strftime(last_day(m), '%Y-%m-%d')) AS month_end,
-                 CAST(sum(CASE WHEN (date_diff('day', DATE '1970-01-01',
-                                               CAST(o_orderdate AS DATE))
-                                     + 4) % 7 IN (0, 6)
+                 CAST(sum(CASE WHEN ${sqlDow("o_orderdate")} IN (0, 6)
                                THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_weekend_orders
           FROM o GROUP BY 1 ORDER BY 1 ASC""",
@@ -5320,11 +5347,15 @@ object SparkEntry {
           "customer", "c_custkey"),
         ("customer.nationkey->nation", "customer", "c_nationkey",
           "nation", "n_nationkey")).map { case (rel, c, ck, p, pk) =>
+        // NOT EXISTS, not NOT IN: NOT IN's three-valued logic drops
+        // NULL child keys (and zeroes out entirely on a NULL parent
+        // key) where Spark's left_anti counts them as orphans
         s"""SELECT '$rel' AS relation,
                    (SELECT count(*) FROM $c) AS n_child,
                    (SELECT count(DISTINCT $ck) FROM $c) AS n_keys,
                    (SELECT count(*) FROM $c
-                    WHERE $ck NOT IN (SELECT $pk FROM $p)) AS n_orphans"""
+                    WHERE NOT EXISTS (SELECT 1 FROM $p
+                                      WHERE $p.$pk = $c.$ck)) AS n_orphans"""
       }.mkString(" UNION ALL ")
       s"SELECT * FROM ($arms) ORDER BY relation ASC"
     })

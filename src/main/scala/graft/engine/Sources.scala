@@ -69,9 +69,9 @@ object Sources {
     * time arithmetic throughout the catalog (gaps, intervals, sessions)
     * operates on directly. [[table]] adds the derived `ts_utc`
     * TimestampType column (`timestamp_micros(ts)`). NOTE: earlier
-    * fixture generations wrote TIMESTAMP(NANOS); [[nanosAsLongConf]] is
-    * kept so a ns-typed file still reads as LONG rather than failing —
-    * but the micros derivation assumes the current µs fixtures. */
+    * fixture generations wrote TIMESTAMP(NANOS); such a file now FAILS
+    * at scan (no nanosAsLong legacy conf anywhere — see the note above
+    * [[table]]) instead of silently reading ns values into µs math. */
   val events: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -220,14 +220,15 @@ object Sources {
     require(fs.delete(old, true), s"compaction done but cannot remove $old")
   }
 
-  /** Compatibility conf from the TIMESTAMP(NANOS) fixture era (rounds
-    * 1-3): lets a ns-typed parquet column read as a since-epoch LONG.
-    * The round-4 fixtures are TIMESTAMP(MICROS) — physical INT64, which
-    * the pinned LONG schema reads directly — so this is now a no-op on
-    * the shipped testdata; harness entry points still set it at session
-    * construction so older ns fixtures remain scannable. */
-  val nanosAsLongConf: (String, String) =
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true"
+  /** NOTE on the TIMESTAMP(NANOS) fixture era (rounds 1-3): the repo
+    * used `spark.sql.legacy.parquet.nanosAsLong=true` to read ns-typed
+    * columns as since-epoch LONGs. That conf is deliberately GONE now:
+    * with it set, a stale ns fixture would scan successfully and
+    * `timestamp_micros(ts)` would be silently wrong by 1000×. Without
+    * it, Spark rejects a TIMESTAMP(NANOS) column outright ("Illegal
+    * Parquet type") — the fail-loud behavior a fixture-unit drift
+    * deserves. TIMESTAMP(MICROS) INT64 reads as a pinned LONG with no
+    * conf at all. */
 
   /** Scan one fixture table with its pinned schema. For `events`, reads
     * the micros timestamp as its raw LONG and derives `ts_utc: timestamp`.
@@ -252,9 +253,6 @@ object Sources {
     }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events" &&
-        !spark.conf.getOption(nanosAsLongConf._1).contains("true"))
-      spark.conf.set(nanosAsLongConf._1, nanosAsLongConf._2)
     val df = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
     if (name == "events") deriveTsUtc(df) else df
   }
@@ -272,15 +270,8 @@ object Sources {
     * downstream types — the same trade the reference makes in reverse.
     * Pair with `Cleaning.filterIfPresent` for columns that may be
     * absent in ad-hoc data. */
-  def tableInferred(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // the conf must be decided BEFORE the footer is read (it changes how
-    // a TIMESTAMP(NANOS) column is typed), and with no pinned schema
-    // there is no way to know whether this table carries one — so it is
-    // set unconditionally here; harmless for nanos-free tables
-    if (!spark.conf.getOption(nanosAsLongConf._1).contains("true"))
-      spark.conf.set(nanosAsLongConf._1, nanosAsLongConf._2)
+  def tableInferred(spark: SparkSession, sfDir: String, name: String): DataFrame =
     deriveTsUtc(spark.read.parquet(s"$sfDir/$name.parquet"))
-  }
 
   /** Sampled-inference JSON-Lines scan — the schemaless half of
     * [[readJsonl]]: discover the schema from a fraction of the lines

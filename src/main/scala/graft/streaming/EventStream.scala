@@ -20,9 +20,8 @@ object EventStream {
 
   /** Streaming source over the events fixture (schema pinned; µs ts
     * read as its raw long, `ts_utc` derived — same convention as
-    * Sources; the nanosAsLong conf is the ns-era compatibility shim). */
+    * Sources). */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // FileStreamSource needs a directory basePath; a glob that matches the
     // single fixture file keeps the parent dir as the base.
     spark.readStream

@@ -13,7 +13,6 @@ object SparkTestSession {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config(engine.Sources.nanosAsLongConf._1, engine.Sources.nanosAsLongConf._2)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

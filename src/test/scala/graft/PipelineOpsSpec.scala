@@ -1304,17 +1304,19 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("min-gap thinning keeps spaced events and drops rapid-fire ones") {
-    val ns = 1000000000L
+    // µs domain — the SAME unit and 60 s constant q94 runs in, so a
+    // regression in the production gap literal is visible here
+    val us = 1000000L
     val ev = Seq(
-      (1L, 1L, 0L * ns), (2L, 1L, 10L * ns), (3L, 1L, 70L * ns),   // gap 10s dropped, 60s kept
-      (4L, 2L, 0L * ns), (5L, 2L, 60L * ns), (6L, 2L, 120L * ns))  // all kept
+      (1L, 1L, 0L * us), (2L, 1L, 10L * us), (3L, 1L, 70L * us),   // gap 10s dropped, 60s kept
+      (4L, 2L, 0L * us), (5L, 2L, 60L * us), (6L, 2L, 120L * us))  // all kept
       .toDF("event_id", "user_id", "ts")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
     val kept = ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .groupBy(col("user_id"))
       .agg(count(when(col("prev_ts").isNull ||
-        col("ts") - col("prev_ts") >= lit(60000000000L), lit(1))).as("n_kept"))
+        col("ts") - col("prev_ts") >= lit(60000000L), lit(1))).as("n_kept"))
       .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_kept")).toMap
     assert(kept === Map(1L -> 2L, 2L -> 3L))
   }
