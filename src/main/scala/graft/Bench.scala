@@ -72,14 +72,25 @@ object Bench {
       val ok = times.filter(_ >= 0)
       name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal times: ms precision is the noise floor on a shared box,
+    // and the shorter line keeps the full dict inside the driver's
+    // bounded stdout-tail capture
+    def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     // failed queries (-1 sentinel) must not SUBTRACT from the headline
     // total — a breaking query would otherwise read as a speedup; they
     // are excluded from the sum and counted separately
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    // The driver records a bounded TAIL of stdout (BENCH_r04.json shows
+    // the per-query dict overflowing it: "parsed": null, total lost).
+    // Emit a compact headline line BEFORE and AFTER the per-query line so
+    // whichever end of the capture survives holds a complete JSON object.
+    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
+    println(compact)
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    println(compact)
     spark.stop()
   }
 }

@@ -320,6 +320,10 @@ object SparkEntry {
   private val MinhashK = 12
   private val LshBands = 4
   private val LshRows = 3
+  /** Per-(band, bucket) population cap for the skew-hardened LSH path
+    * (q163): small enough that the planted-flood spec exercises the
+    * star reduction, far above any bucket the organic fixtures fill. */
+  private val LshBucketCap = 8L
 
   /** Fixture embedding dimensionality (shared with the q41 oracle SQL;
     * the Spark side derives dims from the data via posexplode). */
@@ -346,7 +350,23 @@ object SparkEntry {
 
   /** MinHash + LSH near-duplicate candidate pairs. */
   private def q21(s: SparkSession, dir: String): DataFrame =
+    // total ORDER BY matching the oracle: the pair set is deterministic
+    // but its physical row order is not (it shifted when the bucket
+    // table moved from persist to staged parquet) — every query ends
+    // with an explicit sort for exactly this reason
     NearDup.minHashCandidates(docs(s, dir), MinhashK, LshBands, LshRows)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+
+  /** q21's LSH candidate generation behind the per-bucket skew cap
+    * ([[NearDup.minHashCandidatesCapped]]): identical pairs wherever no
+    * bucket exceeds the cap (the fixture regime — the oracle mirrors
+    * the cap logic either way), star-reduced pairs where a boilerplate
+    * flood would otherwise go quadratic. The planted-flood spec
+    * (NearDupSpec) exercises the over-cap path. */
+  private def q163(s: SparkSession, dir: String): DataFrame =
+    NearDup.minHashCandidatesCapped(docs(s, dir), MinhashK, LshBands,
+        LshRows, LshBucketCap)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
 
   /** SimHash 32-bit fingerprints per document. */
@@ -1669,8 +1689,8 @@ object SparkEntry {
     * pairs. Docs shorter than one segment are out of scope (dropped on
     * both sides). */
   private def q136(s: SparkSession, dir: String): DataFrame = {
-    // persisted: the corpus-sized explode feeds BOTH the spread
-    // aggregate and the join probe side — without the persist the
+    // staged: the corpus-sized explode feeds BOTH the spread
+    // aggregate and the join probe side — without landing it the
     // tokenize+slice pipeline runs twice (ReuseExchange is not
     // guaranteed across the two subtrees)
     val segs = graft.operators.Shingles.shared(docs(s, dir)
@@ -1768,6 +1788,61 @@ object SparkEntry {
         expr("bool_or(value > 1000)").as("any_large"))
       .orderBy(col("event_type").asc)
 
+  /** Shared staged DAILY tables for the drift/monitoring family — the
+    * nightly-DQ-report shape: ONE scan of each fact table lands a
+    * post-agg-sized daily table (epoch-day granularity) that every
+    * downstream check consumes as a flat parquet scan, instead of five
+    * queries each re-aggregating the same facts (the q58/q59 staging
+    * pattern applied to data quality). Exactness is preserved by
+    * construction: every consumer re-aggregates COUNTS and exact
+    * DECIMAL sums, both associative, so totals are bit-identical to
+    * the direct single-query form the oracles mirror.
+    *
+    * Orders side: (d, n_orders, revenue) — consumed by q140 (calendar
+    * spine), q156 (ACF of daily counts), q157 (CUSUM of daily revenue). */
+  private def ordersDaily(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Staging.stagedParquet(s, s"orders_daily|$dir")(
+      Sources.table(s, dir, "orders")
+        .groupBy(expr("datediff(o_orderdate, DATE '1970-01-01')")
+          .cast("long").as("d"))
+        .agg(count(lit(1)).as("n_orders"),
+          Aggregates.exactSum(col("o_totalprice"), 18, 2).as("revenue")))
+
+  /** Events side of the staged daily tables: value-decile cells
+    * (event_type, d, bin) carrying raw counts, clean counts, the
+    * conversion count, and exact DECIMAL value moments (scale-12
+    * pinned, the q147 idiom). Consumers re-derive their shapes by
+    * re-aggregation: q141 (χ² dow cells — n_raw, dow = (d+4) mod 7),
+    * q147 (Welch moments — n_clean/sv/sq), q154 (PSI bins —
+    * n_clean by day-parity side), q155 (Wilson — n_clean/n_conv).
+    * Dirty rows (NULL/NaN value) land in a NULL bin with n_clean = 0,
+    * so raw counts survive while every clean-side consumer filters
+    * them out — one table serves both universes. */
+  private def eventsDailyCells(s: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 12)
+    graft.engine.Staging.stagedParquet(s, s"events_daily_cells|$dir")(
+      events(s, dir)
+        .withColumn("__clean", Cleaning.notMissing(col("value")))
+        .select(col("event_type"),
+          expr("ts div 86400000000").as("d"),
+          when(col("__clean"), floor(col("value") / 10.0).cast("long"))
+            .as("bin"),
+          col("__clean"),
+          when(col("__clean") && col("value") > 100, lit(1L))
+            .otherwise(lit(0L)).as("__conv"),
+          when(col("__clean"), Aggregates.roundPortable(col("value"), 12))
+            .cast(d38).as("__v"),
+          when(col("__clean"),
+            Aggregates.roundPortable(col("value") * col("value"), 12))
+            .cast(d38).as("__q"))
+        .groupBy(col("event_type"), col("d"), col("bin"))
+        .agg(count(lit(1)).as("n_raw"),
+          count(when(col("__clean"), 1)).as("n_clean"),
+          sum(col("__conv")).as("n_conv"),
+          sum(col("__v")).as("sv"),
+          sum(col("__q")).as("sq")))
+  }
+
   /** Calendar-spine densification: generate the full day spine between
     * the first and last order date (sequence + explode over a ONE-ROW
     * aggregate — no driver round-trip, no collect), left-join the daily
@@ -1776,13 +1851,13 @@ object SparkEntry {
     * so the join never shuffles the fact table beyond its own daily
     * pre-aggregation. */
   private def q140(s: SparkSession, dir: String): DataFrame = {
-    val orders = Sources.table(s, dir, "orders")
-    val daily = orders
-      .groupBy(to_date(col("o_orderdate")).as("d"))
-      .agg(count(lit(1)).as("n_orders"))
-    val spine = orders
-      .agg(min(to_date(col("o_orderdate"))).as("lo"),
-        max(to_date(col("o_orderdate"))).as("hi"))
+    // consumes the staged daily table — the spine and the coverage agg
+    // both run over |days| rows, never re-touching orders
+    val daily = ordersDaily(s, dir)
+      .select(expr("date_add(DATE '1970-01-01', cast(d AS int))").as("d"),
+        col("n_orders"))
+    val spine = daily
+      .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
       .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
     spine.join(broadcast(daily), Seq("d"), "left")
       .withColumn("n_orders", coalesce(col("n_orders"), lit(0L)))
@@ -1806,10 +1881,14 @@ object SparkEntry {
     * 0 = Sunday) — no locale, no calendar library, engine-portable. */
   private def q141(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cells = events(s, dir)
-      .withColumn("dow", dowOf("ts_utc"))
+    // staged daily cells re-aggregated to (type, dow): dow is pure
+    // integer arithmetic off the epoch-day, identical to dowOf(ts_utc)
+    // under the UTC harness sessions; n_raw keeps the RAW-universe
+    // count the χ² contract (and its oracle) specifies
+    val cells = eventsDailyCells(s, dir)
+      .withColumn("dow", ((col("d") + 4) % 7).cast("long"))
       .groupBy(col("event_type"), col("dow"))
-      .agg(count(lit(1)).as("o"))
+      .agg(sum(col("n_raw")).as("o"))
     val withTotals = cells
       .withColumn("rt", sum(col("o")).over(Window.partitionBy(col("event_type"))))
       .withColumn("ct", sum(col("o")).over(Window.partitionBy(col("dow"))))
@@ -1979,7 +2058,11 @@ object SparkEntry {
       .agg(count(lit(1)).as("cnt"))
     c.groupBy(col("lang"))
       .agg(count(lit(1)).as("vocab"), sum(col("cnt")).as("total_tokens"),
-        sum((col("cnt").cast("double") * log(col("cnt").cast("double")))
+        // rounding pinned BEFORE the decimal cast (roundPortable idiom)
+        // so the last retained digit never depends on either engine's
+        // double→decimal cast tie-breaking
+        sum(Aggregates.roundPortable(
+            col("cnt").cast("double") * log(col("cnt").cast("double")), 6)
           .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("__sclogc"))
       .select(col("lang"), col("vocab"), col("total_tokens"),
         Aggregates.round6Portable(
@@ -1997,12 +2080,17 @@ object SparkEntry {
     * rationals. Sample (n−1) variances, as Welch prescribes. */
   private def q147(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d38 = org.apache.spark.sql.types.DecimalType(38, 12)
-    val g = cleanEvents(s, dir)
+    // staged daily cells re-aggregated to per-type Welch moments: the
+    // scale-12-pinned DECIMAL sums (see eventsDailyCells) re-add
+    // exactly (decimal addition is associative), so n1/s1/q1 are
+    // bit-identical to the direct cleanEvents aggregation the oracle
+    // mirrors; n1 > 0 keeps the group universe = "types with ≥1 clean
+    // row", exactly cleanEvents' grouping
+    val g = eventsDailyCells(s, dir)
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n1"),
-        sum(col("value").cast(d38)).as("s1"),
-        sum((col("value") * col("value")).cast(d38)).as("q1"))
+      .agg(sum(col("n_clean")).as("n1"),
+        sum(col("sv")).as("s1"), sum(col("sq")).as("q1"))
+      .filter(col("n1") > 0)
     val tot = Window.partitionBy()
     val m = g
       .withColumn("n2", sum(col("n1")).over(tot) - col("n1"))
@@ -2204,12 +2292,15 @@ object SparkEntry {
     * the common-bin count so coverage is visible); the per-bin terms
     * go through the 6-dp DECIMAL exact-sum pattern. */
   private def q154(s: SparkSession, dir: String): DataFrame = {
-    val base = cleanEvents(s, dir)
-      .withColumn("bin", floor(col("value") / 10.0).cast("long"))
-      .withColumn("side", (expr("ts div 86400000000") % 2) === 0)
+    // staged daily cells already carry (type, epoch-day, decile bin)
+    // clean counts; the PSI sides are the day-parity split, so the
+    // whole query re-aggregates the post-agg table — no events scan
+    val base = eventsDailyCells(s, dir)
+      .filter(col("bin").isNotNull)
+      .withColumn("side", (col("d") % 2) === 0)
     val cells = base.groupBy(col("event_type"), col("bin"))
-      .agg(count(when(col("side"), 1)).as("na"),
-        count(when(!col("side"), 1)).as("nb"))
+      .agg(sum(when(col("side"), col("n_clean")).otherwise(lit(0L))).as("na"),
+        sum(when(!col("side"), col("n_clean")).otherwise(lit(0L))).as("nb"))
     val tot = cells.groupBy(col("event_type"))
       .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
     val p = col("na").cast("double") / col("ta").cast("double")
@@ -2231,10 +2322,12 @@ object SparkEntry {
     * scalar chain with z as a 6-dp literal — the A/B-test readout. */
   private def q155(s: SparkSession, dir: String): DataFrame = {
     val z = lit(1.959964)
-    val agg = cleanEvents(s, dir)
+    // (n, k) re-aggregated from the staged daily cells; n > 0 keeps
+    // the cleanEvents group universe
+    val agg = eventsDailyCells(s, dir)
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("value") > 100, lit(1L)).otherwise(lit(0L))).as("k"))
+      .agg(sum(col("n_clean")).as("n"), sum(col("n_conv")).as("k"))
+      .filter(col("n") > 0)
     val nd = col("n").cast("double")
     val p = col("k").cast("double") / nd
     val denom = lit(1.0) + (z * z) / nd
@@ -2256,10 +2349,9 @@ object SparkEntry {
     * pass emitting all 7 lagged columns over the |days|-row table. */
   private def q156(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = Sources.table(s, dir, "orders")
-      .groupBy(expr("datediff(o_orderdate, DATE '1970-01-01')")
-        .cast("long").as("d"))
-      .agg(count(lit(1)).as("x"))
+    // daily counts come from the staged orders-daily table (one scan
+    // shared with q140/q157); the ACF machinery below is unchanged
+    val daily = ordersDaily(s, dir).select(col("d"), col("n_orders").as("x"))
     val w = Window.orderBy(col("d").asc)
     val lagged = daily.select(Seq(col("d"), col("x")) ++
       (1 to 7).map(l => lag(col("x"), l).over(w).as(s"y$l")): _*)
@@ -2295,10 +2387,9 @@ object SparkEntry {
     * also reports the exact before/after mean levels. */
   private def q157(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = Sources.table(s, dir, "orders")
-      .groupBy(expr("datediff(o_orderdate, DATE '1970-01-01')")
-        .cast("long").as("d"))
-      .agg(Aggregates.exactSum(col("o_totalprice"), 18, 2).as("y"))
+    // daily exact revenue from the staged orders-daily table (one scan
+    // shared with q140/q156)
+    val daily = ordersDaily(s, dir).select(col("d"), col("revenue").as("y"))
     val w = Window.orderBy(col("d").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val tot = Window.partitionBy()
@@ -3016,6 +3107,27 @@ object SparkEntry {
           AND a.doc_id < b.doc_id
         ORDER BY doc_a ASC, doc_b ASC"""
 
+  /** [[minhashOracle]] with the q163 bucket cap: buckets over the cap
+    * contribute (anchor = min doc_id, member) star pairs only. */
+  private val minhashCappedOracle: String =
+    s"""$minhashCtes,
+        stats AS (SELECT band, bucket, count(*) AS n, min(doc_id) AS anchor
+                  FROM bk GROUP BY 1, 2),
+        bt AS (SELECT bk.doc_id, bk.band, bk.bucket, s.n, s.anchor
+               FROM bk JOIN stats s
+                 ON bk.band = s.band AND bk.bucket = s.bucket),
+        u AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bt a JOIN bt b
+            ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+          WHERE a.n <= $LshBucketCap
+          UNION ALL
+          SELECT anchor AS doc_a, doc_id AS doc_b FROM bt
+          WHERE n > $LshBucketCap AND doc_id <> anchor)
+        SELECT DISTINCT doc_a, doc_b FROM u
+        ORDER BY doc_a ASC, doc_b ASC"""
+
   /** Shared CTE prefix computing the per-doc 32-bit simhash. */
   private val simhashCte: String = {
     val bits = NearDup.SimHashBits
@@ -3220,7 +3332,8 @@ object SparkEntry {
     "q159_string_surface" -> (q159 _),
     "q160_datetime_surface" -> (q160 _),
     "q161_sql_surface" -> (q161 _),
-    "q162_fk_audit" -> (q162 _))
+    "q162_fk_audit" -> (q162 _),
+    "q163_lsh_capped" -> (q163 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -3416,6 +3529,7 @@ object SparkEntry {
                  count(*) - count(DISTINCT md5(text)) AS n_duplicates
           FROM documents""",
     "q21_minhash_lsh" -> minhashOracle,
+    "q163_lsh_capped" -> minhashCappedOracle,
     "q22_simhash" ->
       s"""WITH $simhashCte
           SELECT doc_id, simhash FROM fpt ORDER BY doc_id ASC""",
@@ -4927,7 +5041,7 @@ object SparkEntry {
           FROM x ORDER BY event_type ASC, dow ASC""",
     "q142_benford" ->
       """WITH counts AS (
-            SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+            SELECT TRY_CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
                                        AS VARCHAR), 1, 1) AS BIGINT) AS digit,
                    count(*) AS n
             FROM orders
@@ -5022,7 +5136,9 @@ object SparkEntry {
           c AS (SELECT lang, tk, count(*) AS cnt FROM tok GROUP BY 1, 2),
           g AS (SELECT lang, count(*) AS vocab,
                        CAST(sum(cnt) AS BIGINT) AS total_tokens,
-                       sum(CAST(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))
+                       sum(CAST(floor(CAST(cnt AS DOUBLE)
+                                      * ln(CAST(cnt AS DOUBLE))
+                                      * 1000000 + 0.5) / 1000000
                                 AS DECIMAL(18,6))) AS sclogc
                 FROM c GROUP BY lang)
           SELECT lang, vocab, total_tokens,
@@ -5033,8 +5149,10 @@ object SparkEntry {
           FROM g ORDER BY lang ASC""",
     "q147_welch_t" ->
       s"""WITH g AS (SELECT event_type, count(*) AS n1,
-                       sum(CAST(value AS DECIMAL(38,12))) AS s1,
-                       sum(CAST(value * value AS DECIMAL(38,12))) AS q1
+                       sum(CAST(floor(value * 1e12 + 0.5) / 1e12
+                                AS DECIMAL(38,12))) AS s1,
+                       sum(CAST(floor(value * value * 1e12 + 0.5) / 1e12
+                                AS DECIMAL(38,12))) AS q1
                      FROM events WHERE $sqlClean GROUP BY 1),
           m AS (SELECT event_type, n1, s1, q1,
                   CAST(sum(n1) OVER () - n1 AS BIGINT) AS n2,

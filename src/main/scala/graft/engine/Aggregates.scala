@@ -110,6 +110,22 @@ object Aggregates {
   def round6Portable(c: Column): Column =
     when(isnan(c), c).otherwise(floor(c * lit(1e6) + lit(0.5)) / lit(1e6))
 
+  /** [[round6Portable]] generalized to scale s: floor(x·10ˢ + ½)/10ˢ in
+    * pure IEEE double arithmetic, identical in any engine that mirrors
+    * the expression. Used to PIN the rounding rule before a
+    * double→DECIMAL cast — each engine's cast rounds its own rendering
+    * of the double (shortest-repr vs binary expansion) and the two
+    * disagree on exact-half ties, whereas this expression is the same
+    * bit pattern everywhere. DOMAIN: |x|·10ˢ must stay below 2⁶³ (Spark
+    * floor narrows through BIGINT and would clamp where DuckDB's
+    * double floor does not) — callers at s=12 need |x| < ~9.2·10⁶,
+    * which every fixture column satisfies with orders of magnitude of
+    * headroom. */
+  def roundPortable(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    when(isnan(c), c).otherwise(floor(c * lit(p) + lit(0.5)) / lit(p))
+  }
+
   /** Order-independent mean over a possibly dirty DOUBLE column: exact
     * DECIMAL sum ÷ non-null count, with `avg`'s NaN semantics preserved
     * (any NaN in the group ⇒ NaN; NULLs skipped). Plain `avg` folds

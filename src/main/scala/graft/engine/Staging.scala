@@ -68,6 +68,43 @@ object Staging {
     spark.read.parquet(path)
   }
 
+  /** [[stagedParquet]] keyed by the frame's OWN canonicalized logical
+    * plan plus its input file list — the staging analog of `persist()`
+    * for call sites that hold a DataFrame rather than a (dir, params)
+    * pair. Same plan over the same files reuses the staged table; any
+    * parameter or source change lands in the canonicalized plan text
+    * or the file list and gets a fresh key (the file list is included
+    * belt-and-braces: it pins the concrete source even if a relation's
+    * canonicalized rendering ever elided its path). Unlike persist,
+    * the staged table is not pinned to executor memory, survives
+    * `clearCache()`, and is exactly the landed-stage pattern a 100 TB
+    * pipeline uses — durable in storage, re-scannable after executor
+    * loss, where a persist replica is simply gone. */
+  def stagedByPlan(df: DataFrame, tag: String): DataFrame = {
+    // LITERAL-DATA GUARD: a LocalRelation's canonicalized rendering
+    // shows its SCHEMA, not its rows — two different literal datasets
+    // of the same shape would collide on one key and the second caller
+    // would silently read the first's staged table. Any plan carrying
+    // literal rows therefore falls back to persist(): correct for
+    // arbitrary data, and the right cost model anyway (literal inputs
+    // are driver-built and small by construction; production inputs
+    // are file-backed and take the staged path).
+    val hasLiteralRows = df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+        if l.data.nonEmpty => l
+    }.nonEmpty
+    if (hasLiteralRows)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else {
+      val planText = df.queryExecution.analyzed.canonicalized.toString
+      val files = df.inputFiles.sorted.mkString("\n")
+      val key = tag + ":" + java.security.MessageDigest.getInstance("MD5")
+        .digest((planText + "|" + files).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      stagedParquet(df.sparkSession, key)(df)
+    }
+  }
+
   /** Drop all staged tables — registrations AND their directories
     * (tests / forced rebuild); dropping only the map entries would
     * strand the dirs past the shutdown hook's reach. */

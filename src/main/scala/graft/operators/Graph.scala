@@ -407,23 +407,40 @@ object Graph {
     * function of (edges, k, rounds) — which is what lets an external
     * oracle unroll the identical rounds (the q123 LPA pattern). Each
     * round is one degree hash-agg + two semi-joins on the shrinking
-    * edge set; per-round lineage cut via [[cut]]. */
+    * edge set; per-round lineage cut via [[cut]].
+    *
+    * An under-provisioned `rounds` (shallower than the peel depth)
+    * yields a SUPERSET of the true k-core with no other signal, so
+    * callers outside an unrolled-oracle gate should pass
+    * `assertConverged = true`: one extra peel round is executed and the
+    * call fails loudly if it still removes edges — two scalar counts,
+    * not a plan change. */
   def kCoreFixedRounds(edges: DataFrame, srcCol: String, dstCol: String,
                        k: Int, rounds: Int,
-                       checkpointDir: Option[String] = None): DataFrame = {
+                       checkpointDir: Option[String] = None,
+                       assertConverged: Boolean = false): DataFrame = {
     require(k >= 1 && rounds >= 0, "k >= 1, rounds >= 0")
-    var e = cut(edges.select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b")).distinct(), checkpointDir)
-    for (_ <- 1 to rounds) {
-      val deg = e.select(col("a").as("node"))
-        .union(e.select(col("b").as("node")))
+    def peel(e0: DataFrame): DataFrame = {
+      val deg = e0.select(col("a").as("node"))
+        .union(e0.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select(col("node"))
-      e = cut(e
+      cut(e0
         .join(keep.select(col("node").as("a")), "a", "left_semi")
         .join(keep.select(col("node").as("b")), "b", "left_semi")
         .select(col("a"), col("b")), checkpointDir)
+    }
+    var e = cut(edges.select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct(), checkpointDir)
+    for (_ <- 1 to rounds) e = peel(e)
+    if (assertConverged) {
+      val before = e.count()
+      val after = peel(e).count()
+      require(after == before,
+        s"kCoreFixedRounds(k=$k, rounds=$rounds) has NOT converged: one " +
+          s"extra peel round removed ${before - after} more edges — the " +
+          "result is a superset of the true k-core; increase `rounds`")
     }
     e.select(col("a").as("node")).union(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("core_degree"))

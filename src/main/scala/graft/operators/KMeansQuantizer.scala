@@ -79,12 +79,13 @@ object KMeansQuantizer {
   }
 
   /** Fitted centroid table (centroid_id, dim, c) after `iters` steps,
-    * each step materialized eagerly (see [[materialize]]). Persists the
-    * long-form corpus via [[Shingles.shared]] — see its lifecycle
-    * contract (repeated fits in one session need clearCache/unpersist). */
+    * each step materialized eagerly (see [[materialize]]). Stages the
+    * long-form corpus via [[Shingles.shared]] (landed parquet — every
+    * Lloyd step starts from a flat scan, as MLlib's `cache()` does but
+    * without pinning executor memory). */
   def fit(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     // ed is referenced twice per iteration (assign + update) —
-    // persist so each step scans/explodes the corpus once
+    // stage so each step scans/explodes the corpus once
     val ed = Shingles.shared(longForm(emb))
     var cents = materialize(initCentroids(ed, k))
     (1 to iters).foreach { _ => cents = materialize(lloydStep(ed, cents)) }

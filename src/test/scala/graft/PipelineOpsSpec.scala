@@ -41,6 +41,45 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"missed: ${groundTruth -- candidates}; candidates=$candidates")
   }
 
+  test("capped LSH bounds candidate volume under a boilerplate flood, preserving clusters") {
+    // degenerate corpus: 100 identical boilerplate docs (one LSH bucket
+    // per band swallows half the corpus) + 100 mutually-disjoint docs
+    val boiler = "all rights reserved this page is boilerplate spark filter join"
+    val d = docsOf(
+      ((0L until 100L).map(i => i -> boiler) ++
+        (100L until 200L).map(i =>
+          i -> s"u$i v$i w$i x$i y$i z$i p$i q$i r$i s$i")): _*)
+    val full = NearDup.minHashCandidates(d, 12, 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = NearDup.minHashCandidatesCapped(d, 12, 4, 3, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped: the flood alone is quadratic (100·99/2 pairs)
+    assert(full.size >= 4950)
+    // capped: linear — 99 star edges to the anchor (doc 0) plus nothing
+    // from the disjoint docs; bound is (cap/2 + 1)·bucket_rows in
+    // general, here exactly the star
+    assert(capped.size <= 150, s"candidate volume not bounded: ${capped.size}")
+    (1L until 100L).foreach(i => assert(capped.contains((0L, i)),
+      s"star edge (0,$i) missing — flood members must reach the anchor"))
+    // the reduction preserves connected components: survivors identical
+    def survivors(pairs: Set[(Long, Long)]): Set[Long] = {
+      val p = pairs.toSeq.toDF("doc_a", "doc_b")
+      Graph.dedupSurvivors(d, "doc_id", p, "doc_a", "doc_b")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(survivors(capped) === survivors(full))
+  }
+
+  test("capped LSH equals the exact candidates when no bucket exceeds the cap") {
+    val d = Sources.table(spark, sfDir, "documents")
+    val exact = NearDup.minHashCandidates(d, 12, 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = NearDup.minHashCandidatesCapped(d, 12, 4, 3, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === exact,
+      "fixture buckets are all under the cap — the capped path must be exact")
+  }
+
   test("simhash: identical docs get identical fingerprints; hamming 0") {
     val d = docsOf(1L -> "spark scale shuffle join agg", 2L -> "spark scale shuffle join agg")
     val fps = NearDup.simHash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

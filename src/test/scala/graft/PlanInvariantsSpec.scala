@@ -285,11 +285,16 @@ class PlanInvariantsSpec extends AnyFunSuite {
     val plan = planOf("q156_acf")
     // each lag distance is its own frame (7 Window nodes are inherent),
     // but they must share ONE scan + daily aggregate + sort — a union
-    // formulation re-plans the subtree per lag
+    // formulation re-plans the subtree per lag. Assertions are
+    // DIRECTIONAL upper bounds (== 1 scan, <= 2 sorts), not exact
+    // physical-operator counts: a Spark minor version or AQE change
+    // that legitimately elides a sort must not fail the invariant the
+    // test protects (one shared subtree, not seven).
     assert("Scan parquet".r.findAllIn(plan).length === 1,
       s"q156 must scan orders exactly once:\n$plan")
-    // exactly two sorts: the shared window-input sort + the final ORDER BY
-    assert("Sort \\[".r.findAllIn(plan).length === 2,
+    // at most two sorts: the shared window-input sort + the final
+    // ORDER BY; a union formulation plans one sort PER lag (7+)
+    assert("Sort \\[".r.findAllIn(plan).length <= 2,
       s"q156 lag windows must share one sort:\n$plan")
   }
 

@@ -226,5 +226,53 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("asofNearest == brute-force nearest with backward ties (1000 random cases)") {
+    // 1000 independent random (key, time) sets — including duplicate
+    // left times, equal-time left/right rows, empty right sides, and
+    // equidistant candidates — run as ONE Spark action by folding the
+    // case id into the join key (asofNearest partitions by key, so
+    // cases never interact). The subtle semantics under test
+    // (AsOfJoin.scala): an equal-time right row wins at distance 0 via
+    // the backward carry, and an exact distance tie picks the BACKWARD
+    // candidate.
+    val caseGen = Gen.zip(
+      Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n,
+        Gen.zip(Gen.chooseNum(0, 1), Gen.chooseNum(0L, 30L)))),
+      Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n,
+        Gen.zip(Gen.chooseNum(0, 1), Gen.chooseNum(0L, 30L)))))
+    val all = cases(caseGen, 1000)
+    val leftRows = all.zipWithIndex.flatMap { case ((l, _), cid) =>
+      l.map { case (k, t) => (cid.toLong, k, t) } }
+    val rightRows = all.zipWithIndex.flatMap { case ((_, r), cid) =>
+      // precondition: (key, time) unique on the right side
+      r.distinct.map { case (k, t) => (cid.toLong, k, t, t * 1000 + k) } }
+    whenever(leftRows.nonEmpty) {
+      val got = graft.operators.AsOfJoin.asofNearest(
+          leftRows.toDF("cid", "k", "t"),
+          rightRows.toDF("cid", "k", "t", "v"),
+          Seq("cid", "k"), "t", Map("v" -> "rv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .sorted(Ordering.by((x: (Long, Int, Long, Option[Long])) =>
+          (x._1, x._2, x._3, x._4.getOrElse(Long.MinValue))))
+      val rightByKey = rightRows.groupBy(r => (r._1, r._2))
+      val expect = leftRows.map { case (cid, k, t) =>
+        val cands = rightByKey.getOrElse((cid, k), Nil)
+        val back = cands.filter(_._3 <= t).sortBy(_._3).lastOption
+        val fwd = cands.filter(_._3 > t).sortBy(_._3).headOption
+        val pick = (back, fwd) match {
+          case (None, f) => f
+          case (b, None) => b
+          case (Some(b), Some(f)) =>
+            if (t - b._3 <= f._3 - t) Some(b) else Some(f)
+        }
+        (cid, k, t, pick.map(_._4))
+      }.sorted(Ordering.by((x: (Long, Int, Long, Option[Long])) =>
+        (x._1, x._2, x._3, x._4.getOrElse(Long.MinValue))))
+      assert(got.toSeq === expect)
+    }
+  }
+
   private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
 }
