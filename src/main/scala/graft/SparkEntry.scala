@@ -74,11 +74,18 @@ object SparkEntry {
   /** Q1 — lap-weighted average per driver (reference:
     * src/processing/mongo_avg_laptime_by_driver.py:33-41). */
   private def q01(s: SparkSession, dir: String): DataFrame =
+    // exactAvg + portable rounding (not avg + round): at sf1 the plain
+    // double fold's last ulp crossed round-6 half-boundaries on 3 of
+    // 15000 users, splitting Spark's shortest-repr rounding from
+    // DuckDB's binary rounding — the exact-decimal mean has no
+    // order-dependence and the floor form no half-boundary
     cleanEvents(s, dir)
       .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_events"), avg(col("value")).as("avg_value"))
-      .select(col("user_id"), col("n_events"), r6(col("avg_value")).as("avg_value"))
-      .orderBy(r6(col("avg_value")).asc, col("user_id").asc)
+      .agg(count(lit(1)).as("n_events"),
+        Aggregates.exactAvg(col("value")).as("avg_value"))
+      .select(col("user_id"), col("n_events"),
+        Aggregates.round6Portable(col("avg_value")).as("avg_value"))
+      .orderBy(col("avg_value").asc, col("user_id").asc)
 
   /** Q1 equal-weight-per-race variant — two-level agg, avg of per-day avgs
     * (reference: notebook cell 9). */
@@ -95,9 +102,9 @@ object SparkEntry {
   private def q03(s: SparkSession, dir: String): DataFrame =
     Aggregates.groupedStats(cleanEvents(s, dir), Seq("user_id"), "value", minN = 30)
       .select(col("user_id"), col("n").as("n_events"),
-        r6(col("avg_value")).as("avg_value"),
-        r6(col("stddev_value")).as("stddev_value"))
-      .orderBy(r6(col("avg_value")).asc, col("user_id").asc)
+        Aggregates.round6Portable(col("avg_value")).as("avg_value"),
+        Aggregates.round6Portable(col("stddev_value")).as("stddev_value"))
+      .orderBy(col("avg_value").asc, col("user_id").asc)
 
   /** Q2B — race-normalized two-level stats with per-level HAVING
     * (reference: fastest_vs_most_consistent_drivers.py:109-142). */
@@ -116,8 +123,8 @@ object SparkEntry {
     val stats = Aggregates.groupedStats(cleanEvents(s, dir), Seq("user_id"), "value", minN = 30)
     Ranking.paretoTopK(stats, "avg_value", "stddev_value", Seq("user_id"), k = 15)
       .select(col("user_id"), col("n").as("n_events"),
-        r6(col("avg_value")).as("avg_value"),
-        r6(col("stddev_value")).as("stddev_value"),
+        Aggregates.round6Portable(col("avg_value")).as("avg_value"),
+        Aggregates.round6Portable(col("stddev_value")).as("stddev_value"),
         col("rank_speed").cast("long").as("rank_speed"),
         col("rank_consistency").cast("long").as("rank_consistency"),
         col("rank_sum").cast("long").as("rank_sum"))
@@ -449,10 +456,12 @@ object SparkEntry {
     ).foldLeft(base) { case (df, f) => f(df) }
     cleaned
       .groupBy(col("user_id"), col("event_type"), col("day"), col("hour"))
-      .agg(count(lit(1)).as("n_events"), avg(col("value")).as("avg_value"))
+      .agg(count(lit(1)).as("n_events"),
+        Aggregates.exactAvg(col("value")).as("avg_value"))
       .filter(col("n_events") >= 2)
       .select(col("user_id"), col("event_type"), col("day"), col("hour"),
-        col("n_events"), r6(col("avg_value")).as("avg_value"))
+        col("n_events"),
+        Aggregates.round6Portable(col("avg_value")).as("avg_value"))
       .orderBy(col("user_id").asc, col("event_type").asc, col("day").asc,
         col("hour").asc)
   }
@@ -579,14 +588,15 @@ object SparkEntry {
   private def q37(s: SparkSession, dir: String): DataFrame = {
     val sess = events(s, dir)
       .groupBy(session_window(col("ts_utc"), "1 hour"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), avg(col("value")).as("avg_value"))
+      .agg(count(lit(1)).as("n_events"),
+        Aggregates.exactAvg(col("value")).as("avg_value"))
       .select(col("user_id"), col("session_window.start").as("st"),
         col("n_events"), col("avg_value"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("st").asc)
     sess.withColumn("session_ordinal", row_number().over(w).cast("long"))
       .select(col("user_id"), col("session_ordinal"), col("n_events"),
-        r6(col("avg_value")).as("avg_value"))
+        Aggregates.round6Portable(col("avg_value")).as("avg_value"))
       .orderBy(col("user_id").asc, col("session_ordinal").asc)
   }
 
@@ -619,8 +629,9 @@ object SparkEntry {
     cleanEvents(s, dir)
       .groupBy(col("user_id"))
       .pivot("event_type", types)
-      .agg(avg(col("value")))
-      .select(col("user_id") +: types.map(t => r6(col(t)).as(s"avg_$t")): _*)
+      .agg(Aggregates.exactAvg(col("value")))
+      .select(col("user_id") +: types.map(t =>
+        Aggregates.round6Portable(col(t)).as(s"avg_$t")): _*)
       .orderBy(col("user_id").asc)
   }
 
@@ -649,14 +660,15 @@ object SparkEntry {
     val pivoted = cleanEvents(s, dir)
       .groupBy(col("user_id"))
       .pivot("event_type") // discovered, not declared
-      .agg(avg(col("value")))
+      .agg(Aggregates.exactAvg(col("value")))
     // a type absent from the data gets NO column from the dynamic
     // pivot; emit a typed NULL so the schema (and the oracle, whose
     // CASE always yields the column) stays stable across SFs
     val have = pivoted.columns.toSet
     pivoted
       .select(col("user_id") +: types.map { t =>
-        (if (have(t)) r6(col(t)) else lit(null).cast("double")).as(s"avg_$t")
+        (if (have(t)) Aggregates.round6Portable(col(t))
+         else lit(null).cast("double")).as(s"avg_$t")
       }: _*)
       .orderBy(col("user_id").asc)
   }
@@ -1252,8 +1264,9 @@ object SparkEntry {
   private def q108(s: SparkSession, dir: String): DataFrame = {
     val stats = Aggregates.groupedStats(cleanEvents(s, dir),
         Seq("user_id"), "value", minN = 30)
-      .select(col("user_id"), r6(col("avg_value")).as("avg_value"),
-        r6(col("stddev_value")).as("stddev_value"))
+      .select(col("user_id"),
+        Aggregates.round6Portable(col("avg_value")).as("avg_value"),
+        Aggregates.round6Portable(col("stddev_value")).as("stddev_value"))
     graft.operators.Skyline.skyline2dMin(stats, "avg_value", "stddev_value",
         buckets = 64)
       .orderBy(col("avg_value").asc, col("user_id").asc)
@@ -2737,7 +2750,9 @@ object SparkEntry {
     cleanEvents(s, dir)
       .withColumn("quartile", ntile(4).over(w))
       .groupBy(col("event_type"), col("quartile"))
-      .agg(count(lit(1)).as("n_events"), r6(avg(col("value"))).as("avg_value"))
+      .agg(count(lit(1)).as("n_events"),
+        Aggregates.round6Portable(Aggregates.exactAvg(col("value")))
+          .as("avg_value"))
       .orderBy(col("event_type").asc, col("quartile").asc)
   }
 
@@ -2801,7 +2816,14 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_events"),
         count(when(col("value") < col("p05"), 1)).as("n_clamped_lo"),
         count(when(col("value") > col("p95"), 1)).as("n_clamped_hi"),
-        r6(avg(col("v_w"))).as("avg_winsorized"))
+        // clamped values carry full-precision percentile endpoints, so
+        // the rounding is floor-pinned BEFORE the exact-decimal sum
+        // (q147 idiom) and the mean re-rounded portably
+        Aggregates.round6Portable(
+          sum(Aggregates.roundPortable(col("v_w"), 6)
+              .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double") / count(lit(1)).cast("double"))
+          .as("avg_winsorized"))
       .orderBy(col("event_type").asc)
   }
 
@@ -3339,10 +3361,12 @@ object SparkEntry {
     * the same parquet tables. */
   def oracleSql: Map[String, String] = Map(
     "q01_avg_value_by_user" ->
-      s"""SELECT user_id, count(*) AS n_events, round(avg(value), 6) AS avg_value
+      s"""SELECT user_id, count(*) AS n_events,
+                 floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       / count(*) * 1000000 + 0.5) / 1000000 AS avg_value
           FROM events WHERE $sqlClean
           GROUP BY user_id
-          ORDER BY round(avg(value), 6) ASC, user_id ASC""",
+          ORDER BY avg_value ASC, user_id ASC""",
     "q02_equal_weight_by_day" ->
       s"""WITH per_day AS (
             SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
@@ -3354,11 +3378,18 @@ object SparkEntry {
                        / count(*) * 1000000 + 0.5) / 1000000 AS avg_value_eq
           FROM per_day GROUP BY user_id ORDER BY user_id ASC""",
     "q03_speed_consistency" ->
-      s"""SELECT user_id, count(*) AS n_events, round(avg(value), 6) AS avg_value,
-                 round(stddev_pop(value), 6) AS stddev_value
-          FROM events WHERE $sqlClean
-          GROUP BY user_id HAVING count(*) >= 30
-          ORDER BY round(avg(value), 6) ASC, user_id ASC""",
+      s"""WITH g AS (
+            SELECT user_id, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+                   CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS q
+            FROM events WHERE $sqlClean
+            GROUP BY user_id HAVING count(*) >= 30)
+          SELECT user_id, n AS n_events,
+                 floor(s / n * 1000000 + 0.5) / 1000000 AS avg_value,
+                 floor(sqrt(greatest(0.0, q / n - (s / n) * (s / n)))
+                       * 1000000 + 0.5) / 1000000 AS stddev_value
+          FROM g
+          ORDER BY avg_value ASC, user_id ASC""",
     "q04_day_normalized" ->
       s"""WITH per_day AS (
             SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
@@ -3381,23 +3412,28 @@ object SparkEntry {
           FROM st GROUP BY user_id HAVING count(*) >= 5
           ORDER BY user_id ASC""",
     "q05_pareto_rank" ->
-      s"""WITH stats AS (
-            SELECT user_id, count(*) AS n_events, avg(value) AS avg_value,
-                   stddev_pop(value) AS stddev_value
+      s"""WITH g AS (
+            SELECT user_id, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+                   CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS q
             FROM events WHERE $sqlClean
             GROUP BY user_id HAVING count(*) >= 30),
+          stats AS (
+            SELECT user_id, n AS n_events,
+                   floor(s / n * 1000000 + 0.5) / 1000000 AS avg_value,
+                   floor(sqrt(greatest(0.0, q / n - (s / n) * (s / n)))
+                         * 1000000 + 0.5) / 1000000 AS stddev_value
+            FROM g),
           ranked AS (
             SELECT user_id, n_events, avg_value, stddev_value,
-                   dense_rank() OVER (ORDER BY round(avg_value, 6) ASC) AS rank_speed,
-                   dense_rank() OVER (ORDER BY round(stddev_value, 6) ASC) AS rank_consistency
+                   dense_rank() OVER (ORDER BY avg_value ASC) AS rank_speed,
+                   dense_rank() OVER (ORDER BY stddev_value ASC) AS rank_consistency
             FROM stats)
-          SELECT user_id, n_events, round(avg_value, 6) AS avg_value,
-                 round(stddev_value, 6) AS stddev_value,
+          SELECT user_id, n_events, avg_value, stddev_value,
                  rank_speed, rank_consistency,
                  rank_speed + rank_consistency AS rank_sum
           FROM ranked
-          ORDER BY rank_sum ASC, round(avg_value, 6) ASC,
-                   round(stddev_value, 6) ASC, user_id ASC
+          ORDER BY rank_sum ASC, avg_value ASC, stddev_value ASC, user_id ASC
           LIMIT 15""",
     "q06_slope_by_user_type" ->
       s"""WITH base AS (
@@ -3659,7 +3695,9 @@ object SparkEntry {
     "q32_clean_filter_chain" ->
       s"""SELECT user_id, event_type, strftime(ts, '%Y-%m-%d') AS day,
                  CAST(hour(ts) AS BIGINT) AS hour,
-                 count(*) AS n_events, round(avg(value), 6) AS avg_value
+                 count(*) AS n_events,
+                 floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       / count(*) * 1000000 + 0.5) / 1000000 AS avg_value
           FROM events
           WHERE $sqlClean
             AND event_type IN ('click', 'view', 'purchase')
@@ -3770,7 +3808,8 @@ object SparkEntry {
                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_ordinal
             FROM o)
           SELECT user_id, session_ordinal, count(*) AS n_events,
-                 round(avg(value), 6) AS avg_value
+                 floor($sqlExactAvgValue * 1000000 + 0.5) / 1000000
+                   AS avg_value
           FROM sess GROUP BY user_id, session_ordinal
           ORDER BY user_id ASC, session_ordinal ASC""",
     "q38_integrity_lineitem" ->
@@ -3792,7 +3831,10 @@ object SparkEntry {
     "q40_pivot_by_type" -> {
       val types = Seq("click", "error", "purchase", "signup", "view")
       val cols = types.map(t =>
-        s"round(avg(CASE WHEN event_type = '$t' THEN value END), 6) AS avg_$t")
+        s"floor(CAST(sum(CAST(CASE WHEN event_type = '$t' THEN value END " +
+          s"AS DECIMAL(18,6))) AS DOUBLE) " +
+          s"/ count(CASE WHEN event_type = '$t' THEN value END) " +
+          s"* 1000000 + 0.5) / 1000000 AS avg_$t")
         .mkString(", ")
       s"""SELECT user_id, $cols FROM events WHERE $sqlClean
           GROUP BY user_id ORDER BY user_id ASC"""
@@ -3857,7 +3899,8 @@ object SparkEntry {
                          ORDER BY value ASC, event_id ASC) AS quartile
                      FROM events WHERE $sqlClean)
           SELECT event_type, quartile, count(*) AS n_events,
-                 round(avg(value), 6) AS avg_value
+                 floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       / count(*) * 1000000 + 0.5) / 1000000 AS avg_value
           FROM q GROUP BY 1, 2
           ORDER BY event_type ASC, quartile ASC""",
     "q62_grouping_sets" ->
@@ -3888,7 +3931,10 @@ object SparkEntry {
           SELECT e.event_type, count(*) AS n_events,
                  count(CASE WHEN e.value < pct.p05 THEN 1 END) AS n_clamped_lo,
                  count(CASE WHEN e.value > pct.p95 THEN 1 END) AS n_clamped_hi,
-                 round(avg(least(greatest(e.value, pct.p05), pct.p95)), 6)
+                 floor(CAST(sum(CAST(floor(least(greatest(e.value, pct.p05),
+                                                 pct.p95) * 1000000 + 0.5)
+                                     / 1000000 AS DECIMAL(18,6))) AS DOUBLE)
+                       / count(*) * 1000000 + 0.5) / 1000000
                    AS avg_winsorized
           FROM events e JOIN pct ON e.event_type = pct.event_type
           WHERE $sqlClean
@@ -4011,7 +4057,10 @@ object SparkEntry {
     "q72_unpivot" -> {
       val types = Seq("click", "error", "purchase", "signup", "view")
       val cols = types.map(t =>
-        s"round(avg(CASE WHEN event_type = '$t' THEN value END), 6) AS avg_$t")
+        s"floor(CAST(sum(CAST(CASE WHEN event_type = '$t' THEN value END " +
+          s"AS DECIMAL(18,6))) AS DOUBLE) " +
+          s"/ count(CASE WHEN event_type = '$t' THEN value END) " +
+          s"* 1000000 + 0.5) / 1000000 AS avg_$t")
         .mkString(", ")
       val arms = types.map(t =>
         s"SELECT user_id, '$t' AS event_type, avg_$t AS avg_value FROM wide")
@@ -4026,7 +4075,10 @@ object SparkEntry {
     "q73_dynamic_pivot" -> {
       val types = Seq("click", "error", "purchase", "signup", "view")
       val cols = types.map(t =>
-        s"round(avg(CASE WHEN event_type = '$t' THEN value END), 6) AS avg_$t")
+        s"floor(CAST(sum(CAST(CASE WHEN event_type = '$t' THEN value END " +
+          s"AS DECIMAL(18,6))) AS DOUBLE) " +
+          s"/ count(CASE WHEN event_type = '$t' THEN value END) " +
+          s"* 1000000 + 0.5) / 1000000 AS avg_$t")
         .mkString(", ")
       s"""SELECT user_id, $cols FROM events WHERE $sqlClean
           GROUP BY user_id ORDER BY user_id ASC"""
@@ -4471,10 +4523,16 @@ object SparkEntry {
     // textbook O(n²) dominance spec — the engine's pruned two-stage plan
     // must reproduce it exactly
     "q108_skyline" ->
-      s"""WITH st AS (SELECT user_id, round(avg(value), 6) AS avg_value,
-                        round(stddev_pop(value), 6) AS stddev_value
-                      FROM events WHERE $sqlClean
-                      GROUP BY user_id HAVING count(*) >= 30)
+      s"""WITH g AS (SELECT user_id, count(*) AS n,
+                       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+                       CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS q
+                     FROM events WHERE $sqlClean
+                     GROUP BY user_id HAVING count(*) >= 30),
+          st AS (SELECT user_id,
+                   floor(s / n * 1000000 + 0.5) / 1000000 AS avg_value,
+                   floor(sqrt(greatest(0.0, q / n - (s / n) * (s / n)))
+                         * 1000000 + 0.5) / 1000000 AS stddev_value
+                 FROM g)
           SELECT user_id, avg_value, stddev_value FROM st p
           WHERE NOT EXISTS (
             SELECT 1 FROM st q

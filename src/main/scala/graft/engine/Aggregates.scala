@@ -19,15 +19,33 @@ object Aggregates {
     * with a HAVING-style min-count filter.
     * Reference: src/processing/fastest_vs_most_consistent_drivers.py:97-105
     * (note stddev_pop, NOT sample stddev — a deliberate reference choice).
-    */
+    *
+    * Both statistics come from EXACT DECIMAL(18,6) moments (Σv, Σv²)
+    * rather than `avg`/`stddev_pop` double folds: plain folds are
+    * partition-order-dependent in the last ulp, and at 10× the gate
+    * scale that ulp started crossing round-6 reporting boundaries
+    * (observed on q01/q03 at sf1 — the same failure twoLevelStats hit
+    * and fixed a round earlier). σ_pop = √(E[x²]−E[x]²) off the exact
+    * rationals, operand order pinned for oracle mirroring. Exactness
+    * domain: measures with ≤3 decimals and |v| < 10⁶ (v and v² both
+    * cast exactly at scale 6) — the fixture measures are 2-decimal. */
   def groupedStats(df: DataFrame, keys: Seq[String], measure: String,
                    minN: Long = 0): DataFrame = {
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val m = col(measure)
+    val nD = col("n").cast("double")
+    val mean = col("__s").cast("double") / nD
+    val ex2 = col("__q").cast("double") / nD
     val out = df
       .groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
-        avg(col(measure)).as("avg_value"),
-        stddev_pop(col(measure)).as("stddev_value"))
+        sum(m.cast(d18)).as("__s"),
+        sum((m * m).cast(d18)).as("__q"))
+      .withColumn("avg_value", mean)
+      .withColumn("stddev_value",
+        sqrt(greatest(lit(0.0), ex2 - mean * mean)))
+      .drop("__s", "__q")
     if (minN > 0) out.filter(col("n") >= minN) else out
   }
 

@@ -18,17 +18,22 @@ import org.apache.spark.sql.functions._
 object Ranking {
 
   /** rank_speed + rank_consistency Pareto table: dense_rank by each metric
-    * ascending, composite sum, deterministic multi-key ordering, top-k. */
+    * ascending, composite sum, deterministic multi-key ordering, top-k.
+    * Ranks order by [[Aggregates.round6Portable]]-rounded metrics (not
+    * `round`): the portable floor form is bit-identical across engines,
+    * so rank boundaries can never disagree with an external oracle at a
+    * half-boundary the way each engine's own `round` can. */
   def paretoTopK(aggregated: DataFrame, speedCol: String, consistencyCol: String,
                  tieBreak: Seq[String], k: Int): DataFrame = {
-    val bySpeed = Window.orderBy(round(col(speedCol), 6).asc)
-    val byConsistency = Window.orderBy(round(col(consistencyCol), 6).asc)
+    def r6p(c: String) = Aggregates.round6Portable(col(c))
+    val bySpeed = Window.orderBy(r6p(speedCol).asc)
+    val byConsistency = Window.orderBy(r6p(consistencyCol).asc)
     aggregated
       .withColumn("rank_speed", dense_rank().over(bySpeed))
       .withColumn("rank_consistency", dense_rank().over(byConsistency))
       .withColumn("rank_sum", col("rank_speed") + col("rank_consistency"))
-      .orderBy(col("rank_sum").asc +: round(col(speedCol), 6).asc
-        +: round(col(consistencyCol), 6).asc +: tieBreak.map(col(_).asc): _*)
+      .orderBy(col("rank_sum").asc +: r6p(speedCol).asc
+        +: r6p(consistencyCol).asc +: tieBreak.map(col(_).asc): _*)
       .limit(k)
   }
 

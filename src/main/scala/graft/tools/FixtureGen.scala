@@ -182,6 +182,8 @@ object FixtureGen {
       r2(lit(900.0) + u("l_price", col("id")) * lit(104100.0)).as("l_extendedprice"),
       (ui("l_disc", 11, col("id")).cast("double") / 100.0).as("l_discount"),
       (ui("l_tax", 9, col("id")).cast("double") / 100.0).as("l_tax"),
+      pick("l_rflag", Seq("A", "N", "R"), col("id")).as("l_returnflag"),
+      pick("l_status", Seq("F", "O"), col("id")).as("l_linestatus"),
       dateFrom("1995-01-01",
         ui("l_shipbase", 2405, col("id")) + ui("l_shiplag", 95, col("id")) + 1)
         .as("l_shipdate")))
