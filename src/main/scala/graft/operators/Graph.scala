@@ -266,10 +266,19 @@ object Graph {
       .join(e.select(col("a").as("m"), col("b").as("c")), "m")
     val closed = wedges.join(e.select(col("a"), col("b").as("c")),
       Seq("a", "c"), "left_semi")
-    closed
+    val counts = closed
       .select(explode(array(col("a"), col("m"), col("c"))).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_triangles"))
+    // Wedge enumeration is Θ(Σ deg²) — on a near-dup pair graph that
+    // saturates (sf1: one 48k-node quasi-clique, ~5·10⁹ wedges, 139 CPU
+    // minutes) it is BY FAR the most expensive subplan in the catalog,
+    // and two catalog queries (triangle counts, clustering coefficients)
+    // consume the identical result. Land it once per process as a staged
+    // table (the q58/q59 pattern): the second consumer scans a 46k-row
+    // parquet instead of re-grinding the wedges. Literal (test) inputs
+    // fall back to persist inside stagedByPlan.
+    graft.engine.Staging.stagedByPlan(counts, "triangles")
   }
 
   /** Local clustering coefficient per node:

@@ -1,7 +1,13 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir> [query ...]
+
+With query names given, checks only those (exact match); with
+GRAFT_ORACLE_AFTER=<name>, checks only queries strictly after <name> in
+sorted order (resume support). GRAFT_ORACLE_SKIP is a comma-separated
+exclusion list. GRAFT_DUCKDB_MEM caps DuckDB memory (e.g. '48GB') so a
+monster oracle spills instead of pressuring concurrent JVMs.
 
 For every query dumped by graft.Verify, runs the paired oracle SQL in
 DuckDB over the same parquet fixtures, sorts columns by name, and
@@ -21,13 +27,23 @@ def load_result(path):
     files = sorted(glob.glob(os.path.join(path, "*.parquet")))
     return pq.ParquetDataset(files).read().to_pandas()
 
-def main(out_dir, sf_dir):
+def main(out_dir, sf_dir, only=()):
     con = duckdb.connect()
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    after = os.environ.get("GRAFT_ORACLE_AFTER")
+    skip = set(filter(None, os.environ.get("GRAFT_ORACLE_SKIP", "").split(",")))
+    names = [n for n in sorted(oracle)
+             if (not only or n in only)
+             and (not after or n > after)
+             and n not in skip]
     n_pass = n_fail = 0
-    for name in sorted(oracle):
+    for name in names:
         sql = oracle[name]
         try:
             exp = con.execute(sql).fetchdf()
@@ -90,4 +106,4 @@ def main(out_dir, sf_dir):
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], tuple(sys.argv[3:]))
