@@ -3150,6 +3150,48 @@ object SparkEntry {
         SELECT DISTINCT doc_a, doc_b FROM u
         ORDER BY doc_a ASC, doc_b ASC"""
 
+  /** Unrolled hook+jump min-label connected components in portable SQL.
+    *
+    * The first-cut oracle for q58/q59/q127 used `WITH RECURSIVE
+    * reach(n, lbl)` — the full transitive closure, Θ(Σ |component|²)
+    * rows. Fine at the driver's sf0.01 gate (components of a few docs),
+    * hopeless at the sf1 scale proof: the 48k-node near-dup component
+    * makes reach ~2.3e9 rows and DuckDB grinds for hours. This emits the
+    * ENGINE's own algorithm instead (min-label hook + pointer jump,
+    * [[graft.operators.Graph]]): per round, every node takes the min
+    * label over itself and its neighbors (hook), then chases its label's
+    * label (jump) — O(rounds · |E|) total, converging in O(log diameter)
+    * rounds. The round count is FIXED (unrolled MATERIALIZED CTEs, the
+    * q150 k-core idiom); an under-provisioned count fails the hash gate
+    * LOUDLY (the engine side iterates to true convergence), it can never
+    * silently agree. 16 rounds covers diameter ≥ ~2000; near-dup pair
+    * graphs have single-digit diameters.
+    *
+    * Expects `edges(n, m)` (directed both ways) in scope; emits CTEs
+    * ending in `clusters(n, cluster_id)`. */
+  private def ccUnrolledCtes(rounds: Int = 16): String = {
+    val l0 =
+      s"""l0 AS MATERIALIZED (
+            SELECT x.n, min(x.lbl) AS lbl FROM (
+              SELECT n, n AS lbl FROM edges
+              UNION ALL
+              SELECT n, m AS lbl FROM edges) x GROUP BY x.n)"""
+    val body = (1 to rounds).map { i =>
+      s"""h$i AS MATERIALIZED (
+            SELECT x.n, min(x.lbl) AS lbl FROM (
+              SELECT n, lbl FROM l${i - 1}
+              UNION ALL
+              SELECT e.n AS n, l.lbl FROM edges e JOIN l${i - 1} l ON l.n = e.m) x
+            GROUP BY x.n),
+          l$i AS MATERIALIZED (
+            SELECT h.n, least(h.lbl, h2.lbl) AS lbl
+            FROM h$i h JOIN h$i h2 ON h2.n = h.lbl)"""
+    }.mkString(",\n")
+    s"""$l0,
+        $body,
+        clusters AS (SELECT n, lbl AS cluster_id FROM l$rounds)"""
+  }
+
   /** Shared CTE prefix computing the per-doc 32-bit simhash. */
   private val simhashCte: String = {
     val bits = NearDup.SimHashBits
@@ -3162,12 +3204,26 @@ object SparkEntry {
     val fp = (0 until bits)
       .map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END")
       .mkString(" + ")
+    // bnd mirrors the ENGINE's pigeonhole banding (NearDup.simHashPairs:
+    // 4 bands of bits/4 bits; any pair within Hamming < 4 agrees on ≥ 1
+    // whole band). Consumers join bnd to itself on (band, bv) instead of
+    // the n² `fpt a JOIN fpt b ON a.doc_id < b.doc_id` inequality join —
+    // which DuckDB plans as an IEJoin materializing every one of the
+    // n²/2 pairs BEFORE the hamming filter (sf1: 1.25e9 rows, tens of
+    // GB of spill). Unreferenced plain CTEs cost nothing, so bnd rides
+    // along wherever only fpt is consumed.
+    val bandBits = bits / 4
+    val bandMask = (1L << bandBits) - 1
     s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
         h AS (SELECT doc_id, md5(tk) AS h FROM tok),
         nib AS (SELECT doc_id, $nibs FROM h),
         sums AS (SELECT doc_id, $sums FROM nib GROUP BY doc_id),
-        fpt AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums)"""
+        fpt AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums),
+        bnd AS (SELECT doc_id, simhash, band,
+                       (simhash >> (band * $bandBits)) & $bandMask AS bv
+                FROM fpt, (SELECT unnest(range(0, 4)) AS band) bands_t)"""
   }
+
 
   private val langIdOracle: String = {
     val langs = TextAnalysis.stopwords.keys.toSeq.sorted
@@ -3571,9 +3627,10 @@ object SparkEntry {
           SELECT doc_id, simhash FROM fpt ORDER BY doc_id ASC""",
     "q23_simhash_pairs" ->
       s"""WITH $simhashCte
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-          FROM fpt a JOIN fpt b ON a.doc_id < b.doc_id
+          FROM bnd a JOIN bnd b
+            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
           ORDER BY doc_a ASC, doc_b ASC""",
     "q24_ngram_jaccard" ->
@@ -3852,32 +3909,30 @@ object SparkEntry {
                  max(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS max_k
           FROM events GROUP BY event_type ORDER BY event_type ASC""",
     "q58_dedup_clusters" ->
-      s"""WITH RECURSIVE $simhashCte,
-          prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM fpt a JOIN fpt b ON a.doc_id < b.doc_id
+      s"""WITH $simhashCte,
+          prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bnd a JOIN bnd b
+                    ON a.band = b.band AND a.bv = b.bv
+                      AND a.doc_id < b.doc_id
                   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
           edges AS (SELECT doc_a AS n, doc_b AS m FROM prs
                     UNION SELECT doc_b AS n, doc_a AS m FROM prs),
-          reach(n, lbl) AS (
-            SELECT n, n FROM edges
-            UNION
-            SELECT e.n, r.lbl FROM edges e JOIN reach r ON e.m = r.n)
-          SELECT n AS doc_id, min(lbl) AS cluster_id
-          FROM reach GROUP BY n ORDER BY doc_id ASC""",
+          ${ccUnrolledCtes()}
+          SELECT n AS doc_id, cluster_id
+          FROM clusters ORDER BY doc_id ASC""",
     "q59_dedup_survivors" ->
-      s"""WITH RECURSIVE $simhashCte,
-          prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM fpt a JOIN fpt b ON a.doc_id < b.doc_id
+      s"""WITH $simhashCte,
+          prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bnd a JOIN bnd b
+                    ON a.band = b.band AND a.bv = b.bv
+                      AND a.doc_id < b.doc_id
                   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
           edges AS (SELECT doc_a AS n, doc_b AS m FROM prs
                     UNION SELECT doc_b AS n, doc_a AS m FROM prs),
-          reach(n, lbl) AS (
-            SELECT n, n FROM edges
-            UNION
-            SELECT e.n, r.lbl FROM edges e JOIN reach r ON e.m = r.n),
-          clusters AS (SELECT n, min(lbl) AS cluster_id FROM reach GROUP BY n)
+          ${ccUnrolledCtes()}
           SELECT d.doc_id, d.source FROM documents d
-          WHERE d.doc_id NOT IN (SELECT n FROM clusters WHERE n != cluster_id)
+          WHERE NOT EXISTS (SELECT 1 FROM clusters c
+                            WHERE c.n = d.doc_id AND c.n != c.cluster_id)
           ORDER BY d.doc_id ASC""",
     "q60_idf_terms" ->
       s"""WITH tok AS (SELECT source, doc_id,
@@ -4334,8 +4389,10 @@ object SparkEntry {
     // triangles a<b<c once each: wedge (a,m)+(m,c) closed by (a,c)
     "q96_triangles" ->
       s"""WITH $simhashCte,
-          prs AS (SELECT a.doc_id AS a, b.doc_id AS b
-                  FROM fpt a JOIN fpt b ON a.doc_id < b.doc_id
+          prs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                  FROM bnd a JOIN bnd b
+                    ON a.band = b.band AND a.bv = b.bv
+                      AND a.doc_id < b.doc_id
                   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
           tri AS (SELECT e1.a AS x, e1.m AS y, e2.c AS z
                   FROM (SELECT a, b AS m FROM prs) e1
@@ -4742,8 +4799,10 @@ object SparkEntry {
           ORDER BY doc_a ASC, doc_b ASC""",
     "q119_clustering_coeff" ->
       s"""WITH $simhashCte,
-          prs AS (SELECT a.doc_id AS a, b.doc_id AS b
-                  FROM fpt a JOIN fpt b ON a.doc_id < b.doc_id
+          prs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                  FROM bnd a JOIN bnd b
+                    ON a.band = b.band AND a.bv = b.bv
+                      AND a.doc_id < b.doc_id
                   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
           deg AS (SELECT node, count(*) AS degree FROM
                     (SELECT unnest([a, b]) AS node FROM prs)
@@ -4889,20 +4948,18 @@ object SparkEntry {
                            / 1000000 END AS r2
           FROM sl ORDER BY vocab_size ASC""",
     "q127_cluster_report" ->
-      s"""WITH RECURSIVE $simhashCte,
-          prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM fpt a JOIN fpt b ON a.doc_id < b.doc_id
+      s"""WITH $simhashCte,
+          prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bnd a JOIN bnd b
+                    ON a.band = b.band AND a.bv = b.bv
+                      AND a.doc_id < b.doc_id
                   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
           edges AS (SELECT doc_a AS n, doc_b AS m FROM prs
                     UNION SELECT doc_b AS n, doc_a AS m FROM prs),
-          reach(n, lbl) AS (
-            SELECT n, n FROM edges
-            UNION
-            SELECT e.n, r.lbl FROM edges e JOIN reach r ON e.m = r.n),
-          cl AS (SELECT n, min(lbl) AS cluster_id FROM reach GROUP BY n),
-          sz AS (SELECT cluster_id, count(*) AS n_docs FROM cl GROUP BY 1),
-          pc AS (SELECT cl.cluster_id, count(*) AS n_pairs
-                 FROM prs JOIN cl ON prs.doc_a = cl.n GROUP BY 1)
+          ${ccUnrolledCtes()},
+          sz AS (SELECT cluster_id, count(*) AS n_docs FROM clusters GROUP BY 1),
+          pc AS (SELECT c.cluster_id, count(*) AS n_pairs
+                 FROM prs JOIN clusters c ON prs.doc_a = c.n GROUP BY 1)
           SELECT sz.cluster_id AS cluster_id, n_docs, n_pairs,
                  floor(CAST(n_pairs AS DOUBLE) * 2
                        / CAST(n_docs * (n_docs - 1) AS DOUBLE)
@@ -5285,9 +5342,11 @@ object SparkEntry {
                   AND b IN (SELECT node FROM d$r WHERE deg >= 2))"""
       }.mkString(",\n          ")
       s"""WITH $simhashCte,
-          e0 AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b
-                 FROM fpt a JOIN fpt b ON a.doc_id < b.doc_id
-                 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+          e0 AS MATERIALIZED (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                  FROM bnd a JOIN bnd b
+                    ON a.band = b.band AND a.bv = b.bv
+                      AND a.doc_id < b.doc_id
+                  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
           $rounds
           SELECT node AS doc_id, count(*) AS core_degree
           FROM (SELECT a AS node FROM e4 UNION ALL SELECT b AS node FROM e4)
@@ -5589,9 +5648,11 @@ object SparkEntry {
                     ORDER BY c DESC, lbl ASC) = 1)"""
     }.mkString(",\n")
     s"""WITH $simhashCte,
-        prs AS (SELECT a.doc_id AS a, b.doc_id AS b
-                FROM fpt a JOIN fpt b ON a.doc_id < b.doc_id
-                WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        prs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                  FROM bnd a JOIN bnd b
+                    ON a.band = b.band AND a.bv = b.bv
+                      AND a.doc_id < b.doc_id
+                  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
         e AS (SELECT a AS n, b AS m FROM prs UNION SELECT b, a FROM prs),
         l0 AS (SELECT DISTINCT n, n AS lbl FROM e),
         $rounds
@@ -5613,9 +5674,11 @@ object SparkEntry {
                         + (85 * s) // 100 AS r FROM c$i, nn)"""
     }.mkString(",\n          ")
     s"""WITH $simhashCte,
-        prs AS (SELECT a.doc_id AS da, b.doc_id AS db
-                FROM fpt a JOIN fpt b ON a.doc_id < b.doc_id
-                WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        prs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                  FROM bnd a JOIN bnd b
+                    ON a.band = b.band AND a.bv = b.bv
+                      AND a.doc_id < b.doc_id
+                  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
         ed AS (SELECT da AS n, db AS m FROM prs
                UNION SELECT db AS n, da AS m FROM prs),
         deg AS (SELECT n, count(*) AS deg FROM ed GROUP BY n),
