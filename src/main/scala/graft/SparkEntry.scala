@@ -3910,24 +3910,24 @@ object SparkEntry {
           FROM events GROUP BY event_type ORDER BY event_type ASC""",
     "q58_dedup_clusters" ->
       s"""WITH $simhashCte,
-          prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          prs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                   FROM bnd a JOIN bnd b
                     ON a.band = b.band AND a.bv = b.bv
                       AND a.doc_id < b.doc_id
                   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-          edges AS (SELECT doc_a AS n, doc_b AS m FROM prs
+          edges AS MATERIALIZED (SELECT doc_a AS n, doc_b AS m FROM prs
                     UNION SELECT doc_b AS n, doc_a AS m FROM prs),
           ${ccUnrolledCtes()}
           SELECT n AS doc_id, cluster_id
           FROM clusters ORDER BY doc_id ASC""",
     "q59_dedup_survivors" ->
       s"""WITH $simhashCte,
-          prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          prs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                   FROM bnd a JOIN bnd b
                     ON a.band = b.band AND a.bv = b.bv
                       AND a.doc_id < b.doc_id
                   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-          edges AS (SELECT doc_a AS n, doc_b AS m FROM prs
+          edges AS MATERIALIZED (SELECT doc_a AS n, doc_b AS m FROM prs
                     UNION SELECT doc_b AS n, doc_a AS m FROM prs),
           ${ccUnrolledCtes()}
           SELECT d.doc_id, d.source FROM documents d
@@ -4389,7 +4389,7 @@ object SparkEntry {
     // triangles a<b<c once each: wedge (a,m)+(m,c) closed by (a,c)
     "q96_triangles" ->
       s"""WITH $simhashCte,
-          prs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          prs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
                   FROM bnd a JOIN bnd b
                     ON a.band = b.band AND a.bv = b.bv
                       AND a.doc_id < b.doc_id
@@ -4799,7 +4799,7 @@ object SparkEntry {
           ORDER BY doc_a ASC, doc_b ASC""",
     "q119_clustering_coeff" ->
       s"""WITH $simhashCte,
-          prs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          prs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
                   FROM bnd a JOIN bnd b
                     ON a.band = b.band AND a.bv = b.bv
                       AND a.doc_id < b.doc_id
@@ -4949,12 +4949,12 @@ object SparkEntry {
           FROM sl ORDER BY vocab_size ASC""",
     "q127_cluster_report" ->
       s"""WITH $simhashCte,
-          prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          prs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                   FROM bnd a JOIN bnd b
                     ON a.band = b.band AND a.bv = b.bv
                       AND a.doc_id < b.doc_id
                   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-          edges AS (SELECT doc_a AS n, doc_b AS m FROM prs
+          edges AS MATERIALIZED (SELECT doc_a AS n, doc_b AS m FROM prs
                     UNION SELECT doc_b AS n, doc_a AS m FROM prs),
           ${ccUnrolledCtes()},
           sz AS (SELECT cluster_id, count(*) AS n_docs FROM clusters GROUP BY 1),
@@ -5648,12 +5648,12 @@ object SparkEntry {
                     ORDER BY c DESC, lbl ASC) = 1)"""
     }.mkString(",\n")
     s"""WITH $simhashCte,
-        prs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        prs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
                   FROM bnd a JOIN bnd b
                     ON a.band = b.band AND a.bv = b.bv
                       AND a.doc_id < b.doc_id
                   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-        e AS (SELECT a AS n, b AS m FROM prs UNION SELECT b, a FROM prs),
+        e AS MATERIALIZED (SELECT a AS n, b AS m FROM prs UNION SELECT b, a FROM prs),
         l0 AS (SELECT DISTINCT n, n AS lbl FROM e),
         $rounds
         SELECT n AS doc_id, lbl AS community FROM l3 ORDER BY doc_id ASC"""
@@ -5674,12 +5674,12 @@ object SparkEntry {
                         + (85 * s) // 100 AS r FROM c$i, nn)"""
     }.mkString(",\n          ")
     s"""WITH $simhashCte,
-        prs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        prs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
                   FROM bnd a JOIN bnd b
                     ON a.band = b.band AND a.bv = b.bv
                       AND a.doc_id < b.doc_id
                   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-        ed AS (SELECT da AS n, db AS m FROM prs
+        ed AS MATERIALIZED (SELECT da AS n, db AS m FROM prs
                UNION SELECT db AS n, da AS m FROM prs),
         deg AS (SELECT n, count(*) AS deg FROM ed GROUP BY n),
         nn AS (SELECT count(*) AS c FROM deg),

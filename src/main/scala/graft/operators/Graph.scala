@@ -282,7 +282,10 @@ object Graph {
     */
   private val BroadcastClosingMaxEdges = 50L * 1000 * 1000
 
-  private def triangleCountsCanonical(e: DataFrame): DataFrame = {
+  /** The unstaged wedge→close→count plan — `private[graft]` so the plan
+    * test can assert the broadcast closing join, which the staged
+    * wrapper below hides behind a parquet scan. */
+  private[graft] def wedgeTriangleCounts(e: DataFrame): DataFrame = {
     // e is the STAGED canonical edge set (see canonicalEdges): each of
     // the three arms below re-scans the landed table, and the count —
     // cheap over parquet footers — doubles as the broadcast decision.
@@ -292,20 +295,22 @@ object Graph {
     val wedges = e.select(col("a"), col("b").as("m"))
       .join(e.select(col("a").as("m"), col("b").as("c")), "m")
     val closed = wedges.join(closingSide, Seq("a", "c"), "left_semi")
-    val counts = closed
+    closed
       .select(explode(array(col("a"), col("m"), col("c"))).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_triangles"))
-    // Wedge enumeration is Θ(Σ deg²) — on a near-dup pair graph that
-    // saturates (sf1: one 48k-node quasi-clique, ~5·10⁹ wedges, 139 CPU
-    // minutes) it is BY FAR the most expensive subplan in the catalog,
-    // and two catalog queries (triangle counts, clustering coefficients)
-    // consume the identical result. Land it once per process as a staged
-    // table (the q58/q59 pattern): the second consumer scans a 46k-row
-    // parquet instead of re-grinding the wedges. Literal (test) inputs
-    // fall back to persist inside stagedByPlan.
-    graft.engine.Staging.stagedByPlan(counts, "triangles")
   }
+
+  private def triangleCountsCanonical(e: DataFrame): DataFrame =
+    // Wedge enumeration is Θ(Σ deg²) — on a near-dup pair graph that
+    // saturates (sf1: one 48k-node quasi-clique, ~5·10⁹ wedges) it is
+    // BY FAR the most expensive subplan in the catalog, and two catalog
+    // queries (triangle counts, clustering coefficients) consume the
+    // identical result. Land it once per process as a staged table (the
+    // q58/q59 pattern): the second consumer scans a 46k-row parquet
+    // instead of re-grinding the wedges. Literal (test) inputs fall
+    // back to persist inside stagedByPlan.
+    graft.engine.Staging.stagedByPlan(wedgeTriangleCounts(e), "triangles")
 
   /** Local clustering coefficient per node:
     * cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — how close a node's

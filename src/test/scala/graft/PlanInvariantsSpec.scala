@@ -303,4 +303,21 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3,
       s"q161 star join must broadcast every dimension:\n$plan")
   }
+
+  test("triangle closing semi-join is BROADCAST (wedge table never shuffled)") {
+    // the wedge table is Θ(Σ deg²) rows; a shuffled semi-join ships all
+    // of it (sf1: 2.9e9 rows). Under the edge-count threshold the
+    // closing side must broadcast so wedges are probed map-side. q96's
+    // own executed plan is a scan of the STAGED triangle table, so
+    // assert on the staged build's plan directly.
+    import org.apache.spark.sql.functions.col
+    val edges = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_custkey").as("u"), (col("o_custkey") % 97).as("v"))
+    val e = edges.select(col("u").as("a"), col("v").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val plan = graft.operators.Graph.wedgeTriangleCounts(e)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin .*LeftSemi".r.findAllIn(plan).nonEmpty,
+      s"wedge-closing join must be a broadcast semi-join:\n$plan")
+  }
 }
