@@ -374,7 +374,38 @@ object SparkEntry {
     NearDup.minHashCandidatesCapped(docs(s, dir), MinhashK, LshBands,
         LshRows, LshBucketCap)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
-      .orderBy(col("doc_a").asc, col("doc_b").asc)
+
+  /** BPE merge rounds learned over the corpus. */
+  private val BpeRounds = 3
+
+  /** Distributed BPE-style tokenizer training ([[graft.operators.Bpe]]):
+    * iteratively learn the 3 most valuable merge rules — each round one
+    * corpus-wide pair count (map-side combined, top-1 via TakeOrdered)
+    * + one greedy window-arithmetic merge pass, per-round sequences
+    * landed via Staging. The trainable step q99's static pair count
+    * feeds. */
+  private def q164(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.trainMerges(docs(s, dir), col("text"), BpeRounds)
+      .orderBy(col("round").asc)
+
+  /** Corpus compression from applying the [[q164]] merges: per-source
+    * token totals before/after encoding — the tokenizer-efficiency
+    * audit a training pipeline runs before committing a vocab. */
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val enc = graft.operators.Bpe.encode(d, col("text"), BpeRounds)
+    d.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nb"))
+      .join(enc.select(col("doc_id"), size(col("toks")).cast("long").as("na")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nb")).as("toks_before"),
+        sum(col("na")).as("toks_after"))
+      .withColumn("compression", Aggregates.round6Portable(
+        col("toks_after").cast("double") / col("toks_before").cast("double")))
+      .orderBy(col("source").asc)
+  }
 
   /** SimHash 32-bit fingerprints per document. */
   private def q22(s: SparkSession, dir: String): DataFrame =
@@ -3192,6 +3223,47 @@ object SparkEntry {
         clusters AS (SELECT n, lbl AS cluster_id FROM l$rounds)"""
   }
 
+  /** Unrolled BPE training rounds in portable SQL — the oracle mirror
+    * of [[graft.operators.Bpe]]. Round i reads s{i-1}(doc_id, toks) and
+    * emits t$i (the argmax pair under the pinned (n DESC, lhs, rhs)
+    * order) and s$i (the greedily merged sequences): match flags from
+    * positional adjacency, overlap chains via the (pos − running match
+    * count) group id, merge-every-other via parity against the chain
+    * start, consumed tokens via lag — the identical window arithmetic
+    * the engine runs, so both sides implement the same left-to-right
+    * non-overlapping greedy semantics. t$i/s$i are MATERIALIZED: each
+    * is read by several downstream CTEs and DuckDB inlines plain CTEs.
+    */
+  private def bpeRoundCtes(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""p$i AS (SELECT doc_id, pos, toks[pos] AS tok, toks[pos + 1] AS nxt
+                  FROM (SELECT doc_id, toks,
+                               unnest(range(1, len(toks) + 1)) AS pos
+                        FROM s${i - 1})),
+          t$i AS MATERIALIZED (
+            SELECT tok AS lhs, nxt AS rhs, count(*) AS n FROM p$i
+            WHERE nxt IS NOT NULL GROUP BY 1, 2
+            ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1),
+          g$i AS (SELECT doc_id, pos, tok, nxt,
+                    CASE WHEN tok = (SELECT lhs FROM t$i)
+                          AND nxt = (SELECT rhs FROM t$i)
+                         THEN 1 ELSE 0 END AS m
+                  FROM p$i),
+          h$i AS (SELECT *, pos - sum(m) OVER (
+                      PARTITION BY doc_id ORDER BY pos) AS grp FROM g$i),
+          k$i AS (SELECT *, CASE WHEN m = 1
+                         AND (pos - min(CASE WHEN m = 1 THEN pos END)
+                              OVER (PARTITION BY doc_id, grp)) % 2 = 0
+                       THEN TRUE ELSE FALSE END AS ms FROM h$i),
+          o$i AS (SELECT doc_id, pos, ms, tok, nxt,
+                    coalesce(lag(ms) OVER (PARTITION BY doc_id ORDER BY pos),
+                             FALSE) AS consumed FROM k$i),
+          s$i AS MATERIALIZED (
+            SELECT doc_id, list(CASE WHEN ms THEN tok || nxt ELSE tok END
+                                ORDER BY pos) AS toks
+            FROM o$i WHERE NOT consumed GROUP BY doc_id)"""
+    }.mkString(",\n")
+
   /** Shared CTE prefix computing the per-doc 32-bit simhash. */
   private val simhashCte: String = {
     val bits = NearDup.SimHashBits
@@ -3411,7 +3483,9 @@ object SparkEntry {
     "q160_datetime_surface" -> (q160 _),
     "q161_sql_surface" -> (q161 _),
     "q162_fk_audit" -> (q162 _),
-    "q163_lsh_capped" -> (q163 _))
+    "q163_lsh_capped" -> (q163 _),
+    "q164_bpe_merges" -> (q164 _),
+    "q165_bpe_compress" -> (q165 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -3622,6 +3696,29 @@ object SparkEntry {
           FROM documents""",
     "q21_minhash_lsh" -> minhashOracle,
     "q163_lsh_capped" -> minhashCappedOracle,
+    "q164_bpe_merges" -> {
+      val unions = (1 to BpeRounds).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS round, lhs, rhs, n FROM t$i")
+        .mkString("\n            UNION ALL ")
+      s"""WITH s0 AS MATERIALIZED (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          ${bpeRoundCtes(BpeRounds)}
+          SELECT round, lhs, rhs, lhs || rhs AS merged, n AS n_pairs
+          FROM ($unions)
+          ORDER BY round ASC"""
+    },
+    "q165_bpe_compress" ->
+      s"""WITH s0 AS MATERIALIZED (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          ${bpeRoundCtes(BpeRounds)}
+          SELECT d.source, count(*) AS n_docs,
+                 CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS toks_before,
+                 CAST(sum(len(s.toks)) AS BIGINT) AS toks_after,
+                 floor(CAST(sum(len(s.toks)) AS DOUBLE)
+                       / CAST(sum(len(string_split(d.text, ' '))) AS DOUBLE)
+                       * 1000000 + 0.5) / 1000000 AS compression
+          FROM documents d JOIN s$BpeRounds s USING (doc_id)
+          GROUP BY d.source ORDER BY d.source ASC""",
     "q22_simhash" ->
       s"""WITH $simhashCte
           SELECT doc_id, simhash FROM fpt ORDER BY doc_id ASC""",
