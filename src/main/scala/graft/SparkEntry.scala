@@ -2633,9 +2633,20 @@ object SparkEntry {
     * promo month. DuckDB's native IEJoin answers the same BETWEEN join
     * directly — two engines, two physical strategies, one result. */
   private def q47(s: SparkSession, dir: String): DataFrame = {
+    // Aggregate BELOW the range join: count/sum distribute over the
+    // join, so lineitem first collapses to per-day exact moments
+    // (|days| rows) and the bucket-expansion join runs days × promos
+    // instead of lineitems × promos. Identical result; the join
+    // intermediate drops from |matched lineitems| (117M at sf1 — both
+    // sides grow linearly over a fixed date domain, so the raw join
+    // output is quadratic in SF) to |days × promo window density|
+    // (~20k). The 100 TB shape: the fact table never crosses the join.
     val li = Sources.table(s, dir, "lineitem")
       .select(col("l_quantity"),
         expr("datediff(l_shipdate, DATE '1970-01-01')").cast("long").as("ship_day"))
+      .groupBy(col("ship_day"))
+      .agg(count(lit(1)).as("day_n"),
+        Aggregates.exactSum(col("l_quantity")).as("day_sq"))
     val promos = Sources.table(s, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") >= 490000)
       .select(col("o_orderdate"),
@@ -2643,8 +2654,7 @@ object SparkEntry {
       .withColumn("hi", col("lo") + 7)
     Joins.rangeJoin(li, col("ship_day"), promos, col("lo"), col("hi"), bucketWidth = 7)
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("promo_month"))
-      .agg(count(lit(1)).as("n_pairs"),
-        Aggregates.exactSum(col("l_quantity")).as("sq"))
+      .agg(sum(col("day_n")).as("n_pairs"), sum(col("day_sq")).as("sq"))
       .select(col("promo_month"), col("n_pairs"),
         round(col("sq").cast("double"), 2).as("sum_qty"))
       .orderBy(col("promo_month").asc)
