@@ -212,13 +212,17 @@ object NearDup {
       col("doc_id").as("doc_a"), col("simhash").as("fp_a"))
     val b = banded.select(col("band"), col("bv"),
       col("doc_id").as("doc_b"), col("simhash").as("fp_b"))
+    // hamming-verify BEFORE the distinct: bit_count per candidate row is
+    // ~free next to the distinct's shuffle, so failing candidates die
+    // map-side and the distinct ships only true pairs (≤ bands× each) at
+    // 3 narrow columns instead of every band collision carrying both
+    // 64-bit fingerprints
     a.join(b, Seq("band", "bv"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("fp_a"), col("fp_b"))
-      .distinct()
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 
   /** 64-bit SimHash for corpora where 8-bit band buckets collide heavily
