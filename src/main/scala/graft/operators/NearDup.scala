@@ -148,8 +148,71 @@ object NearDup {
     vsCorpus.union(withinBatch).distinct()
   }
 
+  /** [[incrementalCandidates]] behind per-(band, bucket) population
+    * caps on BOTH sides — the flood regimes are different and both
+    * real: a boilerplate-flooded CORPUS bucket multiplies every
+    * matching batch doc by its population m_c (the batch join fans out
+    * m_b · m_c), and a flooded BATCH bucket goes quadratic internally
+    * exactly like the full-corpus case.
+    *
+    *  - corpus bucket ≤ cap: full batch×corpus join (exact).
+    *    Over cap: each batch doc pairs with the corpus bucket's
+    *    min-doc_id anchor only — the batch doc still reaches the
+    *    corpus crowd (whose internal edges were emitted when the
+    *    corpus itself was built), output ≤ |batch bucket rows|.
+    *  - batch side: the [[minHashCandidatesCapped]] star reduction.
+    *
+    * The corpus bucket stats are an O(#buckets) aggregate; a production
+    * pipeline lands them ONCE next to the bucket table at corpus-build
+    * time and every daily batch reads both — recomputing here keeps the
+    * operator self-contained without changing the join shape. */
+  def incrementalCandidatesCapped(corpusBuckets: DataFrame, batch: DataFrame,
+                                  k: Int, bands: Int, rowsPerBand: Int,
+                                  maxBucket: Long): DataFrame = {
+    require(bands * rowsPerBand <= k)
+    require(maxBucket >= 2, "maxBucket must be at least 2")
+    val bb = Shingles.shared(
+      lshBuckets(minHashSignatures(batch, k), bands, rowsPerBand))
+    val cs = corpusBuckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__nc"), min(col("doc_id")).as("__ac"))
+    val bNew = bb.select(col("band"), col("bucket"), col("doc_id").as("doc_new"))
+    val vsSmall = bNew
+      .join(corpusBuckets.select(col("band"), col("bucket"),
+          col("doc_id").as("doc_corpus"))
+        .join(cs.filter(col("__nc") <= maxBucket), Seq("band", "bucket")),
+        Seq("band", "bucket"))
+      .filter(col("doc_new") =!= col("doc_corpus"))
+      .select(least(col("doc_new"), col("doc_corpus")).as("doc_a"),
+        greatest(col("doc_new"), col("doc_corpus")).as("doc_b"))
+    val vsBig = bNew
+      .join(cs.filter(col("__nc") > maxBucket), Seq("band", "bucket"))
+      .filter(col("doc_new") =!= col("__ac"))
+      .select(least(col("doc_new"), col("__ac")).as("doc_a"),
+        greatest(col("doc_new"), col("__ac")).as("doc_b"))
+    val bs = bb.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__nb"), min(col("doc_id")).as("__ab"))
+    val tagged = bb.join(bs, Seq("band", "bucket"))
+    val smallB = tagged.filter(col("__nb") <= maxBucket)
+    val withinSmall = smallB
+      .select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+      .join(smallB.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
+        Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val withinStar = tagged.filter(col("__nb") > maxBucket)
+      .filter(col("doc_id") =!= col("__ab"))
+      .select(col("__ab").as("doc_a"), col("doc_id").as("doc_b"))
+    vsSmall.union(vsBig).union(withinSmall).union(withinStar).distinct()
+  }
+
   /** SimHash bit width (32 bits = 8 md5 hex digits per token). */
   val SimHashBits = 32
+
+  /** Band count for the pigeonhole band joins ([[simHashPairs]],
+    * [[simHash64Pairs]]): the recall guarantee is maxHamming < bands,
+    * and the oracle SQL derives its banding from THIS constant, so the
+    * engine and the gate can never drift apart. */
+  val SimHashBands = 4
 
   /** 32-bit SimHash fingerprint per document. Tokens keep multiplicity
     * (multiplicity = weight). Bit b of the fingerprint is set iff the sum
@@ -192,22 +255,14 @@ object NearDup {
     * Stages the banded table via [[Shingles.shared]] (landed parquet
     * scanned by both join sides). */
   def simHashPairs(fingerprints: DataFrame, maxHamming: Int): DataFrame = {
-    val bands = 4
+    val bands = SimHashBands
     val bandBits = SimHashBits / bands
     val bandMask = (1L << bandBits) - 1
     require(bands * bandBits == SimHashBits,
       "bands must evenly cover the full fingerprint")
     require(maxHamming < bands,
       s"band-join recall guarantee needs maxHamming < $bands")
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("simhash"), bandBits * b).bitwiseAND(lit(bandMask)).as("bv"))
-    }
-    val banded = Shingles.shared(
-      fingerprints.select(col("doc_id"), col("simhash"),
-          explode(array(bandStructs: _*)).as("x"))
-        .select(col("doc_id"), col("simhash"),
-          col("x.band").as("band"), col("x.bv").as("bv")))
+    val banded = simHashBanded(fingerprints)
     val a = banded.select(col("band"), col("bv"),
       col("doc_id").as("doc_a"), col("simhash").as("fp_a"))
     val b = banded.select(col("band"), col("bv"),
@@ -223,6 +278,77 @@ object NearDup {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .distinct()
+  }
+
+  /** Staged (doc_id, simhash, band, bv) band table of the 32-bit
+    * fingerprints: [[SimHashBands]] rows per doc. */
+  private def simHashBanded(fingerprints: DataFrame): DataFrame = {
+    val bandBits = SimHashBits / SimHashBands
+    val bandMask = (1L << bandBits) - 1
+    val bandStructs = (0 until SimHashBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), bandBits * b).bitwiseAND(lit(bandMask)).as("bv"))
+    }
+    Shingles.shared(
+      fingerprints.select(col("doc_id"), col("simhash"),
+          explode(array(bandStructs: _*)).as("x"))
+        .select(col("doc_id"), col("simhash"),
+          col("x.band").as("band"), col("x.bv").as("bv")))
+  }
+
+  /** [[simHashPairs]] behind the q163-style per-(band, bv) population
+    * cap — the same boilerplate-flood guard as
+    * [[minHashCandidatesCapped]], because the simhash pair table feeds
+    * the staged cluster/survivor/graph family and a single flooded band
+    * bucket would otherwise go quadratic in its population.
+    *
+    * Buckets at or under `maxBucket` keep the exact all-pairs band join
+    * (pigeonhole-exact recall for those pairs). Buckets OVER the cap
+    * are star-reduced to their min-doc_id anchor: m−1 candidate edges
+    * instead of m(m−1)/2, output LINEAR in the corpus for a fixed cap.
+    * Every emitted edge — star or not — still passes the exact hamming
+    * verify, so the output remains a subset of true pairs; what an
+    * over-cap bucket gives up is direct pair evidence between
+    * non-anchor members (they stay connected through the anchor
+    * whenever the flood is a genuine duplicate crowd, i.e. pairwise
+    * hamming ≤ maxHamming — the anchor IS a member, so anchor edges
+    * are themselves within the threshold there). A bucket that exceeds
+    * a sane cap without being a duplicate crowd is the 2^bandBits
+    * birthday regime where the band join was never informative to
+    * begin with. */
+  def simHashPairsCapped(fingerprints: DataFrame, maxHamming: Int,
+                         maxBucket: Long): DataFrame = {
+    require(maxHamming < SimHashBands,
+      s"band-join recall guarantee needs maxHamming < $SimHashBands")
+    require(maxBucket >= 2, "maxBucket must be at least 2")
+    val banded = simHashBanded(fingerprints)
+    // anchor row = min struct(doc_id, simhash): doc_id appears once per
+    // (band, bv), so the struct min is exactly the min-doc_id member's
+    // fingerprint (the arg_min the oracle SQL computes)
+    val stats = banded.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("doc_id"), col("simhash"))).as("__a"))
+    val tagged = banded.join(stats, Seq("band", "bv"))
+    val small = tagged.filter(col("__n") <= maxBucket)
+    val allPairs = small
+      .select(col("band"), col("bv"), col("doc_id").as("doc_a"),
+        col("simhash").as("fp_a"))
+      .join(small.select(col("band"), col("bv"), col("doc_id").as("doc_b"),
+        col("simhash").as("fp_b")), Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    val star = tagged.filter(col("__n") > maxBucket)
+      .filter(col("doc_id") =!= col("__a.doc_id"))
+      .withColumn("hamming",
+        bit_count(col("__a.simhash").bitwiseXOR(col("simhash"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      // the anchor carries the bucket's min doc_id, so doc_a < doc_b
+      .select(col("__a.doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+        col("hamming"))
+    allPairs.union(star).distinct()
   }
 
   /** 64-bit SimHash for corpora where 8-bit band buckets collide heavily
@@ -256,32 +382,72 @@ object NearDup {
     * usual cheap bit_count verify. All band values are < 2^16, shifts
     * never touch a sign bit on either engine. */
   def simHash64Pairs(fingerprints: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming < 4,
-      "4-band recall guarantee over 64 bits needs maxHamming < 4")
-    val bandStructs = (0 until 4).map { b =>
-      val src = if (b < 2) col("fp_lo") else col("fp_hi")
-      struct(lit(b).as("band"),
-        shiftright(src, (b % 2) * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))
-    }
-    val banded = Shingles.shared(
-      fingerprints.select(col("doc_id"), col("fp_hi"), col("fp_lo"),
-          explode(array(bandStructs: _*)).as("x"))
-        .select(col("doc_id"), col("fp_hi"), col("fp_lo"),
-          col("x.band").as("band"), col("x.bv").as("bv")))
+    require(maxHamming < SimHashBands,
+      s"$SimHashBands-band recall guarantee over 64 bits needs maxHamming < $SimHashBands")
+    val banded = simHash64Banded(fingerprints)
     val a = banded.select(col("band"), col("bv"), col("doc_id").as("doc_a"),
       col("fp_hi").as("hi_a"), col("fp_lo").as("lo_a"))
     val b = banded.select(col("band"), col("bv"), col("doc_id").as("doc_b"),
       col("fp_hi").as("hi_b"), col("fp_lo").as("lo_b"))
+    // hamming-verify before the distinct, as in [[simHashPairs]]
     a.join(b, Seq("band", "bv"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        col("hi_a"), col("lo_a"), col("hi_b"), col("lo_b"))
-      .distinct()
       .withColumn("hamming",
         (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
+  }
+
+  /** Staged (doc_id, fp_hi, fp_lo, band, bv) band table of the 64-bit
+    * fingerprints: [[SimHashBands]] bands of 16 bits, two per half. */
+  private def simHash64Banded(fingerprints: DataFrame): DataFrame = {
+    val bandStructs = (0 until SimHashBands).map { b =>
+      val src = if (b < 2) col("fp_lo") else col("fp_hi")
+      struct(lit(b).as("band"),
+        shiftright(src, (b % 2) * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))
+    }
+    Shingles.shared(
+      fingerprints.select(col("doc_id"), col("fp_hi"), col("fp_lo"),
+          explode(array(bandStructs: _*)).as("x"))
+        .select(col("doc_id"), col("fp_hi"), col("fp_lo"),
+          col("x.band").as("band"), col("x.bv").as("bv")))
+  }
+
+  /** [[simHash64Pairs]] behind the per-(band, bv) population cap — the
+    * 64-bit sibling of [[simHashPairsCapped]], same star reduction,
+    * same hamming verify on every emitted edge. */
+  def simHash64PairsCapped(fingerprints: DataFrame, maxHamming: Int,
+                           maxBucket: Long): DataFrame = {
+    require(maxHamming < SimHashBands,
+      s"$SimHashBands-band recall guarantee over 64 bits needs maxHamming < $SimHashBands")
+    require(maxBucket >= 2, "maxBucket must be at least 2")
+    val banded = simHash64Banded(fingerprints)
+    val stats = banded.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("doc_id"), col("fp_hi"), col("fp_lo"))).as("__a"))
+    val tagged = banded.join(stats, Seq("band", "bv"))
+    val small = tagged.filter(col("__n") <= maxBucket)
+    def ham(hiA: Column, loA: Column, hiB: Column, loB: Column): Column =
+      (bit_count(hiA.bitwiseXOR(hiB)) + bit_count(loA.bitwiseXOR(loB))).cast("long")
+    val allPairs = small
+      .select(col("band"), col("bv"), col("doc_id").as("doc_a"),
+        col("fp_hi").as("hi_a"), col("fp_lo").as("lo_a"))
+      .join(small.select(col("band"), col("bv"), col("doc_id").as("doc_b"),
+        col("fp_hi").as("hi_b"), col("fp_lo").as("lo_b")), Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", ham(col("hi_a"), col("lo_a"), col("hi_b"), col("lo_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    val star = tagged.filter(col("__n") > maxBucket)
+      .filter(col("doc_id") =!= col("__a.doc_id"))
+      .withColumn("hamming",
+        ham(col("__a.fp_hi"), col("__a.fp_lo"), col("fp_hi"), col("fp_lo")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("__a.doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+        col("hamming"))
+    allPairs.union(star).distinct()
   }
 
   /** Exact 3-gram Jaccard similarity for pairs sharing a blocking key and
