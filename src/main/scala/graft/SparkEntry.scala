@@ -332,6 +332,27 @@ object SparkEntry {
     * star reduction, far above any bucket the organic fixtures fill. */
   private val LshBucketCap = 8L
 
+  /** Hamming threshold for EVERY simhash near-dup pair surface — the
+    * q23/q50/q166/q167 pair queries, the staged pair table the
+    * cluster/survivor/graph family consumes, and every oracle SQL
+    * mirror (all interpolate this constant; no free-floating hamming
+    * literal remains in an oracle builder). The band joins'
+    * pigeonhole recall guarantee requires it to stay strictly below
+    * [[NearDup.SimHashBands]] — asserted right here, at catalog
+    * construction, so the engine calls and the generated oracle CTEs
+    * can only ever move together. */
+  private val SimHashMaxHamming = 3
+  require(SimHashMaxHamming < NearDup.SimHashBands,
+    s"simhash band-join recall needs maxHamming ($SimHashMaxHamming) < " +
+      s"bands (${NearDup.SimHashBands})")
+
+  /** Per-(band, band-value) population cap for the capped simhash pair
+    * paths (q166/q167): same role as [[LshBucketCap]] — organic fixture
+    * buckets stay under it (capped ≡ uncapped there, which the oracle
+    * mirrors either way); the planted-flood specs exercise the
+    * star-reduced over-cap path. */
+  private val SimHashBucketCap = 8L
+
   /** Fixture embedding dimensionality (shared with the q41 oracle SQL;
     * the Spark side derives dims from the data via posexplode). */
   private val EmbeddingDim = 64
@@ -375,6 +396,27 @@ object SparkEntry {
         LshRows, LshBucketCap)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
 
+  /** q23's simhash pair generation behind the per-(band, bv) skew cap
+    * ([[NearDup.simHashPairsCapped]]): identical pairs wherever no band
+    * bucket exceeds the cap (the fixture regime — the oracle mirrors
+    * the cap + star reduction in SQL either way), star-reduced
+    * candidates with the exact hamming verify kept on every emitted
+    * edge where a boilerplate flood would otherwise go quadratic. The
+    * planted-flood spec (PipelineOpsSpec) exercises the over-cap path. */
+  private def q166(s: SparkSession, dir: String): DataFrame =
+    NearDup.simHashPairsCapped(NearDup.simHash(docs(s, dir)),
+        SimHashMaxHamming, SimHashBucketCap)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+
+  /** q50's 64-bit simhash pairs behind the same per-(band, bv) cap
+    * ([[NearDup.simHash64PairsCapped]]) — the wide-fingerprint variant
+    * for corpora where 8-bit buckets collide, with the identical
+    * star-reduction + hamming-verify guard. */
+  private def q167(s: SparkSession, dir: String): DataFrame =
+    NearDup.simHash64PairsCapped(NearDup.simHash64(docs(s, dir)),
+        SimHashMaxHamming, SimHashBucketCap)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+
   /** BPE merge rounds learned over the corpus. */
   private val BpeRounds = 3
 
@@ -413,7 +455,7 @@ object SparkEntry {
 
   /** SimHash near-dup pairs at Hamming distance ≤ 3. */
   private def q23(s: SparkSession, dir: String): DataFrame =
-    NearDup.simHashPairs(NearDup.simHash(docs(s, dir)), maxHamming = 3)
+    NearDup.simHashPairs(NearDup.simHash(docs(s, dir)), maxHamming = SimHashMaxHamming)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
 
   /** Exact 3-gram Jaccard over source-blocked candidate pairs. */
@@ -2699,7 +2741,7 @@ object SparkEntry {
   /** 64-bit SimHash near-dup pairs (4×16 banding, two 32-bit halves) —
     * the fingerprint width for corpora where 8-bit buckets collide. */
   private def q50(s: SparkSession, dir: String): DataFrame =
-    NearDup.simHash64Pairs(NearDup.simHash64(docs(s, dir)), maxHamming = 3)
+    NearDup.simHash64Pairs(NearDup.simHash64(docs(s, dir)), maxHamming = SimHashMaxHamming)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
 
   /** The simhash pair table q58 AND q59 consume, landed once per
@@ -2711,8 +2753,8 @@ object SparkEntry {
     * other scans the staged parquet — exactly the staging-table shape
     * a 100 TB pipeline uses between stages. */
   private def stagedSimhashPairs(s: SparkSession, dir: String): DataFrame =
-    graft.engine.Staging.stagedParquet(s, s"simhash_pairs|h<=3|$dir")(
-      NearDup.simHashPairs(NearDup.simHash(docs(s, dir)), maxHamming = 3))
+    graft.engine.Staging.stagedParquet(s, s"simhash_pairs|h<=$SimHashMaxHamming|$dir")(
+      NearDup.simHashPairs(NearDup.simHash(docs(s, dir)), maxHamming = SimHashMaxHamming))
 
   /** The clusters table itself, staged: q58's OUTPUT is a pipeline
     * staging table (clusters land in storage; the survivors pass
@@ -2723,7 +2765,7 @@ object SparkEntry {
     * graph algorithm itself. Net per process: CC computes twice (q58's
     * live run + this build) instead of once per q58/q59 execution. */
   private def stagedSimhashClusters(s: SparkSession, dir: String): DataFrame =
-    graft.engine.Staging.stagedParquet(s, s"simhash_clusters|h<=3|$dir")(
+    graft.engine.Staging.stagedParquet(s, s"simhash_clusters|h<=$SimHashMaxHamming|$dir")(
       graft.operators.Graph.connectedComponents(
         stagedSimhashPairs(s, dir), "doc_a", "doc_b"))
 
@@ -2976,6 +3018,29 @@ object SparkEntry {
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
+  /** q70's incremental dedup behind per-(band, bucket) caps on BOTH
+    * sides ([[NearDup.incrementalCandidatesCapped]]): a flooded corpus
+    * bucket is probed through its anchor only, a flooded batch bucket
+    * is star-reduced — the two distinct flood regimes of a daily batch
+    * against a 100 TB corpus. Corpus bucket stats are passed in
+    * PRE-LANDED ([[NearDup.bucketStats]] over the staged corpus bucket
+    * table), the production shape: the per-batch cost never re-shuffles
+    * the corpus. Oracle mirrors every arm of the cap logic in SQL. */
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val corpusBuckets = graft.engine.Staging.stagedByPlan(
+      NearDup.lshBuckets(
+        NearDup.minHashSignatures(d.filter(col("doc_id") < IncrementalSplit),
+          MinhashK), LshBands, LshRows),
+      "incr_corpus_buckets")
+    val stats = graft.engine.Staging.stagedByPlan(
+      NearDup.bucketStats(corpusBuckets), "incr_corpus_stats")
+    NearDup.incrementalCandidatesCapped(corpusBuckets,
+        d.filter(col("doc_id") >= IncrementalSplit), MinhashK, LshBands,
+        LshRows, LshBucketCap, corpusStats = Some(stats))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
   /** Data profile of the orders table: per column null/distinct counts
     * and min/max, one scan. o_totalprice is pre-cast to DECIMAL so the
     * rendered min/max is engine-portable (raw double formatting is
@@ -3061,12 +3126,23 @@ object SparkEntry {
     def half(from: Int) = (from until from + 32)
       .map(b => s"CASE WHEN b$b > 0 THEN ${1L << (b - from)} ELSE 0 END")
       .mkString(" + ")
+    // bnd64 mirrors NearDup.simHash64Banded's 4×16-bit layout (bands
+    // 0–1 from fp_lo, 2–3 from fp_hi; the engine REQUIRES
+    // SimHashBands == 4 for exactly this layout, so the literal half
+    // selection here cannot drift from it). Band-join consumers avoid
+    // DuckDB's n²-materializing IEJoin, as in [[simhashCte]].
     s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
         h AS (SELECT doc_id, md5(tk) AS h FROM tok),
         nib AS (SELECT doc_id, $nibs FROM h),
         sums AS (SELECT doc_id, $sums FROM nib GROUP BY doc_id),
         fpt64 AS (SELECT doc_id, CAST(${half(32)} AS BIGINT) AS fp_hi,
-                         CAST(${half(0)} AS BIGINT) AS fp_lo FROM sums)"""
+                         CAST(${half(0)} AS BIGINT) AS fp_lo FROM sums),
+        bnd64 AS (SELECT doc_id, fp_hi, fp_lo, band,
+                         (CASE WHEN band < 2 THEN fp_lo ELSE fp_hi END
+                          >> ((band % 2) * 16)) & 65535 AS bv
+                  FROM fpt64,
+                       (SELECT unnest(range(0, ${NearDup.SimHashBands}))
+                          AS band) bands_t)"""
   }
 
   /** Rounded-cosine SQL fragment (DuckDB list_dot_product matches the
@@ -3191,6 +3267,104 @@ object SparkEntry {
         SELECT DISTINCT doc_a, doc_b FROM u
         ORDER BY doc_a ASC, doc_b ASC"""
 
+  /** Oracle mirror of [[NearDup.simHashPairsCapped]] (q166): the q163
+    * star reduction transplanted onto the simhash band table — small
+    * buckets keep the exact all-pairs band join, over-cap buckets emit
+    * (anchor = min doc_id, member) edges only, and EVERY arm keeps the
+    * exact hamming verify (the anchor's fingerprint comes from fpt by
+    * doc_id, exactly the struct-min the engine computes). Band count,
+    * band width, cap and hamming threshold are all interpolated from
+    * the shared constants. */
+  private lazy val simhashCappedOracle: String =
+    s"""WITH $simhashCte,
+        stats AS (SELECT band, bv, count(*) AS n, min(doc_id) AS anchor
+                  FROM bnd GROUP BY 1, 2),
+        bt AS (SELECT b.doc_id, b.simhash, b.band, b.bv, s.n, s.anchor
+               FROM bnd b JOIN stats s ON b.band = s.band AND b.bv = s.bv),
+        u AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          FROM bt a JOIN bt b
+            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+          WHERE a.n <= $SimHashBucketCap
+            AND bit_count(xor(a.simhash, b.simhash)) <= $SimHashMaxHamming
+          UNION ALL
+          SELECT t.anchor AS doc_a, t.doc_id AS doc_b,
+                 CAST(bit_count(xor(f.simhash, t.simhash)) AS BIGINT) AS hamming
+          FROM bt t JOIN fpt f ON f.doc_id = t.anchor
+          WHERE t.n > $SimHashBucketCap AND t.doc_id <> t.anchor
+            AND bit_count(xor(f.simhash, t.simhash)) <= $SimHashMaxHamming)
+        SELECT DISTINCT doc_a, doc_b, hamming FROM u
+        ORDER BY doc_a ASC, doc_b ASC"""
+
+  /** Oracle mirror of [[NearDup.simHash64PairsCapped]] (q167) — the
+    * 64-bit sibling of [[simhashCappedOracle]] over bnd64/fpt64, the
+    * hamming summed across both 32-bit halves. */
+  private lazy val simhash64CappedOracle: String = {
+    def ham(a: String, b: String) =
+      s"bit_count(xor($a.fp_hi, $b.fp_hi)) + bit_count(xor($a.fp_lo, $b.fp_lo))"
+    s"""WITH $simhash64Cte,
+        stats AS (SELECT band, bv, count(*) AS n, min(doc_id) AS anchor
+                  FROM bnd64 GROUP BY 1, 2),
+        bt AS (SELECT b.doc_id, b.fp_hi, b.fp_lo, b.band, b.bv, s.n, s.anchor
+               FROM bnd64 b JOIN stats s ON b.band = s.band AND b.bv = s.bv),
+        u AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(${ham("a", "b")} AS BIGINT) AS hamming
+          FROM bt a JOIN bt b
+            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+          WHERE a.n <= $SimHashBucketCap
+            AND ${ham("a", "b")} <= $SimHashMaxHamming
+          UNION ALL
+          SELECT t.anchor AS doc_a, t.doc_id AS doc_b,
+                 CAST(${ham("f", "t")} AS BIGINT) AS hamming
+          FROM bt t JOIN fpt64 f ON f.doc_id = t.anchor
+          WHERE t.n > $SimHashBucketCap AND t.doc_id <> t.anchor
+            AND ${ham("f", "t")} <= $SimHashMaxHamming)
+        SELECT DISTINCT doc_a, doc_b, hamming FROM u
+        ORDER BY doc_a ASC, doc_b ASC"""
+  }
+
+  /** Oracle mirror of [[NearDup.incrementalCandidatesCapped]] (q168):
+    * all four arms of the two-sided cap — batch × small-corpus-bucket
+    * exact, batch × big-corpus-bucket through the corpus anchor, batch-
+    * internal exact under the cap, batch-internal star over it.
+    * Signatures are per-doc, so restricting the full bucket CTE by
+    * doc_id reproduces bucketing corpus and batch separately. */
+  private val incrementalCappedOracle: String =
+    s"""$minhashCtes,
+        cb AS (SELECT * FROM bk WHERE doc_id < $IncrementalSplit),
+        bb AS (SELECT * FROM bk WHERE doc_id >= $IncrementalSplit),
+        cs AS (SELECT band, bucket, count(*) AS nc, min(doc_id) AS ac
+               FROM cb GROUP BY 1, 2),
+        bs AS (SELECT band, bucket, count(*) AS nb, min(doc_id) AS ab
+               FROM bb GROUP BY 1, 2),
+        u AS (
+          SELECT least(n.doc_id, c.doc_id) AS doc_a,
+                 greatest(n.doc_id, c.doc_id) AS doc_b
+          FROM bb n
+          JOIN cb c ON n.band = c.band AND n.bucket = c.bucket
+          JOIN cs ON cs.band = c.band AND cs.bucket = c.bucket
+          WHERE cs.nc <= $LshBucketCap AND n.doc_id <> c.doc_id
+          UNION ALL
+          SELECT least(n.doc_id, cs.ac) AS doc_a,
+                 greatest(n.doc_id, cs.ac) AS doc_b
+          FROM bb n JOIN cs ON cs.band = n.band AND cs.bucket = n.bucket
+          WHERE cs.nc > $LshBucketCap AND n.doc_id <> cs.ac
+          UNION ALL
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bb a
+          JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+            AND a.doc_id < b.doc_id
+          JOIN bs ON bs.band = a.band AND bs.bucket = a.bucket
+          WHERE bs.nb <= $LshBucketCap
+          UNION ALL
+          SELECT bs.ab AS doc_a, bb.doc_id AS doc_b
+          FROM bb JOIN bs ON bs.band = bb.band AND bs.bucket = bb.bucket
+          WHERE bs.nb > $LshBucketCap AND bb.doc_id <> bs.ab)
+        SELECT DISTINCT doc_a, doc_b FROM u
+        ORDER BY doc_a ASC, doc_b ASC"""
+
   /** Unrolled hook+jump min-label connected components in portable SQL.
     *
     * The first-cut oracle for q58/q59/q127 used `WITH RECURSIVE
@@ -3287,14 +3461,18 @@ object SparkEntry {
       .map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END")
       .mkString(" + ")
     // bnd mirrors the ENGINE's pigeonhole banding (NearDup.simHashPairs:
-    // 4 bands of bits/4 bits; any pair within Hamming < 4 agrees on ≥ 1
-    // whole band). Consumers join bnd to itself on (band, bv) instead of
-    // the n² `fpt a JOIN fpt b ON a.doc_id < b.doc_id` inequality join —
+    // SimHashBands bands of bits/bands bits — band count and width both
+    // interpolated from the NearDup constants, so a banding change on
+    // the engine side regenerates the oracle identically; any pair
+    // within Hamming < bands agrees on ≥ 1 whole band). Consumers join
+    // bnd to itself on (band, bv) instead of the n²
+    // `fpt a JOIN fpt b ON a.doc_id < b.doc_id` inequality join —
     // which DuckDB plans as an IEJoin materializing every one of the
     // n²/2 pairs BEFORE the hamming filter (sf1: 1.25e9 rows, tens of
     // GB of spill). Unreferenced plain CTEs cost nothing, so bnd rides
     // along wherever only fpt is consumed.
-    val bandBits = bits / 4
+    val bands = NearDup.SimHashBands
+    val bandBits = bits / bands
     val bandMask = (1L << bandBits) - 1
     s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
         h AS (SELECT doc_id, md5(tk) AS h FROM tok),
@@ -3303,7 +3481,7 @@ object SparkEntry {
         fpt AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums),
         bnd AS (SELECT doc_id, simhash, band,
                        (simhash >> (band * $bandBits)) & $bandMask AS bv
-                FROM fpt, (SELECT unnest(range(0, 4)) AS band) bands_t)"""
+                FROM fpt, (SELECT unnest(range(0, $bands)) AS band) bands_t)"""
   }
 
 
@@ -3495,7 +3673,10 @@ object SparkEntry {
     "q162_fk_audit" -> (q162 _),
     "q163_lsh_capped" -> (q163 _),
     "q164_bpe_merges" -> (q164 _),
-    "q165_bpe_compress" -> (q165 _))
+    "q165_bpe_compress" -> (q165 _),
+    "q166_simhash_capped" -> (q166 _),
+    "q167_simhash64_capped" -> (q167 _),
+    "q168_incremental_capped" -> (q168 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -3706,6 +3887,9 @@ object SparkEntry {
           FROM documents""",
     "q21_minhash_lsh" -> minhashOracle,
     "q163_lsh_capped" -> minhashCappedOracle,
+    "q166_simhash_capped" -> simhashCappedOracle,
+    "q167_simhash64_capped" -> simhash64CappedOracle,
+    "q168_incremental_capped" -> incrementalCappedOracle,
     "q164_bpe_merges" -> {
       val unions = (1 to BpeRounds).map(i =>
         s"SELECT CAST($i AS BIGINT) AS round, lhs, rhs, n FROM t$i")
@@ -3738,7 +3922,7 @@ object SparkEntry {
                  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
           FROM bnd a JOIN bnd b
             ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHashMaxHamming
           ORDER BY doc_a ASC, doc_b ASC""",
     "q24_ngram_jaccard" ->
       s"""WITH $sqlShingles,
@@ -3798,12 +3982,13 @@ object SparkEntry {
     "q43_knn_ivf" -> ivfKnnOracle,
     "q50_simhash64_pairs" ->
       s"""WITH $simhash64Cte
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  CAST(bit_count(xor(a.fp_hi, b.fp_hi)) +
                       bit_count(xor(a.fp_lo, b.fp_lo)) AS BIGINT) AS hamming
-          FROM fpt64 a JOIN fpt64 b ON a.doc_id < b.doc_id
+          FROM bnd64 a JOIN bnd64 b
+            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
           WHERE bit_count(xor(a.fp_hi, b.fp_hi)) +
-                bit_count(xor(a.fp_lo, b.fp_lo)) <= 3
+                bit_count(xor(a.fp_lo, b.fp_lo)) <= $SimHashMaxHamming
           ORDER BY doc_a ASC, doc_b ASC""",
     "q51_repetition_ratio" ->
       s"""WITH $sqlShingles,
@@ -4021,7 +4206,7 @@ object SparkEntry {
                   FROM bnd a JOIN bnd b
                     ON a.band = b.band AND a.bv = b.bv
                       AND a.doc_id < b.doc_id
-                  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+                  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHashMaxHamming),
           edges AS MATERIALIZED (SELECT doc_a AS n, doc_b AS m FROM prs
                     UNION SELECT doc_b AS n, doc_a AS m FROM prs),
           ${ccUnrolledCtes()}
@@ -4033,7 +4218,7 @@ object SparkEntry {
                   FROM bnd a JOIN bnd b
                     ON a.band = b.band AND a.bv = b.bv
                       AND a.doc_id < b.doc_id
-                  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+                  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHashMaxHamming),
           edges AS MATERIALIZED (SELECT doc_a AS n, doc_b AS m FROM prs
                     UNION SELECT doc_b AS n, doc_a AS m FROM prs),
           ${ccUnrolledCtes()}
@@ -4500,7 +4685,7 @@ object SparkEntry {
                   FROM bnd a JOIN bnd b
                     ON a.band = b.band AND a.bv = b.bv
                       AND a.doc_id < b.doc_id
-                  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+                  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHashMaxHamming),
           tri AS (SELECT e1.a AS x, e1.m AS y, e2.c AS z
                   FROM (SELECT a, b AS m FROM prs) e1
                   JOIN (SELECT a AS m, b AS c FROM prs) e2 USING (m)
@@ -4910,7 +5095,7 @@ object SparkEntry {
                   FROM bnd a JOIN bnd b
                     ON a.band = b.band AND a.bv = b.bv
                       AND a.doc_id < b.doc_id
-                  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+                  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHashMaxHamming),
           deg AS (SELECT node, count(*) AS degree FROM
                     (SELECT unnest([a, b]) AS node FROM prs)
                   GROUP BY node),
@@ -5060,7 +5245,7 @@ object SparkEntry {
                   FROM bnd a JOIN bnd b
                     ON a.band = b.band AND a.bv = b.bv
                       AND a.doc_id < b.doc_id
-                  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+                  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHashMaxHamming),
           edges AS MATERIALIZED (SELECT doc_a AS n, doc_b AS m FROM prs
                     UNION SELECT doc_b AS n, doc_a AS m FROM prs),
           ${ccUnrolledCtes()},
@@ -5453,7 +5638,7 @@ object SparkEntry {
                   FROM bnd a JOIN bnd b
                     ON a.band = b.band AND a.bv = b.bv
                       AND a.doc_id < b.doc_id
-                  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+                  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHashMaxHamming),
           $rounds
           SELECT node AS doc_id, count(*) AS core_degree
           FROM (SELECT a AS node FROM e4 UNION ALL SELECT b AS node FROM e4)
@@ -5759,7 +5944,7 @@ object SparkEntry {
                   FROM bnd a JOIN bnd b
                     ON a.band = b.band AND a.bv = b.bv
                       AND a.doc_id < b.doc_id
-                  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+                  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHashMaxHamming),
         e AS MATERIALIZED (SELECT a AS n, b AS m FROM prs UNION SELECT b, a FROM prs),
         l0 AS (SELECT DISTINCT n, n AS lbl FROM e),
         $rounds
@@ -5785,7 +5970,7 @@ object SparkEntry {
                   FROM bnd a JOIN bnd b
                     ON a.band = b.band AND a.bv = b.bv
                       AND a.doc_id < b.doc_id
-                  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+                  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHashMaxHamming),
         ed AS MATERIALIZED (SELECT da AS n, db AS m FROM prs
                UNION SELECT db AS n, da AS m FROM prs),
         deg AS (SELECT n, count(*) AS deg FROM ed GROUP BY n),

@@ -162,19 +162,28 @@ object NearDup {
     *    corpus itself was built), output ≤ |batch bucket rows|.
     *  - batch side: the [[minHashCandidatesCapped]] star reduction.
     *
-    * The corpus bucket stats are an O(#buckets) aggregate; a production
-    * pipeline lands them ONCE next to the bucket table at corpus-build
-    * time and every daily batch reads both — recomputing here keeps the
-    * operator self-contained without changing the join shape. */
+    * The corpus bucket stats are an O(#buckets) aggregate over the
+    * WHOLE corpus bucket table — a corpus-wide shuffle every batch if
+    * recomputed here, which at 100 TB would dominate the batch cost
+    * and contradict the incremental design's probe-only property. A
+    * production pipeline lands them ONCE next to the bucket table at
+    * corpus-build time ([[bucketStats]]) and passes them in via
+    * `corpusStats`; the recompute fallback (corpusStats = None) keeps
+    * the operator self-contained for ad-hoc use. */
   def incrementalCandidatesCapped(corpusBuckets: DataFrame, batch: DataFrame,
                                   k: Int, bands: Int, rowsPerBand: Int,
-                                  maxBucket: Long): DataFrame = {
+                                  maxBucket: Long,
+                                  corpusStats: Option[DataFrame] = None): DataFrame = {
     require(bands * rowsPerBand <= k)
     require(maxBucket >= 2, "maxBucket must be at least 2")
     val bb = Shingles.shared(
       lshBuckets(minHashSignatures(batch, k), bands, rowsPerBand))
-    val cs = corpusBuckets.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("__nc"), min(col("doc_id")).as("__ac"))
+    val cs = corpusStats
+      .map(_.select(col("band"), col("bucket"),
+        col("n").as("__nc"), col("anchor").as("__ac")))
+      .getOrElse(bucketStats(corpusBuckets)
+        .select(col("band"), col("bucket"),
+          col("n").as("__nc"), col("anchor").as("__ac")))
     val bNew = bb.select(col("band"), col("bucket"), col("doc_id").as("doc_new"))
     val vsSmall = bNew
       .join(corpusBuckets.select(col("band"), col("bucket"),
@@ -205,13 +214,25 @@ object NearDup {
     vsSmall.union(vsBig).union(withinSmall).union(withinStar).distinct()
   }
 
+  /** Per-(band, bucket) population + anchor stats of an LSH bucket
+    * table — the O(#buckets) summary a corpus build lands ONCE next to
+    * the bucket table so every incremental batch
+    * ([[incrementalCandidatesCapped]]) reads it instead of re-shuffling
+    * the whole corpus. Schema: (band, bucket, n, anchor). */
+  def bucketStats(buckets: DataFrame): DataFrame =
+    buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("anchor"))
+
   /** SimHash bit width (32 bits = 8 md5 hex digits per token). */
   val SimHashBits = 32
 
   /** Band count for the pigeonhole band joins ([[simHashPairs]],
-    * [[simHash64Pairs]]): the recall guarantee is maxHamming < bands,
-    * and the oracle SQL derives its banding from THIS constant, so the
-    * engine and the gate can never drift apart. */
+    * [[simHash64Pairs]] and their capped variants): the recall
+    * guarantee is maxHamming < bands. The catalog (SparkEntry)
+    * interpolates this constant into its engine calls AND into the
+    * generated oracle SQL's banding CTEs, and asserts its hamming
+    * threshold against it at catalog-construction time — the engine
+    * and the gate move together or not at all. */
   val SimHashBands = 4
 
   /** 32-bit SimHash fingerprint per document. Tokens keep multiplicity
@@ -255,13 +276,8 @@ object NearDup {
     * Stages the banded table via [[Shingles.shared]] (landed parquet
     * scanned by both join sides). */
   def simHashPairs(fingerprints: DataFrame, maxHamming: Int): DataFrame = {
-    val bands = SimHashBands
-    val bandBits = SimHashBits / bands
-    val bandMask = (1L << bandBits) - 1
-    require(bands * bandBits == SimHashBits,
-      "bands must evenly cover the full fingerprint")
-    require(maxHamming < bands,
-      s"band-join recall guarantee needs maxHamming < $bands")
+    require(maxHamming < SimHashBands,
+      s"band-join recall guarantee needs maxHamming < $SimHashBands")
     val banded = simHashBanded(fingerprints)
     val a = banded.select(col("band"), col("bv"),
       col("doc_id").as("doc_a"), col("simhash").as("fp_a"))
@@ -283,6 +299,8 @@ object NearDup {
   /** Staged (doc_id, simhash, band, bv) band table of the 32-bit
     * fingerprints: [[SimHashBands]] rows per doc. */
   private def simHashBanded(fingerprints: DataFrame): DataFrame = {
+    require(SimHashBits % SimHashBands == 0,
+      "bands must evenly cover the full fingerprint")
     val bandBits = SimHashBits / SimHashBands
     val bandMask = (1L << bandBits) - 1
     val bandStructs = (0 until SimHashBands).map { b =>
@@ -403,6 +421,12 @@ object NearDup {
   /** Staged (doc_id, fp_hi, fp_lo, band, bv) band table of the 64-bit
     * fingerprints: [[SimHashBands]] bands of 16 bits, two per half. */
   private def simHash64Banded(fingerprints: DataFrame): DataFrame = {
+    // the two-16-bit-bands-per-half layout below (b < 2 → fp_lo,
+    // shift (b % 2)·16) is SPECIFIC to 4 bands: a changed SimHashBands
+    // would silently mis-band (fp_hi never banded, or bands aliasing)
+    // and void the pigeonhole recall guarantee — fail loudly instead
+    require(SimHashBands == 4,
+      "simHash64Banded's 4×16-bit band layout requires SimHashBands == 4")
     val bandStructs = (0 until SimHashBands).map { b =>
       val src = if (b < 2) col("fp_lo") else col("fp_hi")
       struct(lit(b).as("band"),

@@ -80,6 +80,124 @@ class PipelineOpsSpec extends AnyFunSuite {
       "fixture buckets are all under the cap — the capped path must be exact")
   }
 
+  test("capped simhash pairs bound volume under a flood; star edges verified") {
+    // 100 identical docs → identical fingerprints → every band bucket
+    // flooded; plus mutually-disjoint docs that pair with nothing
+    val boiler = "all rights reserved this page is boilerplate spark filter join"
+    val d = docsOf(
+      ((0L until 100L).map(i => i -> boiler) ++
+        (100L until 150L).map(i =>
+          i -> s"u$i v$i w$i x$i y$i z$i p$i q$i r$i s$i")): _*)
+    val fp = NearDup.simHash(d)
+    val full = NearDup.simHashPairs(fp, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.size >= 4950, "uncapped flood must be quadratic")
+    val cappedRows = NearDup.simHashPairsCapped(fp, 3, 8).collect()
+    val capped = cappedRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.size <= 150, s"candidate volume not bounded: ${capped.size}")
+    // every flood member reaches the anchor, and every emitted edge —
+    // star or not — passed the exact hamming verify
+    (1L until 100L).foreach(i => assert(capped.contains((0L, i)),
+      s"star edge (0,$i) missing"))
+    cappedRows.foreach(r => assert(r.getAs[Long]("hamming") <= 3L))
+    // star reduction preserves connected components → same survivors
+    def survivors(pairs: Set[(Long, Long)]): Set[Long] = {
+      val p = pairs.toSeq.toDF("doc_a", "doc_b")
+      Graph.dedupSurvivors(d, "doc_id", p, "doc_a", "doc_b")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(survivors(capped) === survivors(full))
+  }
+
+  test("capped simhash pairs equal the exact pairs when no bucket exceeds the cap") {
+    val fp = NearDup.simHash(Sources.table(spark, sfDir, "documents"))
+    val exact = NearDup.simHashPairs(fp, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val capped = NearDup.simHashPairsCapped(fp, 3, Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped === exact)
+  }
+
+  test("capped simhash64 pairs bound volume under a flood; star edges verified") {
+    val boiler = "all rights reserved this page is boilerplate spark filter join"
+    val d = docsOf(
+      ((0L until 100L).map(i => i -> boiler) ++
+        (100L until 150L).map(i =>
+          i -> s"u$i v$i w$i x$i y$i z$i p$i q$i r$i s$i")): _*)
+    val fp = NearDup.simHash64(d)
+    val full = NearDup.simHash64Pairs(fp, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.size >= 4950, "uncapped flood must be quadratic")
+    val cappedRows = NearDup.simHash64PairsCapped(fp, 3, 8).collect()
+    val capped = cappedRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.size <= 150, s"candidate volume not bounded: ${capped.size}")
+    (1L until 100L).foreach(i => assert(capped.contains((0L, i)),
+      s"star edge (0,$i) missing"))
+    cappedRows.foreach(r => assert(r.getAs[Long]("hamming") <= 3L))
+  }
+
+  test("capped simhash64 pairs equal the exact pairs when no bucket exceeds the cap") {
+    val fp = NearDup.simHash64(Sources.table(spark, sfDir, "documents"))
+    val exact = NearDup.simHash64Pairs(fp, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val capped = NearDup.simHash64PairsCapped(fp, 3, Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped === exact)
+  }
+
+  test("capped incremental candidates bound both flood regimes; anchors reached") {
+    val boiler = "all rights reserved this page is boilerplate spark filter join"
+    val batchBoiler = "breaking news subscribe now to read the full batch article"
+    // corpus: 100-doc boilerplate flood + disjoint docs
+    val corpusDocs = docsOf(
+      ((0L until 100L).map(i => i -> boiler) ++
+        (100L until 130L).map(i =>
+          i -> s"u$i v$i w$i x$i y$i z$i p$i q$i r$i s$i")): _*)
+    // batch: 5 docs hitting the flooded corpus bucket, a 50-doc
+    // batch-internal flood, and disjoint docs
+    val batch = docsOf(
+      ((200L until 205L).map(i => i -> boiler) ++
+        (300L until 350L).map(i => i -> batchBoiler) ++
+        (400L until 420L).map(i =>
+          i -> s"a$i b$i c$i d$i e$i f$i g$i h$i j$i k$i")): _*)
+    val corpusBuckets = NearDup.lshBuckets(
+      NearDup.minHashSignatures(corpusDocs, 12), 4, 3)
+    val full = NearDup.incrementalCandidates(corpusBuckets, batch, 12, 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped: 5×100 corpus-flood fan-out + 50·49/2 batch-internal flood
+    assert(full.size >= 500 + 1225, s"uncapped flood too small: ${full.size}")
+    val capped = NearDup.incrementalCandidatesCapped(
+        corpusBuckets, batch, 12, 4, 3, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.size <= 200, s"candidate volume not bounded: ${capped.size}")
+    // flooded corpus bucket: every matching batch doc reaches the
+    // corpus anchor (doc 0)
+    (200L until 205L).foreach(i => assert(capped.contains((0L, i)),
+      s"corpus-anchor edge (0,$i) missing"))
+    // flooded batch bucket: star to the batch anchor (doc 300)
+    (301L until 350L).foreach(i => assert(capped.contains((300L, i)),
+      s"batch star edge (300,$i) missing"))
+    // pre-landed corpus stats (the production path) change nothing
+    val viaStats = NearDup.incrementalCandidatesCapped(
+        corpusBuckets, batch, 12, 4, 3, 8,
+        corpusStats = Some(NearDup.bucketStats(corpusBuckets)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStats === capped)
+  }
+
+  test("capped incremental candidates equal the exact ones when under the cap") {
+    val d = Sources.table(spark, sfDir, "documents")
+    val corpusBuckets = NearDup.lshBuckets(
+      NearDup.minHashSignatures(d.filter(col("doc_id") < 400), 12), 4, 3)
+    val batch = d.filter(col("doc_id") >= 400)
+    val exact = NearDup.incrementalCandidates(corpusBuckets, batch, 12, 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = NearDup.incrementalCandidatesCapped(
+        corpusBuckets, batch, 12, 4, 3, Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === exact)
+  }
+
   test("simhash: identical docs get identical fingerprints; hamming 0") {
     val d = docsOf(1L -> "spark scale shuffle join agg", 2L -> "spark scale shuffle join agg")
     val fps = NearDup.simHash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
