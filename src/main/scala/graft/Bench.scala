@@ -62,11 +62,17 @@ object Bench {
         }
       }
       var times = Seq(onePass(), onePass())
-      // adaptive third pass: if both passes are slow the query either IS
-      // slow (third changes nothing material) or both absorbed tenant
-      // noise (third recovers the steady state) — bounded extra cost,
-      // applied only where the signal is suspect
-      if (times.forall(_ >= 0) && times.min > 2.0) times :+= onePass()
+      // adaptive third pass, two triggers: (a) both passes slow — the
+      // query either IS slow (third changes nothing material) or both
+      // absorbed tenant noise (third recovers the steady state);
+      // (b) the two passes DISAGREE by >15% — the sub-second regime
+      // where shared-box jitter has produced ±50% round-over-round
+      // swings on unchanged code (q31/q38/q71 class); a third sample
+      // lets the min shed the outlier. Bounded extra cost, applied
+      // only where the signal is suspect.
+      if (times.forall(_ >= 0) &&
+          (times.min > 2.0 || times.max > times.min * 1.15))
+        times :+= onePass()
       // a transient single-pass failure must not discard the other
       // pass's valid measurement; -1 only when EVERY pass failed
       val ok = times.filter(_ >= 0)

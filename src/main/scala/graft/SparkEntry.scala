@@ -417,6 +417,19 @@ object SparkEntry {
         SimHashMaxHamming, SimHashBucketCap)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
 
+  /** REAL image-codec round-trip ([[graft.operators.Multimodal]]):
+    * genuine PNG bytes are encoded into the opaque binary column with
+    * `javax.imageio` and parsed back — headers and pixel data — into
+    * per-image stats, batched per partition. The pixel content derives
+    * from doc_id alone, so the oracle replays the arithmetic in SQL
+    * while the engine runs the true encode → binary column → decode
+    * pipeline (the stubbed q29 path covers codecs the JDK lacks). */
+  private def q169(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodePixelStats(s, Multimodal.pngPayloads(s, docs(s, dir)))
+      .withColumn("avg_px", Aggregates.round6Portable(
+        col("sum_px").cast("double") / col("n_pixels").cast("double")))
+      .orderBy(col("doc_id").asc)
+
   /** BPE merge rounds learned over the corpus. */
   private val BpeRounds = 3
 
@@ -3676,7 +3689,8 @@ object SparkEntry {
     "q165_bpe_compress" -> (q165 _),
     "q166_simhash_capped" -> (q166 _),
     "q167_simhash64_capped" -> (q167 _),
-    "q168_incremental_capped" -> (q168 _))
+    "q168_incremental_capped" -> (q168 _),
+    "q169_image_decode" -> (q169 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -3890,6 +3904,26 @@ object SparkEntry {
     "q166_simhash_capped" -> simhashCappedOracle,
     "q167_simhash64_capped" -> simhash64CappedOracle,
     "q168_incremental_capped" -> incrementalCappedOracle,
+    // q169: the oracle replays the deterministic pixel arithmetic the
+    // engine ENCODES (Multimodal.pixel); the engine side must recover
+    // the identical numbers through a genuine PNG write+parse, so a
+    // codec defect (wrong raster band, lossy path, truncated stream)
+    // lands as a value mismatch here
+    "q169_image_decode" ->
+      """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+                       FROM documents),
+          px AS (SELECT d.doc_id, d.w, d.h,
+                        (d.doc_id * 31 + 7 * xs.x + 13 * ys.y) % 256 AS p
+                 FROM dims d,
+                      (SELECT unnest(range(0, 8)) AS x) xs,
+                      (SELECT unnest(range(0, 6)) AS y) ys
+                 WHERE xs.x < d.w AND ys.y < d.h)
+          SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                 CAST(w * h AS BIGINT) AS n_pixels,
+                 CAST(sum(p) AS BIGINT) AS sum_px,
+                 floor(CAST(sum(p) AS DOUBLE) / (w * h) * 1000000 + 0.5)
+                   / 1000000 AS avg_px
+          FROM px GROUP BY doc_id, w, h ORDER BY doc_id ASC""",
     "q164_bpe_merges" -> {
       val unions = (1 to BpeRounds).map(i =>
         s"SELECT CAST($i AS BIGINT) AS round, lhs, rhs, n FROM t$i")

@@ -72,11 +72,46 @@ object Bpe {
         x => x.getField("out")).as("toks"))
   }
 
+  /** Process-wide memo of completed training runs, keyed by the input
+    * plan + files + round count. [[trainMerges]] (q164) and [[encode]]
+    * (q165) both need the same run, and each round's argmax is a
+    * corpus-wide shuffle — one training pass per (corpus, rounds) per
+    * process, not one per caller. The final sequences are staged
+    * parquet (see the round loop), so the cached frame is a flat scan,
+    * safe to hand to any later consumer. */
+  private val trained = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Long, String, String, String, Long)], DataFrame)]()
+
   /** The merge-rule table after `rounds` rounds plus the final encoded
-    * sequences: (merges(round, lhs, rhs, merged, n_pairs), seq). */
+    * sequences: (merges(round, lhs, rhs, merged, n_pairs), seq).
+    * Memoized per (input plan, files, rounds) — except for literal-row
+    * inputs, whose canonicalized plan omits the data (two literal
+    * corpora of the same shape would collide on one key; same guard as
+    * Staging.stagedByPlan). */
   private def train(docs: DataFrame, textCol: Column,
                     rounds: Int): (Seq[(Long, String, String, String, Long)], DataFrame) = {
-    var seq = docs.select(col("doc_id"), split(textCol, " ").as("toks"))
+    val seq0 = docs.select(col("doc_id"), split(textCol, " ").as("toks"))
+    val hasLiteralRows = seq0.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+        if l.data.nonEmpty => l
+    }.nonEmpty
+    if (hasLiteralRows) trainRounds(seq0, rounds)
+    else {
+      val planText = seq0.queryExecution.analyzed.canonicalized.toString
+      val files = seq0.inputFiles.sorted.mkString("\n")
+      val key = rounds + ":" + java.security.MessageDigest.getInstance("MD5")
+        .digest((planText + "|" + files).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Option(trained.get(key)).getOrElse {
+        val r = trainRounds(seq0, rounds)
+        Option(trained.putIfAbsent(key, r)).getOrElse(r)
+      }
+    }
+  }
+
+  private def trainRounds(seq0: DataFrame,
+                          rounds: Int): (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    var seq = seq0
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     for (r <- 1 to rounds) {
       val top = pairCounts(seq)

@@ -268,30 +268,54 @@ object Graph {
         .filter(col("a") =!= col("b")).distinct(),
       "canonical_edges")
 
-  /** Edge sets at or under this row count have their closing-edge side
-    * BROADCAST into the wedge-closing semi-join. The wedge table is
-    * Θ(Σ deg²) rows (sf1 pair graph: 6.9M edges → 2.9e9 wedges); a
-    * shuffled semi-join ships every wedge row (~100 GB), whereas a
-    * broadcast of the 2-long edge rows (6.9M ≈ 110 MB; 50M ≈ 800 MB,
-    * under Spark's 8 GB broadcast ceiling with headroom) keeps the
-    * entire wedge→close→explode→partial-agg chain in ONE map-side
-    * stage — the only shuffles left are the edge self-join input
-    * (O(m)) and the |V|-key final agg. Beyond the threshold the
-    * shuffled semi-join is the correct fallback: at that edge count
-    * the graph is no near-dup pair graph and the shuffle is unavoidable.
-    */
-  private val BroadcastClosingMaxEdges = 50L * 1000 * 1000
+  /** Deserialized-bytes-per-stored-byte expansion of the closing edge
+    * set when it becomes a broadcast hash relation: parquet-compressed
+    * (a, b) long pairs (~10 B/row landed) expand to LongToUnsafeRowMap /
+    * BytesToBytesMap entries with row object + hash-slot overhead
+    * (~60 B/row) — call it 6×, rounded against us. */
+  private val BroadcastExpansion = 6L
+
+  /** Heap budget for the broadcast closing-edge relation: a slice of
+    * the smallest worker heap (spark.executor.memory when set — the
+    * cluster case; this JVM's max heap in local mode, where driver and
+    * executors share it). 15% leaves the rest for the wedge probe
+    * stage's own operators; the old fixed 50M-edge constant (~3 GB
+    * deserialized) OOM'd the margin on a default 4 GB executor, where
+    * this derives ~100 MB — the threshold now moves with the deploy's
+    * memory instead of assuming one. */
+  private def broadcastClosingBudgetBytes(spark: org.apache.spark.sql.SparkSession): Long = {
+    val execMem = spark.sparkContext.getConf
+      .getSizeAsBytes("spark.executor.memory", "0")
+    val heap = if (execMem > 0) execMem else Runtime.getRuntime.maxMemory
+    (heap * 0.15).toLong
+  }
 
   /** The unstaged wedge→close→count plan — `private[graft]` so the plan
     * test can assert the broadcast closing join, which the staged
-    * wrapper below hides behind a parquet scan. */
+    * wrapper below hides behind a parquet scan.
+    *
+    * Why broadcast at all: the wedge table is Θ(Σ deg²) rows (sf1 pair
+    * graph: 6.9M edges → 2.9e9 wedges); a shuffled semi-join ships
+    * every wedge row (~100 GB), whereas broadcasting the 2-long edge
+    * rows keeps the entire wedge→close→explode→partial-agg chain in
+    * ONE map-side stage — the only shuffles left are the edge
+    * self-join input (O(m)) and the |V|-key final agg. Beyond the
+    * budget the shuffled semi-join is the correct fallback: at that
+    * edge volume the graph is no near-dup pair graph and the shuffle
+    * is unavoidable. */
   private[graft] def wedgeTriangleCounts(e: DataFrame): DataFrame = {
     // e is the STAGED canonical edge set (see canonicalEdges): each of
-    // the three arms below re-scans the landed table, and the count —
-    // cheap over parquet footers — doubles as the broadcast decision.
+    // the three arms below re-scans the landed table. The broadcast
+    // decision reads the OPTIMIZER's size estimate (parquet file bytes
+    // for a staged scan) — a driver-side metadata lookup; the previous
+    // e.count() here fired a Spark job at plan-CONSTRUCTION time, i.e.
+    // on every triangleCounts/clusteringCoefficients call before any
+    // action, and explain()/tests executed it too.
     val closing = e.select(col("a"), col("b").as("c"))
-    val closingSide =
-      if (e.count() <= BroadcastClosingMaxEdges) broadcast(closing) else closing
+    val estBytes = e.queryExecution.optimizedPlan.stats.sizeInBytes
+    val fits = estBytes * BroadcastExpansion <=
+      broadcastClosingBudgetBytes(e.sparkSession)
+    val closingSide = if (fits) broadcast(closing) else closing
     val wedges = e.select(col("a"), col("b").as("m"))
       .join(e.select(col("a").as("m"), col("b").as("c")), "m")
     val closed = wedges.join(closingSide, Seq("a", "c"), "left_semi")

@@ -8,10 +8,18 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side shape is the real thing — binary column, case-class
   * schema, `mapPartitions` batch processing (one decoder init per
-  * partition, not per row), partition-parallel. The decode itself is a
-  * STUB (`stubDecode`): this container has no image/audio codecs, so it
-  * derives deterministic fake dimensions from the payload bytes. Swapping
-  * in a real codec touches only that one function.
+  * partition, not per row), partition-parallel. Two decode paths:
+  *
+  *  - [[stubDecode]] (q29): deterministic fake dimensions from payload
+  *    bytes — the placeholder for codecs this container lacks
+  *    (audio/video).
+  *  - [[pngPayloads]] → [[decodePixelStats]] (q169): a REAL image
+  *    codec round-trip on the JDK's own `javax.imageio` — genuine PNG
+  *    bytes are written into the binary column and genuinely parsed
+  *    back out, pixel for pixel. The pixel content derives from doc_id
+  *    alone, so the DuckDB oracle replays the arithmetic without
+  *    needing a codec while the engine exercises the true
+  *    encode→binary-column→decode pipeline.
   */
 object Multimodal {
 
@@ -40,6 +48,69 @@ object Multimodal {
       it.map(stubDecode)
     }.toDF()
       .withColumn("aspect", round(col("width") / col("height"), 6))
+  }
+
+  case class PngBlob(doc_id: Long, payload: Array[Byte])
+  case class PixelStats(doc_id: Long, width: Long, height: Long,
+                        n_pixels: Long, sum_px: Long)
+
+  /** Deterministic pixel content: an 8-bit grayscale image whose shape
+    * and pixels derive from doc_id alone —
+    * width = 4 + doc_id % 5, height = 3 + doc_id % 4,
+    * pixel(x, y) = (doc_id·31 + 7x + 13y) mod 256.
+    * Small on purpose: the fixture rows stand in for real image bytes;
+    * the codec work per row is identical in kind at any size. */
+  private def pixel(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + 7 * x + 13 * y) % 256).toInt
+
+  /** ENCODE: one genuine PNG per document, via `javax.imageio` —
+    * (doc_id, payload: binary). PNG's 8-bit grayscale is lossless, so
+    * the decode side recovers every pixel exactly. */
+  def pngPayloads(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      // per-partition init: ImageIO's plugin registry scan + stream
+      // buffers amortize across the partition's rows
+      it.map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, pixel(id, x, y)); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        PngBlob(id, bos.toByteArray)
+      }
+    }.toDF()
+  }
+
+  /** DECODE: parse the actual PNG stream back (headers AND pixel data)
+    * and reduce to per-image stats — the feature-extraction stage of an
+    * image pipeline, batched per partition. */
+  def decodePixelStats(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.as[PngBlob].mapPartitions { it =>
+      it.map { b =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b.payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        var s = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { s += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        PixelStats(b.doc_id, w.toLong, h.toLong, w.toLong * h, s)
+      }
+    }.toDF()
   }
 
   /** One sampled frame: index in the stream, byte offset, byte length.

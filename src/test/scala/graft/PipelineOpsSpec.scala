@@ -333,6 +333,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(f1 === f2)
   }
 
+  test("png payloads are genuine PNGs; decode recovers every pixel exactly") {
+    val d = docsOf((0L until 20L).map(i => i -> s"doc $i"): _*)
+    val blobs = Multimodal.pngPayloads(spark, d).collect()
+    blobs.foreach { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      // PNG signature: 137 80 78 71 13 10 26 10
+      assert(p.take(4).map(_ & 0xFF).toSeq === Seq(137, 80, 78, 71),
+        "payload must be a real PNG stream")
+    }
+    val stats = Multimodal.decodePixelStats(spark, Multimodal.pngPayloads(spark, d))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    (0L until 20L).foreach { id =>
+      val (w, h) = (4 + id % 5, 3 + id % 4)
+      val sum = (for (y <- 0L until h; x <- 0L until w)
+        yield (id * 31 + 7 * x + 13 * y) % 256).sum
+      assert(stats(id) === ((w, h, w * h, sum)),
+        s"doc $id: decoded stats must equal the encoded arithmetic")
+    }
+  }
+
   test("multimodal stub decode is deterministic and partition-parallel") {
     val d = Sources.table(spark, sfDir, "documents").limit(50)
     val a = Multimodal.decodeFeatures(spark, d).orderBy("doc_id").collect()

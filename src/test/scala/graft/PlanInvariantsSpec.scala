@@ -320,4 +320,47 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert("BroadcastHashJoin .*LeftSemi".r.findAllIn(plan).nonEmpty,
       s"wedge-closing join must be a broadcast semi-join:\n$plan")
   }
+
+  test("triangle plan CONSTRUCTION fires no Spark job (stats-based broadcast decision)") {
+    // the broadcast decision must come from optimizer size estimates
+    // (driver-side metadata), not an eager count() — which would run a
+    // job on every triangleCounts call before any action, including
+    // from explain() and tests
+    import org.apache.spark.sql.functions.col
+    import java.util.concurrent.atomic.AtomicInteger
+    val edges = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_custkey").as("a"), (col("o_custkey") % 97).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val jobs = new AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // the listener bus is async (and private): bracket the construction
+    // with MARKER jobs (range+collect — one job, no shuffle, so no AQE
+    // stage split) and drain until the observed count is QUIESCENT. The
+    // bus is FIFO per queue: once the marker and a quiet period have
+    // been observed, everything posted before them has been delivered.
+    def markerAndDrain(): Int = {
+      spark.range(1).collect()
+      val deadline = System.currentTimeMillis() + 10000
+      var last = -1
+      var cur = jobs.get()
+      while ((cur != last || cur == 0) &&
+             System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); last = cur; cur = jobs.get()
+      }
+      cur
+    }
+    try {
+      val before = markerAndDrain() // earlier suites' backlog + marker
+      val df = graft.operators.Graph.wedgeTriangleCounts(edges)
+      df.queryExecution.executedPlan // force full planning, no action
+      val after = markerAndDrain()
+      assert(after === before + 1, // exactly the second marker
+        s"plan construction ran ${after - before - 1} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

@@ -14,7 +14,7 @@ DuckDB over the same parquet fixtures, sorts columns by name, and
 compares shape + values (exact for non-floats, tiny tolerance report for
 floats so knife-edge rounding shows up before the real gate runs).
 """
-import json, sys, math
+import json, sys, math, re, atexit, shutil, tempfile
 import duckdb
 import pandas as pd
 import pyarrow.parquet as pq
@@ -31,8 +31,17 @@ def main(out_dir, sf_dir, only=()):
     con = duckdb.connect()
     mem = os.environ.get("GRAFT_DUCKDB_MEM")
     if mem:
+        # env var is interpolated into SQL: accept only a plain size
+        # literal, never arbitrary text
+        if not re.fullmatch(r"\d+(\.\d+)?(GB|MB|GiB|MiB)", mem):
+            sys.exit(f"GRAFT_DUCKDB_MEM must look like '48GB'/'512MB', got {mem!r}")
         con.execute(f"SET memory_limit='{mem}'")
-        con.execute("SET temp_directory='/tmp/duckdb_spill'")
+        # per-run spill dir, removed on exit: a fixed shared path
+        # collides across concurrent runs and strands spill (once 77 GB)
+        # when a run is killed mid-query
+        spill = tempfile.mkdtemp(prefix="duckdb_spill_")
+        atexit.register(shutil.rmtree, spill, ignore_errors=True)
+        con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
