@@ -630,8 +630,13 @@ object SparkEntry {
     cleanEvents(s, dir)
       .groupBy(col("event_type"))
       .agg(count(col("value")).as("n"),
-        percentile_approx(col("value"), lit(0.5), lit(2000000)).as("__p50"),
-        percentile_approx(col("value"), lit(0.9), lit(2000000)).as("__p90"))
+        // accuracy 10M keeps εn < 1 (the exact regime) through the sf10
+        // scale proof — the largest clean group there is 2.0M values,
+        // which sat exactly on the old 2M bound (εn ≈ 1.0006: the
+        // guarantee boundary, where the sketch may legally return a
+        // neighbor rank and break the order-statistic oracle match)
+        percentile_approx(col("value"), lit(0.5), lit(10000000)).as("__p50"),
+        percentile_approx(col("value"), lit(0.9), lit(10000000)).as("__p90"))
       .select(col("event_type"), col("n"),
         Aggregates.round6Portable(col("__p50")).as("p50"),
         Aggregates.round6Portable(col("__p90")).as("p90"))
@@ -2787,6 +2792,25 @@ object SparkEntry {
       graft.operators.Graph.connectedComponents(
         stagedSimhashPairs(s, dir), "doc_a", "doc_b"))
 
+  /** [[stagedSimhashPairs]] behind the q166 per-bucket skew cap — the
+    * FLOOD-SAFE pair table the production dedup path (q170/q171) rides.
+    * At sf10 the uncapped build grinds 27.7B band candidates for
+    * 1465 s; this one star-reduces over-cap buckets and lands in 34 s
+    * with identical pairs wherever no bucket exceeds the cap. */
+  private def stagedSimhashPairsCapped(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Staging.stagedParquet(s,
+        s"simhash_pairs_capped|h<=$SimHashMaxHamming|cap=$SimHashBucketCap|$dir")(
+      NearDup.simHashPairsCapped(NearDup.simHash(docs(s, dir)),
+        SimHashMaxHamming, SimHashBucketCap))
+
+  /** Capped clusters staged for the survivors pass — [[stagedSimhashClusters]]
+    * over the flood-safe pair table (same double-compute note). */
+  private def stagedSimhashClustersCapped(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Staging.stagedParquet(s,
+        s"simhash_clusters_capped|h<=$SimHashMaxHamming|cap=$SimHashBucketCap|$dir")(
+      graft.operators.Graph.connectedComponents(
+        stagedSimhashPairsCapped(s, dir), "doc_a", "doc_b"))
+
   /** Near-dup CLUSTERS: transitive closure of the q23 simhash pairs via
     * iterative min-label connected components — A≈B, B≈C puts {A,B,C}
     * in one duplicate group even when A,C differ pairwise. cluster_id
@@ -2808,6 +2832,39 @@ object SparkEntry {
   private def q59(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val dropIds = stagedSimhashClusters(s, dir)
+      .filter(col("n") =!= col("component"))
+      .select(col("n"))
+    d.join(dropIds, d("doc_id") === dropIds("n"), "left_anti")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** q58 with the production skew guard: connected components over the
+    * CAPPED pair table ([[stagedSimhashPairsCapped]]). Where no band
+    * bucket exceeds the cap the pair set — and therefore the clustering
+    * — is IDENTICAL to q58's; in a flood regime the star reduction
+    * keeps each over-cap bucket's anchor-verified members connected
+    * through the anchor (one component per flood template, by
+    * construction) while members whose only paths ran through dropped
+    * non-anchor edges may split off — the bounded, documented recall
+    * trade (`NearDup.simHashPairsCapped`). This is the clustering a
+    * 100 TB curation pipeline actually runs: the uncapped q58 input
+    * costs 43× more to build at sf10 and is non-executable at corpus
+    * scale. */
+  private def q170(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.connectedComponents(
+        stagedSimhashPairsCapped(s, dir), "doc_a", "doc_b")
+      .select(col("n").as("doc_id"), col("component").as("cluster_id"))
+      .orderBy(col("doc_id").asc)
+
+  /** q59's survivor report over the capped clusters
+    * ([[stagedSimhashClustersCapped]]): one canonical doc (smallest id)
+    * per flood-safe duplicate cluster plus every unpaired doc — the
+    * end-to-end production dedup: fingerprint → capped pairs →
+    * components → anti-join, every stage flood-bounded. */
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val dropIds = stagedSimhashClustersCapped(s, dir)
       .filter(col("n") =!= col("component"))
       .select(col("n"))
     d.join(dropIds, d("doc_id") === dropIds("n"), "left_anti")
@@ -3293,9 +3350,8 @@ object SparkEntry {
     * doc_id, exactly the struct-min the engine computes). Band count,
     * band width, cap and hamming threshold are all interpolated from
     * the shared constants. */
-  private lazy val simhashCappedOracle: String =
-    s"""WITH $simhashCte,
-        stats AS (SELECT band, bv, count(*) AS n, min(doc_id) AS anchor
+  private lazy val simhashCappedPairCtes: String =
+    s"""stats AS (SELECT band, bv, count(*) AS n, min(doc_id) AS anchor
                   FROM bnd GROUP BY 1, 2),
         bt AS (SELECT b.doc_id, b.simhash, b.band, b.bv, s.n, s.anchor
                FROM bnd b JOIN stats s ON b.band = s.band AND b.bv = s.bv),
@@ -3311,9 +3367,23 @@ object SparkEntry {
                  CAST(bit_count(xor(f.simhash, t.simhash)) AS BIGINT) AS hamming
           FROM bt t JOIN fpt f ON f.doc_id = t.anchor
           WHERE t.n > $SimHashBucketCap AND t.doc_id <> t.anchor
-            AND bit_count(xor(f.simhash, t.simhash)) <= $SimHashMaxHamming)
+            AND bit_count(xor(f.simhash, t.simhash)) <= $SimHashMaxHamming)"""
+
+  private lazy val simhashCappedOracle: String =
+    s"""WITH $simhashCte,
+        $simhashCappedPairCtes
         SELECT DISTINCT doc_a, doc_b, hamming FROM u
         ORDER BY doc_a ASC, doc_b ASC"""
+
+  /** Shared prefix for the q170/q171 oracles: the capped pair set
+    * ([[simhashCappedPairCtes]]) deduped and symmetrized into the
+    * `edges` relation [[ccUnrolledCtes]] expects — the q58/q59 oracle
+    * shape with the capped generator swapped in. */
+  private lazy val cappedEdgeCtes: String =
+    s"""$simhashCappedPairCtes,
+        prs AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b FROM u),
+        edges AS MATERIALIZED (SELECT doc_a AS n, doc_b AS m FROM prs
+                  UNION SELECT doc_b AS n, doc_a AS m FROM prs)"""
 
   /** Oracle mirror of [[NearDup.simHash64PairsCapped]] (q167) — the
     * 64-bit sibling of [[simhashCappedOracle]] over bnd64/fpt64, the
@@ -3695,7 +3765,9 @@ object SparkEntry {
     "q166_simhash_capped" -> (q166 _),
     "q167_simhash64_capped" -> (q167 _),
     "q168_incremental_capped" -> (q168 _),
-    "q169_image_decode" -> (q169 _))
+    "q169_image_decode" -> (q169 _),
+    "q170_capped_clusters" -> (q170 _),
+    "q171_capped_survivors" -> (q171 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -3929,6 +4001,23 @@ object SparkEntry {
                  floor(CAST(sum(p) AS DOUBLE) / (w * h) * 1000000 + 0.5)
                    / 1000000 AS avg_px
           FROM px GROUP BY doc_id, w, h ORDER BY doc_id ASC""",
+    // q170/q171: the q58/q59 oracles with the capped pair generator
+    // swapped in — same unrolled hook+jump CC, same survivor anti-join,
+    // over the flood-bounded edge set
+    "q170_capped_clusters" ->
+      s"""WITH $simhashCte,
+          $cappedEdgeCtes,
+          ${ccUnrolledCtes()}
+          SELECT n AS doc_id, cluster_id
+          FROM clusters ORDER BY doc_id ASC""",
+    "q171_capped_survivors" ->
+      s"""WITH $simhashCte,
+          $cappedEdgeCtes,
+          ${ccUnrolledCtes()}
+          SELECT d.doc_id, d.source FROM documents d
+          WHERE NOT EXISTS (SELECT 1 FROM clusters c
+                            WHERE c.n = d.doc_id AND c.n != c.cluster_id)
+          ORDER BY d.doc_id ASC""",
     "q164_bpe_merges" -> {
       val unions = (1 to BpeRounds).map(i =>
         s"SELECT CAST($i AS BIGINT) AS round, lhs, rhs, n FROM t$i")

@@ -109,6 +109,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(survivors(capped) === survivors(full))
   }
 
+  test("capped production dedup (q170/q171): clusters refine q58's, survivors superset q59's") {
+    // The capped edge set is a SUBSET of the uncapped one (star
+    // reduction only drops edges, never invents them), so the capped
+    // components must REFINE the uncapped partition — any two docs the
+    // flood-safe path clusters together must also be together under
+    // the exhaustive path — and with fewer merges the survivor set can
+    // only grow. Both properties hold at ANY cap value, so this spec
+    // stays green whether or not the fixture has over-cap buckets.
+    val capped = SparkEntry.queries("q170_capped_clusters")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val uncapped = SparkEntry.queries("q58_dedup_clusters")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped.nonEmpty, "fixtures should produce near-dup clusters")
+    capped.groupBy(_._2).foreach { case (cid, members) =>
+      val under = members.map { case (doc, _) => uncapped(doc) }.distinct
+      assert(under.size == 1,
+        s"capped cluster $cid spans uncapped clusters $under — refinement broken")
+    }
+    val survCapped = SparkEntry.queries("q171_capped_survivors")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val survUncapped = SparkEntry.queries("q59_dedup_survivors")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(survUncapped.subsetOf(survCapped),
+      s"capped dedup dropped docs the uncapped path keeps: ${survUncapped -- survCapped}")
+    // internal consistency: q171 = docs minus q170's non-anchor members
+    val nonAnchors = capped.collect { case (doc, cid) if doc != cid => doc }.toSet
+    val allDocs = Sources.table(spark, sfDir, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survCapped === (allDocs -- nonAnchors))
+  }
+
   test("capped simhash pairs equal the exact pairs when no bucket exceeds the cap") {
     val fp = NearDup.simHash(Sources.table(spark, sfDir, "documents"))
     val exact = NearDup.simHashPairs(fp, 3)
