@@ -8,6 +8,12 @@ object Bench {
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // lz4 the RDD block store: the graph family's DISK_ONLY edge
+      // blocks (duplicate-heavy node-id pairs) compress ~3×, which is
+      // the difference between the sf10 iteration state fitting local
+      // disk and overflowing it; negligible cost elsewhere (shuffle
+      // blocks are compressed by default already)
+      .config("spark.rdd.compress", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

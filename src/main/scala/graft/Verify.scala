@@ -16,6 +16,8 @@ object Verify {
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // see Bench: compresses the graph family's DISK_ONLY blocks
+      .config("spark.rdd.compress", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

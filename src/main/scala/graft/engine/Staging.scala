@@ -29,6 +29,28 @@ object Staging {
 
   private val staged = new ConcurrentHashMap[String, String]()
 
+  /** Durable staging root (`GRAFT_STAGING_DIR`): when set, staged
+    * tables land under `<root>/<md5(key)>` and are REUSED across JVMs
+    * — the `_SUCCESS` marker parquet writes atomically-last is the
+    * "stage landed" signal, exactly how a warehouse pipeline resumes
+    * past completed stages after a driver restart. Unset (the default,
+    * and the driver-gate configuration) keeps per-process temp dirs so
+    * concurrent harness runs can never read each other's half-built
+    * state. Used for the multi-hour sf10 campaigns, where a killed
+    * process otherwise repays a ~25 min pair-table build on restart. */
+  private def persistentRoot: Option[String] =
+    sys.props.get("graft.staging.dir")
+      .orElse(sys.env.get("GRAFT_STAGING_DIR")).filter(_.nonEmpty)
+
+  // only NON-durable dirs are deleted at exit / clear(); a durable
+  // stage's whole point is surviving the process
+  private val tempDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   private def deleteRecursively(dir: String): Unit = {
     import scala.jdk.CollectionConverters._
     val p = java.nio.file.Paths.get(dir)
@@ -40,7 +62,7 @@ object Staging {
   // temp staging dirs live for the process; delete them on exit so
   // repeated local runs don't accumulate orphans in /tmp
   sys.addShutdownHook {
-    staged.values.forEach(deleteRecursively(_))
+    tempDirs.forEach(deleteRecursively(_))
   }
 
   /** The staged frame for `key`, building + landing it on first use.
@@ -57,12 +79,28 @@ object Staging {
     // side of a race — are deleted on the spot, because the shutdown
     // hook only knows about REGISTERED paths.
     val path = Option(staged.get(key)).getOrElse {
-      val dir = Files.createTempDirectory("graft_stage_").toString
-      try build.write.mode("overwrite").parquet(dir)
-      catch { case t: Throwable => deleteRecursively(dir); throw t }
-      Option(staged.putIfAbsent(key, dir)) match {
-        case Some(winner) => deleteRecursively(dir); winner
-        case None => dir
+      persistentRoot match {
+        case Some(root) =>
+          val dir = java.nio.file.Paths.get(root, md5(key)).toString
+          // _SUCCESS is written LAST by the parquet committer, so its
+          // presence certifies a complete landed stage from any prior
+          // process; a dir without it is half-built wreckage → rebuild
+          if (!Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))) {
+            deleteRecursively(dir)
+            Files.createDirectories(java.nio.file.Paths.get(root))
+            try build.write.mode("overwrite").parquet(dir)
+            catch { case t: Throwable => deleteRecursively(dir); throw t }
+          }
+          staged.putIfAbsent(key, dir)
+          dir
+        case None =>
+          val dir = Files.createTempDirectory("graft_stage_").toString
+          try build.write.mode("overwrite").parquet(dir)
+          catch { case t: Throwable => deleteRecursively(dir); throw t }
+          Option(staged.putIfAbsent(key, dir)) match {
+            case Some(winner) => deleteRecursively(dir); winner
+            case None => tempDirs.add(dir); dir
+          }
       }
     }
     spark.read.parquet(path)
@@ -98,18 +136,19 @@ object Staging {
     else {
       val planText = df.queryExecution.analyzed.canonicalized.toString
       val files = df.inputFiles.sorted.mkString("\n")
-      val key = tag + ":" + java.security.MessageDigest.getInstance("MD5")
-        .digest((planText + "|" + files).getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
+      val key = tag + ":" + md5(planText + "|" + files)
       stagedParquet(df.sparkSession, key)(df)
     }
   }
 
-  /** Drop all staged tables — registrations AND their directories
-    * (tests / forced rebuild); dropping only the map entries would
-    * strand the dirs past the shutdown hook's reach. */
+  /** Drop all staged tables — registrations AND the non-durable
+    * directories (tests / forced rebuild); dropping only the map
+    * entries would strand the temp dirs past the shutdown hook's
+    * reach. Durable (`GRAFT_STAGING_DIR`) dirs survive by design —
+    * delete the root itself to force a rebuild. */
   def clear(): Unit = {
-    staged.values.forEach(deleteRecursively(_))
+    tempDirs.forEach(deleteRecursively(_))
+    tempDirs.clear()
     staged.clear()
   }
 }

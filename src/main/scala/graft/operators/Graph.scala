@@ -15,12 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Lineage cut for iterative plans. `localCheckpoint` pins blocks in
-    * executor memory — right for local mode and short loops, lossy on
-    * executor failure at cluster scale. Passing `checkpointDir` (HDFS/
-    * object-store path on a real cluster) switches every per-round cut
-    * to a RELIABLE `checkpoint()`, so a lost executor replays from
-    * storage instead of failing the job. */
+  /** Lineage cuts for iterative plans: executor-local blocks by
+    * default (see [[cut]] for the storage-level policy), or a RELIABLE
+    * `checkpoint()` when `checkpointDir` (HDFS/object-store path on a
+    * real cluster) is passed, so a lost executor replays from storage
+    * instead of failing the job. */
   // last dir REQUESTED per context, recorded on our side: comparing the
   // request against sc.getCheckpointDir is unsound — Spark returns a
   // scheme-qualified UUID subdir ("file:/dir/<uuid>") that never equals
@@ -31,8 +30,27 @@ object Graph {
   private val requestedCkptDir =
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, String]()
 
-  private def cut(df: DataFrame, checkpointDir: Option[String]): DataFrame =
-    checkpointDir match {
+  /** Lineage cut with a storage level matched to the table's scale.
+    *
+    * Node-scale state (labels, ranks — O(|V|) rows) cuts to
+    * MEMORY_AND_DISK_SER: small, hot, re-joined every round.
+    *
+    * Edge-scale state (`edgeScale = true`: symmetrized adjacency,
+    * kCore's per-round edge sets — O(|E|) rows) cuts to DISK_ONLY.
+    * Measured at sf10 (700M-edge near-dup graph): one symmetrized
+    * edge table is ~47 GB of serialized blocks, and ANY in-memory
+    * level makes the storage pool fight the per-round joins'
+    * execution memory for the heap — first run OOM'd outright
+    * (deserialized default), second died of a 128 s full-GC pause
+    * tripping the heartbeat timeout (MEMORY_AND_DISK_SER). Disk-only
+    * blocks keep the heap for execution; each round re-reads the
+    * adjacency at sequential-scan speed, which is the same I/O
+    * discipline a 1000-executor cluster applies by landing iteration
+    * inputs in storage rather than pinning them in RAM. */
+  private def cut(df: DataFrame, checkpointDir: Option[String],
+                  edgeScale: Boolean = false): DataFrame =
+    if (isCheapToRecompute(df)) df
+    else checkpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
         if (requestedCkptDir.get(sc) != dir) {
@@ -40,8 +58,31 @@ object Graph {
           requestedCkptDir.put(sc, dir)
         }
         df.checkpoint()
-      case None => df.localCheckpoint()
+      case None => df.localCheckpoint(true,
+        if (edgeScale) org.apache.spark.storage.StorageLevel.DISK_ONLY
+        else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
+
+  /** A cut exists to stop a multiply-consumed subtree from re-running
+    * an EXPENSIVE upstream — but when the plan below is nothing but
+    * scan/project/filter/union (the staged-table case: graph queries
+    * consume pair tables already landed as parquet by
+    * `graft.engine.Staging`), re-scanning per consumer is strictly
+    * cheaper than materializing a second on-disk copy. Measured at
+    * sf10: cutting CC's projected 700M-row edge list re-landed ~22 GB
+    * of a table whose parquet form is 3.5 GB on disk two directories
+    * away — pure waste, and enough to overflow local disk alongside
+    * the symmetrized adjacency blocks. Any shuffle-bearing or
+    * aggregating node (join, agg, window, generate, repartition, sort)
+    * keeps the cut. */
+  private def isCheapToRecompute(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    !df.queryExecution.optimizedPlan.exists {
+      case _: Join | _: Aggregate | _: Window | _: Generate |
+           _: RepartitionOperation | _: Sort => true
+      case _ => false
+    }
+  }
 
   /** Label every node with the smallest node id reachable from it
     * (`component`), via iterative min-label propagation:
@@ -88,7 +129,7 @@ object Graph {
     // references it twice, and an unmaterialized subtree would evaluate
     // the (possibly expensive) upstream pair pipeline once per branch
     val e1 = cut(edges.select(col(srcCol).as("n"), col(dstCol).as("m")),
-      checkpointDir)
+      checkpointDir, edgeScale = true)
     // symmetric relation; input pairs (a<b) are unique by convention so
     // the two directions never collide
     val sym = e1.union(e1.select(col("m").as("n"), col("n").as("m")))
@@ -101,7 +142,7 @@ object Graph {
     // shuffled and checkpointed for nothing
     lazy val symSelf = cut(sym
       .union(labels.select(col("n"), col("n").as("m")))
-      .repartition(col("m")), checkpointDir)
+      .repartition(col("m")), checkpointDir, edgeScale = true)
     // exact decimal: monotone decreasing, overflow-free at any scale;
     // sum over an EMPTY frame is NULL → normalize to zero so a pairless
     // input converges to the empty result instead of an NPE
@@ -209,7 +250,8 @@ object Graph {
     * scan per round on a shrinking edge set, zero false fixpoints. */
   private[operators] def largeSmallStar(edges: DataFrame,
                                         checkpointDir: Option[String] = None): DataFrame = {
-    var e = cut(edges.filter(col("n") =!= col("m")).distinct(), checkpointDir)
+    var e = cut(edges.filter(col("n") =!= col("m")).distinct(), checkpointDir,
+      edgeScale = true)
     var eCount = e.count()
     if (eCount == 0) return e
     // nodes ≤ 2·edges; the paper's whp bound is O(log² n) rounds with
@@ -222,7 +264,7 @@ object Graph {
     var stable = false
     var rounds = 0L
     while (!stable && rounds < bound) {
-      val next = cut(smallStar(largeStar(e)), checkpointDir)
+      val next = cut(smallStar(largeStar(e)), checkpointDir, edgeScale = true)
       val nextCount = next.count()
       stable = nextCount == eCount && next.except(e).isEmpty
       e = next
@@ -393,12 +435,14 @@ object Graph {
     // cut before symmetrizing: the union consumes the upstream pair
     // pipeline twice otherwise (same reasoning as connectedComponents)
     val e1 = cut(edges.select(col(srcCol).as("n"), col(dstCol).as("m"))
-      .filter(col("n") =!= col("m")).distinct(), checkpointDir)
+      .filter(col("n") =!= col("m")).distinct(), checkpointDir,
+      edgeScale = true)
     val sym = e1.union(e1.select(col("m").as("n"), col("n").as("m")))
     val deg = sym.groupBy(col("n")).agg(count(lit(1)).as("deg"))
     // edges partitioned once on the rank-join key; every round reuses
     // the exchange instead of reshuffling the (large) edge side
-    val symPart = cut(sym.repartition(col("n")), checkpointDir)
+    val symPart = cut(sym.repartition(col("n")), checkpointDir,
+      edgeScale = true)
     val nNodes = deg.count() // one scalar to size r0; the only collect
     if (nNodes == 0)
       return deg.select(col("n"), col("deg").cast("long").as("rank_fp")).limit(0)
@@ -444,9 +488,11 @@ object Graph {
     // survive distinct() twice and double that neighbor's vote
     val e1 = cut(edges.select(least(col(srcCol), col(dstCol)).as("n"),
         greatest(col(srcCol), col(dstCol)).as("m"))
-      .filter(col("n") =!= col("m")).distinct(), checkpointDir)
+      .filter(col("n") =!= col("m")).distinct(), checkpointDir,
+      edgeScale = true)
     val sym = e1.union(e1.select(col("m").as("n"), col("n").as("m")))
-    val symPart = cut(sym.repartition(col("m")), checkpointDir)
+    val symPart = cut(sym.repartition(col("m")), checkpointDir,
+      edgeScale = true)
     var labels = sym.select(col("n")).distinct()
       .select(col("n"), col("n").as("lbl"))
     for (_ <- 1 to rounds) {
@@ -492,11 +538,12 @@ object Graph {
       cut(e0
         .join(keep.select(col("node").as("a")), "a", "left_semi")
         .join(keep.select(col("node").as("b")), "b", "left_semi")
-        .select(col("a"), col("b")), checkpointDir)
+        .select(col("a"), col("b")), checkpointDir, edgeScale = true)
     }
     var e = cut(edges.select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b")).distinct(), checkpointDir)
+      .filter(col("a") =!= col("b")).distinct(), checkpointDir,
+      edgeScale = true)
     for (_ <- 1 to rounds) e = peel(e)
     if (assertConverged) {
       val before = e.count()

@@ -225,6 +225,40 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(first === second && first === Set(1L -> 2L, 3L -> 4L))
   }
 
+  test("durable staging root survives a simulated process restart") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("stage_root_").toString
+    System.setProperty("graft.staging.dir", root)
+    try {
+      var builds = 0
+      def frame = { builds += 1; spark.range(5).selectExpr("id", "id * id AS sq") }
+      val k = s"durable_spec_${System.nanoTime()}"
+      val first = graft.engine.Staging.stagedParquet(spark, k)(frame)
+        .collect().map(_.getLong(1)).toSet
+      // simulate a fresh JVM: the in-memory registry is gone, only the
+      // landed parquet (with its _SUCCESS marker) remains on disk
+      graft.engine.Staging.clear()
+      val second = graft.engine.Staging.stagedParquet(spark, k)(frame)
+        .collect().map(_.getLong(1)).toSet
+      assert(builds === 1,
+        "a restarted process must resume past the landed stage, not rebuild")
+      assert(first === second && first === Set(0L, 1L, 4L, 9L, 16L))
+      // a half-built stage (no _SUCCESS) must NOT be trusted
+      val k2 = s"durable_half_${System.nanoTime()}"
+      val halfDir = new java.io.File(java.net.URI.create(
+        graft.engine.Staging.stagedParquet(spark, k2)(frame).inputFiles.head)).getParent
+      graft.engine.Staging.clear()
+      assert(builds === 2)
+      assert(new java.io.File(halfDir, "_SUCCESS").delete(),
+        s"test setup: no _SUCCESS marker found in $halfDir")
+      graft.engine.Staging.stagedParquet(spark, k2)(frame).collect()
+      assert(builds === 3, "a stage dir without _SUCCESS must be rebuilt")
+    } finally {
+      System.clearProperty("graft.staging.dir")
+      graft.engine.Staging.clear()
+    }
+  }
+
   test("q133 higher moments: one partial+final agg pair, no Expand, pruned scan") {
     val plan = planOf("q133_higher_moments")
     // 4 moments in ONE grouped pass: exactly one partial+final HashAggregate
