@@ -1836,7 +1836,7 @@ object SparkEntry {
     // below (inner cumsum, bucket offsets, per-flag totals); without
     // landing it each branch re-runs the full fact-table groupBy — at
     // sf10 that tripled a ~60 s aggregation. One scan, three readers.
-    val byPrice = graft.engine.Staging.stagedParquet(s, s"q137_by_price|$dir")(
+    val byPrice = graft.engine.Staging.stagedParquet(s, s"q137_by_price|$dir", Seq(dir))(
       Sources.table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_extendedprice"))
         .agg(Aggregates.exactSum(col("l_quantity")).as("w"))
@@ -1910,7 +1910,7 @@ object SparkEntry {
     * Orders side: (d, n_orders, revenue) — consumed by q140 (calendar
     * spine), q156 (ACF of daily counts), q157 (CUSUM of daily revenue). */
   private def ordersDaily(s: SparkSession, dir: String): DataFrame =
-    graft.engine.Staging.stagedParquet(s, s"orders_daily|$dir")(
+    graft.engine.Staging.stagedParquet(s, s"orders_daily|$dir", Seq(dir))(
       Sources.table(s, dir, "orders")
         .groupBy(expr("datediff(o_orderdate, DATE '1970-01-01')")
           .cast("long").as("d"))
@@ -1929,7 +1929,7 @@ object SparkEntry {
     * them out — one table serves both universes. */
   private def eventsDailyCells(s: SparkSession, dir: String): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 12)
-    graft.engine.Staging.stagedParquet(s, s"events_daily_cells|$dir")(
+    graft.engine.Staging.stagedParquet(s, s"events_daily_cells|$dir", Seq(dir))(
       events(s, dir)
         .withColumn("__clean", Cleaning.notMissing(col("value")))
         .select(col("event_type"),
@@ -2389,7 +2389,9 @@ object SparkEntry {
           greatest(col("doc_id"), col(s"nid$i")).as("doc_b"),
           expr(s"bit_count(simhash ^ nfp$i)").cast("long").as("hamming"))
     }.reduce(_ unionByName _)
-      .filter(col("hamming") <= 3)
+      // same near-dup threshold as the band-join family (q22/q23/q166)
+      // — shared constant so the two generators can never drift apart
+      .filter(col("hamming") <= SimHashMaxHamming)
       .distinct()
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
@@ -2776,7 +2778,7 @@ object SparkEntry {
     * other scans the staged parquet — exactly the staging-table shape
     * a 100 TB pipeline uses between stages. */
   private def stagedSimhashPairs(s: SparkSession, dir: String): DataFrame =
-    graft.engine.Staging.stagedParquet(s, s"simhash_pairs|h<=$SimHashMaxHamming|$dir")(
+    graft.engine.Staging.stagedParquet(s, s"simhash_pairs|h<=$SimHashMaxHamming|$dir", Seq(dir))(
       NearDup.simHashPairs(NearDup.simHash(docs(s, dir)), maxHamming = SimHashMaxHamming))
 
   /** The clusters table itself, staged: q58's OUTPUT is a pipeline
@@ -2788,7 +2790,7 @@ object SparkEntry {
     * graph algorithm itself. Net per process: CC computes twice (q58's
     * live run + this build) instead of once per q58/q59 execution. */
   private def stagedSimhashClusters(s: SparkSession, dir: String): DataFrame =
-    graft.engine.Staging.stagedParquet(s, s"simhash_clusters|h<=$SimHashMaxHamming|$dir")(
+    graft.engine.Staging.stagedParquet(s, s"simhash_clusters|h<=$SimHashMaxHamming|$dir", Seq(dir))(
       graft.operators.Graph.connectedComponents(
         stagedSimhashPairs(s, dir), "doc_a", "doc_b"))
 
@@ -2799,7 +2801,8 @@ object SparkEntry {
     * with identical pairs wherever no bucket exceeds the cap. */
   private def stagedSimhashPairsCapped(s: SparkSession, dir: String): DataFrame =
     graft.engine.Staging.stagedParquet(s,
-        s"simhash_pairs_capped|h<=$SimHashMaxHamming|cap=$SimHashBucketCap|$dir")(
+        s"simhash_pairs_capped|h<=$SimHashMaxHamming|cap=$SimHashBucketCap|$dir",
+        Seq(dir))(
       NearDup.simHashPairsCapped(NearDup.simHash(docs(s, dir)),
         SimHashMaxHamming, SimHashBucketCap))
 
@@ -2807,7 +2810,8 @@ object SparkEntry {
     * over the flood-safe pair table (same double-compute note). */
   private def stagedSimhashClustersCapped(s: SparkSession, dir: String): DataFrame =
     graft.engine.Staging.stagedParquet(s,
-        s"simhash_clusters_capped|h<=$SimHashMaxHamming|cap=$SimHashBucketCap|$dir")(
+        s"simhash_clusters_capped|h<=$SimHashMaxHamming|cap=$SimHashBucketCap|$dir",
+        Seq(dir))(
       graft.operators.Graph.connectedComponents(
         stagedSimhashPairsCapped(s, dir), "doc_a", "doc_b"))
 
@@ -2871,6 +2875,52 @@ object SparkEntry {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id").asc)
   }
+
+  /** q96's triangle counts over the FLOOD-SAFE capped pair table —
+    * the graph-analytics variant a 100 TB curation run can actually
+    * execute: the uncapped pair graph's wedge bound at sf10 is a
+    * measured Σd(d−1)/2 = 5.6×10¹² (non-executable; SCALE.md), while
+    * the star-capped graph keeps per-bucket degree bounded so the
+    * wedge table stays linear-ish in |E|. Same operator, same staged
+    * wedge reuse with q173 — only the edge generator changes. */
+  private def q172(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.triangleCounts(
+        stagedSimhashPairsCapped(s, dir), "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("n_triangles"))
+      .orderBy(col("doc_id").asc)
+
+  /** q119's local clustering coefficients over the capped pair table
+    * (flood-safe twin; see [[q172]]) — consumes the SAME staged wedge
+    * table q172 lands, so the pair of reports costs one wedge pass. */
+  private def q173(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.clusteringCoefficients(
+        stagedSimhashPairsCapped(s, dir), "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("degree"), col("n_triangles"),
+        r6(col("clustering")).as("clustering"))
+      .orderBy(col("doc_id").asc)
+
+  /** q150's 2-core over the capped pair table (flood-safe twin). */
+  private def q174(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.kCoreFixedRounds(stagedSimhashPairsCapped(s, dir),
+        "doc_a", "doc_b", k = 2, rounds = 4)
+      .select(col("node").as("doc_id"), col("core_degree"))
+      .orderBy(col("doc_id").asc)
+
+  /** q123's label-propagation communities over the capped pair table
+    * (flood-safe twin). */
+  private def q175(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.labelPropagation(stagedSimhashPairsCapped(s, dir),
+        "doc_a", "doc_b", rounds = 3)
+      .select(col("n").as("doc_id"), col("community"))
+      .orderBy(col("doc_id").asc)
+
+  /** q101's fixed-point PageRank over the capped pair table
+    * (flood-safe twin). */
+  private def q176(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.pageRankFixedPoint(
+        stagedSimhashPairsCapped(s, dir), "doc_a", "doc_b", iterations = 4)
+      .select(col("n").as("doc_id"), col("rank_fp"))
+      .orderBy(col("doc_id").asc)
 
   /** IDF-weighted salient terms per source: tf · N/df with a reciprocal
     * (not log) idf so the score is one exact long multiply + one IEEE
@@ -3385,6 +3435,85 @@ object SparkEntry {
         edges AS MATERIALIZED (SELECT doc_a AS n, doc_b AS m FROM prs
                   UNION SELECT doc_b AS n, doc_a AS m FROM prs)"""
 
+  /** The two pair-table prefixes the graph-analytics oracles swap
+    * between — each ends by defining `prs(a, b)` with a < b canonical
+    * (the capped generator's star arm emits (anchor = bucket-min,
+    * member), so a < b holds there by construction too). The five
+    * oracle bodies (triangles / clustering / k-core / LPA / PageRank)
+    * are written once against `prs` and instantiated for both edge
+    * generators, so the capped q172–q176 family provably runs the
+    * IDENTICAL recurrence as the uncapped q96/q119/q150/q123/q101 —
+    * only the pair generator differs. */
+  private lazy val uncappedPrsCte: String =
+    s"""prs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                  FROM bnd a JOIN bnd b
+                    ON a.band = b.band AND a.bv = b.bv
+                      AND a.doc_id < b.doc_id
+                  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHashMaxHamming)"""
+
+  private lazy val cappedPrsCte: String =
+    s"""$simhashCappedPairCtes,
+        prs AS MATERIALIZED (SELECT DISTINCT doc_a AS a, doc_b AS b FROM u)"""
+
+  /** q96-shaped triangle-participation oracle over `prs`. */
+  private def triangleOracle(prsCte: String): String =
+    s"""WITH $simhashCte,
+        $prsCte,
+        tri AS (SELECT e1.a AS x, e1.m AS y, e2.c AS z
+                FROM (SELECT a, b AS m FROM prs) e1
+                JOIN (SELECT a AS m, b AS c FROM prs) e2 USING (m)
+                WHERE EXISTS (SELECT 1 FROM prs e3
+                              WHERE e3.a = e1.a AND e3.b = e2.c)),
+        nodes AS (SELECT unnest([x, y, z]) AS doc_id FROM tri)
+        SELECT doc_id, count(*) AS n_triangles
+        FROM nodes GROUP BY doc_id ORDER BY doc_id ASC"""
+
+  /** q119-shaped clustering-coefficient oracle over `prs`. */
+  private def clusteringOracle(prsCte: String): String =
+    s"""WITH $simhashCte,
+        $prsCte,
+        deg AS (SELECT node, count(*) AS degree FROM
+                  (SELECT unnest([a, b]) AS node FROM prs)
+                GROUP BY node),
+        tri AS (SELECT e1.a AS x, e1.m AS y, e2.c AS z
+                FROM (SELECT a, b AS m FROM prs) e1
+                JOIN (SELECT a AS m, b AS c FROM prs) e2 USING (m)
+                WHERE EXISTS (SELECT 1 FROM prs e3
+                              WHERE e3.a = e1.a AND e3.b = e2.c)),
+        tc AS (SELECT doc_id, count(*) AS n_triangles FROM
+                 (SELECT unnest([x, y, z]) AS doc_id FROM tri)
+               GROUP BY doc_id)
+        SELECT deg.node AS doc_id, deg.degree,
+               coalesce(tc.n_triangles, 0) AS n_triangles,
+               CASE WHEN deg.degree >= 2
+                    THEN round(CAST(2 * coalesce(tc.n_triangles, 0) AS DOUBLE)
+                               / CAST(deg.degree * (deg.degree - 1) AS DOUBLE), 6)
+                    ELSE 0.0 END AS clustering
+        FROM deg LEFT JOIN tc ON tc.doc_id = deg.node
+        ORDER BY doc_id ASC"""
+
+  /** q150-shaped 2-core oracle over `prs` (4 unrolled peels; every
+    * round CTE MATERIALIZED — DuckDB inlines plain CTEs and each round
+    * is referenced several times). */
+  private def kcoreOracle(prsCte: String): String = {
+    val rounds = (1 to 4).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT node, count(*) AS deg
+                FROM (SELECT a AS node FROM e${r - 1}
+                      UNION ALL SELECT b AS node FROM e${r - 1})
+                GROUP BY 1),
+        e$r AS MATERIALIZED (SELECT a, b FROM e${r - 1}
+              WHERE a IN (SELECT node FROM d$r WHERE deg >= 2)
+                AND b IN (SELECT node FROM d$r WHERE deg >= 2))"""
+    }.mkString(",\n          ")
+    s"""WITH $simhashCte,
+        $prsCte,
+        e0 AS (SELECT a, b FROM prs),
+        $rounds
+        SELECT node AS doc_id, count(*) AS core_degree
+        FROM (SELECT a AS node FROM e4 UNION ALL SELECT b AS node FROM e4)
+        GROUP BY 1 ORDER BY doc_id ASC"""
+  }
+
   /** Oracle mirror of [[NearDup.simHash64PairsCapped]] (q167) — the
     * 64-bit sibling of [[simhashCappedOracle]] over bnd64/fpt64, the
     * hamming summed across both 32-bit halves. */
@@ -3767,7 +3896,12 @@ object SparkEntry {
     "q168_incremental_capped" -> (q168 _),
     "q169_image_decode" -> (q169 _),
     "q170_capped_clusters" -> (q170 _),
-    "q171_capped_survivors" -> (q171 _))
+    "q171_capped_survivors" -> (q171 _),
+    "q172_capped_triangles" -> (q172 _),
+    "q173_capped_clustering" -> (q173 _),
+    "q174_capped_kcore" -> (q174 _),
+    "q175_capped_lpa" -> (q175 _),
+    "q176_capped_pagerank" -> (q176 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -4018,6 +4152,14 @@ object SparkEntry {
           WHERE NOT EXISTS (SELECT 1 FROM clusters c
                             WHERE c.n = d.doc_id AND c.n != c.cluster_id)
           ORDER BY d.doc_id ASC""",
+    // q172–q176: the five graph-analytics oracle bodies instantiated
+    // over the CAPPED pair generator — same recurrences as their
+    // uncapped twins (q96/q119/q150/q123/q101), only `prs` changes
+    "q172_capped_triangles" -> triangleOracle(cappedPrsCte),
+    "q173_capped_clustering" -> clusteringOracle(cappedPrsCte),
+    "q174_capped_kcore" -> kcoreOracle(cappedPrsCte),
+    "q175_capped_lpa" -> lpaOracle(cappedPrsCte),
+    "q176_capped_pagerank" -> pagerankOracle(cappedPrsCte),
     "q164_bpe_merges" -> {
       val unions = (1 to BpeRounds).map(i =>
         s"SELECT CAST($i AS BIGINT) AS round, lhs, rhs, n FROM t$i")
@@ -4807,21 +4949,7 @@ object SparkEntry {
                        * 1000000 + 0.5) / 1000000 AS wow_pct
           FROM lg ORDER BY l_returnflag ASC, wk ASC""",
     // triangles a<b<c once each: wedge (a,m)+(m,c) closed by (a,c)
-    "q96_triangles" ->
-      s"""WITH $simhashCte,
-          prs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-                  FROM bnd a JOIN bnd b
-                    ON a.band = b.band AND a.bv = b.bv
-                      AND a.doc_id < b.doc_id
-                  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHashMaxHamming),
-          tri AS (SELECT e1.a AS x, e1.m AS y, e2.c AS z
-                  FROM (SELECT a, b AS m FROM prs) e1
-                  JOIN (SELECT a AS m, b AS c FROM prs) e2 USING (m)
-                  WHERE EXISTS (SELECT 1 FROM prs e3
-                                WHERE e3.a = e1.a AND e3.b = e2.c)),
-          nodes AS (SELECT unnest([x, y, z]) AS doc_id FROM tri)
-          SELECT doc_id, count(*) AS n_triangles
-          FROM nodes GROUP BY doc_id ORDER BY doc_id ASC""",
+    "q96_triangles" -> triangleOracle(uncappedPrsCte),
     "q97_decontamination" ->
       s"""WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS toks
                       FROM documents),
@@ -4879,7 +5007,7 @@ object SparkEntry {
                        / CAST(df_a * df_b AS DOUBLE) * 1000000 + 0.5) / 1000000
                    AS lift
           FROM pr, nn WHERE df_ab >= 5 ORDER BY tok_a ASC, tok_b ASC""",
-    "q101_pagerank" -> pagerankOracle,
+    "q101_pagerank" -> pagerankOracle(uncappedPrsCte),
     // integer moments in the cents domain (see q92); slope/intercept
     // divide by the same literal 100 the engine divides by
     "q102_line_fit" ->
@@ -5217,32 +5345,7 @@ object SparkEntry {
           FROM it JOIN sz ON sz.doc_id = it.doc_a
           WHERE CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) >= 0.8
           ORDER BY doc_a ASC, doc_b ASC""",
-    "q119_clustering_coeff" ->
-      s"""WITH $simhashCte,
-          prs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-                  FROM bnd a JOIN bnd b
-                    ON a.band = b.band AND a.bv = b.bv
-                      AND a.doc_id < b.doc_id
-                  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHashMaxHamming),
-          deg AS (SELECT node, count(*) AS degree FROM
-                    (SELECT unnest([a, b]) AS node FROM prs)
-                  GROUP BY node),
-          tri AS (SELECT e1.a AS x, e1.m AS y, e2.c AS z
-                  FROM (SELECT a, b AS m FROM prs) e1
-                  JOIN (SELECT a AS m, b AS c FROM prs) e2 USING (m)
-                  WHERE EXISTS (SELECT 1 FROM prs e3
-                                WHERE e3.a = e1.a AND e3.b = e2.c)),
-          tc AS (SELECT doc_id, count(*) AS n_triangles FROM
-                   (SELECT unnest([x, y, z]) AS doc_id FROM tri)
-                 GROUP BY doc_id)
-          SELECT deg.node AS doc_id, deg.degree,
-                 coalesce(tc.n_triangles, 0) AS n_triangles,
-                 CASE WHEN deg.degree >= 2
-                      THEN round(CAST(2 * coalesce(tc.n_triangles, 0) AS DOUBLE)
-                                 / CAST(deg.degree * (deg.degree - 1) AS DOUBLE), 6)
-                      ELSE 0.0 END AS clustering
-          FROM deg LEFT JOIN tc ON tc.doc_id = deg.node
-          ORDER BY doc_id ASC""",
+    "q119_clustering_coeff" -> clusteringOracle(uncappedPrsCte),
     "q120_weighted_select" ->
       s"""WITH d AS (SELECT doc_id, source,
                        0.5 + CAST(n_chars % 100 AS DOUBLE) / 100 AS w
@@ -5300,7 +5403,7 @@ object SparkEntry {
                  floor(CAST(max(n_rows) AS DOUBLE) / quantile_cont(n_rows, 0.5)
                        * 1000000 + 0.5) / 1000000 AS skew_factor
           FROM counts ORDER BY n_keys ASC""",
-    "q123_lpa_communities" -> lpaOracle,
+    "q123_lpa_communities" -> lpaOracle(uncappedPrsCte),
     "q124_pattern_audit" -> {
       val cats = Seq(
         ("entity", "\\b(customer|order|supplier)\\b"),
@@ -5748,30 +5851,7 @@ object SparkEntry {
                  floor(max(sv) * 1000000 + 0.5) / 1000000 AS second_value,
                  floor(max(lv) * 1000000 + 0.5) / 1000000 AS last_value
           FROM w GROUP BY user_id ORDER BY user_id ASC""",
-    "q150_kcore" -> {
-      // every round CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
-      // the unrolled peels reference each round several times — inlining
-      // would re-run the quadratic pair join once per reference
-      val rounds = (1 to 4).map { r =>
-        s"""d$r AS MATERIALIZED (SELECT node, count(*) AS deg
-                  FROM (SELECT a AS node FROM e${r - 1}
-                        UNION ALL SELECT b AS node FROM e${r - 1})
-                  GROUP BY 1),
-          e$r AS MATERIALIZED (SELECT a, b FROM e${r - 1}
-                WHERE a IN (SELECT node FROM d$r WHERE deg >= 2)
-                  AND b IN (SELECT node FROM d$r WHERE deg >= 2))"""
-      }.mkString(",\n          ")
-      s"""WITH $simhashCte,
-          e0 AS MATERIALIZED (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-                  FROM bnd a JOIN bnd b
-                    ON a.band = b.band AND a.bv = b.bv
-                      AND a.doc_id < b.doc_id
-                  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHashMaxHamming),
-          $rounds
-          SELECT node AS doc_id, count(*) AS core_degree
-          FROM (SELECT a AS node FROM e4 UNION ALL SELECT b AS node FROM e4)
-          GROUP BY 1 ORDER BY doc_id ASC"""
-    },
+    "q150_kcore" -> kcoreOracle(uncappedPrsCte),
     "q151_percentile_bridge" ->
       s"""WITH base AS (
             SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS vk,
@@ -5830,7 +5910,8 @@ object SparkEntry {
                                     ORDER BY simhash ASC, doc_id ASC)),
           prs AS ($arms)
           SELECT DISTINCT a AS doc_a, b AS doc_b, CAST(h AS BIGINT) AS hamming
-          FROM prs WHERE h <= 3 ORDER BY doc_a ASC, doc_b ASC"""
+          FROM prs WHERE h <= $SimHashMaxHamming
+          ORDER BY doc_a ASC, doc_b ASC"""
     },
     "q154_psi" ->
       s"""WITH base AS (
@@ -6059,7 +6140,7 @@ object SparkEntry {
     * runs: neighbor-majority vote, ties to the smallest label
     * (row_number ORDER BY c DESC, lbl ASC ≡ the engine's
     * max(struct(c, −lbl))). */
-  private def lpaOracle: String = {
+  private def lpaOracle(prsCte: String): String = {
     val rounds = (1 to 3).map { i =>
       s"""v$i AS (SELECT e.n, l${i - 1}.lbl, count(*) AS c
                   FROM e JOIN l${i - 1} ON e.m = l${i - 1}.n GROUP BY 1, 2),
@@ -6068,11 +6149,7 @@ object SparkEntry {
                     ORDER BY c DESC, lbl ASC) = 1)"""
     }.mkString(",\n")
     s"""WITH $simhashCte,
-        prs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-                  FROM bnd a JOIN bnd b
-                    ON a.band = b.band AND a.bv = b.bv
-                      AND a.doc_id < b.doc_id
-                  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHashMaxHamming),
+        $prsCte,
         e AS MATERIALIZED (SELECT a AS n, b AS m FROM prs UNION SELECT b, a FROM prs),
         l0 AS (SELECT DISTINCT n, n AS lbl FROM e),
         $rounds
@@ -6084,7 +6161,7 @@ object SparkEntry {
     * .pageRankFixedPoint]] runs (base 10¹², d = 85%): rᵢ₊₁(v) =
     * 15·(base div N) div 100 + 85·(Σ rᵢ(u) div deg(u)) div 100. Pure
     * integral arithmetic on both engines ⇒ bit-equal ranks. */
-  private def pagerankOracle: String = {
+  private def pagerankOracle(prsCte: String): String = {
     val rounds = (1 to 4).map { i =>
       s"""c$i AS (SELECT ed.m AS node, sum(r${i - 1}.r // deg.deg) AS s
                   FROM ed JOIN r${i - 1} ON ed.n = r${i - 1}.node
@@ -6094,13 +6171,9 @@ object SparkEntry {
                         + (85 * s) // 100 AS r FROM c$i, nn)"""
     }.mkString(",\n          ")
     s"""WITH $simhashCte,
-        prs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-                  FROM bnd a JOIN bnd b
-                    ON a.band = b.band AND a.bv = b.bv
-                      AND a.doc_id < b.doc_id
-                  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHashMaxHamming),
-        ed AS MATERIALIZED (SELECT da AS n, db AS m FROM prs
-               UNION SELECT db AS n, da AS m FROM prs),
+        $prsCte,
+        ed AS MATERIALIZED (SELECT a AS n, b AS m FROM prs
+               UNION SELECT b AS n, a AS m FROM prs),
         deg AS (SELECT n, count(*) AS deg FROM ed GROUP BY n),
         nn AS (SELECT count(*) AS c FROM deg),
         r0 AS (SELECT deg.n AS node, 1000000000000 // nn.c AS r FROM deg, nn),

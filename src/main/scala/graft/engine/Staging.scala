@@ -27,7 +27,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Staging {
 
+  /** Algorithm/build fingerprint folded into EVERY staging key. Bump
+    * whenever an operator's SEMANTICS change (bug fix, threshold
+    * change): a durable root (`GRAFT_STAGING_DIR`) outlives the
+    * process, and without a version in the key a multi-day scale
+    * campaign silently reuses intermediates landed by the PRE-fix
+    * build — exactly the failure mode that corrupts a campaign after
+    * an in-campaign fix. The campaign protocol (verify skill) pins
+    * this: bump on commit, or wipe the root. */
+  val AlgoVersion = "g8"
+
   private val staged = new ConcurrentHashMap[String, String]()
+
+  // per-key build locks (JVM-local): two threads racing one key build
+  // it once. A separate map from `staged` so NESTED stage builds (the
+  // clusters stage builds the pairs stage it consumes) never hit a
+  // recursive computeIfAbsent on one map — inner and outer hold
+  // different keys' monitors, and the nesting is a DAG (no cycles).
+  private val buildLocks = new ConcurrentHashMap[String, Object]()
 
   /** Durable staging root (`GRAFT_STAGING_DIR`): when set, staged
     * tables land under `<root>/<md5(key)>` and are REUSED across JVMs
@@ -65,45 +82,113 @@ object Staging {
     tempDirs.forEach(deleteRecursively(_))
   }
 
+  /** md5 over the recursive (path, length, mtime) listing of each
+    * input dir/file — the CONTENT fingerprint folded into staging
+    * keys. Plan text + paths alone cannot see a fixture regenerated
+    * IN PLACE (FixtureGen reruns write the same paths), so a durable
+    * root would silently serve a stage computed from the OLD data;
+    * size+mtime changes on any input file mint a fresh key instead.
+    * Goes through the Hadoop FileSystem API, so the same fingerprint
+    * works for HDFS/object-store inputs on a real cluster. */
+  def inputFingerprint(spark: SparkSession, inputs: Seq[String]): String =
+    if (inputs.isEmpty) "" else {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val listing = inputs.sorted.flatMap { in =>
+        val p = new org.apache.hadoop.fs.Path(in)
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) Seq(s"$in|missing")
+        else {
+          val it = fs.listFiles(p, /* recursive = */ true)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (it.hasNext) {
+            val st = it.next()
+            buf += s"${st.getPath}|${st.getLen}|${st.getModificationTime}"
+          }
+          buf.sorted.toSeq
+        }
+      }
+      md5(listing.mkString("\n"))
+    }
+
   /** The staged frame for `key`, building + landing it on first use.
     * `build` runs at most once per (process, key); the returned frame
     * is always a plain parquet scan, so consumers start from a flat
-    * lineage regardless of how expensive the producer was. */
-  def stagedParquet(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    // get + putIfAbsent, NOT computeIfAbsent: stage builds nest (the
-    // clusters table stages the pairs table it consumes), and a nested
-    // computeIfAbsent on one map throws "Recursive update". Losing a
-    // (driver-side, effectively single-threaded) race just means one
-    // redundant build; the first registered path wins for all readers.
-    // Unregistered dirs — a build that threw mid-write, or the losing
-    // side of a race — are deleted on the spot, because the shutdown
-    // hook only knows about REGISTERED paths.
-    val path = Option(staged.get(key)).getOrElse {
-      persistentRoot match {
-        case Some(root) =>
-          val dir = java.nio.file.Paths.get(root, md5(key)).toString
-          // _SUCCESS is written LAST by the parquet committer, so its
-          // presence certifies a complete landed stage from any prior
-          // process; a dir without it is half-built wreckage → rebuild
-          if (!Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))) {
-            deleteRecursively(dir)
-            Files.createDirectories(java.nio.file.Paths.get(root))
-            try build.write.mode("overwrite").parquet(dir)
-            catch { case t: Throwable => deleteRecursively(dir); throw t }
+    * lineage regardless of how expensive the producer was.
+    *
+    * `inputs`: the source dirs/files the build reads — their
+    * [[inputFingerprint]] joins [[AlgoVersion]] inside the effective
+    * key, so regenerated fixtures or changed operator code land a
+    * fresh stage instead of silently reusing a stale one. */
+  def stagedParquet(spark: SparkSession, key: String,
+                    inputs: Seq[String] = Nil)(build: => DataFrame): DataFrame = {
+    val fullKey = AlgoVersion + "|" + key +
+      (if (inputs.isEmpty) "" else "|" + inputFingerprint(spark, inputs))
+    // fast path: another call already registered this key's dir
+    val path = Option(staged.get(fullKey)).getOrElse {
+      // per-key JVM lock: concurrent callers of ONE key build once
+      // (nested builds take different keys' monitors — no recursion)
+      val lock = buildLocks.computeIfAbsent(fullKey, _ => new Object)
+      lock.synchronized {
+        Option(staged.get(fullKey)).getOrElse {
+          persistentRoot match {
+            case Some(root) => durableStage(root, fullKey, build)
+            case None =>
+              val dir = Files.createTempDirectory("graft_stage_").toString
+              try build.write.mode("overwrite").parquet(dir)
+              catch { case t: Throwable => deleteRecursively(dir); throw t }
+              Option(staged.putIfAbsent(fullKey, dir)) match {
+                case Some(winner) => deleteRecursively(dir); winner
+                case None => tempDirs.add(dir); dir
+              }
           }
-          staged.putIfAbsent(key, dir)
-          dir
-        case None =>
-          val dir = Files.createTempDirectory("graft_stage_").toString
-          try build.write.mode("overwrite").parquet(dir)
-          catch { case t: Throwable => deleteRecursively(dir); throw t }
-          Option(staged.putIfAbsent(key, dir)) match {
-            case Some(winner) => deleteRecursively(dir); winner
-            case None => tempDirs.add(dir); dir
-          }
+        }
       }
     }
     spark.read.parquet(path)
+  }
+
+  /** Durable-arm landing: build into a UNIQUE in-flight dir under the
+    * root, then atomically rename onto `<root>/<md5(key)>` — two JVMs
+    * sharing one `GRAFT_STAGING_DIR` can race the same key and the
+    * loser simply discards its build; a committer can never delete
+    * another's in-flight files (the old delete-then-overwrite-in-place
+    * scheme could, and a `_SUCCESS` could land on a MIXED directory).
+    * `_SUCCESS` inside the renamed dir certifies completeness: parquet
+    * writes it last, and rename is atomic, so a visible dest either
+    * has the full marker-bearing payload or is pre-upgrade wreckage
+    * (reaped and retried). */
+  private def durableStage(root: String, fullKey: String, build: => DataFrame): String = {
+    val dest = java.nio.file.Paths.get(root, md5(fullKey))
+    def complete = Files.exists(dest.resolve("_SUCCESS"))
+    if (!complete) {
+      Files.createDirectories(java.nio.file.Paths.get(root))
+      val tmp = Files.createTempDirectory(java.nio.file.Paths.get(root), "inflight_")
+      try build.write.mode("overwrite").parquet(tmp.toString)
+      catch { case t: Throwable => deleteRecursively(tmp.toString); throw t }
+      var done = false
+      var attempts = 0
+      while (!done && attempts < 3) {
+        attempts += 1
+        // wreckage (dest without _SUCCESS) is reaped before publish —
+        // with rename-only publication a marker-less dest can never be
+        // another JVM's in-flight write, only a dead one's leavings
+        if (!complete) deleteRecursively(dest.toString)
+        try {
+          Files.move(tmp, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          done = true
+        } catch {
+          case _: java.nio.file.FileSystemException if complete =>
+            // lost the publish race to a COMPLETE stage — use theirs
+            deleteRecursively(tmp.toString); done = true
+          case _: java.nio.file.FileSystemException if attempts < 3 => ()
+          case t: Throwable => deleteRecursively(tmp.toString); throw t
+        }
+      }
+      if (!done) { deleteRecursively(tmp.toString)
+        throw new IllegalStateException(s"could not publish staged dir $dest") }
+    }
+    staged.putIfAbsent(fullKey, dest.toString)
+    dest.toString
   }
 
   /** [[stagedParquet]] keyed by the frame's OWN canonicalized logical
@@ -135,20 +220,42 @@ object Staging {
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else {
       val planText = df.queryExecution.analyzed.canonicalized.toString
-      val files = df.inputFiles.sorted.mkString("\n")
-      val key = tag + ":" + md5(planText + "|" + files)
-      stagedParquet(df.sparkSession, key)(df)
+      val files = df.inputFiles.sorted
+      // paths alone miss an in-place regeneration; the (len, mtime)
+      // fingerprint of the concrete input files pins the CONTENT too
+      val key = tag + ":" + md5(planText + "|" + files.mkString("\n"))
+      stagedParquet(df.sparkSession, key, inputs = files)(df)
     }
   }
+
+  /** Invalidation hooks run by [[clear]] — the lifecycle contract for
+    * any OTHER process-global memo whose cached values point INTO a
+    * staged table (a memoized DataFrame over a staged parquet dir is a
+    * dangling pointer once clear() deletes the dir). Round 7 shipped
+    * exactly that bug: `Bpe.trained` cached frames over
+    * `stagedByPlan` temp dirs, a test called clear(), and the next
+    * BPE call read a deleted directory. Registering here makes the
+    * two lifecycles one: whoever owns the dirs tears down everything
+    * that referenced them. */
+  private val clearHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
+
+  /** Subscribe `hook` to run on every [[clear]]. Idempotent callers
+    * should register once (object-init time). */
+  def onClear(hook: () => Unit): Unit = clearHooks.add(hook)
 
   /** Drop all staged tables — registrations AND the non-durable
     * directories (tests / forced rebuild); dropping only the map
     * entries would strand the temp dirs past the shutdown hook's
     * reach. Durable (`GRAFT_STAGING_DIR`) dirs survive by design —
-    * delete the root itself to force a rebuild. */
+    * delete the root itself to force a rebuild. Dependent memos
+    * registered via [[onClear]] are invalidated LAST, after the dirs
+    * and registry are gone, so a hook that eagerly rebuilds cannot
+    * resurrect a stale path. */
   def clear(): Unit = {
     tempDirs.forEach(deleteRecursively(_))
     tempDirs.clear()
     staged.clear()
+    clearHooks.forEach(_.apply())
   }
 }

@@ -82,6 +82,14 @@ object Bpe {
   private val trained = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[(Long, String, String, String, Long)], DataFrame)]()
 
+  // the memoized `seq` frames scan Staging temp-dir parquet — when
+  // Staging.clear() deletes those dirs this memo MUST die with them,
+  // or the next q164/q165 call serves a frame over deleted files
+  // (round-7 full-suite red: PlanInvariantsSpec cleared staging, the
+  // later QueriesSpec run crashed on the stale memo). Registered once
+  // at object init; a cleared memo just means one retrain.
+  graft.engine.Staging.onClear(() => trained.clear())
+
   /** The merge-rule table after `rounds` rounds plus the final encoded
     * sequences: (merges(round, lhs, rhs, merged, n_pairs), seq).
     * Memoized per (input plan, files, rounds) — except for literal-row

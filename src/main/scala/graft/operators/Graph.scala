@@ -317,6 +317,19 @@ object Graph {
     * (~60 B/row) — call it 6×, rounded against us. */
   private val BroadcastExpansion = 6L
 
+  /** Absolute ceiling on the DESERIALIZED closing-relation size,
+    * applied under the heap-derived budget: the budget scales with the
+    * deploy (15% of a 4 GB executor ≈ 100 MB) but on a fat driver
+    * (local[32] at 128 GB, or a 64 GB cluster driver) 15% of heap is
+    * far past what a broadcast relation should ever be — Spark itself
+    * hard-fails broadcasts at 8 GB, and the optimizer's estimate this
+    * gate trusts can UNDER-shoot by orders of magnitude on plans
+    * without leaf-backed stats (filter/aggregate subtrees), where a
+    * too-generous budget turns an estimate error into an executor OOM.
+    * 2 GB deserialized ≈ 50M closing edges — the scale past which the
+    * shuffled semi-join is the right plan anyway. */
+  private val BroadcastClosingCapBytes = 2L << 30
+
   /** Heap budget for the broadcast closing-edge relation: a slice of
     * the smallest worker heap (spark.executor.memory when set — the
     * cluster case; this JVM's max heap in local mode, where driver and
@@ -356,7 +369,8 @@ object Graph {
     val closing = e.select(col("a"), col("b").as("c"))
     val estBytes = e.queryExecution.optimizedPlan.stats.sizeInBytes
     val fits = estBytes * BroadcastExpansion <=
-      broadcastClosingBudgetBytes(e.sparkSession)
+      math.min(broadcastClosingBudgetBytes(e.sparkSession),
+        BroadcastClosingCapBytes)
     val closingSide = if (fits) broadcast(closing) else closing
     val wedges = e.select(col("a"), col("b").as("m"))
       .join(e.select(col("a").as("m"), col("b").as("c")), "m")

@@ -59,4 +59,19 @@ class BpeSpec extends AnyFunSuite {
     assert(enc(1L) === Seq("aa", "aa", "b"))
     assert(enc(2L) === Seq("b", "aa"))
   }
+
+  test("Staging.clear() invalidates the training memo: rebuild, not crash") {
+    // Round-7 regression: the memoized final-sequence frame scans a
+    // Staging temp-dir parquet; clear() deleted the dir but left the
+    // memo, so the next call crashed on deleted files. The input must
+    // be FILE-backed (literal rows bypass both the memo and staging).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val before = Bpe.encode(docs, col("text"), rounds = 2).count()
+    graft.engine.Staging.clear()
+    // must retrain over fresh staged dirs — the old frame's files are gone
+    val after = Bpe.encode(docs, col("text"), rounds = 2).count()
+    assert(after === before)
+    assert(Bpe.trainMerges(docs, col("text"), rounds = 2).count() === 2L)
+  }
 }

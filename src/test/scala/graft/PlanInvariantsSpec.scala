@@ -259,6 +259,32 @@ class PlanInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("durable stage is NOT reused after its input is regenerated in place") {
+    // the silent-staleness trap: a fixture rewritten at the SAME path
+    // must mint a fresh stage (the key carries the input files'
+    // len+mtime fingerprint), not serve parquet computed from old data
+    val root = java.nio.file.Files.createTempDirectory("stage_root_").toString
+    val src = java.nio.file.Files.createTempDirectory("stage_src_").toString
+    System.setProperty("graft.staging.dir", root)
+    try {
+      import spark.implicits._
+      Seq(1L, 2L).toDF("v").coalesce(1).write.mode("overwrite").parquet(src)
+      def totalOf(): Long = graft.engine.Staging.stagedParquet(
+          spark, s"fp_spec|$src", inputs = Seq(src))(
+        spark.read.parquet(src).agg(org.apache.spark.sql.functions.sum("v").as("t")))
+        .collect()(0).getLong(0)
+      assert(totalOf() === 3L)
+      graft.engine.Staging.clear() // simulate restart: registry gone, root stays
+      Thread.sleep(1100)           // mtime granularity can be 1 s
+      Seq(10L, 20L).toDF("v").coalesce(1).write.mode("overwrite").parquet(src)
+      assert(totalOf() === 30L,
+        "regenerated input at the same path must rebuild the stage")
+    } finally {
+      System.clearProperty("graft.staging.dir")
+      graft.engine.Staging.clear()
+    }
+  }
+
   test("q133 higher moments: one partial+final agg pair, no Expand, pruned scan") {
     val plan = planOf("q133_higher_moments")
     // 4 moments in ONE grouped pass: exactly one partial+final HashAggregate

@@ -38,7 +38,19 @@ def main(out_dir, sf_dir, only=()):
         con.execute(f"SET memory_limit='{mem}'")
         # per-run spill dir, removed on exit: a fixed shared path
         # collides across concurrent runs and strands spill (once 77 GB)
-        # when a run is killed mid-query
+        # when a run is killed mid-query. atexit never fires on
+        # SIGKILL/OOM-kill, so ALSO reap prior runs' stale spill dirs
+        # at startup — any duckdb_spill_* older than an hour is a dead
+        # run's leavings (live runs are the only writers and hold the
+        # dir for their own lifetime).
+        now = __import__("time").time()
+        for stale in glob.glob(os.path.join(tempfile.gettempdir(),
+                                            "duckdb_spill_*")):
+            try:
+                if now - os.path.getmtime(stale) > 3600:
+                    shutil.rmtree(stale, ignore_errors=True)
+            except OSError:
+                pass
         spill = tempfile.mkdtemp(prefix="duckdb_spill_")
         atexit.register(shutil.rmtree, spill, ignore_errors=True)
         con.execute(f"SET temp_directory='{spill}'")
