@@ -443,6 +443,24 @@ object SparkEntry {
     graft.operators.Bpe.trainMerges(docs(s, dir), col("text"), BpeRounds)
       .orderBy(col("round").asc)
 
+  /** Basis points (of 10000) and salt for q177's deterministic BPE
+    * training sample — shared constants interpolated into the oracle. */
+  private val BpeSampleBps = 4000
+  private val BpeSampleSalt = "bpe-sample-v1"
+
+  /** Sampled BPE training ([[graft.operators.Bpe.trainMergesSampled]]):
+    * the q164 trainer over a deterministic 40% md5-bucket sample — the
+    * scale path for tokenizer training (SCALE.md: full training was the
+    * sf10 bench's largest outlier at 17× sf1 cost; pair statistics
+    * converge on a sample, so production trains sampled and encodes
+    * full). Same merge semantics, same pinned argmax order; the sample
+    * is a pure function of (doc_id, salt), so the oracle reproduces the
+    * exact subset. */
+  private def q177(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.trainMergesSampled(docs(s, dir), col("text"),
+        BpeRounds, col("doc_id"), BpeSampleBps, BpeSampleSalt)
+      .orderBy(col("round").asc)
+
   /** Corpus compression from applying the [[q164]] merges: per-source
     * token totals before/after encoding — the tokenizer-efficiency
     * audit a training pipeline runs before committing a vocab. */
@@ -3901,7 +3919,8 @@ object SparkEntry {
     "q173_capped_clustering" -> (q173 _),
     "q174_capped_kcore" -> (q174 _),
     "q175_capped_lpa" -> (q175 _),
-    "q176_capped_pagerank" -> (q176 _))
+    "q176_capped_pagerank" -> (q176 _),
+    "q177_bpe_sampled" -> (q177 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -4166,6 +4185,23 @@ object SparkEntry {
         .mkString("\n            UNION ALL ")
       s"""WITH s0 AS MATERIALIZED (
             SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          ${bpeRoundCtes(BpeRounds)}
+          SELECT round, lhs, rhs, lhs || rhs AS merged, n AS n_pairs
+          FROM ($unions)
+          ORDER BY round ASC"""
+    },
+    // q177: the q164 round CTEs over the DETERMINISTIC sample — the
+    // md5-bucket predicate is q54's, constants interpolated from the
+    // shared BpeSampleBps/BpeSampleSalt
+    "q177_bpe_sampled" -> {
+      val unions = (1 to BpeRounds).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS round, lhs, rhs, n FROM t$i")
+        .mkString("\n            UNION ALL ")
+      s"""WITH s0 AS MATERIALIZED (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                      || '$BpeSampleSalt'), 1, 8))::BIGINT
+                    % 10000 < $BpeSampleBps),
           ${bpeRoundCtes(BpeRounds)}
           SELECT round, lhs, rhs, lhs || rhs AS merged, n AS n_pairs
           FROM ($unions)

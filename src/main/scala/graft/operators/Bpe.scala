@@ -142,6 +142,25 @@ object Bpe {
       .toDF("round", "lhs", "rhs", "merged", "n_pairs")
   }
 
+  /** [[trainMerges]] over a DETERMINISTIC md5-bucket sample of the
+    * corpus (`sampleBps` basis points by `idCol`, the q54 mixing hash)
+    * — the 100 TB answer to training's super-linear cost: each merge
+    * round is a corpus-wide pair count plus a corpus-wide merge pass,
+    * so at sf10 full training was the bench's biggest outlier (17× the
+    * sf1 cost for 10× data) while pair STATISTICS converge long before
+    * the full corpus is seen. Production tokenizers (BPE/SentencePiece)
+    * train on a sample for exactly this reason; the sample being a
+    * pure function of (doc_id, salt) keeps the learned vocabulary
+    * rerun-stable and engine-portable — an oracle can reproduce the
+    * exact subset, unlike rand()-sampling. */
+  def trainMergesSampled(docs: DataFrame, textCol: Column, rounds: Int,
+                         idCol: Column, sampleBps: Int, salt: String): DataFrame = {
+    require(sampleBps > 0 && sampleBps <= 10000, "sampleBps in (0, 10000]")
+    trainMerges(
+      docs.filter(Sampling.hashBucket(idCol, salt) < sampleBps),
+      textCol, rounds)
+  }
+
   /** The corpus re-encoded with `rounds` learned merges:
     * (doc_id, toks). */
   def encode(docs: DataFrame, textCol: Column, rounds: Int): DataFrame =

@@ -60,6 +60,34 @@ class BpeSpec extends AnyFunSuite {
     assert(enc(2L) === Seq("b", "aa"))
   }
 
+  test("trainMergesSampled at 10000 bps equals full-corpus training") {
+    // pins the sampling plumbing: a full-rate sample must reproduce
+    // trainMerges exactly (same argmax order, same counts)
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "c c a b"))
+      .toDF("doc_id", "text")
+    val full = Bpe.trainMerges(docs, col("text"), rounds = 2).collect().toSeq
+    val sampled = Bpe.trainMergesSampled(docs, col("text"), rounds = 2,
+      col("doc_id"), sampleBps = 10000, salt = "s").collect().toSeq
+    assert(sampled === full)
+  }
+
+  test("trainMergesSampled trains on exactly the md5-bucket subset") {
+    // a 50%-ish sample must equal training run directly on the subset
+    // the shared hash predicate selects — membership is a pure function
+    // of (doc_id, salt), never of partitioning
+    val docs = (1L to 20L).map(i => (i, if (i % 3 == 0) "x y x y" else "p q"))
+      .toDF("doc_id", "text")
+    val bps = 5000
+    val pred = graft.operators.Sampling.hashBucket(col("doc_id"), "s2") < bps
+    val direct = Bpe.trainMerges(docs.filter(pred), col("text"), rounds = 1)
+      .collect().toSeq
+    val sampled = Bpe.trainMergesSampled(docs, col("text"), rounds = 1,
+      col("doc_id"), bps, "s2").collect().toSeq
+    assert(sampled === direct)
+    val kept = docs.filter(pred).count()
+    assert(kept > 0 && kept < 20, s"degenerate sample ($kept of 20)")
+  }
+
   test("Staging.clear() invalidates the training memo: rebuild, not crash") {
     // Round-7 regression: the memoized final-sequence frame scans a
     // Staging temp-dir parquet; clear() deleted the dir but left the
