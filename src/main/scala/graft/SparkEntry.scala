@@ -2940,6 +2940,23 @@ object SparkEntry {
       .select(col("n").as("doc_id"), col("rank_fp"))
       .orderBy(col("doc_id").asc)
 
+  /** ONLINE streaming near-dup dedup
+    * ([[graft.streaming.NearDupStream.runOnlineDedupOnce]]): documents
+    * arrive as a stream, are fingerprinted IN-ROW (the shuffle-free
+    * [[NearDup.simHash64Row]] — a stateful operator admits no upstream
+    * aggregation), banded with the batch generators' exact 4×16-bit
+    * layout, and judged against bounded per-bucket state holding each
+    * bucket's first [[SimHashBucketCap]] arrivals: first-seen survives,
+    * later hamming-verified arrivals are duplicates of their earliest
+    * retained match. The continuous-ingest form of the capped dedup
+    * pipeline (q166/q170) — state per key is capped exactly like the
+    * batch bucket populations, so a boilerplate flood can't grow the
+    * state store. Oracle: the retained-member rule is row_number() ≤
+    * cap over the band table in doc_id order. */
+  private def q178(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.NearDupStream.runOnlineDedupOnce(s, dir,
+      SimHashMaxHamming, SimHashBucketCap.toInt)
+
   /** IDF-weighted salient terms per source: tf · N/df with a reciprocal
     * (not log) idf so the score is one exact long multiply + one IEEE
     * double division — bit-identical across engines, unlike ln(). The
@@ -3920,7 +3937,8 @@ object SparkEntry {
     "q174_capped_kcore" -> (q174 _),
     "q175_capped_lpa" -> (q175 _),
     "q176_capped_pagerank" -> (q176 _),
-    "q177_bpe_sampled" -> (q177 _))
+    "q177_bpe_sampled" -> (q177 _),
+    "q178_stream_online_neardup" -> (q178 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -4207,6 +4225,29 @@ object SparkEntry {
           FROM ($unions)
           ORDER BY round ASC"""
     },
+    // q178: the streaming online dedup's retained-member rule is
+    // row_number() ≤ cap per (band, bv) in doc_id order — `held` is the
+    // bucket state's final contents, and the probe join is bnd64 × held
+    // (≤ cap rows per bucket on the held side: the oracle is itself
+    // flood-safe, never the m² bucket self-join)
+    "q178_stream_online_neardup" ->
+      s"""WITH $simhash64Cte,
+          rk AS (SELECT doc_id, fp_hi, fp_lo, band, bv,
+                        row_number() OVER (PARTITION BY band, bv
+                                           ORDER BY doc_id ASC) AS r
+                 FROM bnd64),
+          held AS (SELECT * FROM rk WHERE r <= $SimHashBucketCap),
+          m AS (SELECT x.doc_id, min(y.doc_id) AS dup_of
+                FROM bnd64 x JOIN held y
+                  ON x.band = y.band AND x.bv = y.bv
+                 AND y.doc_id < x.doc_id
+                WHERE bit_count(xor(x.fp_hi, y.fp_hi))
+                    + bit_count(xor(x.fp_lo, y.fp_lo)) <= $SimHashMaxHamming
+                GROUP BY x.doc_id)
+          SELECT d.doc_id, m.doc_id IS NOT NULL AS is_dup, m.dup_of
+          FROM (SELECT DISTINCT doc_id FROM bnd64) d
+          LEFT JOIN m ON m.doc_id = d.doc_id
+          ORDER BY d.doc_id ASC""",
     "q165_bpe_compress" ->
       s"""WITH s0 AS MATERIALIZED (
             SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -418,25 +418,84 @@ object NearDup {
       .distinct()
   }
 
-  /** Staged (doc_id, fp_hi, fp_lo, band, bv) band table of the 64-bit
-    * fingerprints: [[SimHashBands]] bands of 16 bits, two per half. */
-  private def simHash64Banded(fingerprints: DataFrame): DataFrame = {
-    // the two-16-bit-bands-per-half layout below (b < 2 → fp_lo,
+  /** The 4×16-bit band slices of a 64-bit (two-half) fingerprint as an
+    * array of (band, bv) structs — the ONE banding layout shared by the
+    * batch pair generators ([[simHash64Banded]]) and the streaming
+    * online dedup ([[graft.streaming.NearDupStream]]), so the two
+    * surfaces cannot drift: bands 0–1 slice `lo`, bands 2–3 slice `hi`,
+    * 16 bits each, every bv < 2^16 (no engine ever touches a sign bit). */
+  def band64(hi: Column, lo: Column): Column = {
+    // the two-16-bit-bands-per-half layout below (b < 2 → lo,
     // shift (b % 2)·16) is SPECIFIC to 4 bands: a changed SimHashBands
-    // would silently mis-band (fp_hi never banded, or bands aliasing)
+    // would silently mis-band (hi never banded, or bands aliasing)
     // and void the pigeonhole recall guarantee — fail loudly instead
     require(SimHashBands == 4,
-      "simHash64Banded's 4×16-bit band layout requires SimHashBands == 4")
-    val bandStructs = (0 until SimHashBands).map { b =>
-      val src = if (b < 2) col("fp_lo") else col("fp_hi")
+      "the 4×16-bit band layout requires SimHashBands == 4")
+    array((0 until SimHashBands).map { b =>
+      val src = if (b < 2) lo else hi
       struct(lit(b).as("band"),
         shiftright(src, (b % 2) * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))
-    }
+    }: _*)
+  }
+
+  /** Staged (doc_id, fp_hi, fp_lo, band, bv) band table of the 64-bit
+    * fingerprints: [[SimHashBands]] bands of 16 bits, two per half. */
+  private def simHash64Banded(fingerprints: DataFrame): DataFrame =
     Shingles.shared(
       fingerprints.select(col("doc_id"), col("fp_hi"), col("fp_lo"),
-          explode(array(bandStructs: _*)).as("x"))
+          explode(band64(col("fp_hi"), col("fp_lo"))).as("x"))
         .select(col("doc_id"), col("fp_hi"), col("fp_lo"),
           col("x.band").as("band"), col("x.bv").as("bv")))
+
+  /** ROW-LOCAL 64-bit SimHash: the same fingerprint as [[simHash64]]
+    * (bit-identical — pinned by spec) computed entirely within one row
+    * via higher-order array functions, with NO explode and NO shuffle.
+    *
+    * Why both forms exist: the batch form's explode + codegen'd hash
+    * aggregation is the throughput shape for corpus-wide fingerprinting
+    * (64 primitive LONG buffers, whole-stage codegen), but it is an
+    * AGGREGATION — Structured Streaming cannot place one before a
+    * stateful operator, and any caller that needs a fingerprint as a
+    * scalar column (streaming ingest, a projection inside a larger
+    * plan) would otherwise pay a self-join against the aggregated
+    * table. This form is a pure per-row expression: tokens → one md5
+    * per token decoded into the SAME two 32-bit words v1/v2 the batch
+    * form uses, ±1 votes per bit accumulated left-to-right into a
+    * 64-long array (integer addition — order-free, so "left-to-right"
+    * vs the aggregation's partial-merge order cannot move the result),
+    * halves assembled with the identical bit→nibble position map as
+    * [[simHash64]]'s `sumBit`. Higher-order functions evaluate
+    * interpreted (no codegen), the right trade for per-arriving-row
+    * work; corpus-scale batch fingerprinting should keep [[simHash64]].
+    *
+    * Returns struct(fp_hi, fp_lo); NULL text → NULL struct (the batch
+    * form drops the doc entirely — callers filter nulls first). */
+  def simHash64Row(text: Column): Column = {
+    val toks = graft.functions.TextFns.tokens(text)
+    // one md5 per token, decoded once into (v1, v2) — votes below read
+    // the decoded words, never re-hash
+    val decoded = transform(toks, t => {
+      val h = md5(t)
+      struct(
+        conv(substring(h, 1, 8), 16, 10).cast("long").as("v1"),
+        conv(substring(h, 9, 8), 16, 10).cast("long").as("v2"))
+    })
+    // ±1 vote per fingerprint bit b: bit b < 32 reads v1, else v2, at
+    // nibble position 4·(7 − b/4) + b%4 — the exact `sumBit` map
+    def votes(w: Column): Column = array((0 until 64).map { b =>
+      val (src, bb) = if (b < 32) (w.getField("v1"), b)
+                      else (w.getField("v2"), b - 32)
+      val pos = 4 * (7 - bb / 4) + bb % 4
+      when(shiftright(src, pos).bitwiseAND(lit(1L)) === lit(1L), lit(1L))
+        .otherwise(lit(-1L))
+    }: _*)
+    def half(sums: Column, from: Int): Column = (from until from + 32)
+      .map(b => when(element_at(sums, b + 1) > 0, lit(1L << (b - from)))
+        .otherwise(lit(0L)))
+      .reduce(_ + _)
+    aggregate(decoded, array_repeat(lit(0L), 64),
+      (acc, w) => zip_with(acc, votes(w), (x, y) => x + y),
+      acc => struct(half(acc, 32).as("fp_hi"), half(acc, 0).as("fp_lo")))
   }
 
   /** [[simHash64Pairs]] behind the per-(band, bv) population cap — the

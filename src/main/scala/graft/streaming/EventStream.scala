@@ -175,8 +175,8 @@ object EventStream {
     * contract), and drop the sink table. Without the drop every
     * invocation would permanently retain its full emission set in
     * driver memory — bench iterations would leak linearly. */
-  private def runToMemory(spark: SparkSession, prefix: String, mode: String,
-                          stream: DataFrame)
+  private[streaming] def runToMemory(spark: SparkSession, prefix: String,
+                          mode: String, stream: DataFrame)
                          (summarize: DataFrame => DataFrame): DataFrame = {
     val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
     val partConf = "spark.sql.shuffle.partitions"

@@ -1780,4 +1780,121 @@ class PipelineOpsSpec extends AnyFunSuite {
     val total = pr.values.sum
     assert(total <= 1000000000000L && total > 990000000000L)
   }
+
+  test("row-local simhash64 is bit-identical to the batch aggregation form") {
+    val d = Sources.table(spark, sfDir, "documents")
+    val batch = NearDup.simHash64(d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rowLocal = d.select(col("doc_id"),
+        NearDup.simHash64Row(col("text")).as("fp"))
+      .select(col("doc_id"), col("fp.fp_hi"), col("fp.fp_lo"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rowLocal === batch)
+    // empty text and repeated tokens hit the vote edge cases (tie → 0
+    // bit; multiplicity = weight) through both forms identically
+    val edge = docsOf(1L -> "", 2L -> "a a a b", 3L -> "a  b")
+    val be = NearDup.simHash64(edge)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val re = edge.select(col("doc_id"),
+        NearDup.simHash64Row(col("text")).as("fp"))
+      .select(col("doc_id"), col("fp.fp_hi"), col("fp.fp_lo"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(re === be)
+  }
+
+  /** The batch mirror of the streaming online dedup: retained members
+    * are the first `cap` docs per (band, bv) in doc_id order; a doc is
+    * a dup of its earliest hamming-verified retained earlier match. */
+  private def onlineDedupBatchMirror(docs: org.apache.spark.sql.DataFrame,
+                                     maxHamming: Int, cap: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = NearDup.simHash64(docs)
+      .select(col("doc_id"), col("fp_hi"), col("fp_lo"),
+        explode(NearDup.band64(col("fp_hi"), col("fp_lo"))).as("x"))
+      .select(col("x.band").as("band"), col("x.bv").as("bv"),
+        col("doc_id"), col("fp_hi"), col("fp_lo"))
+    val held = banded
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("band"), col("bv")).orderBy(col("doc_id").asc)))
+      .filter(col("r") <= cap)
+      .select(col("band"), col("bv"), col("doc_id").as("y_id"),
+        col("fp_hi").as("y_hi"), col("fp_lo").as("y_lo"))
+    val m = banded.join(held, Seq("band", "bv"))
+      .filter(col("y_id") < col("doc_id"))
+      .filter((bit_count(col("fp_hi").bitwiseXOR(col("y_hi"))) +
+        bit_count(col("fp_lo").bitwiseXOR(col("y_lo")))) <= maxHamming)
+      .groupBy(col("doc_id")).agg(min(col("y_id")).as("dup_of"))
+    banded.select(col("doc_id")).distinct()
+      .join(m, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  test("streaming online near-dup dedup equals its batch mirror (q178 shape)") {
+    val streamed = graft.streaming.NearDupStream
+      .runOnlineDedupOnce(spark, sfDir, 3, 8).collect().toSeq
+    val batch = onlineDedupBatchMirror(
+      Sources.table(spark, sfDir, "documents"), 3, 8).collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.exists(_.getBoolean(1)),
+      "fixtures should contain planted near-dups for the stream to flag")
+  }
+
+  test("streaming online dedup is micro-batch-split-proof under monotone arrival") {
+    // the determinism contract: under doc_id-monotone file arrival the
+    // verdicts must not depend on where the source cuts micro-batches —
+    // 3 id-ranged files, one per micro-batch, vs the single-batch run
+    val d = Sources.table(spark, sfDir, "documents").orderBy(col("doc_id").asc)
+    val ids = d.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val cuts = Seq(ids(ids.length / 3), ids(2 * ids.length / 3))
+    val dir = java.nio.file.Files.createTempDirectory("odq_split")
+    val target = new java.io.File(dir.toFile, "documents.parquet")
+    target.mkdirs()
+    Seq(
+      d.filter(col("doc_id") <= cuts(0)),
+      d.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
+      d.filter(col("doc_id") > cuts(1))
+    ).zipWithIndex.foreach { case (part, i) =>
+      val tmp = new java.io.File(dir.toFile, s"w$i")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(target, f"part-$i%04d.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      // strictly increasing mtimes pin the source's processing order
+      dst.setLastModified(1000000000000L + i * 60000L)
+    }
+    val split = {
+      val stream = spark.readStream
+        .schema(Sources.documents)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/documents.parque[t]")
+      graft.streaming.NearDupStream.runOnlineDedupOn(stream, 3, 8)
+    }.collect().toSeq
+    val oneShot = graft.streaming.NearDupStream
+      .runOnlineDedupOnce(spark, sfDir, 3, 8).collect().toSeq
+    assert(split === oneShot)
+  }
+
+  test("online dedup state cap bounds retained members, still collapses a flood") {
+    // 20 identical docs: every bucket floods past cap=8, yet each later
+    // doc still matches the earliest member (state holds the first 8);
+    // 5 disjoint docs stay clean
+    val boiler = "all rights reserved this page is boilerplate spark filter join"
+    val d = docsOf(
+      ((0L until 20L).map(i => i -> boiler) ++
+        (100L until 105L).map(i =>
+          i -> s"u$i v$i w$i x$i y$i z$i p$i q$i r$i s$i")): _*)
+    val dir = java.nio.file.Files.createTempDirectory("odq_flood")
+    d.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = graft.streaming.NearDupStream
+      .runOnlineDedupOnce(spark, dir.toString, 3, 8)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    val (dups, clean) = out.partition(_._1 < 100L)
+    assert(dups.filter(_._1 > 0L).forall(x => x._2 && x._3 === 0L),
+      s"every later flood doc must collapse onto doc 0: ${dups.toSeq}")
+    assert(!dups.head._2, "the first-seen doc survives")
+    assert(clean.forall(!_._2), s"disjoint docs must stay clean: ${clean.toSeq}")
+  }
 }
