@@ -1875,6 +1875,66 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(split === oneShot)
   }
 
+  test("online dedup verdicts are state-store-backend agnostic (RocksDB)") {
+    // same contract as the q131 backend spec: HDFSBackedStateStore is
+    // the on-heap gate backend, RocksDB the off-heap cluster-scale one —
+    // the online dedup's verdicts must not depend on the choice
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    val rocks = try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      graft.streaming.NearDupStream
+        .runOnlineDedupOnce(spark, sfDir, 3, 8).collect().toSeq
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    val default = graft.streaming.NearDupStream
+      .runOnlineDedupOnce(spark, sfDir, 3, 8).collect().toSeq
+    assert(rocks === default)
+  }
+
+  test("online dedup bucket state survives a checkpointed restart") {
+    // the production shape: the stream STOPS mid-corpus and a new query
+    // resumes from the checkpoint — docs arriving after the restart must
+    // still be judged against members retained BEFORE it (state store
+    // recovery), and already-processed files must not replay
+    val base = java.nio.file.Files.createTempDirectory("odq_ck")
+    val (src, out, ck) = (s"$base/src/documents.parquet", s"$base/out", s"$base/ck")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val d = Sources.table(spark, sfDir, "documents")
+    val ids = d.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val mid = ids(ids.length / 2)
+    def land(part: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = new java.io.File(base.toFile, s"w_$name")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(src, s"$name.parquet"))
+    }
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(Sources.documents)
+        .parquet(s"$base/src/documents.parque[t]")
+      val q = graft.streaming.NearDupStream.onlineDedup(stream, 3, 8).toDF()
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ck).option("path", out)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    land(d.filter(col("doc_id") <= mid), "half1")
+    runOnce()
+    land(d.filter(col("doc_id") > mid), "half2")
+    runOnce()
+    val resumed = spark.read.parquet(out)
+      .groupBy(col("doc_id")).agg(min(col("dup_of")).as("dup_of"))
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+      .orderBy(col("doc_id").asc).collect().toSeq
+    val oneShot = graft.streaming.NearDupStream
+      .runOnlineDedupOnce(spark, sfDir, 3, 8).collect().toSeq
+    assert(resumed === oneShot)
+  }
+
   test("online dedup state cap bounds retained members, still collapses a flood") {
     // 20 identical docs: every bucket floods past cap=8, yet each later
     // doc still matches the earliest member (state holds the first 8);
