@@ -2697,8 +2697,39 @@ object SparkEntry {
   /** Embedding-cosine near-dup pairs (mandate: embedding near-dup as a
     * first-class dedup mode). Exact pairwise form at fixture scale; the
     * LSH/IVF paths (q31/q43) are the candidate generators at corpus scale. */
+  /** Rounded-cosine near-dup threshold, shared by the exact generator
+    * (q45), its capped LSH scale twin (q179), and both oracles — the
+    * q153 lesson: paired literals drift, one constant cannot. */
+  private val EmbNearDupMinCosine = 0.45
+
+  /** Hyperplane count per table, table count, and bucket population cap
+    * for q179's multi-table LSH near-dup candidate generation. 5 planes
+    * × 16 tables: per-table match probability p^5 for per-plane
+    * agreement p, OR'd across 16 independent tables (probed at gate SF:
+    * capped recall 12/14 of the exact pairs at the LOW 0.45 threshold —
+    * production semantic-dedup thresholds sit far higher, where recall
+    * approaches 1; planes scales with corpus size to keep buckets out
+    * of the birthday regime). The cap is the flood guard, sized so the
+    * star arm is exercised at gate SF (probed max bucket ≈ 39). */
+  private val EmbLshPlanes = 5
+  private val EmbLshTables = 16
+  private val EmbLshBucketCap = 32L
+
   private def q45(s: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupPairs(Sources.table(s, dir, "embeddings"), minCosine = 0.45)
+    Similarity.nearDupPairs(Sources.table(s, dir, "embeddings"),
+        minCosine = EmbNearDupMinCosine)
+      .orderBy(col("vec_a").asc, col("vec_b").asc)
+
+  /** Multi-table-LSH capped embedding near-dup pairs
+    * ([[Similarity.nearDupPairsLsh]]) — the 100 TB path for q45, whose
+    * exact all-pairs mirror SCALE.md measures as non-executable at
+    * century scale: same-signature candidates only (any of the 12
+    * tables), over-cap buckets star-reduced to their anchor, every edge
+    * cosine-verified at the shared threshold (subset-of-q45 precision
+    * pinned by spec). */
+  private def q179(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairsLsh(Sources.table(s, dir, "embeddings"),
+        EmbNearDupMinCosine, EmbLshPlanes, EmbLshTables, EmbLshBucketCap)
       .orderBy(col("vec_a").asc, col("vec_b").asc)
 
   /** Token counting two ways: whitespace and a BPE-ish regex (word runs +
@@ -3938,7 +3969,8 @@ object SparkEntry {
     "q175_capped_lpa" -> (q175 _),
     "q176_capped_pagerank" -> (q176 _),
     "q177_bpe_sampled" -> (q177 _),
-    "q178_stream_online_neardup" -> (q178 _))
+    "q178_stream_online_neardup" -> (q178 _),
+    "q179_embedding_neardup_lsh" -> (q179 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -4452,8 +4484,47 @@ object SparkEntry {
           WHERE a.vec_id < b.vec_id
             AND round(list_dot_product(a.v, b.v) /
                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
-                >= 0.45
+                >= $EmbNearDupMinCosine
           ORDER BY vec_a ASC, vec_b ASC""",
+    // q179: the capped-generator oracle shape (stats → small-bucket
+    // exact arm + over-cap star arm) over the multi-table LSH signature
+    // buckets. The weight arrays are interpolated LITERALS from the
+    // engine's own splitmix family (Similarity.lshTableWeights) — the
+    // oracle reproduces the numbers, never the generator. The
+    // single-side n <= cap predicate prunes over-cap buckets out of the
+    // pair arm BEFORE the join, so the oracle never materializes a
+    // flooded bucket's m² candidates.
+    "q179_embedding_neardup_lsh" -> {
+      val w = Similarity.lshTableWeights(EmbLshTables, EmbLshPlanes, EmbeddingDim)
+      val arms = (0 until EmbLshTables).map { t =>
+        val sig = (0 until EmbLshPlanes).map { p =>
+          val arr = w(t)(p).mkString("[", ", ", "]")
+          s"CASE WHEN list_dot_product(v, CAST($arr AS DOUBLE[])) > 0 THEN ${1L << p} ELSE 0 END"
+        }.mkString(" + ")
+        s"SELECT vec_id, v, $t AS tbl, CAST($sig AS BIGINT) AS bucket FROM e"
+      }.mkString("\n            UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          b AS MATERIALIZED ($arms),
+          st AS (SELECT tbl, bucket, count(*) AS n, min(vec_id) AS anchor
+                 FROM b GROUP BY 1, 2),
+          bt AS (SELECT b.vec_id, b.v, b.tbl, b.bucket, st.n, st.anchor
+                 FROM b JOIN st ON b.tbl = st.tbl AND b.bucket = st.bucket),
+          u AS (
+            SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+                   ${sqlCos("a.v", "c.v")} AS cosine
+            FROM bt a JOIN bt c
+              ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+            WHERE a.n <= $EmbLshBucketCap
+              AND ${sqlCos("a.v", "c.v")} >= $EmbNearDupMinCosine
+            UNION ALL
+            SELECT t.anchor AS vec_a, t.vec_id AS vec_b,
+                   ${sqlCos("f.v", "t.v")} AS cosine
+            FROM bt t JOIN e f ON f.vec_id = t.anchor
+            WHERE t.n > $EmbLshBucketCap AND t.vec_id <> t.anchor
+              AND ${sqlCos("f.v", "t.v")} >= $EmbNearDupMinCosine)
+          SELECT DISTINCT vec_a, vec_b, cosine FROM u
+          ORDER BY vec_a ASC, vec_b ASC"""
+    },
     "q46_token_counting" ->
       s"""SELECT doc_id,
                  len(string_split(text, ' ')) AS n_ws_tokens,

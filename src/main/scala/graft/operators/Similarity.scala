@@ -113,10 +113,135 @@ object Similarity {
         max(col("err")).as("max_abs_err"))
   }
 
+  /** Random-hyperplane LSH signature: plane p votes the sign of the
+    * projection Σ v(i) · w_p(i) with deterministic pseudo-random weights
+    * w_p(i) = (i · m_p) mod 7 − 3 ∈ [−3, 3]; the multiplier
+    * m_p = (p mod 6) + 1 is never ≡ 0 (mod 7), so no plane degenerates
+    * to a constant-weight projection. Weights are pure functions of the
+    * element INDEX, so with `dim` known they are literal arrays and the
+    * projection runs on the codegen'd DotProduct (see [[lshBucketedKnn]]
+    * for why the HOF form was retired from this hot path). One shared
+    * definition serves the kNN index and the near-dup candidate
+    * generator — and is mirrored literally by their SQL oracles. */
+  private def lshSignature(vec: Column, planes: Int, dim: Int): Column =
+    (0 until planes).map { p =>
+      val m = (p % 6) + 1
+      val weights = array((0 until dim).map(i =>
+        lit((((i * m) % 7) - 3).toDouble)): _*)
+      when(dot(vec, weights) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** splitmix64 finalizer — the seed of the multi-table LSH weight
+    * family. Deterministic and engine-independent: the oracle never
+    * re-derives it, it interpolates the LITERAL weight arrays this
+    * produces. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Hyperplane weight for (table, plane, dim index): splitmix64 of the
+    * packed coordinate, folded into [−3, 3]. Shared by the engine's
+    * literal arrays AND by [[lshTableWeights]] (which the oracle
+    * builder interpolates) — one definition, two surfaces. */
+  private def lshWeight(t: Int, p: Int, i: Int): Int =
+    (java.lang.Math.floorMod(mix64(((t.toLong * 64 + p) * 1024 + i)), 7) - 3).toInt
+
+  /** The literal weight vectors of multi-table LSH, for oracle-side
+    * interpolation: lshTableWeights(tables, planes, dim)(t)(p) is the
+    * dim-length weight array of table t, plane p. */
+  def lshTableWeights(tables: Int, planes: Int, dim: Int): Seq[Seq[Seq[Int]]] =
+    (0 until tables).map(t => (0 until planes).map(p =>
+      (0 until dim).map(i => lshWeight(t, p, i))))
+
+  /** Multi-table LSH embedding near-dup pairs behind a per-bucket
+    * population cap — the SCALE path for [[nearDupPairs]], whose exact
+    * all-pairs form SCALE.md measures as non-executable at century
+    * scale (a 2×10¹⁰-pair cross join at 200k vectors).
+    *
+    * `tables` independent signature tables of `planes` hyperplanes each
+    * (splitmix-seeded literal weights — distinct per table, reproducible
+    * by the oracle verbatim); candidates are pairs agreeing on ANY
+    * table's full signature — the OR-of-ANDs banding that gives
+    * hyperplane LSH usable recall (a single signature's p^planes match
+    * probability collapses for mid-similarity pairs; L tables lift it
+    * to 1 − (1 − p^planes)^L — the same reason the minhash pipeline
+    * bands its signature rows). Work is Σ m² over (table, bucket)
+    * populations, never n²; buckets OVER `maxBucket` are star-reduced
+    * to their min-vec_id anchor exactly like the simhash/minhash capped
+    * generators — m−1 edges instead of m(m−1)/2, output linear in the
+    * corpus for a fixed cap, components preserved through the anchor.
+    * Every emitted edge — star or not — carries the exact rounded
+    * cosine and must clear `minCosine`, so precision is 1 relative to
+    * [[nearDupPairs]]; recall is the planes/tables knob and the
+    * subset property is pinned by spec. */
+  def nearDupPairsLsh(emb: DataFrame, minCosine: Double, planes: Int,
+                      tables: Int, maxBucket: Long): DataFrame = {
+    require(maxBucket >= 2, "maxBucket must be at least 2")
+    require(planes >= 1 && planes <= 62, "planes must fit a long signature")
+    require(tables >= 1, "at least one signature table")
+    // same one-pass dimensionality probe + ragged-corpus guard as
+    // lshBucketedKnn (model-sized, plan-construction time)
+    val dims = emb.agg(min(size(col("embedding"))), max(size(col("embedding")))).head()
+    if (dims.isNullAt(0))
+      return emb.select(col("vec_id").as("vec_a"), col("vec_id").as("vec_b"),
+        lit(0.0).as("cosine")).limit(0)
+    require(dims.getInt(0) == dims.getInt(1),
+      s"nearDupPairsLsh needs uniform embedding dimensionality; corpus has " +
+        s"lengths ${dims.getInt(0)}..${dims.getInt(1)}")
+    val dim = dims.getInt(0)
+    def sig(vec: Column, t: Int): Column = (0 until planes).map { p =>
+      val weights = array((0 until dim).map(i =>
+        lit(lshWeight(t, p, i).toDouble)): _*)
+      when(dot(vec, weights) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    // (tbl, bucket) rows — `tables` per vector, the band-table layout;
+    // referenced by the stats agg and both join sides → land it once
+    // (staged parquet, same pattern as the simhash band tables)
+    val b = Shingles.shared(
+      emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", l2norm(col("v")))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          explode(array((0 until tables).map(t =>
+            struct(lit(t).as("tbl"), sig(col("v"), t).as("bucket"))): _*)).as("x"))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("x.tbl").as("tbl"), col("x.bucket").as("bucket")))
+    // anchor = min struct(vec_id, v, nrm): vec_id is unique per
+    // (tbl, bucket), so the struct min is exactly the min-vec_id member
+    // with its vector — the arg_min the oracle computes
+    val stats = b.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("vec_id"), col("v"), col("nrm"))).as("__a"))
+    val tagged = b.join(stats, Seq("tbl", "bucket"))
+    val small = tagged.filter(col("__n") <= maxBucket)
+    val allPairs = small
+      .select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      .join(small.select(col("tbl"), col("bucket"), col("vec_id").as("vec_b"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        round(cosinePre(dot(col("va"), col("vb")), col("na"), col("nb")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+    val star = tagged.filter(col("__n") > maxBucket)
+      .filter(col("vec_id") =!= col("__a.vec_id"))
+      .withColumn("cosine",
+        round(cosinePre(dot(col("__a.v"), col("v")),
+          col("__a.nrm"), col("nrm")), 6))
+      .filter(col("cosine") >= minCosine)
+      // the anchor carries the bucket's min vec_id, so vec_a < vec_b
+      .select(col("__a.vec_id").as("vec_a"), col("vec_id").as("vec_b"),
+        col("cosine"))
+    allPairs.union(star).distinct()
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥
     * threshold. Exact O(n²) form — at corpus scale, generate candidates
-    * with [[lshBucketedKnn]]/[[ivfKnn]] blocking first and reserve this
-    * as the verify step over candidates. */
+    * with [[nearDupPairsLsh]]/[[lshBucketedKnn]]/[[ivfKnn]] blocking
+    * first and reserve this as the verify step over candidates. */
   def nearDupPairs(emb: DataFrame, minCosine: Double,
                    blockSize: Int = 256): DataFrame = {
     // Blocked all-pairs layout (the dense-scoring analog of block matrix
@@ -250,19 +375,7 @@ object Similarity {
       s"lshBucketedKnn needs uniform embedding dimensionality; corpus has " +
         s"lengths ${dims.getInt(0)}..${dims.getInt(1)}")
     val dim = dims.getInt(0)
-    def bucket(vec: Column): Column = {
-      // plane p: sign of the projection Σ v(i) · w_p(i) with deterministic
-      // pseudo-random weights w_p(i) = (i · m_p) mod 7 − 3 ∈ [−3, 3]; the
-      // multiplier m_p = (p mod 6) + 1 is never ≡ 0 (mod 7), so no plane
-      // degenerates to a constant-weight projection
-      val sig = (0 until planes).map { p =>
-        val m = (p % 6) + 1
-        val weights = array((0 until dim).map(i =>
-          lit((((i * m) % 7) - 3).toDouble)): _*)
-        when(dot(vec, weights) > 0, lit(1L << p)).otherwise(lit(0L))
-      }
-      sig.reduce(_ + _)
-    }
+    def bucket(vec: Column): Column = lshSignature(vec, planes, dim)
     val c = emb.select(col("vec_id").as("n_vec"),
       asDouble(col("embedding")).as("n_emb"))
       .withColumn("bucket", bucket(col("n_emb")))

@@ -1935,6 +1935,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(resumed === oneShot)
   }
 
+  test("LSH near-dup pairs: capped ⊆ uncapped ⊆ exact, with recall on the fixtures") {
+    val emb = Sources.table(spark, sfDir, "embeddings")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Similarity.nearDupPairs(emb, 0.45)
+      .select(col("vec_a"), col("vec_b")))
+    val uncapped = pairSet(Similarity.nearDupPairsLsh(emb, 0.45, 5, 16, 1000000L)
+      .select(col("vec_a"), col("vec_b")))
+    val capped = pairSet(Similarity.nearDupPairsLsh(emb, 0.45, 5, 16, 32L)
+      .select(col("vec_a"), col("vec_b")))
+    // precision 1 relative to the exact generator (every edge is
+    // cosine-verified); the star reduction can only shrink the pair set
+    assert(capped.subsetOf(uncapped), s"star arm invented pairs: ${capped -- uncapped}")
+    assert(uncapped.subsetOf(exact), s"bucketing invented pairs: ${uncapped -- exact}")
+    assert(capped.nonEmpty, "fixture near-dups should share LSH signatures")
+  }
+
+  test("LSH near-dup cap bounds a flooded bucket to star edges") {
+    // 40 copies of one vector + 5 distant ones: the identical vectors
+    // share a signature bucket (> cap), so the capped generator must
+    // emit exactly the 39 anchor star edges for the flood, never 40·39/2
+    val base = (0 until 64).map(i => (i % 7).toFloat - 3f)
+    val far = (0 until 64).map(i => -((i % 5).toFloat - 2f))
+    val emb = ((0L until 40L).map(i => (i, base)) ++
+        (100L until 105L).map(i => (i, far)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.nearDupPairsLsh(emb, 0.45, 5, 16, 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val floodEdges = got.filter(_._2 < 40L)
+    assert(floodEdges === (1L until 40L).map(b => (0L, b)).toSet,
+      s"flood must star-reduce onto vec 0: $floodEdges")
+  }
+
   test("online dedup state cap bounds retained members, still collapses a flood") {
     // 20 identical docs: every bucket floods past cap=8, yet each later
     // doc still matches the earliest member (state holds the first 8);
