@@ -2720,17 +2720,61 @@ object SparkEntry {
         minCosine = EmbNearDupMinCosine)
       .orderBy(col("vec_a").asc, col("vec_b").asc)
 
+  /** Staged multi-table-LSH embedding pair table — built once, consumed
+    * by q179 (pairs), q180 (clusters) and q181 (survivors), exactly as
+    * the capped simhash pair table feeds q170/q171. */
+  private def stagedEmbLshPairs(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Staging.stagedParquet(s,
+        s"emb_lsh_pairs|cos>=$EmbNearDupMinCosine|p=$EmbLshPlanes" +
+          s"|t=$EmbLshTables|cap=$EmbLshBucketCap|$dir", Seq(dir))(
+      Similarity.nearDupPairsLsh(Sources.table(s, dir, "embeddings"),
+        EmbNearDupMinCosine, EmbLshPlanes, EmbLshTables, EmbLshBucketCap))
+
+  /** Staged semantic-dedup cluster table: min-label connected
+    * components over [[stagedEmbLshPairs]]. */
+  private def stagedEmbLshClusters(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Staging.stagedParquet(s,
+        s"emb_lsh_clusters|cos>=$EmbNearDupMinCosine|p=$EmbLshPlanes" +
+          s"|t=$EmbLshTables|cap=$EmbLshBucketCap|$dir", Seq(dir))(
+      graft.operators.Graph.connectedComponents(
+        stagedEmbLshPairs(s, dir), "vec_a", "vec_b"))
+
   /** Multi-table-LSH capped embedding near-dup pairs
     * ([[Similarity.nearDupPairsLsh]]) — the 100 TB path for q45, whose
     * exact all-pairs mirror SCALE.md measures as non-executable at
-    * century scale: same-signature candidates only (any of the 12
+    * century scale: same-signature candidates only (any of the 16
     * tables), over-cap buckets star-reduced to their anchor, every edge
     * cosine-verified at the shared threshold (subset-of-q45 precision
-    * pinned by spec). */
+    * pinned by spec). Reads the staged pair table, so the bench times
+    * the scan, and q180/q181 reuse the build. */
   private def q179(s: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupPairsLsh(Sources.table(s, dir, "embeddings"),
-        EmbNearDupMinCosine, EmbLshPlanes, EmbLshTables, EmbLshBucketCap)
+    stagedEmbLshPairs(s, dir)
       .orderBy(col("vec_a").asc, col("vec_b").asc)
+
+  /** SEMANTIC dedup clusters (SemDeDup shape): transitive closure of
+    * the q179 embedding near-dup pairs via the same min-label CC
+    * operator the text pipeline runs (q170) — one duplicate group per
+    * connected set of cosine-verified neighbors, cluster_id = smallest
+    * vec_id. */
+  private def q180(s: SparkSession, dir: String): DataFrame =
+    stagedEmbLshClusters(s, dir)
+      .select(col("n").as("vec_id"), col("component").as("cluster_id"))
+      .orderBy(col("vec_id").asc)
+
+  /** Semantic-dedup survivors: one canonical vector (smallest vec_id)
+    * per q180 cluster plus every unclustered vector — the embedding-
+    * space twin of q171's document survivors, completing the
+    * fingerprint → capped pairs → components → anti-join pipeline for
+    * the second modality. */
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    val e = Sources.table(s, dir, "embeddings")
+    val dropIds = stagedEmbLshClusters(s, dir)
+      .filter(col("n") =!= col("component"))
+      .select(col("n"))
+    e.join(dropIds, e("vec_id") === dropIds("n"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id").asc)
+  }
 
   /** Token counting two ways: whitespace and a BPE-ish regex (word runs +
     * single non-word symbols). */
@@ -3501,6 +3545,52 @@ object SparkEntry {
         edges AS MATERIALIZED (SELECT doc_a AS n, doc_b AS m FROM prs
                   UNION SELECT doc_b AS n, doc_a AS m FROM prs)"""
 
+  /** Oracle CTE prefix for the q179/q180/q181 family: multi-table LSH
+    * signature buckets (weight arrays interpolated LITERALLY from the
+    * engine's splitmix family — [[Similarity.lshTableWeights]]), capped-
+    * generator stats, and the two cap arms ending in `u(vec_a, vec_b,
+    * cosine)`. The single-side n <= cap predicate prunes over-cap
+    * buckets out of the pair arm BEFORE the join, so the oracle never
+    * materializes a flooded bucket's m² candidates. */
+  private lazy val embLshPairCtes: String = {
+    val w = Similarity.lshTableWeights(EmbLshTables, EmbLshPlanes, EmbeddingDim)
+    val arms = (0 until EmbLshTables).map { t =>
+      val sig = (0 until EmbLshPlanes).map { p =>
+        val arr = w(t)(p).mkString("[", ", ", "]")
+        s"CASE WHEN list_dot_product(v, CAST($arr AS DOUBLE[])) > 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString(" + ")
+      s"SELECT vec_id, v, $t AS tbl, CAST($sig AS BIGINT) AS bucket FROM e"
+    }.mkString("\n            UNION ALL ")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS MATERIALIZED ($arms),
+        st AS (SELECT tbl, bucket, count(*) AS n, min(vec_id) AS anchor
+               FROM b GROUP BY 1, 2),
+        bt AS (SELECT b.vec_id, b.v, b.tbl, b.bucket, st.n, st.anchor
+               FROM b JOIN st ON b.tbl = st.tbl AND b.bucket = st.bucket),
+        u AS (
+          SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+                 ${sqlCos("a.v", "c.v")} AS cosine
+          FROM bt a JOIN bt c
+            ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+          WHERE a.n <= $EmbLshBucketCap
+            AND ${sqlCos("a.v", "c.v")} >= $EmbNearDupMinCosine
+          UNION ALL
+          SELECT t.anchor AS vec_a, t.vec_id AS vec_b,
+                 ${sqlCos("f.v", "t.v")} AS cosine
+          FROM bt t JOIN e f ON f.vec_id = t.anchor
+          WHERE t.n > $EmbLshBucketCap AND t.vec_id <> t.anchor
+            AND ${sqlCos("f.v", "t.v")} >= $EmbNearDupMinCosine)"""
+  }
+
+  /** q179's pair set symmetrized into the `edges(n, m)` relation
+    * [[ccUnrolledCtes]] expects — the embedding-space twin of
+    * [[cappedEdgeCtes]], shared by the q180/q181 oracles. */
+  private lazy val embLshEdgeCtes: String =
+    s"""$embLshPairCtes,
+        prs AS MATERIALIZED (SELECT DISTINCT vec_a AS doc_a, vec_b AS doc_b FROM u),
+        edges AS MATERIALIZED (SELECT doc_a AS n, doc_b AS m FROM prs
+                  UNION SELECT doc_b AS n, doc_a AS m FROM prs)"""
+
   /** The two pair-table prefixes the graph-analytics oracles swap
     * between — each ends by defining `prs(a, b)` with a < b canonical
     * (the capped generator's star arm emits (anchor = bucket-min,
@@ -3970,7 +4060,9 @@ object SparkEntry {
     "q176_capped_pagerank" -> (q176 _),
     "q177_bpe_sampled" -> (q177 _),
     "q178_stream_online_neardup" -> (q178 _),
-    "q179_embedding_neardup_lsh" -> (q179 _))
+    "q179_embedding_neardup_lsh" -> (q179 _),
+    "q180_semantic_clusters" -> (q180 _),
+    "q181_semantic_survivors" -> (q181 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -4486,45 +4578,25 @@ object SparkEntry {
                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
                 >= $EmbNearDupMinCosine
           ORDER BY vec_a ASC, vec_b ASC""",
-    // q179: the capped-generator oracle shape (stats → small-bucket
-    // exact arm + over-cap star arm) over the multi-table LSH signature
-    // buckets. The weight arrays are interpolated LITERALS from the
-    // engine's own splitmix family (Similarity.lshTableWeights) — the
-    // oracle reproduces the numbers, never the generator. The
-    // single-side n <= cap predicate prunes over-cap buckets out of the
-    // pair arm BEFORE the join, so the oracle never materializes a
-    // flooded bucket's m² candidates.
-    "q179_embedding_neardup_lsh" -> {
-      val w = Similarity.lshTableWeights(EmbLshTables, EmbLshPlanes, EmbeddingDim)
-      val arms = (0 until EmbLshTables).map { t =>
-        val sig = (0 until EmbLshPlanes).map { p =>
-          val arr = w(t)(p).mkString("[", ", ", "]")
-          s"CASE WHEN list_dot_product(v, CAST($arr AS DOUBLE[])) > 0 THEN ${1L << p} ELSE 0 END"
-        }.mkString(" + ")
-        s"SELECT vec_id, v, $t AS tbl, CAST($sig AS BIGINT) AS bucket FROM e"
-      }.mkString("\n            UNION ALL ")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          b AS MATERIALIZED ($arms),
-          st AS (SELECT tbl, bucket, count(*) AS n, min(vec_id) AS anchor
-                 FROM b GROUP BY 1, 2),
-          bt AS (SELECT b.vec_id, b.v, b.tbl, b.bucket, st.n, st.anchor
-                 FROM b JOIN st ON b.tbl = st.tbl AND b.bucket = st.bucket),
-          u AS (
-            SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-                   ${sqlCos("a.v", "c.v")} AS cosine
-            FROM bt a JOIN bt c
-              ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id
-            WHERE a.n <= $EmbLshBucketCap
-              AND ${sqlCos("a.v", "c.v")} >= $EmbNearDupMinCosine
-            UNION ALL
-            SELECT t.anchor AS vec_a, t.vec_id AS vec_b,
-                   ${sqlCos("f.v", "t.v")} AS cosine
-            FROM bt t JOIN e f ON f.vec_id = t.anchor
-            WHERE t.n > $EmbLshBucketCap AND t.vec_id <> t.anchor
-              AND ${sqlCos("f.v", "t.v")} >= $EmbNearDupMinCosine)
+    // q179/q180/q181: the multi-table LSH pair prefix (see
+    // embLshPairCtes) feeds the pair report, the CC recurrence, and the
+    // survivor anti-join — the embedding-space twins of q170/q171
+    "q179_embedding_neardup_lsh" ->
+      s"""WITH $embLshPairCtes
           SELECT DISTINCT vec_a, vec_b, cosine FROM u
-          ORDER BY vec_a ASC, vec_b ASC"""
-    },
+          ORDER BY vec_a ASC, vec_b ASC""",
+    "q180_semantic_clusters" ->
+      s"""WITH $embLshEdgeCtes,
+          ${ccUnrolledCtes()}
+          SELECT n AS vec_id, cluster_id
+          FROM clusters ORDER BY vec_id ASC""",
+    "q181_semantic_survivors" ->
+      s"""WITH $embLshEdgeCtes,
+          ${ccUnrolledCtes()}
+          SELECT e.vec_id, e.label FROM embeddings e
+          WHERE NOT EXISTS (SELECT 1 FROM clusters c
+                            WHERE c.n = e.vec_id AND c.n != c.cluster_id)
+          ORDER BY e.vec_id ASC""",
     "q46_token_counting" ->
       s"""SELECT doc_id,
                  len(string_split(text, ' ')) AS n_ws_tokens,

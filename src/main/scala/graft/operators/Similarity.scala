@@ -197,45 +197,54 @@ object Similarity {
         lit(lshWeight(t, p, i).toDouble)): _*)
       when(dot(vec, weights) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    // (tbl, bucket) rows — `tables` per vector, the band-table layout;
-    // referenced by the stats agg and both join sides → land it once
-    // (staged parquet, same pattern as the simhash band tables)
+    // SLIM (vec_id, tbl, bucket) band table — `tables` rows per vector,
+    // ids only. The first cut of this operator carried the full vector
+    // (and its norm) through the band table and the m² bucket join —
+    // 16× redundant vector bytes through every shuffle, which at sf10
+    // (2M × 64-dim vectors) filled the disk before the pair join even
+    // finished. Candidates are generated over ids, DISTINCT'd across
+    // tables (a pair sharing k tables collapses to one row BEFORE any
+    // vector is shipped), and only then verified by joining the vectors
+    // back by id — each vector crosses the wire once per distinct
+    // candidate, not once per band row. Referenced by the stats agg and
+    // both join sides → land it once (staged parquet, same pattern as
+    // the simhash band tables).
     val b = Shingles.shared(
       emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("nrm", l2norm(col("v")))
-        .select(col("vec_id"), col("v"), col("nrm"),
+        .select(col("vec_id"),
           explode(array((0 until tables).map(t =>
             struct(lit(t).as("tbl"), sig(col("v"), t).as("bucket"))): _*)).as("x"))
-        .select(col("vec_id"), col("v"), col("nrm"),
-          col("x.tbl").as("tbl"), col("x.bucket").as("bucket")))
-    // anchor = min struct(vec_id, v, nrm): vec_id is unique per
-    // (tbl, bucket), so the struct min is exactly the min-vec_id member
-    // with its vector — the arg_min the oracle computes
+        .select(col("vec_id"), col("x.tbl").as("tbl"), col("x.bucket").as("bucket")))
     val stats = b.groupBy(col("tbl"), col("bucket"))
-      .agg(count(lit(1)).as("__n"),
-        min(struct(col("vec_id"), col("v"), col("nrm"))).as("__a"))
+      .agg(count(lit(1)).as("__n"), min(col("vec_id")).as("__a"))
     val tagged = b.join(stats, Seq("tbl", "bucket"))
     val small = tagged.filter(col("__n") <= maxBucket)
     val allPairs = small
-      .select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"),
-        col("v").as("va"), col("nrm").as("na"))
-      .join(small.select(col("tbl"), col("bucket"), col("vec_id").as("vec_b"),
-        col("v").as("vb"), col("nrm").as("nb")), Seq("tbl", "bucket"))
+      .select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"))
+      .join(small.select(col("tbl"), col("bucket"), col("vec_id").as("vec_b")),
+        Seq("tbl", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+    val star = tagged.filter(col("__n") > maxBucket)
+      .filter(col("vec_id") =!= col("__a"))
+      // the anchor carries the bucket's min vec_id, so vec_a < vec_b
+      .select(col("__a").as("vec_a"), col("vec_id").as("vec_b"))
+    val cand = allPairs.union(star).distinct()
+    // verify: fetch each side's vector by id and keep pairs clearing
+    // the exact rounded-cosine threshold — same pair set as verifying
+    // inside the band join (cosine is a pure function of the pair),
+    // at a fraction of the shuffled bytes
+    val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    cand
+      .join(vecs.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("vec_a"))
+      .join(vecs.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("vec_b"))
       .withColumn("cosine",
         round(cosinePre(dot(col("va"), col("vb")), col("na"), col("nb")), 6))
       .filter(col("cosine") >= minCosine)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
-    val star = tagged.filter(col("__n") > maxBucket)
-      .filter(col("vec_id") =!= col("__a.vec_id"))
-      .withColumn("cosine",
-        round(cosinePre(dot(col("__a.v"), col("v")),
-          col("__a.nrm"), col("nrm")), 6))
-      .filter(col("cosine") >= minCosine)
-      // the anchor carries the bucket's min vec_id, so vec_a < vec_b
-      .select(col("__a.vec_id").as("vec_a"), col("vec_id").as("vec_b"),
-        col("cosine"))
-    allPairs.union(star).distinct()
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥

@@ -1968,6 +1968,19 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"flood must star-reduce onto vec 0: $floodEdges")
   }
 
+  test("semantic dedup survivors are exactly the cluster roots plus unclustered vectors") {
+    val clusters = SparkEntry.queries("q180_semantic_clusters")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val survivors = SparkEntry.queries("q181_semantic_survivors")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val all = Sources.table(spark, sfDir, "embeddings")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val nonRoots = clusters.filter { case (v, c) => v != c }.map(_._1).toSet
+    assert(clusters.nonEmpty, "fixtures should produce at least one semantic cluster")
+    assert(survivors === (all -- nonRoots))
+    assert(clusters.map(_._2).toSet.subsetOf(survivors), "every cluster root survives")
+  }
+
   test("online dedup state cap bounds retained members, still collapses a flood") {
     // 20 identical docs: every bucket floods past cap=8, yet each later
     // doc still matches the earliest member (state holds the first 8);
