@@ -2776,6 +2776,73 @@ object SparkEntry {
       .orderBy(col("vec_id").asc)
   }
 
+  /** Salt for the leakage-free split's group hash, and the split
+    * boundaries in basis points (80/10/10) — interpolated into the
+    * oracle so engine and SQL cannot drift. */
+  private val SplitSalt = "split-v1"
+  private val SplitTrainBp = 8000
+  private val SplitValBp = 9000
+
+  /** DSIR hashed-feature model shape (shared with the oracle). */
+  private val DsirBuckets = 256
+  private val DsirSalt = "dsir-v1"
+  private val DsirTargetSource = "src3"
+
+  /** Token-budget allocation knobs (shared with the oracle): budget =
+    * Σtokens DIV den, repeat ceiling in epochs. */
+  private val MixBudgetDen = 2
+  private val MixCapEpochs = 2
+
+  /** Hybrid BM25 + embedding-cosine retrieval fused by reciprocal rank
+    * fusion ([[graft.operators.Retrieval.hybridRrf]]) — the RAG
+    * two-tower query shape. Lexical side reuses q84's term bag; vector
+    * side probes with vec_id 0's embedding (vec_id = doc_id, one
+    * embedding per doc). Both lists are bounded top-20 before the
+    * fuse, so the rank join is ≤ 40 rows at any corpus size. */
+  private def q182(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.hybridRrf(docs(s, dir),
+      Sources.table(s, dir, "embeddings"),
+      Seq("spark", "join", "window", "merge"), probeVecId = 0L, k = 20)
+
+  /** Leakage-free train/val/test split
+    * ([[graft.operators.DataMix.leakFreeSplit]]): every doc inherits
+    * its capped near-dup cluster (q170's staged table) as its split
+    * group, so near-duplicates can never straddle a split boundary —
+    * the contamination guard a curation pipeline runs before writing
+    * train/val/test manifests. Gate reports the per-split census; the
+    * leakage invariant itself (both endpoints of every pair share a
+    * split) is pinned by spec. */
+  private def q183(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DataMix.leakFreeSplit(docs(s, dir),
+        stagedSimhashClustersCapped(s, dir), SplitSalt, SplitTrainBp, SplitValBp)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("group_id")).as("n_groups"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split").asc)
+
+  /** DSIR-style hashed-n-gram importance log-ratios
+    * ([[graft.operators.DataMix.dsirImportance]]): docs scored by how
+    * much their token mix resembles the '$DsirTargetSource' slice vs
+    * the whole corpus — the target-distribution selection signal of
+    * importance resampling. One corpus scan; bucket scores rounded at
+    * DECIMAL(18,6) before the exact per-doc sum (the q84 ln idiom). */
+  private def q184(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DataMix.dsirImportance(docs(s, dir),
+      col("source") === DsirTargetSource, DsirBuckets, DsirSalt)
+      .orderBy(col("doc_id").asc)
+
+  /** Per-source token-budget allocation under a repeat cap
+    * ([[graft.operators.DataMix.tokenBudgetMix]]) — the
+    * data-constrained mixing planner: equal share per source, capped
+    * at [[MixCapEpochs]] epochs, one integer-exact redistribution
+    * round across uncapped sources. Fixture sources are near-uniform,
+    * so the gate exercises the uncapped arm; the cap + redistribution
+    * arm is pinned by spec on a skewed frame. */
+  private def q185(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DataMix.tokenBudgetMix(docs(s, dir),
+      MixBudgetDen, MixCapEpochs)
+
   /** Token counting two ways: whitespace and a BPE-ish regex (word runs +
     * single non-word symbols). */
   private def q46(s: SparkSession, dir: String): DataFrame =
@@ -4062,7 +4129,11 @@ object SparkEntry {
     "q178_stream_online_neardup" -> (q178 _),
     "q179_embedding_neardup_lsh" -> (q179 _),
     "q180_semantic_clusters" -> (q180 _),
-    "q181_semantic_survivors" -> (q181 _))
+    "q181_semantic_survivors" -> (q181 _),
+    "q182_hybrid_rrf" -> (q182 _),
+    "q183_leakfree_split" -> (q183 _),
+    "q184_dsir_importance" -> (q184 _),
+    "q185_token_budget" -> (q185 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -4597,6 +4668,125 @@ object SparkEntry {
           WHERE NOT EXISTS (SELECT 1 FROM clusters c
                             WHERE c.n = e.vec_id AND c.n != c.cluster_id)
           ORDER BY e.vec_id ASC""",
+    // q182: the q84 BM25 CTEs (ranked) full-outer-joined with a q25-
+    // style cosine list against probe vec 0, RRF-fused — ranks are
+    // small exact integers, so 1/(k0+rank) is one IEEE division
+    "q182_hybrid_rrf" ->
+      s"""WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                              unnest(string_split(text, ' ')) AS term
+                       FROM documents),
+          hits AS (SELECT * FROM tok
+                   WHERE term IN ('spark', 'join', 'window', 'merge')),
+          tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+                 FROM hits GROUP BY 1, 2),
+          dfq AS (SELECT term, count(DISTINCT doc_id) AS df
+                  FROM hits GROUP BY 1),
+          stats AS (SELECT count(*) AS n_total,
+                           sum(len(string_split(text, ' '))) AS sum_dl
+                    FROM documents),
+          scored AS (SELECT tf.doc_id,
+                            CAST(ln(1.0 + (stats.n_total - dfq.df + 0.5)
+                                          / (dfq.df + 0.5))
+                                 * ((tf.tf * (1.2 + 1))
+                                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl
+                                         / (CAST(stats.sum_dl AS DOUBLE) / stats.n_total))))
+                              AS DECIMAL(18,6)) AS s
+                     FROM tf JOIN dfq ON tf.term = dfq.term, stats),
+          bm AS (SELECT doc_id, CAST(sum(s) AS DOUBLE) AS score
+                 FROM scored GROUP BY doc_id
+                 ORDER BY score DESC, doc_id ASC LIMIT 20),
+          lex AS (SELECT doc_id, row_number() OVER (
+                    ORDER BY score DESC, doc_id ASC) AS lex_rank FROM bm),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          pq AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+          cosl AS (SELECT e.vec_id,
+                          round(list_dot_product(pv, v) /
+                            (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))), 6)
+                            AS cosine
+                   FROM e, pq WHERE e.vec_id <> 0),
+          vr AS (SELECT vec_id AS doc_id, row_number() OVER (
+                   ORDER BY cosine DESC, vec_id ASC) AS vec_rank FROM cosl),
+          vtop AS (SELECT * FROM vr WHERE vec_rank <= 20),
+          fused AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+                           l.lex_rank, v.vec_rank
+                    FROM lex l FULL OUTER JOIN vtop v ON l.doc_id = v.doc_id)
+          SELECT doc_id,
+                 coalesce(lex_rank, 0) AS lex_rank,
+                 coalesce(vec_rank, 0) AS vec_rank,
+                 round(coalesce(1.0 / (60 + lex_rank), 0)
+                       + coalesce(1.0 / (60 + vec_rank), 0), 6) AS rrf_score
+          FROM fused ORDER BY rrf_score DESC, doc_id ASC""",
+    // q183: the q170 capped-cluster CTEs extended with the group-
+    // inherited md5 split — same bucket arithmetic as q54's sampler
+    "q183_leakfree_split" ->
+      s"""WITH $simhashCte,
+          $cappedEdgeCtes,
+          ${ccUnrolledCtes()},
+          k AS (SELECT d.doc_id, d.n_chars,
+                       coalesce(c.cluster_id, d.doc_id) AS gid
+                FROM documents d LEFT JOIN clusters c ON c.n = d.doc_id),
+          sp AS (SELECT gid, n_chars,
+                        CASE WHEN bucket < $SplitTrainBp THEN 'train'
+                             WHEN bucket < $SplitValBp THEN 'val'
+                             ELSE 'test' END AS split
+                 FROM (SELECT gid, n_chars,
+                         ('0x' || substr(md5(CAST(gid AS VARCHAR) || '$SplitSalt'), 1, 8))::BIGINT
+                           % 10000 AS bucket
+                       FROM k))
+          SELECT split, count(*) AS n_docs, count(DISTINCT gid) AS n_groups,
+                 CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM sp GROUP BY split ORDER BY split ASC""",
+    // q184: two-level hashed-unigram counts; per-bucket ln ratios
+    // rounded at DECIMAL(18,6) before the exact count-weighted sum
+    "q184_dsir_importance" ->
+      s"""WITH tok AS (SELECT doc_id, source = '$DsirTargetSource' AS is_tgt,
+                              unnest(string_split(text, ' ')) AS term
+                       FROM documents),
+          tb AS MATERIALIZED (
+            SELECT doc_id, is_tgt,
+                   ('0x' || substr(md5(term || '$DsirSalt'), 1, 8))::BIGINT
+                     % $DsirBuckets AS b,
+                   count(*) AS c
+            FROM tok GROUP BY 1, 2, 3),
+          bc AS (SELECT b, sum(c) AS raw_n,
+                        sum(CASE WHEN is_tgt THEN c ELSE 0 END) AS tgt_n
+                 FROM tb GROUP BY b),
+          tot AS (SELECT sum(raw_n) AS raw_tot, sum(tgt_n) AS tgt_tot FROM bc),
+          sc AS (SELECT b,
+                        CAST(ln(CAST(tgt_n + 1 AS DOUBLE) / (tgt_tot + $DsirBuckets))
+                             - ln(CAST(raw_n + 1 AS DOUBLE) / (raw_tot + $DsirBuckets))
+                          AS DECIMAL(18,6)) AS s
+                 FROM bc, tot)
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(sum(c * s) AS DOUBLE) AS dsir_logratio
+          FROM tb JOIN sc USING (b)
+          GROUP BY doc_id ORDER BY doc_id ASC""",
+    // q185: integer-exact equal-share + cap + one redistribution round;
+    // the single double division is the final epochs readout
+    "q185_token_budget" ->
+      s"""WITH per AS (SELECT source,
+                              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                       FROM documents GROUP BY source),
+          tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tot,
+                         count(*) AS n_src FROM per),
+          b AS (SELECT per.source, per.n_tokens,
+                       t_tot // $MixBudgetDen AS budget,
+                       (t_tot // $MixBudgetDen) // n_src AS base
+                FROM per, tot),
+          c AS (SELECT *, least(base, n_tokens * $MixCapEpochs) AS capped,
+                       n_tokens * $MixCapEpochs > base AS uncapped
+                FROM b),
+          l AS (SELECT CAST(sum(capped) AS BIGINT) AS sum_capped,
+                       CAST(sum(CASE WHEN uncapped THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_unc FROM c)
+          SELECT source, n_tokens,
+                 CAST(capped + CASE WHEN uncapped
+                      THEN (budget - sum_capped) // NULLIF(n_unc, 0)
+                      ELSE 0 END AS BIGINT) AS alloc_tokens,
+                 round(CAST(capped + CASE WHEN uncapped
+                        THEN (budget - sum_capped) // NULLIF(n_unc, 0)
+                        ELSE 0 END AS DOUBLE) / n_tokens, 6) AS epochs
+          FROM c, l ORDER BY source ASC""",
     "q46_token_counting" ->
       s"""SELECT doc_id,
                  len(string_split(text, ' ')) AS n_ws_tokens,

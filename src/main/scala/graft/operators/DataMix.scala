@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.TextFns.tokens
+
+/** Corpus-level planning operators for training-data pipelines — the
+  * stages that decide WHAT of a curated corpus is trained on: a
+  * leakage-free train/val/test split (near-duplicates must never
+  * straddle a split boundary, or held-out loss is contaminated — the
+  * reason dedup pipelines exist; cf. Lee et al. 2022, "Deduplicating
+  * Training Data Makes Language Models Better"), hashed-n-gram
+  * importance weights for target-distribution selection (the DSIR
+  * recipe of Xie et al. 2023, "Data Selection for Language Models via
+  * Importance Resampling"), and a per-source token-budget allocation
+  * under a repeat cap (the data-constrained mixing question of
+  * Muennighoff et al. 2023: when the budget exceeds a source's size ×
+  * max epochs, where do the remaining tokens go?).
+  *
+  * Every operator is one corpus scan plus tiny post-aggregation
+  * arithmetic: the split is a hash of a (possibly cluster-inherited)
+  * group id, the importance weights are a two-level token re-agg with
+  * a bucket-sized broadcast back in, and the budget allocation runs on
+  * |sources| rows. All selection/assignment is deterministic md5
+  * arithmetic (the [[Sampling]] contract) — rerun-stable, engine-
+  * portable, partition-order-free.
+  *
+  * Capability extension beyond the reference surface (which ends at
+  * dedup-by-unique-key — `src/ingest/create_indexes.py:13-23`); these
+  * are the driver-mandated LLM-pipeline operators.
+  */
+object DataMix {
+
+  /** Deterministic group-coherent train/val/test split.
+    *
+    * `clusters` is a (node, component) table — the near-dup cluster
+    * assignment the dedup pipeline already computed (only paired docs
+    * appear). Every doc inherits its cluster's id as its split GROUP
+    * (unclustered docs group alone), and the split is a pure function
+    * of md5(group): all members of a near-dup cluster land in the SAME
+    * split by construction, so a train doc's near-duplicate can never
+    * sit in val/test. Buckets are basis points: [0, trainBp) train,
+    * [trainBp, valBp) val, [valBp, 10000) test.
+    *
+    * One equi-join (doc → cluster label) + per-row hash: no extra
+    * shuffle beyond the join, no RNG state. Returns the row-level
+    * frame (doc_id, source, n_chars, group_id, split) so callers can
+    * either aggregate (the gate) or write the splits out. */
+  def leakFreeSplit(docs: DataFrame, clusters: DataFrame, salt: String,
+                    trainBp: Int = 8000, valBp: Int = 9000): DataFrame = {
+    require(0 < trainBp && trainBp <= valBp && valBp <= 10000,
+      s"need 0 < trainBp <= valBp <= 10000, got ($trainBp, $valBp)")
+    val c = clusters.select(col("n").as("doc_id"), col("component"))
+    val b = Sampling.hashBucket(col("group_id"), salt)
+    docs.join(c, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("component"), col("doc_id")))
+      .withColumn("split",
+        when(b < trainBp, "train").when(b < valBp, "val").otherwise("test"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("group_id"), col("split"))
+  }
+
+  /** Hashed-feature bucket in [0, buckets) for a term — md5 over the
+    * salted term, like [[Sampling.hashBucket]] but with a caller-sized
+    * modulus (DSIR's hashed n-gram feature space). */
+  def termBucket(term: Column, buckets: Int, salt: String): Column =
+    conv(substring(md5(concat(term, lit(salt))), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** DSIR-style importance log-ratio per document.
+    *
+    * Two unigram bag-of-words models over a hashed feature space of
+    * `buckets` buckets — the TARGET distribution (docs where `isTarget`)
+    * and the RAW distribution (the whole corpus) — both add-1
+    * smoothed; each document scores the sum over its tokens of
+    * log p_target(bucket) − log p_raw(bucket). High scores mark docs
+    * whose token mix resembles the target slice: the selection signal
+    * importance resampling feeds on.
+    *
+    * Shape: ONE corpus scan explodes tokens to (doc, is_target,
+    * bucket) counts; the bucket-level model counts derive from that
+    * same aggregate by re-aggregation (no second scan), and the
+    * ≤`buckets`-row score table broadcasts back into the per-doc sum.
+    * Portability: each bucket's log-ratio is rounded at DECIMAL(18,6)
+    * (ln carries the usual ±1 ulp license — the q84 idiom) and the
+    * per-doc total is the exact decimal sum count × score. */
+  def dsirImportance(docs: DataFrame, isTarget: Column,
+                     buckets: Int, salt: String): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    // one corpus scan: per-(doc, bucket) token counts, target flag
+    // carried (constant per doc, so it rides the group-by for free).
+    // Staged: the table feeds both the bucket model (two further
+    // re-aggs) and the per-doc scoring join — without a cut the
+    // corpus explode would recompute once per consumer.
+    val perDoc = graft.engine.Staging.stagedByPlan(
+      docs
+        .select(col("doc_id"), isTarget.as("is_tgt"),
+          explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("is_tgt"),
+          termBucket(col("term"), buckets, salt).as("b"))
+        .agg(count(lit(1)).as("c")),
+      "dsir_perdoc")
+    // bucket-level model counts by re-aggregation of the same table
+    val bucketCounts = perDoc.groupBy(col("b"))
+      .agg(sum(col("c")).as("raw_n"),
+        sum(when(col("is_tgt"), col("c")).otherwise(lit(0L))).as("tgt_n"))
+    val tot = bucketCounts.agg(sum(col("raw_n")).as("raw_tot"),
+      sum(col("tgt_n")).as("tgt_tot"))
+    val scores = bucketCounts.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("tgt_n") + 1).cast("double") / (col("tgt_tot") + buckets)) -
+          log((col("raw_n") + 1).cast("double") / (col("raw_tot") + buckets)))
+          .cast(DecimalType(18, 6)).as("s"))
+    perDoc.join(broadcast(scores), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("s")).as("w"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("w").cast("double").as("dsir_logratio"))
+  }
+
+  /** Per-source token-budget allocation under a repeat cap.
+    *
+    * Given per-source token counts T_i, a total budget B = ΣT DIV
+    * `budgetDen`, and a hard repeat ceiling of `capEpochs` epochs per
+    * source: start from an equal share base = B DIV |sources|, cap
+    * each source at capEpochs·T_i, and redistribute the freed budget
+    * in one equal round across the sources that were NOT capped
+    * (integer DIV; the sub-|sources| remainder is deliberately left
+    * unallocated — exactness over completeness). Output epochs_i =
+    * alloc_i / T_i says how many times each source is repeated.
+    *
+    * All arithmetic after the one corpus scan runs on |sources| rows
+    * and is integer-exact (the single double division is the final
+    * epochs readout) — the plan costs one hash agg regardless of SF. */
+  def tokenBudgetMix(docs: DataFrame, budgetDen: Int = 2,
+                     capEpochs: Int = 2): DataFrame = {
+    require(budgetDen >= 1 && capEpochs >= 1, "degenerate budget/cap")
+    // staged: the |sources|-row census subtree scans the corpus, and
+    // it feeds both the totals agg and the allocation join
+    val per = graft.engine.Staging.stagedByPlan(
+      docs.groupBy(col("source"))
+        .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tokens")),
+      "budget_census")
+    val tot = per.agg(sum(col("n_tokens")).as("t_tot"),
+      count(lit(1)).as("n_src"))
+    val based = per.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"t_tot DIV $budgetDen"))
+      .withColumn("base", expr("budget DIV n_src"))
+      .withColumn("capped", least(col("base"), col("n_tokens") * capEpochs))
+      .withColumn("uncapped", col("n_tokens") * capEpochs > col("base"))
+    val leftover = based.agg(sum(col("capped")).as("sum_capped"),
+      sum(when(col("uncapped"), 1L).otherwise(0L)).as("n_unc"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("alloc_tokens", col("capped") +
+        when(col("uncapped"), expr("(budget - sum_capped) DIV n_unc"))
+          .otherwise(lit(0L)))
+      .select(col("source"), col("n_tokens"), col("alloc_tokens"),
+        round(col("alloc_tokens").cast("double") / col("n_tokens"), 6)
+          .as("epochs"))
+      .orderBy(col("source").asc)
+  }
+}

@@ -177,4 +177,40 @@ object Retrieval {
           .as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
+
+  /** Hybrid lexical + vector retrieval fused by Reciprocal Rank Fusion
+    * (Cormack, Clarke & Buettcher 2009): each candidate list
+    * contributes 1/(k0 + rank), documents missing from a list
+    * contribute 0 — the standard score-free fusion of a BM25 list and
+    * an embedding-cosine list (the RAG two-tower shape).
+    *
+    * `docs` and `emb` share an id space (vec_id = doc_id, one
+    * embedding per document; documents without an embedding simply
+    * never appear in the vector list). Both branches end in a bounded
+    * top-k before the fuse, so the full-outer rank join touches at
+    * most 2k rows no matter the corpus size; ranks are dense integers,
+    * making 1/(k0+rank) a single exact-operand IEEE division — bit-
+    * identical across engines with no rounding contract needed beyond
+    * the final display round. */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, queryTerms: Seq[String],
+                probeVecId: Long, k: Int, k0: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25TopK(docs, queryTerms, k)
+      .withColumn("lex_rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id").asc))
+        .cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val vec = Similarity
+      .bruteForceKnn(emb, emb.filter(col("vec_id") === probeVecId), k)
+      .select(col("n_vec").as("doc_id"), col("rank").as("vec_rank"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(k0) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(k0) + col("vec_rank")), lit(0.0)), 6)
+          .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+  }
 }

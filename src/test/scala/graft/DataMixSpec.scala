@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Sources
+import graft.operators._
+
+/** Tests for the corpus-planning operators ([[graft.operators.DataMix]])
+  * and hybrid RRF retrieval ([[graft.operators.Retrieval.hybridRrf]]):
+  * closed-form expectations on literal frames, and the leakage
+  * invariant on the sf0.001 fixtures. */
+class DataMixSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  val sfDir = "/root/testdata/sf0.001"
+
+  /** The engine's term bucket, replicated independently in pure JVM
+    * code (md5 → first 8 hex digits → % buckets). */
+  private def bucketOf(term: String, buckets: Int, salt: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest((term + salt).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % buckets
+  }
+
+  test("hybridRrf: closed-form RRF scores, full-outer membership, rank coalescing") {
+    val docs = Seq(
+      1L -> "spark join query engine",
+      2L -> "spark only here",
+      3L -> "nothing relevant at all").toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1f, 0f)),   // probe
+      (1L, Array(1f, 0f)),   // cos 1.0  -> vec rank 1
+      (2L, Array(0.8f, 0.6f)), // cos 0.8 -> vec rank 2
+      (3L, Array(0f, 1f)))   // cos 0.0  -> vec rank 3
+      .toDF("vec_id", "embedding")
+    val out = Retrieval.hybridRrf(docs, emb, Seq("spark", "join"),
+      probeVecId = 0L, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toList
+    // lexical: doc 1 matches 2 terms (rank 1), doc 2 one term (rank 2);
+    // vector top-2: doc 1 (rank 1), doc 2 (rank 2); doc 3 in neither
+    def rrf(rl: Long, rv: Long): Double = {
+      val s = (if (rl > 0) 1.0 / (60 + rl) else 0.0) +
+        (if (rv > 0) 1.0 / (60 + rv) else 0.0)
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out == List(
+      (1L, 1L, 1L, rrf(1, 1)),
+      (2L, 2L, 2L, rrf(2, 2))))
+    // widen k: doc 3 enters the vector list only — lex rank coalesces to 0
+    val out3 = Retrieval.hybridRrf(docs, emb, Seq("spark", "join"),
+      probeVecId = 0L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toList
+    assert(out3.contains((3L, 0L, 3L, rrf(0, 3))))
+    assert(out3.map(_._1).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("leakFreeSplit: no near-dup pair straddles a split; assignment is total and rerun-stable") {
+    val d = Sources.table(spark, sfDir, "documents")
+    val pairs = NearDup.simHashPairsCapped(NearDup.simHash(d), 3, 64L)
+      .select("doc_a", "doc_b")
+    val clusters = Graph.connectedComponents(pairs, "doc_a", "doc_b")
+    val split = DataMix.leakFreeSplit(d, clusters, "salt-test")
+    val s = split.select(col("doc_id"), col("split"))
+    val viol = pairs
+      .join(s.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(s.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(viol == 0, "near-dup pair split across train/val/test")
+    assert(split.count() == d.count(), "split must assign every doc exactly once")
+    val again = DataMix.leakFreeSplit(d, clusters, "salt-test")
+      .select("doc_id", "split").collect().toSet
+    assert(again == s.collect().toSet, "split must be deterministic")
+    // a different salt yields a different (but still leak-free) assignment
+    val other = DataMix.leakFreeSplit(d, clusters, "salt-other")
+      .select("doc_id", "split").collect().toSet
+    assert(other != again, "salt must decorrelate split draws")
+  }
+
+  test("dsirImportance: closed-form add-1 smoothed log-ratios on a literal corpus") {
+    val buckets = 64
+    val salt = "dsir-spec"
+    val d = Seq(
+      (1L, "aa aa aa", "tgt"),
+      (2L, "bb bb", "raw"),
+      (3L, "aa bb", "raw")).toDF("doc_id", "text", "source")
+    val out = DataMix.dsirImportance(d, col("source") === "tgt", buckets, salt)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // replicate the model independently: bucket-level counts...
+    val toks = Map(1L -> Seq("aa", "aa", "aa"), 2L -> Seq("bb", "bb"),
+      3L -> Seq("aa", "bb"))
+    val tgtDocs = Set(1L)
+    val all = toks.toSeq.flatMap { case (id, ts) => ts.map(id -> _) }
+    val byBucket = all.groupBy { case (_, t) => bucketOf(t, buckets, salt) }
+    val rawTot = all.size
+    val tgtTot = all.count { case (id, _) => tgtDocs(id) }
+    // ...per-bucket 6-dp-rounded score...
+    val score = byBucket.map { case (b, xs) =>
+      val raw = xs.size
+      val tgt = xs.count { case (id, _) => tgtDocs(id) }
+      b -> BigDecimal(
+        math.log((tgt + 1).toDouble / (tgtTot + buckets)) -
+          math.log((raw + 1).toDouble / (rawTot + buckets)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    // ...and the exact count-weighted per-doc sum
+    val expected = toks.map { case (id, ts) =>
+      id -> ts.groupBy(t => bucketOf(t, buckets, salt))
+        .map { case (b, g) => score(b) * g.size }.sum.toDouble
+    }
+    for ((id, (n, w)) <- out) {
+      assert(n == toks(id).size)
+      assert(w == expected(id), s"doc $id")
+    }
+    // the pure-target-token doc must outscore the pure-raw-token doc
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
+  test("tokenBudgetMix: cap binds on the small source and the freed budget redistributes") {
+    def text(n: Int) = Seq.fill(n)("t").mkString(" ")
+    val d = Seq(
+      (1L, text(100), "a"), (2L, text(100), "b"), (3L, text(4), "c"))
+      .toDF("doc_id", "text", "source")
+    // budget = 204 DIV 1; base = 204 DIV 3 = 68; caps 200/200/8 =>
+    // capped 68/68/8, leftover 60 over {a, b} => +30 each
+    val out = DataMix.tokenBudgetMix(d, budgetDen = 1, capEpochs = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("a") == ((100L, 98L, 0.98)))
+    assert(out("b") == ((100L, 98L, 0.98)))
+    assert(out("c") == ((4L, 8L, 2.0)))
+    assert(out.values.map(_._2).sum <= 204L, "allocation must respect the budget")
+  }
+}
