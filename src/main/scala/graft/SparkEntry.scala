@@ -2843,6 +2843,13 @@ object SparkEntry {
     graft.operators.DataMix.tokenBudgetMix(docs(s, dir),
       MixBudgetDen, MixCapEpochs)
 
+  /** Per-label embedding dispersion ([[Similarity.labelDispersion]]):
+    * average intra-label pairwise dot product by the sum-vector
+    * identity — O(n·d), no pair join, the 100 TB-executable form of an
+    * embedding-space diversity audit. */
+  private def q186(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelDispersion(Sources.table(s, dir, "embeddings"))
+
   /** Token counting two ways: whitespace and a BPE-ish regex (word runs +
     * single non-word symbols). */
   private def q46(s: SparkSession, dir: String): DataFrame =
@@ -4133,7 +4140,8 @@ object SparkEntry {
     "q182_hybrid_rrf" -> (q182 _),
     "q183_leakfree_split" -> (q183 _),
     "q184_dsir_importance" -> (q184 _),
-    "q185_token_budget" -> (q185 _))
+    "q185_token_budget" -> (q185 _),
+    "q186_embedding_dispersion" -> (q186 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -4787,6 +4795,31 @@ object SparkEntry {
                         THEN (budget - sum_capped) // NULLIF(n_unc, 0)
                         ELSE 0 END AS DOUBLE) / n_tokens, 6) AS epochs
           FROM c, l ORDER BY source ASC""",
+    // q186: the sum-vector identity — avg pairwise dot from per-dim
+    // sums and per-vector norms, both decimal-exact after the proven
+    // double→DECIMAL(18,6) cast; one double division at the end
+    "q186_embedding_dispersion" ->
+      s"""WITH ex AS (SELECT label, CAST(embedding[i] AS DOUBLE) AS v, i
+                      FROM embeddings,
+                           (SELECT unnest(range(1, ${EmbeddingDim + 1})) AS i) t),
+          sd AS (SELECT label, i,
+                        CAST(CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+                             AS DECIMAL(18,6)) AS s
+                 FROM ex GROUP BY label, i),
+          a AS (SELECT label, sum(s * s) AS a2 FROM sd GROUP BY label),
+          nr AS (SELECT label,
+                        CAST(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[]))
+                          AS DECIMAL(18,6)) AS n2
+                 FROM embeddings),
+          b AS (SELECT label, count(*) AS n, sum(n2) AS b2
+                FROM nr GROUP BY label)
+          SELECT a.label, CAST(n AS BIGINT) AS n_vecs,
+                 round(CAST(a2 - b2 AS DOUBLE) / (n * (n - 1)), 6)
+                   AS intra_avg_dot
+          FROM a JOIN b ON a.label = b.label
+          WHERE n > 1
+          ORDER BY a.label ASC""",
     "q46_token_counting" ->
       s"""SELECT doc_id,
                  len(string_split(text, ' ')) AS n_ws_tokens,

@@ -403,4 +403,43 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_vec"), col("n_vec"), col("cosine"), col("rank"))
   }
+
+  /** Per-label embedding dispersion — the average pairwise dot product
+    * inside each label (≈ cosine for unit-norm corpora), WITHOUT the
+    * O(n²) pair join, via the sum-vector identity
+    *
+    *   avg_{i≠j} vᵢ·vⱼ = (‖Σᵢvᵢ‖² − Σᵢ‖vᵢ‖²) / (n(n−1))
+    *
+    * — the embedding-space health audit (are labels collapsed? how
+    * semantically diverse is a slice?) at O(n·d) cost: one posexplode
+    * scan, a (label, dim) hash agg, and |labels|-row arithmetic. At
+    * 100 TB this is the only executable formulation; the pair join the
+    * identity replaces is the same n² wall q45's oracle hits.
+    *
+    * Exactness: components cast float→double (exact) → DECIMAL(28,12)
+    * (the proven double→decimal cast contract); per-dim sums are exact
+    * decimal, re-rounded through double at DECIMAL(18,6) so their
+    * squares ((18,6)² = (37,12)) and both Σ stay exact; the single
+    * closing double division is the only inexact op, under round(6).
+    * Labels with one vector have no pairs and are excluded. */
+  def labelDispersion(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = emb.select(col("label"), asDouble(col("embedding")).as("v"))
+    val perDim = e.select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(sum(col("col").cast(DecimalType(28, 12))).as("s_exact"))
+      .select(col("label"),
+        col("s_exact").cast("double").cast(DecimalType(18, 6)).as("s"))
+    val a = perDim.groupBy(col("label")).agg(sum(col("s") * col("s")).as("a2"))
+    val b = e.select(col("label"),
+        dot(col("v"), col("v")).cast(DecimalType(18, 6)).as("n2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("n2")).as("b2"))
+    a.join(b, Seq("label"))
+      .filter(col("n_vecs") > 1)
+      .select(col("label"), col("n_vecs"),
+        round((col("a2") - col("b2")).cast("double") /
+          (col("n_vecs") * (col("n_vecs") - lit(1L))), 6).as("intra_avg_dot"))
+      .orderBy(col("label").asc)
+  }
 }

@@ -119,6 +119,33 @@ class DataMixSpec extends AnyFunSuite {
     assert(out(1L)._2 > out(2L)._2)
   }
 
+  test("labelDispersion: identity matches brute-force pairwise dots; singletons excluded") {
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f), 1),   // label 1: identical pair -> avg dot 1
+      (2L, Array(1f, 0f, 0f), 1),
+      (3L, Array(1f, 0f, 0f), 2),   // label 2: orthogonal pair -> avg dot 0
+      (4L, Array(0f, 1f, 0f), 2),
+      (5L, Array(0f, 0f, 1f), 3))   // label 3: singleton -> excluded
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelDispersion(emb)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out == Map(1 -> ((2L, 1.0)), 2 -> ((2L, 0.0))))
+    // fixtures: the O(n·d) identity must agree with the O(n²) pair join
+    val fx = Sources.table(spark, sfDir, "embeddings")
+    val fast = Similarity.labelDispersion(fx)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val v = Similarity.asDouble(col("embedding"))
+    val e = fx.select(col("label"), col("vec_id"), v.as("v"))
+    val brute = e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.label").as("label"))
+      .agg(avg(Similarity.dot(col("a.v"), col("b.v"))).as("d"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    for ((l, d) <- brute)
+      assert(math.abs(fast(l) - d) < 1e-4,
+        s"label $l: identity ${fast(l)} vs brute $d")
+  }
+
   test("tokenBudgetMix: cap binds on the small source and the freed budget redistributes") {
     def text(n: Int) = Seq.fill(n)("t").mkString(" ")
     val d = Seq(
