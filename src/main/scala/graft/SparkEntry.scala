@@ -2850,6 +2850,30 @@ object SparkEntry {
   private def q186(s: SparkSession, dir: String): DataFrame =
     Similarity.labelDispersion(Sources.table(s, dir, "embeddings"))
 
+  /** Cross-source containment matrix — which source QUOTES which:
+    * q118's directional shingle-containment pairs rolled up to
+    * (source_a ⊂ source_b) counts + mean containment. The corpus-level
+    * provenance view of the quote detector (syndication/mirror-site
+    * audit); pair volume is q118's df-banded candidate set, the rollup
+    * is a |sources|² group-by. Containments enter the mean through the
+    * proven double→DECIMAL(18,6) cast, so the sum is exact and the
+    * single closing division sits under the portable floor-round. */
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"))
+    NearDup.containmentPairs(docs(s, dir), minContainment = 0.8,
+        maxShingleDf = 50)
+      .join(d.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("containment").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .as("__csum"))
+      .select(col("src_a"), col("src_b"), col("n_pairs"),
+        graft.engine.Aggregates.round6Portable(
+          col("__csum").cast("double") / col("n_pairs")).as("avg_containment"))
+      .orderBy(col("src_a").asc, col("src_b").asc)
+  }
+
   /** Token counting two ways: whitespace and a BPE-ish regex (word runs +
     * single non-word symbols). */
   private def q46(s: SparkSession, dir: String): DataFrame =
@@ -4141,7 +4165,8 @@ object SparkEntry {
     "q183_leakfree_split" -> (q183 _),
     "q184_dsir_importance" -> (q184 _),
     "q185_token_budget" -> (q185 _),
-    "q186_embedding_dispersion" -> (q186 _))
+    "q186_embedding_dispersion" -> (q186 _),
+    "q187_containment_matrix" -> (q187 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -4820,6 +4845,32 @@ object SparkEntry {
           FROM a JOIN b ON a.label = b.label
           WHERE n > 1
           ORDER BY a.label ASC""",
+    // q187: the q118 containment CTEs (threshold on the UNROUNDED
+    // ratio) rolled up to the source×source provenance matrix; the
+    // mean goes through dec6-cast exact sums + the portable floor-round
+    "q187_containment_matrix" ->
+      s"""WITH $sqlShingles,
+          bd AS (SELECT shingle FROM sh GROUP BY shingle
+                 HAVING count(*) <= 50),
+          b AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN bd USING (shingle)),
+          sz AS (SELECT doc_id, count(*) AS n_a FROM b GROUP BY 1),
+          it AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   count(*) AS n_common
+                 FROM b x JOIN b y
+                   ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+                 GROUP BY 1, 2),
+          cp AS (SELECT doc_a, doc_b,
+                   CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) AS c
+                 FROM it JOIN sz ON sz.doc_id = it.doc_a
+                 WHERE CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) >= 0.8),
+          j AS (SELECT da.source AS src_a, db.source AS src_b,
+                       CAST(c AS DECIMAL(18,6)) AS c6
+                FROM cp JOIN documents da ON da.doc_id = cp.doc_a
+                        JOIN documents db ON db.doc_id = cp.doc_b)
+          SELECT src_a, src_b, count(*) AS n_pairs,
+                 floor(CAST(sum(c6) AS DOUBLE) / count(*) * 1000000 + 0.5)
+                   / 1000000 AS avg_containment
+          FROM j GROUP BY 1, 2 ORDER BY src_a ASC, src_b ASC""",
     "q46_token_counting" ->
       s"""SELECT doc_id,
                  len(string_split(text, ' ')) AS n_ws_tokens,
