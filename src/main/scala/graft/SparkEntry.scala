@@ -2874,6 +2874,33 @@ object SparkEntry {
       .orderBy(col("src_a").asc, col("src_b").asc)
   }
 
+  /** Dedup candidate-generator audit — MEASURED recall/precision of the
+    * q21 MinHash-LSH candidate set against exact global n-gram Jaccard
+    * ground truth at 0.5: the evaluation a curation pipeline runs
+    * before trusting a generator's parameters (bands × rows vs the
+    * S-curve). One row: |truth|, |candidates|, |hits|, recall,
+    * candidate-set precision. Both pair sets are staged (each feeds
+    * its own count AND the hit join); the divisions are single IEEE
+    * ops on exact counts under round(6). */
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val truth = graft.engine.Staging.stagedByPlan(
+      NearDup.ngramJaccardPairs(d.withColumn("blk", lit(1)), "blk",
+          minJaccard = 0.5)
+        .select(col("doc_a"), col("doc_b")), "q188_truth")
+    val cand = graft.engine.Staging.stagedByPlan(
+      NearDup.minHashCandidates(d, MinhashK, LshBands, LshRows)
+        .select(col("doc_a"), col("doc_b")), "q188_cand")
+    val hit = truth.join(cand, Seq("doc_a", "doc_b"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        r6(col("n_hit").cast("double") / col("n_truth")).as("recall"),
+        r6(col("n_hit").cast("double") / col("n_cand")).as("cand_precision"))
+      .orderBy(col("n_truth").asc)
+  }
+
   /** Token counting two ways: whitespace and a BPE-ish regex (word runs +
     * single non-word symbols). */
   private def q46(s: SparkSession, dir: String): DataFrame =
@@ -4166,7 +4193,8 @@ object SparkEntry {
     "q184_dsir_importance" -> (q184 _),
     "q185_token_budget" -> (q185 _),
     "q186_embedding_dispersion" -> (q186 _),
-    "q187_containment_matrix" -> (q187 _))
+    "q187_containment_matrix" -> (q187 _),
+    "q188_dedup_generator_audit" -> (q188 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -4871,6 +4899,33 @@ object SparkEntry {
                  floor(CAST(sum(c6) AS DOUBLE) / count(*) * 1000000 + 0.5)
                    / 1000000 AS avg_containment
           FROM j GROUP BY 1, 2 ORDER BY src_a ASC, src_b ASC""",
+    // q188: the q21 minhash band CTEs next to an UNBLOCKED q24 jaccard
+    // ground truth at 0.5 (threshold on the unrounded ratio) — counts
+    // + two single-division rates
+    "q188_dedup_generator_audit" ->
+      s"""$minhashCtes,
+          cand AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id),
+          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                           count(*) AS n_common
+                    FROM sh a JOIN sh b ON a.shingle = b.shingle
+                      AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+          truth AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+            WHERE n_common / (x.n + y.n - n_common) >= 0.5),
+          t AS (SELECT count(*) AS n_truth FROM truth),
+          c AS (SELECT count(*) AS n_cand FROM cand),
+          h AS (SELECT count(*) AS n_hit
+                FROM truth JOIN cand USING (doc_a, doc_b))
+          SELECT n_truth, n_cand, n_hit,
+                 round(CAST(n_hit AS DOUBLE) / n_truth, 6) AS recall,
+                 round(CAST(n_hit AS DOUBLE) / n_cand, 6) AS cand_precision
+          FROM t, c, h ORDER BY n_truth ASC""",
     "q46_token_counting" ->
       s"""SELECT doc_id,
                  len(string_split(text, ' ')) AS n_ws_tokens,
