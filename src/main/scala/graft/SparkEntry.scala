@@ -2901,6 +2901,14 @@ object SparkEntry {
       .orderBy(col("n_truth").asc)
   }
 
+  /** q54's deterministic mixture sampler run as a STREAM
+    * ([[graft.streaming.EventStream.runMixtureOnce]]) — streaming/batch
+    * operator unification under the oracle gate: the stateless sampler
+    * keeps exactly the same rows on readStream as in batch, so the
+    * streamed summary hashes against q54's own SQL oracle. */
+  private def q189(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.runMixtureOnce(s, dir, MixRates, MixSalt)
+
   /** Token counting two ways: whitespace and a BPE-ish regex (word runs +
     * single non-word symbols). */
   private def q46(s: SparkSession, dir: String): DataFrame =
@@ -3339,6 +3347,24 @@ object SparkEntry {
       .select(col("source"), col("n_kept"),
         round(col("sc").cast("double"), 2).as("sum_chars"))
       .orderBy(col("source").asc)
+
+  /** The q54/q189 mixture oracle (shared: batch and streamed runs of
+    * the same deterministic sampler must match the same SQL). */
+  private lazy val mixtureOracle: String = {
+    val cases = MixRates.toSeq.sortBy(_._1).map { case (g, r) =>
+      s"WHEN '$g' THEN ${math.round(r * 10000)}" }.mkString(" ")
+    s"""WITH k AS (
+          SELECT source, n_chars,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '$MixSalt'), 1, 8))::BIGINT
+                   % 10000 AS bucket,
+                 CASE source $cases ELSE 0 END AS bp
+          FROM documents)
+        SELECT source, count(*) AS n_kept,
+               round(CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE), 2)
+                 AS sum_chars
+        FROM k WHERE bucket < bp
+        GROUP BY source ORDER BY source ASC"""
+  }
 
   /** Per-source upsample rates for q68 (whole + fractional parts) and
     * the shared salt. */
@@ -4194,7 +4220,8 @@ object SparkEntry {
     "q185_token_budget" -> (q185 _),
     "q186_embedding_dispersion" -> (q186 _),
     "q187_containment_matrix" -> (q187 _),
-    "q188_dedup_generator_audit" -> (q188 _))
+    "q188_dedup_generator_audit" -> (q188 _),
+    "q189_stream_mixture" -> (q189 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -4619,21 +4646,11 @@ object SparkEntry {
                  CAST(sum(least(1024, n - i * 1024)) AS BIGINT) AS sampled_bytes
           FROM s GROUP BY doc_id, nf
           ORDER BY doc_id ASC""",
-    "q54_mixture_sampling" -> {
-      val cases = MixRates.toSeq.sortBy(_._1).map { case (g, r) =>
-        s"WHEN '$g' THEN ${math.round(r * 10000)}" }.mkString(" ")
-      s"""WITH k AS (
-            SELECT source, n_chars,
-                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '$MixSalt'), 1, 8))::BIGINT
-                     % 10000 AS bucket,
-                   CASE source $cases ELSE 0 END AS bp
-            FROM documents)
-          SELECT source, count(*) AS n_kept,
-                 round(CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE), 2)
-                   AS sum_chars
-          FROM k WHERE bucket < bp
-          GROUP BY source ORDER BY source ASC"""
-    },
+    // one oracle, two engine paths: the batch sampler (q54) and the
+    // SAME stateless operator over readStream (q189) — membership is a
+    // pure function of (doc_id, salt), so all three agree
+    "q54_mixture_sampling" -> mixtureOracle,
+    "q189_stream_mixture" -> mixtureOracle,
     "q55_text_normalize" ->
       s"""WITH n AS (
             SELECT doc_id,

@@ -197,6 +197,31 @@ object EventStream {
     finally spark.catalog.dropTempView(name)
   }
 
+  /** Stream the document corpus through the STATELESS deterministic
+    * mixture sampler ([[graft.operators.Sampling.deterministicMix]])
+    * and summarize the kept set — streaming/batch operator unification
+    * under the correctness gate: membership is a pure function of
+    * (doc_id, salt), so the streamed result is identical to the batch
+    * run (q54) no matter how AvailableNow splits micro-batches, and
+    * both match one SQL oracle. The single-file fixture is read
+    * through a one-character glob so the file's parent serves as the
+    * stream's source directory. */
+  def runMixtureOnce(spark: SparkSession, sfDir: String,
+                     rates: Map[String, Double], salt: String): DataFrame = {
+    val stream = spark.readStream.schema(Sources.documents)
+      .parquet(s"$sfDir/documents.parque[t]")
+    val kept = graft.operators.Sampling.deterministicMix(
+      stream, col("doc_id"), col("source"), rates, salt)
+    runToMemory(spark, "mix_", "append", kept) { t =>
+      t.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          graft.engine.Aggregates.exactSum(col("n_chars")).as("sc"))
+        .select(col("source"), col("n_kept"),
+          round(col("sc").cast("double"), 2).as("sum_chars"))
+        .orderBy(col("source").asc)
+    }
+  }
+
   /** Run the streaming aggregation to completion over the fixture batch
     * and return the final result as a batch DataFrame. */
   def runHourlyOnce(spark: SparkSession, sfDir: String): DataFrame =
