@@ -3521,9 +3521,9 @@ object SparkEntry {
         h AS (SELECT doc_id, md5(tk) AS h FROM tok),
         nib AS (SELECT doc_id, $nibs FROM h),
         sums AS (SELECT doc_id, $sums FROM nib GROUP BY doc_id),
-        fpt64 AS (SELECT doc_id, CAST(${half(32)} AS BIGINT) AS fp_hi,
+        fpt64 AS MATERIALIZED (SELECT doc_id, CAST(${half(32)} AS BIGINT) AS fp_hi,
                          CAST(${half(0)} AS BIGINT) AS fp_lo FROM sums),
-        bnd64 AS (SELECT doc_id, fp_hi, fp_lo, band,
+        bnd64 AS MATERIALIZED (SELECT doc_id, fp_hi, fp_lo, band,
                          (CASE WHEN band < 2 THEN fp_lo ELSE fp_hi END
                           >> ((band % 2) * 16)) & 65535 AS bv
                   FROM fpt64,
@@ -3592,9 +3592,14 @@ object SparkEntry {
 
   // ----------------------------------------------- generated oracle SQL
 
+  // sh is multiply-referenced by most consumers (sizes + both join
+  // sides) and costs a 9-figure-row unnest at sf10 — MATERIALIZED per
+  // the oracle-at-scale rule (plain CTEs re-run per reference; the
+  // un-materialized form recomputed the shingle pipeline up to 4× and
+  // overran the sf10 spill budget)
   private val sqlShingles =
     """tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
-       sh AS (SELECT DISTINCT doc_id, source,
+       sh AS MATERIALIZED (SELECT DISTINCT doc_id, source,
                 unnest(list_transform(range(1, len(t) - 1),
                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
               FROM tok WHERE len(t) >= 3)"""
@@ -3621,8 +3626,8 @@ object SparkEntry {
                  ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $p AS h1,
                  ('0x' || substr(md5(shingle), 16, 15))::BIGINT % $p AS h2
                FROM sh),
-        sig AS (SELECT doc_id, $sigCols FROM hh GROUP BY doc_id),
-        bk AS ($bands)"""
+        sig AS MATERIALIZED (SELECT doc_id, $sigCols FROM hh GROUP BY doc_id),
+        bk AS MATERIALIZED ($bands)"""
   }
 
   private val minhashOracle: String =
@@ -4002,8 +4007,8 @@ object SparkEntry {
         h AS (SELECT doc_id, md5(tk) AS h FROM tok),
         nib AS (SELECT doc_id, $nibs FROM h),
         sums AS (SELECT doc_id, $sums FROM nib GROUP BY doc_id),
-        fpt AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums),
-        bnd AS (SELECT doc_id, simhash, band,
+        fpt AS MATERIALIZED (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums),
+        bnd AS MATERIALIZED (SELECT doc_id, simhash, band,
                        (simhash >> (band * $bandBits)) & $bandMask AS bv
                 FROM fpt, (SELECT unnest(range(0, $bands)) AS band) bands_t)"""
   }
