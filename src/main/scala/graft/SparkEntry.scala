@@ -6071,18 +6071,25 @@ object SparkEntry {
     "q129_ewma" -> ewmaOracle,
     "q130_minhash_audit" ->
       s"""$minhashCtes,
-          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                   FROM bk a JOIN bk b ON a.band = b.band
-                     AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+          cand AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bk a JOIN bk b ON a.band = b.band
+              AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
           est AS (SELECT doc_a, doc_b,
                     CAST(CASE WHEN sa.s0 = sb.s0 THEN 1 ELSE 0 END + CASE WHEN sa.s1 = sb.s1 THEN 1 ELSE 0 END + CASE WHEN sa.s2 = sb.s2 THEN 1 ELSE 0 END + CASE WHEN sa.s3 = sb.s3 THEN 1 ELSE 0 END + CASE WHEN sa.s4 = sb.s4 THEN 1 ELSE 0 END + CASE WHEN sa.s5 = sb.s5 THEN 1 ELSE 0 END + CASE WHEN sa.s6 = sb.s6 THEN 1 ELSE 0 END + CASE WHEN sa.s7 = sb.s7 THEN 1 ELSE 0 END + CASE WHEN sa.s8 = sb.s8 THEN 1 ELSE 0 END + CASE WHEN sa.s9 = sb.s9 THEN 1 ELSE 0 END + CASE WHEN sa.s10 = sb.s10 THEN 1 ELSE 0 END + CASE WHEN sa.s11 = sb.s11 THEN 1 ELSE 0 END AS DOUBLE) / 12 AS est_raw
                   FROM cand JOIN sig sa ON sa.doc_id = cand.doc_a
                             JOIN sig sb ON sb.doc_id = cand.doc_b),
           sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-          cm AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-                   count(*) AS n_common
-                 FROM sh x JOIN sh y ON x.shingle = y.shingle
-                   AND x.doc_id < y.doc_id
+          -- candidate-restricted intersection, mirroring the ENGINE's
+          -- join order (cand → a-side shingles → b-side match): the
+          -- global sh×sh self-join form pays Σdf² — 10 decades of
+          -- wasted pairs in the sf10 flood regime, where it overran
+          -- the spill disk; this form is linear in |cand|·shingles/doc
+          cm AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+                 FROM cand c
+                 JOIN sh x ON x.doc_id = c.doc_a
+                 JOIN sh y ON y.doc_id = c.doc_b
+                   AND y.shingle = x.shingle
                  GROUP BY 1, 2)
           SELECT est.doc_a, est.doc_b,
                  floor(est_raw * 1000000 + 0.5) / 1000000 AS est_jaccard,
