@@ -2909,6 +2909,15 @@ object SparkEntry {
   private def q189(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.runMixtureOnce(s, dir, MixRates, MixSalt)
 
+  /** q184's DSIR scoring applied to a document STREAM
+    * ([[graft.streaming.EventStream.runDsirScoreOnce]]): the bucket
+    * model trains batch-side, broadcasts into a stream-static join,
+    * and the stream carries one aggregation — train-then-apply on
+    * streams under the oracle gate, sharing q184's SQL. */
+  private def q190(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.runDsirScoreOnce(s, dir,
+      col("source") === DsirTargetSource, DsirBuckets, DsirSalt)
+
   /** Token counting two ways: whitespace and a BPE-ish regex (word runs +
     * single non-word symbols). */
   private def q46(s: SparkSession, dir: String): DataFrame =
@@ -3347,6 +3356,34 @@ object SparkEntry {
       .select(col("source"), col("n_kept"),
         round(col("sc").cast("double"), 2).as("sum_chars"))
       .orderBy(col("source").asc)
+
+  /** The q184/q190 DSIR oracle (shared: scoring a doc in batch and
+    * scoring it through the stream-static model join are the same
+    * arithmetic — per-bucket ln ratios at DECIMAL(18,6), exact
+    * count-weighted sums). */
+  private lazy val dsirOracle: String =
+    s"""WITH tok AS (SELECT doc_id, source = '$DsirTargetSource' AS is_tgt,
+                            unnest(string_split(text, ' ')) AS term
+                     FROM documents),
+        tb AS MATERIALIZED (
+          SELECT doc_id, is_tgt,
+                 ('0x' || substr(md5(term || '$DsirSalt'), 1, 8))::BIGINT
+                   % $DsirBuckets AS b,
+                 count(*) AS c
+          FROM tok GROUP BY 1, 2, 3),
+        bc AS (SELECT b, sum(c) AS raw_n,
+                      sum(CASE WHEN is_tgt THEN c ELSE 0 END) AS tgt_n
+               FROM tb GROUP BY b),
+        tot AS (SELECT sum(raw_n) AS raw_tot, sum(tgt_n) AS tgt_tot FROM bc),
+        sc AS (SELECT b,
+                      CAST(ln(CAST(tgt_n + 1 AS DOUBLE) / (tgt_tot + $DsirBuckets))
+                           - ln(CAST(raw_n + 1 AS DOUBLE) / (raw_tot + $DsirBuckets))
+                        AS DECIMAL(18,6)) AS s
+               FROM bc, tot)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(sum(c * s) AS DOUBLE) AS dsir_logratio
+        FROM tb JOIN sc USING (b)
+        GROUP BY doc_id ORDER BY doc_id ASC"""
 
   /** The q54/q189 mixture oracle (shared: batch and streamed runs of
     * the same deterministic sampler must match the same SQL). */
@@ -4226,7 +4263,8 @@ object SparkEntry {
     "q186_embedding_dispersion" -> (q186 _),
     "q187_containment_matrix" -> (q187 _),
     "q188_dedup_generator_audit" -> (q188 _),
-    "q189_stream_mixture" -> (q189 _))
+    "q189_stream_mixture" -> (q189 _),
+    "q190_stream_dsir" -> (q190 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -4821,29 +4859,8 @@ object SparkEntry {
           FROM sp GROUP BY split ORDER BY split ASC""",
     // q184: two-level hashed-unigram counts; per-bucket ln ratios
     // rounded at DECIMAL(18,6) before the exact count-weighted sum
-    "q184_dsir_importance" ->
-      s"""WITH tok AS (SELECT doc_id, source = '$DsirTargetSource' AS is_tgt,
-                              unnest(string_split(text, ' ')) AS term
-                       FROM documents),
-          tb AS MATERIALIZED (
-            SELECT doc_id, is_tgt,
-                   ('0x' || substr(md5(term || '$DsirSalt'), 1, 8))::BIGINT
-                     % $DsirBuckets AS b,
-                   count(*) AS c
-            FROM tok GROUP BY 1, 2, 3),
-          bc AS (SELECT b, sum(c) AS raw_n,
-                        sum(CASE WHEN is_tgt THEN c ELSE 0 END) AS tgt_n
-                 FROM tb GROUP BY b),
-          tot AS (SELECT sum(raw_n) AS raw_tot, sum(tgt_n) AS tgt_tot FROM bc),
-          sc AS (SELECT b,
-                        CAST(ln(CAST(tgt_n + 1 AS DOUBLE) / (tgt_tot + $DsirBuckets))
-                             - ln(CAST(raw_n + 1 AS DOUBLE) / (raw_tot + $DsirBuckets))
-                          AS DECIMAL(18,6)) AS s
-                 FROM bc, tot)
-          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-                 CAST(sum(c * s) AS DOUBLE) AS dsir_logratio
-          FROM tb JOIN sc USING (b)
-          GROUP BY doc_id ORDER BY doc_id ASC""",
+    "q184_dsir_importance" -> dsirOracle,
+    "q190_stream_dsir" -> dsirOracle,
     // q185: integer-exact equal-share + cap + one redistribution round;
     // the single double division is the final epochs readout
     "q185_token_budget" ->

@@ -86,15 +86,15 @@ object DataMix {
     * Portability: each bucket's log-ratio is rounded at DECIMAL(18,6)
     * (ln carries the usual ±1 ulp license — the q84 idiom) and the
     * per-doc total is the exact decimal sum count × score. */
-  def dsirImportance(docs: DataFrame, isTarget: Column,
-                     buckets: Int, salt: String): DataFrame = {
-    require(buckets > 0, "buckets must be positive")
-    // one corpus scan: per-(doc, bucket) token counts, target flag
-    // carried (constant per doc, so it rides the group-by for free).
-    // Staged: the table feeds both the bucket model (two further
-    // re-aggs) and the per-doc scoring join — without a cut the
-    // corpus explode would recompute once per consumer.
-    val perDoc = graft.engine.Staging.stagedByPlan(
+  /** One corpus scan → per-(doc, target-flag, bucket) token counts —
+    * the shared substrate of the DSIR model and the per-doc scoring.
+    * Staged: it feeds the bucket model (two further re-aggs) AND the
+    * per-doc scoring join; the same plan key also lets a streaming
+    * scorer ([[graft.streaming.EventStream.runDsirScoreOnce]]) reuse
+    * the batch-built model within a process. */
+  private def dsirPerDoc(docs: DataFrame, isTarget: Column,
+                         buckets: Int, salt: String): DataFrame =
+    graft.engine.Staging.stagedByPlan(
       docs
         .select(col("doc_id"), isTarget.as("is_tgt"),
           explode(tokens(col("text"))).as("term"))
@@ -102,17 +102,31 @@ object DataMix {
           termBucket(col("term"), buckets, salt).as("b"))
         .agg(count(lit(1)).as("c")),
       "dsir_perdoc")
-    // bucket-level model counts by re-aggregation of the same table
-    val bucketCounts = perDoc.groupBy(col("b"))
+
+  /** The DSIR bucket model alone: (bucket, 6-dp log-ratio score) —
+    * ≤ `buckets` rows, broadcastable; the "trained model" a scorer
+    * (batch or streaming) applies to new documents. */
+  def dsirBucketScores(docs: DataFrame, isTarget: Column,
+                       buckets: Int, salt: String): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val bucketCounts = dsirPerDoc(docs, isTarget, buckets, salt)
+      .groupBy(col("b"))
       .agg(sum(col("c")).as("raw_n"),
         sum(when(col("is_tgt"), col("c")).otherwise(lit(0L))).as("tgt_n"))
     val tot = bucketCounts.agg(sum(col("raw_n")).as("raw_tot"),
       sum(col("tgt_n")).as("tgt_tot"))
-    val scores = bucketCounts.crossJoin(broadcast(tot))
+    bucketCounts.crossJoin(broadcast(tot))
       .select(col("b"),
         (log((col("tgt_n") + 1).cast("double") / (col("tgt_tot") + buckets)) -
           log((col("raw_n") + 1).cast("double") / (col("raw_tot") + buckets)))
           .cast(DecimalType(18, 6)).as("s"))
+  }
+
+  def dsirImportance(docs: DataFrame, isTarget: Column,
+                     buckets: Int, salt: String): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val perDoc = dsirPerDoc(docs, isTarget, buckets, salt)
+    val scores = dsirBucketScores(docs, isTarget, buckets, salt)
     perDoc.join(broadcast(scores), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"),

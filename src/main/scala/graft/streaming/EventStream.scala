@@ -222,6 +222,39 @@ object EventStream {
     }
   }
 
+  /** Score a document STREAM with a batch-trained DSIR model — the
+    * train-then-apply shape on streams: the ≤|buckets|-row score table
+    * is built once from the static corpus
+    * ([[graft.operators.DataMix.dsirBucketScores]]) and joined into
+    * the stream per micro-batch (stream-static broadcast join,
+    * stateless), so the stream carries ONE aggregation (per-doc count
+    * + exact decimal score sum — Σ_tokens s(bucket) ≡ Σ_buckets c·s,
+    * order-free). Scoring a doc through the stream is therefore
+    * bit-identical to scoring it in batch (q184), and both hash
+    * against the same SQL oracle. */
+  def runDsirScoreOnce(spark: SparkSession, sfDir: String,
+                       isTarget: org.apache.spark.sql.Column,
+                       buckets: Int, salt: String): DataFrame = {
+    val model = graft.operators.DataMix.dsirBucketScores(
+      graft.engine.Sources.table(spark, sfDir, "documents"),
+      isTarget, buckets, salt)
+    val stream = spark.readStream.schema(Sources.documents)
+      .parquet(s"$sfDir/documents.parque[t]")
+    val scored = stream
+      .select(col("doc_id"),
+        explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+      .withColumn("b",
+        graft.operators.DataMix.termBucket(col("term"), buckets, salt))
+      .join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("w"))
+    runToMemory(spark, "dsir_", "complete", scored) { t =>
+      t.select(col("doc_id"), col("n_tokens"),
+          col("w").cast("double").as("dsir_logratio"))
+        .orderBy(col("doc_id").asc)
+    }
+  }
+
   /** Run the streaming aggregation to completion over the fixture batch
     * and return the final result as a batch DataFrame. */
   def runHourlyOnce(spark: SparkSession, sfDir: String): DataFrame =
