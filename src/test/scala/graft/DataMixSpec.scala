@@ -146,6 +146,18 @@ class DataMixSpec extends AnyFunSuite {
         s"label $l: identity ${fast(l)} vs brute $d")
   }
 
+  test("stream-scored DSIR equals the batch scorer row for row") {
+    val streamed = graft.streaming.EventStream.runDsirScoreOnce(
+      spark, sfDir, col("source") === "src3", 256, "dsir-v1")
+      .collect().toSeq
+    val batch = DataMix.dsirImportance(
+      Sources.table(spark, sfDir, "documents"),
+      col("source") === "src3", 256, "dsir-v1")
+      .orderBy(col("doc_id").asc).collect().toSeq
+    assert(streamed == batch,
+      "scoring a doc through the stream must be bit-identical to batch")
+  }
+
   test("tokenBudgetMix: cap binds on the small source and the freed budget redistributes") {
     def text(n: Int) = Seq.fill(n)("t").mkString(" ")
     val d = Seq(
