@@ -2882,15 +2882,15 @@ object SparkEntry {
     * candidate-set precision. Both pair sets are staged (each feeds
     * its own count AND the hit join); the divisions are single IEEE
     * ops on exact counts under round(6). */
-  private def q188(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+  private def generatorAudit(d: org.apache.spark.sql.DataFrame,
+                             tag: String): DataFrame = {
     val truth = graft.engine.Staging.stagedByPlan(
       NearDup.ngramJaccardPairs(d.withColumn("blk", lit(1)), "blk",
           minJaccard = 0.5)
-        .select(col("doc_a"), col("doc_b")), "q188_truth")
+        .select(col("doc_a"), col("doc_b")), s"${tag}_truth")
     val cand = graft.engine.Staging.stagedByPlan(
       NearDup.minHashCandidates(d, MinhashK, LshBands, LshRows)
-        .select(col("doc_a"), col("doc_b")), "q188_cand")
+        .select(col("doc_a"), col("doc_b")), s"${tag}_cand")
     val hit = truth.join(cand, Seq("doc_a", "doc_b"))
     truth.agg(count(lit(1)).as("n_truth"))
       .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
@@ -2900,6 +2900,28 @@ object SparkEntry {
         r6(col("n_hit").cast("double") / col("n_cand")).as("cand_precision"))
       .orderBy(col("n_truth").asc)
   }
+
+  private def q188(s: SparkSession, dir: String): DataFrame =
+    generatorAudit(docs(s, dir), "q188")
+
+  /** Deterministic-sample basis points + salt for q191 (shared with
+    * its oracle). 40% of docs: large enough that the fixture's planted
+    * near-dup pairs survive sampling with both endpoints present. */
+  private val AuditSampleBp = 4000
+  private val AuditSampleSalt = "audit-v1"
+
+  /** The q188 generator audit over a DETERMINISTIC md5 doc sample —
+    * the century-executable form: both the truth side (Sigma df-squared
+    * shingle self-join, measured single-node-infeasible at sf10
+    * uncapped) and the candidate side shrink quadratically with the
+    * sample rate, membership is a pure function of (doc_id, salt), and
+    * recall/precision estimate the full-corpus audit the way any
+    * production parameter-validation run samples its ground truth. */
+  private def q191(s: SparkSession, dir: String): DataFrame =
+    generatorAudit(
+      docs(s, dir).filter(graft.operators.Sampling.hashBucket(
+        col("doc_id"), AuditSampleSalt) < AuditSampleBp),
+      "q191")
 
   /** q54's deterministic mixture sampler run as a STREAM
     * ([[graft.streaming.EventStream.runMixtureOnce]]) — streaming/batch
@@ -3357,6 +3379,36 @@ object SparkEntry {
         round(col("sc").cast("double"), 2).as("sum_chars"))
       .orderBy(col("source").asc)
 
+  /** The q188/q191 generator-audit oracle body (everything after the
+    * minhash prefix): candidates, unblocked exact-Jaccard ground truth
+    * at 0.5, and the three counts + two rates. Shared verbatim by the
+    * full-corpus and sampled variants — only the base relation in the
+    * prefix differs. */
+  private lazy val generatorAuditOracleTail: String =
+    s"""
+          cand AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id),
+          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                           count(*) AS n_common
+                    FROM sh a JOIN sh b ON a.shingle = b.shingle
+                      AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+          truth AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+            WHERE n_common / (x.n + y.n - n_common) >= 0.5),
+          t AS (SELECT count(*) AS n_truth FROM truth),
+          c AS (SELECT count(*) AS n_cand FROM cand),
+          h AS (SELECT count(*) AS n_hit
+                FROM truth JOIN cand USING (doc_a, doc_b))
+          SELECT n_truth, n_cand, n_hit,
+                 round(CAST(n_hit AS DOUBLE) / n_truth, 6) AS recall,
+                 round(CAST(n_hit AS DOUBLE) / n_cand, 6) AS cand_precision
+          FROM t, c, h ORDER BY n_truth ASC"""
+
   /** The q184/q190 DSIR oracle (shared: scoring a doc in batch and
     * scoring it through the stream-static model join are the same
     * arithmetic — per-bucket ln ratios at DECIMAL(18,6), exact
@@ -3634,12 +3686,16 @@ object SparkEntry {
   // the oracle-at-scale rule (plain CTEs re-run per reference; the
   // un-materialized form recomputed the shingle pipeline up to 4× and
   // overran the sf10 spill budget)
-  private val sqlShingles =
-    """tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+  /** Shingle CTE chain over an arbitrary base relation (`documents`
+    * for the full-corpus consumers; a sampled CTE for q191). */
+  private def sqlShinglesFor(base: String): String =
+    s"""tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM $base),
        sh AS MATERIALIZED (SELECT DISTINCT doc_id, source,
                 unnest(list_transform(range(1, len(t) - 1),
                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
               FROM tok WHERE len(t) >= 3)"""
+
+  private val sqlShingles = sqlShinglesFor("documents")
 
   private def sqlStopHits(set: Seq[String]): String = {
     val inList = set.map(w => s"'$w'").mkString(", ")
@@ -3648,7 +3704,10 @@ object SparkEntry {
 
   /** Shared CTE chain (shingles → affine minhash → band buckets) for the
     * q21 full run and q70's incremental restriction. */
-  private val minhashCtes: String = {
+  private val minhashCtes: String = minhashCtesFor("documents")
+
+  /** [[minhashCtes]] over an arbitrary base relation. */
+  private def minhashCtesFor(base: String): String = {
     val p = NearDup.MinHashP
     val sigCols = (0 until MinhashK)
       .map(i => s"min((h1 + $i * h2) % $p) AS s$i")
@@ -3658,7 +3717,7 @@ object SparkEntry {
         .mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($parts) AS bucket FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH $sqlShingles,
+    s"""WITH ${sqlShinglesFor(base)},
         hh AS (SELECT doc_id,
                  ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $p AS h1,
                  ('0x' || substr(md5(shingle), 16, 15))::BIGINT % $p AS h2
@@ -4264,7 +4323,8 @@ object SparkEntry {
     "q187_containment_matrix" -> (q187 _),
     "q188_dedup_generator_audit" -> (q188 _),
     "q189_stream_mixture" -> (q189 _),
-    "q190_stream_dsir" -> (q190 _))
+    "q190_stream_dsir" -> (q190 _),
+    "q191_generator_audit_sampled" -> (q191 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -4942,29 +5002,19 @@ object SparkEntry {
     // ground truth at 0.5 (threshold on the unrounded ratio) — counts
     // + two single-division rates
     "q188_dedup_generator_audit" ->
-      s"""$minhashCtes,
-          cand AS MATERIALIZED (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
-              AND a.doc_id < b.doc_id),
-          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                           count(*) AS n_common
-                    FROM sh a JOIN sh b ON a.shingle = b.shingle
-                      AND a.doc_id < b.doc_id
-                    GROUP BY 1, 2),
-          truth AS MATERIALIZED (
-            SELECT doc_a, doc_b FROM inter
-            JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
-            WHERE n_common / (x.n + y.n - n_common) >= 0.5),
-          t AS (SELECT count(*) AS n_truth FROM truth),
-          c AS (SELECT count(*) AS n_cand FROM cand),
-          h AS (SELECT count(*) AS n_hit
-                FROM truth JOIN cand USING (doc_a, doc_b))
-          SELECT n_truth, n_cand, n_hit,
-                 round(CAST(n_hit AS DOUBLE) / n_truth, 6) AS recall,
-                 round(CAST(n_hit AS DOUBLE) / n_cand, 6) AS cand_precision
-          FROM t, c, h ORDER BY n_truth ASC""",
+      s"""$minhashCtes,$generatorAuditOracleTail""",
+    // q191: the identical audit arithmetic over the md5-sampled base
+    // relation — the sample predicate is the ONLY difference, stated
+    // once in dsamp and inherited by every CTE via the parameterized
+    // prefix builder
+    "q191_generator_audit_sampled" ->
+      s"""${minhashCtesFor("dsamp").replaceFirst("WITH ",
+             java.util.regex.Matcher.quoteReplacement(
+               s"""WITH dsamp AS MATERIALIZED (
+          SELECT * FROM documents
+          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '$AuditSampleSalt'), 1, 8))::BIGINT
+                  % 10000 < $AuditSampleBp),
+        """))},$generatorAuditOracleTail""",
     "q46_token_counting" ->
       s"""SELECT doc_id,
                  len(string_split(text, ' ')) AS n_ws_tokens,
