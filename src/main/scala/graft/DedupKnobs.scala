@@ -1,0 +1,112 @@
+package graft
+
+import graft.operators.NearDup
+
+/** Every tuning knob of the near-dup / containment / generator-audit
+  * family, defined EXACTLY ONCE and interpolated into both the engine
+  * calls and the generated oracle SQL — the same shared-constant
+  * contract that [[SparkEntry]] established for the simhash hamming
+  * threshold in round 8, widened to the whole dedup surface. A knob
+  * that exists in two places can drift apart silently (the gate would
+  * still be green, because each side would be self-consistently
+  * wrong); a knob that exists here moves both sides together or not at
+  * all. Construction-time `require`s pin the cross-knob invariants, so
+  * an impossible combination fails at catalog load, not deep inside a
+  * campaign.
+  */
+private[graft] object DedupKnobs {
+
+  /** MinHash/LSH shape parameters (shared with the generated oracle SQL). */
+  val MinhashK = 12
+  val LshBands = 4
+  val LshRows = 3
+  require(LshBands * LshRows <= MinhashK,
+    s"LSH needs bands*rows (${LshBands * LshRows}) <= signature length ($MinhashK)")
+
+  /** Per-(band, bucket) population cap for the skew-hardened LSH path
+    * (q163): small enough that the planted-flood spec exercises the
+    * star reduction, far above any bucket the organic fixtures fill. */
+  val LshBucketCap = 8L
+
+  /** Hamming threshold for EVERY simhash near-dup pair surface — the
+    * q23/q50/q166/q167 pair queries, the staged pair table the
+    * cluster/survivor/graph family consumes, and every oracle SQL
+    * mirror. The band joins' pigeonhole recall guarantee requires it to
+    * stay strictly below [[NearDup.SimHashBands]]. */
+  val SimHashMaxHamming = 3
+  require(SimHashMaxHamming < NearDup.SimHashBands,
+    s"simhash band-join recall needs maxHamming ($SimHashMaxHamming) < " +
+      s"bands (${NearDup.SimHashBands})")
+
+  /** Per-(band, band-value) population cap for the capped simhash pair
+    * paths (q166/q167): same role as [[LshBucketCap]]. */
+  val SimHashBucketCap = 8L
+
+  /** q24's n-gram Jaccard pair threshold (engine call + oracle WHERE). */
+  val PairMinJaccard = 0.02
+
+  /** Directional-containment threshold for the quote/provenance family
+    * (q118/q187/q194) — applied to the UNROUNDED ratio on both sides. */
+  val MinContainment = 0.8
+  require(MinContainment > 0 && MinContainment <= 1,
+    s"containment threshold must be in (0,1], got $MinContainment")
+
+  /** Corpus-relative shingle-df band for the containment family,
+    * replacing round 2–8's fixed `maxShingleDf = 50` literal (which
+    * went VACUOUS at sf10: the synthetic template pool saturates, every
+    * repeated shingle's df lands in [771, 1025], the fixed band empties
+    * and the quote detector returns 0 rows exactly where a mirror-site
+    * audit has the most to find — measured, SCALE.md round 8/9). The
+    * band keeps shingles with df ≤ bmax where
+    *
+    *   bmax = max(Floor, min(quantile, fanout-budget threshold)):
+    *
+    *  - quantile: the [[ShingleDfQuantileBp]]-quantile (exact order
+    *    statistic, integer basis-point arithmetic — no interpolation,
+    *    so the value is engine-portable) of the df distribution over
+    *    REPEATED shingles (df ≥ 2; singletons can never intersect).
+    *    Cuts the boilerplate tail corpus-relatively on corpora that
+    *    have one.
+    *  - fanout-budget threshold: the largest df t such that
+    *    Σ_{df' ≤ t} count(df')·df'² ≤ [[ShingleDfFanoutBudget]] — the
+    *    EXACT candidate-row count of the postings self-join below t.
+    *    A count-quantile alone re-opens the Σdf² explosion the fixed
+    *    band existed to prevent (at sf10, p90 alone keeps 2.4·10¹⁰
+    *    join rows — measured); budgeting the fan-out keeps the RAREST
+    *    (most containment-informative) shingles up to a hard candidate
+    *    bound at ANY corpus, saturation included. At least the rarest
+    *    df class is always kept, so the candidate set cannot go empty
+    *    while any repeated shingle exists.
+    *  - Floor: below it the band never bites — small/sparse corpora
+    *    (every gate SF: max df at sf0.1 is 25) keep every shingle,
+    *    preserving the exact-audit regime there.
+    */
+  val ShingleDfQuantileBp = 9000
+  require(0 < ShingleDfQuantileBp && ShingleDfQuantileBp <= 10000,
+    s"df quantile must be basis points in (0, 10000], got $ShingleDfQuantileBp")
+  val ShingleDfFloor = 50L
+  require(ShingleDfFloor >= 2, s"df floor below 2 bands out even first repeats")
+  val ShingleDfFanoutBudget = 200000000L
+  require(ShingleDfFanoutBudget >= ShingleDfFloor * ShingleDfFloor,
+    "fan-out budget must admit at least one floor-df shingle")
+
+  /** Top-k per doc_a for the flood-safe containment twin (q194): the
+    * dumpable form of the quote audit in the saturation regime, where
+    * the uncapped pair set is O(dup-cluster²) (107M rows at sf10 —
+    * measured). */
+  val ContainTopK = 5
+  require(ContainTopK >= 1, "top-k must keep at least one match")
+
+  /** Ground-truth Jaccard threshold for the generator audit (q188/q191):
+    * the definition of a "true" near-dup pair the LSH generator is
+    * graded against. */
+  val AuditMinJaccard = 0.5
+
+  /** Deterministic-sample basis points + salt for q191 (shared with its
+    * oracle). 40% of docs: large enough that the fixture's planted
+    * near-dup pairs survive sampling with both endpoints present. */
+  val AuditSampleBp = 4000
+  require(0 < AuditSampleBp && AuditSampleBp < 10000,
+    s"audit sample rate must be a proper fraction in bp, got $AuditSampleBp")
+  val AuditSampleSalt = "audit-v1"
+}

@@ -20,6 +20,11 @@ import graft.streaming.EventStream
   */
 object SparkEntry {
 
+  // every dedup-family knob (LSH shape, caps, thresholds, the
+  // containment df band, audit sample) is defined once in DedupKnobs
+  // and interpolated into both the engine calls and the oracle SQL
+  import DedupKnobs._
+
   private def r6(c: Column): Column = round(c, 6)
 
   /** Pearson correlation from (n, Σx, Σy, Σxy, Σx², Σy²) — the
@@ -323,36 +328,6 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "documents")
 
-  /** MinHash/LSH shape parameters (shared with the generated oracle SQL). */
-  private val MinhashK = 12
-  private val LshBands = 4
-  private val LshRows = 3
-  /** Per-(band, bucket) population cap for the skew-hardened LSH path
-    * (q163): small enough that the planted-flood spec exercises the
-    * star reduction, far above any bucket the organic fixtures fill. */
-  private val LshBucketCap = 8L
-
-  /** Hamming threshold for EVERY simhash near-dup pair surface — the
-    * q23/q50/q166/q167 pair queries, the staged pair table the
-    * cluster/survivor/graph family consumes, and every oracle SQL
-    * mirror (all interpolate this constant; no free-floating hamming
-    * literal remains in an oracle builder). The band joins'
-    * pigeonhole recall guarantee requires it to stay strictly below
-    * [[NearDup.SimHashBands]] — asserted right here, at catalog
-    * construction, so the engine calls and the generated oracle CTEs
-    * can only ever move together. */
-  private val SimHashMaxHamming = 3
-  require(SimHashMaxHamming < NearDup.SimHashBands,
-    s"simhash band-join recall needs maxHamming ($SimHashMaxHamming) < " +
-      s"bands (${NearDup.SimHashBands})")
-
-  /** Per-(band, band-value) population cap for the capped simhash pair
-    * paths (q166/q167): same role as [[LshBucketCap]] — organic fixture
-    * buckets stay under it (capped ≡ uncapped there, which the oracle
-    * mirrors either way); the planted-flood specs exercise the
-    * star-reduced over-cap path. */
-  private val SimHashBucketCap = 8L
-
   /** Fixture embedding dimensionality (shared with the q41 oracle SQL;
     * the Spark side derives dims from the data via posexplode). */
   private val EmbeddingDim = 64
@@ -491,7 +466,8 @@ object SparkEntry {
 
   /** Exact 3-gram Jaccard over source-blocked candidate pairs. */
   private def q24(s: SparkSession, dir: String): DataFrame =
-    NearDup.ngramJaccardPairs(docs(s, dir), "source", minJaccard = 0.02)
+    NearDup.ngramJaccardPairs(docs(s, dir), "source",
+      minJaccard = PairMinJaccard)
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         r6(col("jaccard")).as("jaccard"))
       .orderBy(col("doc_a").asc, col("doc_b").asc)
@@ -1526,12 +1502,16 @@ object SparkEntry {
   }
 
   /** Directional n-gram containment pairs
-    * ([[NearDup.containmentPairs]]): quote/subset detection — the
-    * asymmetric relation Jaccard (q24) misses. Shingle-df band caps
-    * the inverted-index fan-out. */
+    * ([[NearDup.containmentPairsQuantileBand]]): quote/subset detection
+    * — the asymmetric relation Jaccard (q24) misses. The shingle-df
+    * band that caps the inverted-index fan-out is CORPUS-RELATIVE
+    * (quantile + fan-out budget over the df distribution, floor for
+    * sparse corpora — [[DedupKnobs.ShingleDfQuantileBp]]), so the
+    * detector keeps a candidate set under the df saturation that
+    * emptied the round-2–8 fixed band at sf10. */
   private def q118(s: SparkSession, dir: String): DataFrame =
-    NearDup.containmentPairs(docs(s, dir), minContainment = 0.8,
-        maxShingleDf = 50)
+    NearDup.containmentPairsQuantileBand(docs(s, dir), MinContainment,
+        ShingleDfQuantileBp, ShingleDfFloor, ShingleDfFanoutBudget)
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_common"),
         r6(col("containment")).as("containment"))
       .orderBy(col("doc_a").asc, col("doc_b").asc)
@@ -2836,9 +2816,11 @@ object SparkEntry {
     * ([[graft.operators.DataMix.tokenBudgetMix]]) — the
     * data-constrained mixing planner: equal share per source, capped
     * at [[MixCapEpochs]] epochs, one integer-exact redistribution
-    * round across uncapped sources. Fixture sources are near-uniform,
-    * so the gate exercises the uncapped arm; the cap + redistribution
-    * arm is pinned by spec on a skewed frame. */
+    * round across uncapped sources with the redistributed allocation
+    * itself clamped at the ceiling (the ceiling is hard, round 9 fix).
+    * Fixture sources are near-uniform, so the gate exercises the
+    * uncapped arm; the cap + redistribution + clamp arms are pinned by
+    * spec on skewed frames. */
   private def q185(s: SparkSession, dir: String): DataFrame =
     graft.operators.DataMix.tokenBudgetMix(docs(s, dir),
       MixBudgetDen, MixCapEpochs)
@@ -2855,18 +2837,21 @@ object SparkEntry {
     * (source_a ⊂ source_b) counts + mean containment. The corpus-level
     * provenance view of the quote detector (syndication/mirror-site
     * audit); pair volume is q118's df-banded candidate set, the rollup
-    * is a |sources|² group-by. Containments enter the mean through the
-    * proven double→DECIMAL(18,6) cast, so the sum is exact and the
+    * is a |sources|² group-by. Each pair's containment is PINNED by the
+    * portable floor-round BEFORE the DECIMAL(18,6) cast (the two
+    * engines' raw double→decimal casts disagree on exact-half ties —
+    * [[Aggregates.roundPortable]] doc), so the sum is exact and the
     * single closing division sits under the portable floor-round. */
   private def q187(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("source"))
-    NearDup.containmentPairs(docs(s, dir), minContainment = 0.8,
-        maxShingleDf = 50)
+    NearDup.containmentPairsQuantileBand(docs(s, dir), MinContainment,
+        ShingleDfQuantileBp, ShingleDfFloor, ShingleDfFanoutBudget)
       .join(d.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_pairs"),
-        sum(col("containment").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        sum(Aggregates.round6Portable(col("containment"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
           .as("__csum"))
       .select(col("src_a"), col("src_b"), col("n_pairs"),
         graft.engine.Aggregates.round6Portable(
@@ -2881,12 +2866,16 @@ object SparkEntry {
     * S-curve). One row: |truth|, |candidates|, |hits|, recall,
     * candidate-set precision. Both pair sets are staged (each feeds
     * its own count AND the hit join); the divisions are single IEEE
-    * ops on exact counts under round(6). */
+    * ops on exact counts under round(6), NULL-guarded when a set is
+    * empty — Spark's non-ANSI x/0 yields NULL where DuckDB's double
+    * division yields ±inf/NaN, so a degenerate generator (exactly the
+    * case an audit exists to expose) would otherwise diverge the two
+    * engines; both sides agree on NULL instead. */
   private def generatorAudit(d: org.apache.spark.sql.DataFrame,
                              tag: String): DataFrame = {
     val truth = graft.engine.Staging.stagedByPlan(
       NearDup.ngramJaccardPairs(d.withColumn("blk", lit(1)), "blk",
-          minJaccard = 0.5)
+          minJaccard = AuditMinJaccard)
         .select(col("doc_a"), col("doc_b")), s"${tag}_truth")
     val cand = graft.engine.Staging.stagedByPlan(
       NearDup.minHashCandidates(d, MinhashK, LshBands, LshRows)
@@ -2896,19 +2885,15 @@ object SparkEntry {
       .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
       .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
       .select(col("n_truth"), col("n_cand"), col("n_hit"),
-        r6(col("n_hit").cast("double") / col("n_truth")).as("recall"),
-        r6(col("n_hit").cast("double") / col("n_cand")).as("cand_precision"))
+        when(col("n_truth") > 0,
+          r6(col("n_hit").cast("double") / col("n_truth"))).as("recall"),
+        when(col("n_cand") > 0,
+          r6(col("n_hit").cast("double") / col("n_cand"))).as("cand_precision"))
       .orderBy(col("n_truth").asc)
   }
 
   private def q188(s: SparkSession, dir: String): DataFrame =
     generatorAudit(docs(s, dir), "q188")
-
-  /** Deterministic-sample basis points + salt for q191 (shared with
-    * its oracle). 40% of docs: large enough that the fixture's planted
-    * near-dup pairs survive sampling with both endpoints present. */
-  private val AuditSampleBp = 4000
-  private val AuditSampleSalt = "audit-v1"
 
   /** The q188 generator audit over a DETERMINISTIC md5 doc sample —
     * the century-executable form: both the truth side (Sigma df-squared
@@ -2923,6 +2908,48 @@ object SparkEntry {
         col("doc_id"), AuditSampleSalt) < AuditSampleBp),
       "q191")
 
+  /** Per-(split × source) training manifest
+    * ([[graft.operators.DataMix.trainManifest]]): q183's leak-free
+    * split × q185's budget allocation composed into the table a
+    * training launcher consumes — per cell, doc/token census plus the
+    * source allocation apportioned by exact integer proportion. The
+    * reconciliation spec pins that the manifest sums back to BOTH
+    * parents. */
+  private def q192(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DataMix.trainManifest(docs(s, dir),
+      stagedSimhashClustersCapped(s, dir), SplitSalt, SplitTrainBp,
+      SplitValBp, MixBudgetDen, MixCapEpochs)
+
+  /** Corpus shingle-df profile ([[NearDup.shingleDfProfile]]): the
+    * df-band derivation's cumulative histogram surfaced as a query —
+    * one row per distinct repeated-shingle df with counts, exact
+    * Σcnt·df² fan-out, and the in-band flag — so containment-band
+    * tuning reads a table instead of re-probing the corpus. Output is
+    * bounded by |distinct df values|, scale-free in practice. */
+  private def q193(s: SparkSession, dir: String): DataFrame =
+    NearDup.shingleDfProfile(docs(s, dir), ShingleDfQuantileBp,
+        ShingleDfFloor, ShingleDfFanoutBudget)
+      .orderBy(col("df").asc)
+
+  /** Flood-safe containment twin: q118's corpus-relative-band pairs
+    * kept to the top-[[DedupKnobs.ContainTopK]] matches per doc_a
+    * (containment desc, doc_b tiebreak) — the DUMPABLE form of the
+    * quote audit in the saturation regime, where the uncapped pair set
+    * is O(dup-cluster²) (107M rows at sf10, measured). The
+    * row_number-top-k plan rewrites to bounded per-partition heaps
+    * (RewriteRowNumberTopK), so output ≤ k·|docs| at any corpus. */
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_a"))
+      .orderBy(col("containment").desc, col("doc_b").asc)
+    NearDup.containmentPairsQuantileBand(docs(s, dir), MinContainment,
+        ShingleDfQuantileBp, ShingleDfFloor, ShingleDfFanoutBudget)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= ContainTopK)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_common"),
+        r6(col("containment")).as("containment"), col("rk"))
+      .orderBy(col("doc_a").asc, col("rk").asc)
+  }
+
   /** q54's deterministic mixture sampler run as a STREAM
     * ([[graft.streaming.EventStream.runMixtureOnce]]) — streaming/batch
     * operator unification under the oracle gate: the stateless sampler
@@ -2935,7 +2962,12 @@ object SparkEntry {
     * ([[graft.streaming.EventStream.runDsirScoreOnce]]): the bucket
     * model trains batch-side, broadcasts into a stream-static join,
     * and the stream carries one aggregation — train-then-apply on
-    * streams under the oracle gate, sharing q184's SQL. */
+    * streams under the oracle gate, sharing q184's SQL. This GATE form
+    * runs complete-mode with per-doc agg state (grows with docs — fine
+    * over the bounded fixture); the PRODUCTION form for an unbounded
+    * corpus is [[graft.streaming.EventStream.dsirScoreUpsert]]
+    * (foreachBatch latest-wins upsert, ZERO streaming state — spec'd
+    * row-identical to the batch scorer and state-operator-free). */
   private def q190(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.runDsirScoreOnce(s, dir,
       col("source") === DsirTargetSource, DsirBuckets, DsirSalt)
@@ -3399,14 +3431,14 @@ object SparkEntry {
           truth AS MATERIALIZED (
             SELECT doc_a, doc_b FROM inter
             JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
-            WHERE n_common / (x.n + y.n - n_common) >= 0.5),
+            WHERE n_common / (x.n + y.n - n_common) >= $AuditMinJaccard),
           t AS (SELECT count(*) AS n_truth FROM truth),
           c AS (SELECT count(*) AS n_cand FROM cand),
           h AS (SELECT count(*) AS n_hit
                 FROM truth JOIN cand USING (doc_a, doc_b))
           SELECT n_truth, n_cand, n_hit,
-                 round(CAST(n_hit AS DOUBLE) / n_truth, 6) AS recall,
-                 round(CAST(n_hit AS DOUBLE) / n_cand, 6) AS cand_precision
+                 round(CAST(n_hit AS DOUBLE) / NULLIF(n_truth, 0), 6) AS recall,
+                 round(CAST(n_hit AS DOUBLE) / NULLIF(n_cand, 0), 6) AS cand_precision
           FROM t, c, h ORDER BY n_truth ASC"""
 
   /** The q184/q190 DSIR oracle (shared: scoring a doc in batch and
@@ -3696,6 +3728,38 @@ object SparkEntry {
               FROM tok WHERE len(t) >= 3)"""
 
   private val sqlShingles = sqlShinglesFor("documents")
+
+  /** Corpus-relative shingle-df band CTE chain (mirrors
+    * [[NearDup.shingleDfBandMax]] integer for integer): df histogram
+    * over repeated shingles → cumulative count + exact Σcnt·df²
+    * fan-out → quantile / budget / floor threshold (one row) → banded
+    * shingle set `bd` → banded postings `b`. Expects `sh` from
+    * [[sqlShinglesFor]] upstream; every knob interpolates from
+    * [[DedupKnobs]]. The HUGEINT cast on the fan-out sum matches the
+    * engine's DECIMAL(38,0) (long products overflow first at
+    * web-corpus dfs); all comparisons are exact integers, so both
+    * engines derive the identical threshold. */
+  private lazy val dfBandCtes: String =
+    s"""dfs AS MATERIALIZED (SELECT shingle, count(*) AS df
+                             FROM sh GROUP BY 1),
+        hist AS (SELECT df, count(*) AS cnt FROM dfs
+                 WHERE df >= 2 GROUP BY df),
+        cu AS (SELECT df, cnt,
+                      sum(cnt) OVER (ORDER BY df ASC) AS cum,
+                      sum(CAST(cnt AS HUGEINT) * df * df)
+                        OVER (ORDER BY df ASC) AS cumsq,
+                      sum(cnt) OVER () AS n FROM hist),
+        qt AS (SELECT min(df) AS q FROM cu
+               WHERE cum * 10000 >= n * $ShingleDfQuantileBp),
+        bt AS (SELECT max(df) AS b FROM cu
+               WHERE cumsq <= $ShingleDfFanoutBudget),
+        mn AS (SELECT min(df) AS m FROM hist),
+        band AS (SELECT greatest($ShingleDfFloor,
+                   least(coalesce(q, $ShingleDfFloor),
+                     coalesce(b, coalesce(m, $ShingleDfFloor)))) AS bmax
+                 FROM qt, bt, mn),
+        bd AS (SELECT dfs.shingle FROM dfs, band WHERE df <= bmax),
+        b AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN bd USING (shingle))"""
 
   private def sqlStopHits(set: Seq[String]): String = {
     val inList = set.map(w => s"'$w'").mkString(", ")
@@ -4324,7 +4388,10 @@ object SparkEntry {
     "q188_dedup_generator_audit" -> (q188 _),
     "q189_stream_mixture" -> (q189 _),
     "q190_stream_dsir" -> (q190 _),
-    "q191_generator_audit_sampled" -> (q191 _))
+    "q191_generator_audit_sampled" -> (q191 _),
+    "q192_train_manifest" -> (q192 _),
+    "q193_shingle_df_profile" -> (q193 _),
+    "q194_containment_topk" -> (q194 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -4667,7 +4734,7 @@ object SparkEntry {
           SELECT doc_a, doc_b, n_common,
                  round(n_common / (x.n + y.n - n_common), 6) AS jaccard
           FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
-          WHERE n_common / (x.n + y.n - n_common) >= 0.02
+          WHERE n_common / (x.n + y.n - n_common) >= $PairMinJaccard
           ORDER BY doc_a ASC, doc_b ASC""",
     "q25_knn_cosine" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -4938,15 +5005,16 @@ object SparkEntry {
                 FROM b),
           l AS (SELECT CAST(sum(capped) AS BIGINT) AS sum_capped,
                        CAST(sum(CASE WHEN uncapped THEN 1 ELSE 0 END) AS BIGINT)
-                         AS n_unc FROM c)
-          SELECT source, n_tokens,
-                 CAST(capped + CASE WHEN uncapped
-                      THEN (budget - sum_capped) // NULLIF(n_unc, 0)
-                      ELSE 0 END AS BIGINT) AS alloc_tokens,
-                 round(CAST(capped + CASE WHEN uncapped
-                        THEN (budget - sum_capped) // NULLIF(n_unc, 0)
-                        ELSE 0 END AS DOUBLE) / n_tokens, 6) AS epochs
-          FROM c, l ORDER BY source ASC""",
+                         AS n_unc FROM c),
+          a AS (SELECT source, n_tokens,
+                       least(capped + CASE WHEN uncapped
+                              THEN (budget - sum_capped) // NULLIF(n_unc, 0)
+                              ELSE 0 END,
+                             n_tokens * $MixCapEpochs) AS alloc
+                FROM c, l)
+          SELECT source, n_tokens, CAST(alloc AS BIGINT) AS alloc_tokens,
+                 round(CAST(alloc AS DOUBLE) / n_tokens, 6) AS epochs
+          FROM a ORDER BY source ASC""",
     // q186: the sum-vector identity — avg pairwise dot from per-dim
     // sums and per-vector norms, both decimal-exact after the proven
     // double→DECIMAL(18,6) cast; one double division at the end
@@ -4973,13 +5041,15 @@ object SparkEntry {
           WHERE n > 1
           ORDER BY a.label ASC""",
     // q187: the q118 containment CTEs (threshold on the UNROUNDED
-    // ratio) rolled up to the source×source provenance matrix; the
-    // mean goes through dec6-cast exact sums + the portable floor-round
+    // ratio, corpus-relative df band) rolled up to the source×source
+    // provenance matrix; each pair's containment is PINNED by the
+    // portable floor-round BEFORE the DECIMAL(18,6) cast (raw
+    // double→decimal casts disagree on exact-half ties across
+    // engines), then the mean is an exact decimal sum + one division
+    // under the portable floor-round
     "q187_containment_matrix" ->
       s"""WITH $sqlShingles,
-          bd AS (SELECT shingle FROM sh GROUP BY shingle
-                 HAVING count(*) <= 50),
-          b AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN bd USING (shingle)),
+          $dfBandCtes,
           sz AS (SELECT doc_id, count(*) AS n_a FROM b GROUP BY 1),
           it AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
                    count(*) AS n_common
@@ -4989,9 +5059,10 @@ object SparkEntry {
           cp AS (SELECT doc_a, doc_b,
                    CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) AS c
                  FROM it JOIN sz ON sz.doc_id = it.doc_a
-                 WHERE CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) >= 0.8),
+                 WHERE CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) >= $MinContainment),
           j AS (SELECT da.source AS src_a, db.source AS src_b,
-                       CAST(c AS DECIMAL(18,6)) AS c6
+                       CAST(floor(c * 1000000 + 0.5) / 1000000
+                         AS DECIMAL(18,6)) AS c6
                 FROM cp JOIN documents da ON da.doc_id = cp.doc_a
                         JOIN documents db ON db.doc_id = cp.doc_b)
           SELECT src_a, src_b, count(*) AS n_pairs,
@@ -5015,6 +5086,87 @@ object SparkEntry {
           WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '$AuditSampleSalt'), 1, 8))::BIGINT
                   % 10000 < $AuditSampleBp),
         """))},$generatorAuditOracleTail""",
+    // q192: q183's split CTEs (with token counts) × q185's allocation
+    // CTEs, apportioned by exact integer floor division — every number
+    // BIGINT until the final epochs readout
+    "q192_train_manifest" ->
+      s"""WITH $simhashCte,
+          $cappedEdgeCtes,
+          ${ccUnrolledCtes()},
+          k AS (SELECT d.doc_id, d.source,
+                       len(string_split(d.text, ' ')) AS n_tok,
+                       coalesce(c.cluster_id, d.doc_id) AS gid
+                FROM documents d LEFT JOIN clusters c ON c.n = d.doc_id),
+          sp AS (SELECT source, n_tok,
+                        CASE WHEN bucket < $SplitTrainBp THEN 'train'
+                             WHEN bucket < $SplitValBp THEN 'val'
+                             ELSE 'test' END AS split
+                 FROM (SELECT source, n_tok,
+                         ('0x' || substr(md5(CAST(gid AS VARCHAR) || '$SplitSalt'), 1, 8))::BIGINT
+                           % 10000 AS bucket
+                       FROM k)),
+          cell AS (SELECT split, source, count(*) AS n_docs,
+                          CAST(sum(n_tok) AS BIGINT) AS n_tokens
+                   FROM sp GROUP BY 1, 2),
+          per AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tokens
+                  FROM k GROUP BY source),
+          tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS t_tot,
+                         count(*) AS n_src FROM per),
+          bb AS (SELECT per.source, per.src_tokens,
+                        t_tot // $MixBudgetDen AS budget,
+                        (t_tot // $MixBudgetDen) // n_src AS base
+                 FROM per, tot),
+          cp AS (SELECT *, least(base, src_tokens * $MixCapEpochs) AS capped,
+                        src_tokens * $MixCapEpochs > base AS uncapped
+                 FROM bb),
+          lf AS (SELECT CAST(sum(capped) AS BIGINT) AS sum_capped,
+                        CAST(sum(CASE WHEN uncapped THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n_unc FROM cp),
+          al AS (SELECT source, src_tokens,
+                        least(capped + CASE WHEN uncapped
+                               THEN (budget - sum_capped) // NULLIF(n_unc, 0)
+                               ELSE 0 END,
+                              src_tokens * $MixCapEpochs) AS src_alloc
+                 FROM cp, lf)
+          SELECT cell.split, cell.source, cell.n_docs, cell.n_tokens,
+                 CAST(src_alloc * cell.n_tokens // NULLIF(src_tokens, 0)
+                   AS BIGINT) AS alloc_tokens,
+                 round(CAST(src_alloc * cell.n_tokens // NULLIF(src_tokens, 0)
+                        AS DOUBLE) / NULLIF(cell.n_tokens, 0), 6) AS epochs
+          FROM cell JOIN al USING (source)
+          ORDER BY split ASC, source ASC""",
+    // q193: the df-band derivation's cumulative histogram as a result
+    // table — integers all the way (cum/cumsq narrowed HUGEINT→BIGINT
+    // to match the engine's long output)
+    "q193_shingle_df_profile" ->
+      s"""WITH $sqlShingles,
+          $dfBandCtes
+          SELECT df, cnt AS n_shingles, CAST(cum AS BIGINT) AS cum_shingles,
+                 CAST(cumsq AS BIGINT) AS cum_fanout,
+                 CASE WHEN df <= bmax THEN 1 ELSE 0 END AS in_band,
+                 CAST(bmax AS BIGINT) AS band_max
+          FROM cu, band ORDER BY df ASC""",
+    // q194: q118's banded containment pairs kept to the top-k per
+    // doc_a — rank on the UNROUNDED ratio (exact IEEE division of two
+    // ints, identical both engines), doc_b tiebreak
+    "q194_containment_topk" ->
+      s"""WITH $sqlShingles,
+          $dfBandCtes,
+          sz AS (SELECT doc_id, count(*) AS n_a FROM b GROUP BY 1),
+          it AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   count(*) AS n_common
+                 FROM b x JOIN b y
+                   ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+                 GROUP BY 1, 2),
+          cp AS (SELECT doc_a, doc_b, n_a, n_common,
+                   CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) AS c
+                 FROM it JOIN sz ON sz.doc_id = it.doc_a
+                 WHERE CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) >= $MinContainment),
+          rk AS (SELECT *, row_number() OVER (PARTITION BY doc_a
+                   ORDER BY c DESC, doc_b ASC) AS rk FROM cp)
+          SELECT doc_a, doc_b, n_a, n_common, round(c, 6) AS containment, rk
+          FROM rk WHERE rk <= $ContainTopK
+          ORDER BY doc_a ASC, rk ASC""",
     "q46_token_counting" ->
       s"""SELECT doc_id,
                  len(string_split(text, ' ')) AS n_ws_tokens,
@@ -5965,12 +6117,12 @@ object SparkEntry {
           FROM att WHERE event_type = 'purchase'
           GROUP BY 1 ORDER BY channel ASC""",
     // threshold applies to the UNROUNDED ratio on both sides; the
-    // 6-dp rounding is output-only
+    // 6-dp rounding is output-only. The df band is corpus-relative
+    // (quantile + fan-out budget, dfBandCtes) — same derivation as the
+    // engine, exact integers throughout.
     "q118_containment" ->
       s"""WITH $sqlShingles,
-          bd AS (SELECT shingle FROM sh GROUP BY shingle
-                 HAVING count(*) <= 50),
-          b AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN bd USING (shingle)),
+          $dfBandCtes,
           sz AS (SELECT doc_id, count(*) AS n_a FROM b GROUP BY 1),
           it AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
                    count(*) AS n_common
@@ -5981,7 +6133,7 @@ object SparkEntry {
                  round(CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
                    AS containment
           FROM it JOIN sz ON sz.doc_id = it.doc_a
-          WHERE CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) >= 0.8
+          WHERE CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) >= $MinContainment
           ORDER BY doc_a ASC, doc_b ASC""",
     "q119_clustering_coeff" -> clusteringOracle(uncappedPrsCte),
     "q120_weighted_select" ->

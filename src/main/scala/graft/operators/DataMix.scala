@@ -141,10 +141,19 @@ object DataMix {
     * `budgetDen`, and a hard repeat ceiling of `capEpochs` epochs per
     * source: start from an equal share base = B DIV |sources|, cap
     * each source at capEpochs·T_i, and redistribute the freed budget
-    * in one equal round across the sources that were NOT capped
-    * (integer DIV; the sub-|sources| remainder is deliberately left
-    * unallocated — exactness over completeness). Output epochs_i =
-    * alloc_i / T_i says how many times each source is repeated.
+    * in one equal round across the sources that were NOT capped —
+    * with the redistributed allocation ITSELF clamped at the ceiling
+    * (a source whose headroom is smaller than its equal share of the
+    * leftover would otherwise be pushed past capEpochs — e.g. tokens
+    * {120, 1000, 8×1} at capEpochs = 1 gave the 120-token source 560
+    * tokens ≈ 4.7 epochs before the clamp). The ceiling is therefore
+    * HARD after redistribution too; budget the clamp strands joins
+    * the sub-|sources| division remainder as deliberately
+    * unallocated — exactness over completeness, a second
+    * redistribution round buys ≤ one epoch-fraction at the cost of a
+    * data-dependent iteration count. Output epochs_i = alloc_i / T_i
+    * says how many times each source is repeated (never above
+    * capEpochs).
     *
     * All arithmetic after the one corpus scan runs on |sources| rows
     * and is integer-exact (the single double division is the final
@@ -168,12 +177,60 @@ object DataMix {
     val leftover = based.agg(sum(col("capped")).as("sum_capped"),
       sum(when(col("uncapped"), 1L).otherwise(0L)).as("n_unc"))
     based.crossJoin(broadcast(leftover))
-      .withColumn("alloc_tokens", col("capped") +
-        when(col("uncapped"), expr("(budget - sum_capped) DIV n_unc"))
-          .otherwise(lit(0L)))
+      // the clamp keeps the repeat ceiling hard through redistribution
+      .withColumn("alloc_tokens", least(
+        col("capped") +
+          when(col("uncapped"), expr("(budget - sum_capped) DIV n_unc"))
+            .otherwise(lit(0L)),
+        col("n_tokens") * capEpochs))
       .select(col("source"), col("n_tokens"), col("alloc_tokens"),
         round(col("alloc_tokens").cast("double") / col("n_tokens"), 6)
           .as("epochs"))
       .orderBy(col("source").asc)
+  }
+
+  /** Per-(split × source) TRAINING MANIFEST — the table a training
+    * launcher actually consumes: [[leakFreeSplit]]'s split assignment
+    * and [[tokenBudgetMix]]'s per-source allocation composed into one
+    * (split, source, n_docs, n_tokens, alloc_tokens, epochs) rollup.
+    *
+    * Each source's budget allocation is apportioned across its splits
+    * in EXACT integer proportion to split token mass
+    * (alloc·cell_tokens DIV src_tokens — floor division, so split
+    * allocations can under-run the source allocation by < |splits|
+    * tokens and can never over-run it; the reconciliation spec pins
+    * both directions). Shape: the split assignment is one equi-join +
+    * per-row hash, both rollups are single hash aggs, and the
+    * |sources|-row allocation table broadcasts into the |splits|×
+    * |sources|-row cell table — nothing here scales with corpus size
+    * except the two scans the parents already make (and the census
+    * subtree is staged, so the corpus is scanned once for both).
+    * Domain: alloc·cell_tokens runs in BIGINT — exact while
+    * Σtokens² < 2⁶³ (≈ 3·10⁹ tokens; the fixture ceiling is 2·10⁷).
+    * A century-scale corpus lifts the product into DECIMAL(38,0);
+    * the apportionment rule itself is unchanged. */
+  def trainManifest(docs: DataFrame, clusters: DataFrame, salt: String,
+                    trainBp: Int, valBp: Int,
+                    budgetDen: Int, capEpochs: Int): DataFrame = {
+    val sp = leakFreeSplit(docs, clusters, salt, trainBp, valBp)
+      .select(col("doc_id"), col("split"))
+    val cell = docs
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("__tok"))
+      .join(sp, Seq("doc_id"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))
+    val alloc = tokenBudgetMix(docs, budgetDen, capEpochs)
+      .select(col("source"), col("n_tokens").as("__src_tokens"),
+        col("alloc_tokens").as("__src_alloc"))
+    cell.join(broadcast(alloc), Seq("source"))
+      .withColumn("alloc_tokens",
+        when(col("__src_tokens") > 0,
+          expr("__src_alloc * n_tokens DIV __src_tokens")))
+      .select(col("split"), col("source"), col("n_docs"), col("n_tokens"),
+        col("alloc_tokens"),
+        round(col("alloc_tokens").cast("double") /
+          when(col("n_tokens") > 0, col("n_tokens")), 6).as("epochs"))
+      .orderBy(col("split").asc, col("source").asc)
   }
 }

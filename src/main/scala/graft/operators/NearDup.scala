@@ -576,16 +576,130 @@ object NearDup {
   def containmentPairs(docs: DataFrame, minContainment: Double,
                        maxShingleDf: Long,
                        prefixFilter: Boolean = false): DataFrame = {
+    val sh = Shingles.table(docs, None)
+    val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    containmentFromBand(sh, dfs.filter(col("__df") <= maxShingleDf),
+      minContainment, prefixFilter)
+  }
+
+  /** [[containmentPairs]] with the CORPUS-RELATIVE df band: instead of
+    * a fixed `maxShingleDf` literal (which goes vacuous under df
+    * saturation — at sf10 every repeated shingle's df lands in
+    * [771, 1025], a fixed 50 empties the band and the quote detector
+    * returns 0 rows exactly where a provenance audit has the most to
+    * find), the band threshold is derived from the corpus's own
+    * df distribution:
+    *
+    *   bmax = max(dfFloor, min(quantile, fanout-budget threshold))
+    *
+    *  - the `quantileBp`-quantile (exact order statistic over REPEATED
+    *    shingles, integer basis-point arithmetic — engine-portable, no
+    *    interpolation) cuts the boilerplate tail corpus-relatively;
+    *  - the fan-out budget threshold (largest df t with
+    *    Σ_{df'≤t} count·df'² ≤ `fanoutBudget` — the EXACT candidate
+    *    row count of the postings self-join below t) bounds the join
+    *    by construction at ANY corpus: a count-quantile alone reopens
+    *    the Σdf² explosion under saturation (p90 at sf10 keeps
+    *    2.4·10¹⁰ join rows — measured). The rarest df class is always
+    *    kept, so the band cannot go empty while repeated shingles
+    *    exist — rare shingles are exactly the containment-informative
+    *    ones;
+    *  - `dfFloor` preserves the exact-audit regime on small/sparse
+    *    corpora (the band never bites below it).
+    *
+    * The threshold derivation runs on the df HISTOGRAM — one row per
+    * distinct df value, a post-aggregation table bounded by max(df) —
+    * so its unpartitioned cumulative window is the [[graft.engine.Ranking]]
+    * O(|groups|) idiom, not a corpus-wide single-partition sort; the
+    * one-row band result is broadcast into the shingle filter, keeping
+    * the whole computation one declarative plan (no driver collect). */
+  def containmentPairsQuantileBand(docs: DataFrame, minContainment: Double,
+                                   quantileBp: Int, dfFloor: Long,
+                                   fanoutBudget: Long,
+                                   prefixFilter: Boolean = false): DataFrame = {
+    val sh = Shingles.table(docs, None)
+    val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val band = broadcast(
+      shingleDfBandMax(dfs, quantileBp, dfFloor, fanoutBudget))
+    containmentFromBand(sh,
+      dfs.crossJoin(band).filter(col("__df") <= col("__bmax"))
+        .select(col("shingle"), col("__df")),
+      minContainment, prefixFilter)
+  }
+
+  /** Cumulative df histogram over REPEATED shingles: one row per
+    * distinct df value with its shingle count, cumulative shingle
+    * count, and cumulative exact self-join fan-out Σ count·df²
+    * (DECIMAL(38,0) — long·long·long products overflow first at
+    * web-corpus dfs). Shared substrate of [[shingleDfBandMax]] and the
+    * df-profile query. */
+  private def dfHistogram(dfs: DataFrame): DataFrame = {
+    val wCum = Window.orderBy(col("__df").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dfs.filter(col("__df") >= 2)
+      .groupBy(col("__df")).agg(count(lit(1)).as("__cnt"))
+      .select(col("__df"), col("__cnt"),
+        sum(col("__cnt")).over(wCum).as("__cum"),
+        sum((col("__cnt").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+          col("__df") * col("__df"))).over(wCum).as("__cumsq"))
+  }
+
+  /** The one-row (\_\_bmax) band threshold — see
+    * [[containmentPairsQuantileBand]] for the derivation. All
+    * arithmetic is exact integers (quantile in basis points via
+    * cum·10⁴ ≥ n·bp, which equals cum ≥ ⌈bp·n/10⁴⌉ for integer cum),
+    * so the oracle SQL reproduces the threshold bit for bit. */
+  def shingleDfBandMax(dfs: DataFrame, quantileBp: Int, dfFloor: Long,
+                       fanoutBudget: Long): DataFrame = {
+    require(0 < quantileBp && quantileBp <= 10000,
+      s"quantile must be basis points in (0, 10000], got $quantileBp")
+    require(dfFloor >= 2 && fanoutBudget >= 1, "degenerate floor/budget")
+    val hist = dfHistogram(dfs)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val qT = hist.withColumn("__n", sum(col("__cnt")).over(wAll))
+      .filter(col("__cum") * 10000 >= col("__n") * quantileBp)
+      .agg(min(col("__df")).as("__q"))
+    val bT = hist.filter(col("__cumsq") <= fanoutBudget)
+      .agg(max(col("__df")).as("__b"))
+    val mn = hist.agg(min(col("__df")).as("__m"))
+    qT.crossJoin(bT).crossJoin(mn)
+      .select(greatest(lit(dfFloor),
+        least(coalesce(col("__q"), lit(dfFloor)),
+          coalesce(col("__b"), coalesce(col("__m"), lit(dfFloor)))))
+        .as("__bmax"))
+  }
+
+  /** Corpus df-distribution profile: the band derivation's histogram
+    * surfaced as a query result (df, shingle count, cumulative count,
+    * cumulative fan-out, in-band flag), so band tuning reads a table
+    * instead of re-probing the corpus. Output is ≤ |distinct df
+    * values| rows. cum_fanout narrows to BIGINT for engine-portable
+    * output (domain: Σdf² < 2⁶³ — 2.4·10¹⁰ at sf10, nine orders of
+    * headroom). */
+  def shingleDfProfile(docs: DataFrame, quantileBp: Int, dfFloor: Long,
+                       fanoutBudget: Long): DataFrame = {
+    val sh = Shingles.table(docs, None)
+    val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val band = broadcast(
+      shingleDfBandMax(dfs, quantileBp, dfFloor, fanoutBudget))
+    dfHistogram(dfs).crossJoin(band)
+      .select(col("__df").as("df"), col("__cnt").as("n_shingles"),
+        col("__cum").as("cum_shingles"),
+        col("__cumsq").cast("long").as("cum_fanout"),
+        when(col("__df") <= col("__bmax"), 1).otherwise(0).as("in_band"),
+        col("__bmax").as("band_max"))
+  }
+
+  private def containmentFromBand(sh: DataFrame, bandedDfs: DataFrame,
+                                  minContainment: Double,
+                                  prefixFilter: Boolean): DataFrame = {
     require(minContainment > 0 && minContainment <= 1,
       "minContainment must be in (0, 1]")
-    val sh = Shingles.table(docs, None)
     // postings carry their shingle's df (needed for the rarest-first
     // prefix order); shared: referenced by sizes, prefix, candidate
     // probe and both verify sides
-    val banded = Shingles.shared(sh.join(
-      sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= maxShingleDf),
-      Seq("shingle")))
+    val banded = Shingles.shared(sh.join(bandedDfs, Seq("shingle")))
     val sizes = banded.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
 
     // df = 1 shingles appear in exactly one doc: they count toward the

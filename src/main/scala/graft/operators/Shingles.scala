@@ -19,10 +19,11 @@ import graft.functions.ShingleGenerator
   *
   * At 100 TB a pipeline materializes this table once (it feeds several
   * downstream operators). Locally, whether a multi-reference consumer
-  * should `persist()` ([[shared]]) is a measured per-operator tradeoff:
-  * with the generator this cheap, recomputing 3× beat caching 260k rows
-  * for ngramJaccardPairs (1.6 s vs 4.3 s at sf0.1), while the tiny
-  * bucket/banded tables with expensive upstreams still win by caching.
+  * should stage ([[shared]] — landed parquet via `Staging.stagedByPlan`
+  * since round 6, NOT `persist()`) is a measured per-operator tradeoff:
+  * with the generator this cheap, recomputing 3× beat materializing
+  * 260k rows for ngramJaccardPairs (1.6 s vs 4.3 s at sf0.1), while the
+  * tiny bucket/banded tables with expensive upstreams win by staging.
   */
 object Shingles {
 

@@ -99,41 +99,50 @@ object EventStream {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        val incoming = graft.engine.Dedup.latestByKey(
-          batch.toDF(), keys, Seq(col(versionCol)))
-        // existence check through the Hadoop filesystem of the path —
-        // java.io.File would silently report false for hdfs://, s3a://
-        // etc. and every batch would clobber the table
-        val target = new org.apache.hadoop.fs.Path(targetPath)
-        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val merged =
-          if (fs.exists(target)) {
-            val existing = spark.read.parquet(targetPath)
-            graft.engine.Dedup.latestByKey(
-              existing.unionByName(incoming), keys, Seq(col(versionCol)))
-          } else incoming
-        // overwrite must not read-while-write: ONE write to staging,
-        // then a checked move-aside swap (same pattern as
-        // Sources.compact) — a second overwrite of the target would
-        // both double the write I/O and open a crash window where the
-        // target directory has been deleted but not yet rewritten
-        val tmpPath = new org.apache.hadoop.fs.Path(targetPath + ".staging")
-        merged.write.mode("overwrite").parquet(tmpPath.toString)
-        if (fs.exists(target)) {
-          val old = new org.apache.hadoop.fs.Path(targetPath + ".old")
-          if (fs.exists(old)) require(fs.delete(old, true),
-            s"cannot clear stale $old")
-          require(fs.rename(target, old), s"cannot move $target aside")
-          require(fs.rename(tmpPath, target),
-            s"upsert swap failed — original preserved at $old")
-          require(fs.delete(old, true), s"swap done but cannot remove $old")
-        } else require(fs.rename(tmpPath, target),
-          s"cannot move staging into place at $target")
-        ()
+        mergeBatchIntoTable(batch.toDF(), keys, versionCol, targetPath)
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+  }
+
+  /** The per-micro-batch MERGE body shared by the foreachBatch sinks:
+    * dedup the incoming batch to the newest row per key, union with
+    * the existing target (if any), re-dedup, swap atomically. */
+  private def mergeBatchIntoTable(batch: DataFrame, keys: Seq[String],
+                                  versionCol: String,
+                                  targetPath: String): Unit = {
+    val spark = batch.sparkSession
+    val incoming = graft.engine.Dedup.latestByKey(
+      batch, keys, Seq(col(versionCol)))
+    // existence check through the Hadoop filesystem of the path —
+    // java.io.File would silently report false for hdfs://, s3a://
+    // etc. and every batch would clobber the table
+    val target = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(target)) {
+        val existing = spark.read.parquet(targetPath)
+        graft.engine.Dedup.latestByKey(
+          existing.unionByName(incoming), keys, Seq(col(versionCol)))
+      } else incoming
+    // overwrite must not read-while-write: ONE write to staging,
+    // then a checked move-aside swap (same pattern as
+    // Sources.compact) — a second overwrite of the target would
+    // both double the write I/O and open a crash window where the
+    // target directory has been deleted but not yet rewritten
+    val tmpPath = new org.apache.hadoop.fs.Path(targetPath + ".staging")
+    merged.write.mode("overwrite").parquet(tmpPath.toString)
+    if (fs.exists(target)) {
+      val old = new org.apache.hadoop.fs.Path(targetPath + ".old")
+      if (fs.exists(old)) require(fs.delete(old, true),
+        s"cannot clear stale $old")
+      require(fs.rename(target, old), s"cannot move $target aside")
+      require(fs.rename(tmpPath, target),
+        s"upsert swap failed — original preserved at $old")
+      require(fs.delete(old, true), s"swap done but cannot remove $old")
+    } else require(fs.rename(tmpPath, target),
+      s"cannot move staging into place at $target")
+    ()
   }
 
   /** Streaming exact dedup with bounded state: drops re-deliveries of
@@ -175,6 +184,13 @@ object EventStream {
     * contract), and drop the sink table. Without the drop every
     * invocation would permanently retain its full emission set in
     * driver memory — bench iterations would leak linearly. */
+  /** Peak state-store rows observed by the MOST RECENT [[runToMemory]]
+    * run (max over micro-batch progress of Σ numRowsTotal across state
+    * operators) — harness observability for the state-store scale
+    * measurements (tools.StreamStoreBench → SCALE.md); consumed by no
+    * query. */
+  @volatile var lastRunPeakStateRows: Long = 0L
+
   private[streaming] def runToMemory(spark: SparkSession, prefix: String,
                           mode: String, stream: DataFrame)
                          (summarize: DataFrame => DataFrame): DataFrame = {
@@ -192,6 +208,9 @@ object EventStream {
     } finally spark.conf.set(partConf, prev)
     try {
       q.processAllAvailable()
+      lastRunPeakStateRows = q.recentProgress
+        .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+        .foldLeft(0L)(math.max)
     } finally q.stop()
     try summarize(spark.table(name)).localCheckpoint(true)
     finally spark.catalog.dropTempView(name)
@@ -253,6 +272,62 @@ object EventStream {
           col("w").cast("double").as("dsir_logratio"))
         .orderBy(col("doc_id").asc)
     }
+  }
+
+  /** PRODUCTION form of stream-scored DSIR. [[runDsirScoreOnce]] is the
+    * GATE form: complete-mode with a per-doc streaming aggregation,
+    * whose state (and memory-sink size) grows with every doc ever
+    * streamed — fine over a bounded fixture, wrong for an unbounded
+    * corpus. This form bounds state at ZERO: a document is one source
+    * ROW, so its explode → bucket-join → per-doc sum never crosses a
+    * micro-batch boundary, and each micro-batch scores its own docs
+    * with ordinary BATCH aggregation inside `foreachBatch`, then
+    * upserts (doc_id → score) into the target table through the same
+    * latest-wins checked-swap merge as [[upsertStreamToTable]]. No
+    * streaming state operator exists in the plan (the spec asserts
+    * `lastProgress.stateOperators` is empty), re-processing a batch
+    * after a failure converges to the same table (scores are a pure
+    * function of the doc and the broadcast model), and the resulting
+    * table is row-identical to the batch scorer
+    * ([[graft.operators.DataMix.dsirImportance]]) — both pinned by
+    * spec. The ≤|buckets|-row model is trained batch-side once and
+    * closed over by every micro-batch, exactly the train-then-apply
+    * deployment shape. */
+  def dsirScoreUpsert(spark: SparkSession, sfDir: String,
+                      isTarget: org.apache.spark.sql.Column,
+                      buckets: Int, salt: String,
+                      targetPath: String): Unit = {
+    val model = graft.operators.DataMix.dsirBucketScores(
+      graft.engine.Sources.table(spark, sfDir, "documents"),
+      isTarget, buckets, salt).localCheckpoint(true) // model-sized; pin
+    val stream = spark.readStream.schema(Sources.documents)
+      .parquet(s"$sfDir/documents.parque[t]")
+    val q = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val scored = batch.toDF()
+          .select(col("doc_id"),
+            explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+          .withColumn("b",
+            graft.operators.DataMix.termBucket(col("term"), buckets, salt))
+          .join(broadcast(model), Seq("b"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("w"))
+          .select(col("doc_id"), col("n_tokens"),
+            col("w").cast("double").as("dsir_logratio"))
+        mergeBatchIntoTable(scored, Seq("doc_id"), "n_tokens", targetPath)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // the plan must carry NO streaming state operator — the whole
+      // point of the foreachBatch form; a refactor that reintroduces a
+      // stream-side aggregation would show up here before it ships
+      val prog = q.lastProgress
+      require(prog == null || prog.stateOperators.isEmpty,
+        s"dsirScoreUpsert grew streaming state: ${prog.stateOperators.length} operator(s)")
+    } finally q.stop()
   }
 
   /** Run the streaming aggregation to completion over the fixture batch

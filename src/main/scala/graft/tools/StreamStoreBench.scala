@@ -44,14 +44,31 @@ object StreamStoreBench {
       val runners = Seq[(String, () => Unit)](
         "hourly_agg" -> (() => { EventStream.runHourlyOnce(sess, sfDir).count(); () }),
         "stateful_dedup" -> (() => { EventStream.runDedupOnce(sess, sfDir).count(); () }),
-        "keyed_moments" -> (() => { EventStream.runUserStatsExactOnce(sess, sfDir).count(); () }))
-      runners.map { case (name, run) =>
+        "keyed_moments" -> (() => { EventStream.runUserStatsExactOnce(sess, sfDir).count(); () }),
+        // the two document-stream gates (q178 online near-dup, q190
+        // stream-scored DSIR): their peak state rows are the SCALE.md
+        // bounded-state measurements
+        "online_neardup_q178" -> (() => {
+          graft.streaming.NearDupStream.runOnlineDedupOnce(sess, sfDir,
+            graft.DedupKnobs.SimHashMaxHamming,
+            graft.DedupKnobs.SimHashBucketCap.toInt).count(); () }),
+        "stream_dsir_q190" -> (() => {
+          EventStream.runDsirScoreOnce(sess, sfDir,
+            org.apache.spark.sql.functions.col("source") === "src3",
+            256, "dsir-v1").count(); () }))
+      // SPARK_GRAFT_SSB_ONLY: comma list to restrict runners — the sf10
+      // campaign measures the two document-stream gates alone (the
+      // event runners' sf10 state is a separate, heavier measurement)
+      val ssbOnly = sys.env.get("SPARK_GRAFT_SSB_ONLY").map(_.split(",").toSet)
+      runners.filter { case (n, _) => ssbOnly.forall(_.contains(n)) }
+        .map { case (name, run) =>
         run() // warm: codegen + sink plumbing
         def pass(): Double = {
           val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
         }
         val t = math.min(pass(), pass())
-        println(f"""{"provider":"$label","runner":"$name","sec":$t%.3f}""")
+        val stateRows = EventStream.lastRunPeakStateRows
+        println(f"""{"provider":"$label","runner":"$name","sec":$t%.3f,"peak_state_rows":$stateRows}""")
         (label, name, t)
       }
     }

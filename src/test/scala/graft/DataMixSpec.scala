@@ -173,4 +173,97 @@ class DataMixSpec extends AnyFunSuite {
     assert(out("c") == ((4L, 8L, 2.0)))
     assert(out.values.map(_._2).sum <= 204L, "allocation must respect the budget")
   }
+
+  test("tokenBudgetMix: the repeat ceiling stays HARD through redistribution (small-headroom source)") {
+    // the advisor's counterexample: skewed sources {120, 1000, 8×1},
+    // capEpochs = 1, budgetDen = 1. base = 1128 DIV 10 = 112; the two
+    // large sources are uncapped (headroom above base), the eight tiny
+    // ones cap at 1; leftover (1128 − 232) DIV 2 = 448 per uncapped
+    // source. UNclamped, the 120-token source would take 112 + 448 =
+    // 560 tokens ≈ 4.67 epochs — 4.7× past the "hard" ceiling. The
+    // clamp holds it at 120 (exactly 1 epoch).
+    def text(n: Int) = Seq.fill(n)("t").mkString(" ")
+    val d = (Seq((1L, text(120), "small"), (2L, text(1000), "big")) ++
+      (3L to 10L).map(i => (i, text(1), s"tiny$i")))
+      .toDF("doc_id", "text", "source")
+    val out = DataMix.tokenBudgetMix(d, budgetDen = 1, capEpochs = 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("small") == ((120L, 120L, 1.0)),
+      "small-headroom source must clamp at capEpochs·tokens")
+    assert(out("big") == ((1000L, 560L, 0.56)))
+    for ((src, (n, alloc, epochs)) <- out) {
+      assert(alloc <= n * 1, s"$src over the repeat ceiling")
+      assert(epochs <= 1.0, s"$src epochs $epochs exceed capEpochs")
+    }
+    assert(out.values.map(_._2).sum <= 1128L)
+  }
+
+  test("trainManifest reconciles with BOTH parents (split census and budget allocation)") {
+    val d = Sources.table(spark, sfDir, "documents")
+    val pairs = NearDup.simHashPairsCapped(NearDup.simHash(d), 3, 64L)
+      .select("doc_a", "doc_b")
+    val clusters = Graph.connectedComponents(pairs, "doc_a", "doc_b")
+    val manifest = DataMix.trainManifest(d, clusters, "salt-test",
+      8000, 9000, budgetDen = 2, capEpochs = 2).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    // parent 1: the per-source census — manifest cells must partition it
+    val census = d.select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy("source").agg(count(lit(1)).as("n"), sum(col("t")).as("tok"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bySrc = manifest.groupBy(_._2)
+    assert(bySrc.keySet == census.keySet)
+    for ((src, cells) <- bySrc) {
+      assert(cells.map(_._3).sum == census(src)._1, s"$src doc count")
+      assert(cells.map(_._4).sum == census(src)._2, s"$src token count")
+    }
+    // parent 2: the budget — per source, split allocations floor-sum to
+    // the source allocation: never over, short by < |splits present|
+    val alloc = DataMix.tokenBudgetMix(d, 2, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    for ((src, cells) <- bySrc) {
+      val got = cells.map(_._5).sum
+      val want = alloc(src)
+      assert(got <= want, s"$src split allocations exceed the source budget")
+      assert(want - got < cells.length,
+        s"$src floor remainder must stay under the cell count")
+    }
+    // splits are the leak-free ones: same hash, same salt
+    val splits = DataMix.leakFreeSplit(d, clusters, "salt-test")
+      .groupBy("split", "source").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for ((sp, src, n, _, _) <- manifest)
+      assert(splits((sp, src)) == n, s"($sp, $src) census mismatch")
+  }
+
+  test("dsirScoreUpsert: bounded-state production form lands the batch scorer's exact table, idempotently") {
+    val dir = java.nio.file.Files.createTempDirectory("dsir_upsert").toString
+    val target = s"$dir/scores"
+    try {
+      graft.streaming.EventStream.dsirScoreUpsert(
+        spark, sfDir, col("source") === "src3", 256, "dsir-v1", target)
+      def landed = spark.read.parquet(target)
+        .orderBy(col("doc_id").asc).collect().toSeq
+      val batch = DataMix.dsirImportance(
+        Sources.table(spark, sfDir, "documents"),
+        col("source") === "src3", 256, "dsir-v1")
+        .orderBy(col("doc_id").asc).collect().toSeq
+      val first = landed
+      assert(first == batch,
+        "foreachBatch-scored table must be row-identical to the batch scorer")
+      // re-processing the whole stream (failure-recovery path) must
+      // converge to the same table: scores are a pure function of the
+      // doc + broadcast model, and the merge is latest-wins idempotent
+      graft.streaming.EventStream.dsirScoreUpsert(
+        spark, sfDir, col("source") === "src3", 256, "dsir-v1", target)
+      assert(landed == first, "re-ingest must be a no-op")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Round-9 operators: the corpus-relative shingle-df band (quantile +
+  * fan-out budget + floor) behind the containment/quote family, and
+  * its df-profile surface. Closed-form threshold cases on literal df
+  * tables, band-regime behavior on planted corpora, and equivalence
+  * with the fixed band where the floor dominates. */
+class Round9OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Band threshold over a literal list of per-shingle dfs. */
+  private def bandMax(dfs: Seq[Long], qBp: Int, floor: Long,
+                      budget: Long): Long =
+    NearDup.shingleDfBandMax(
+      dfs.zipWithIndex.map { case (d, i) => (s"s$i", d) }
+        .toDF("shingle", "__df"),
+      qBp, floor, budget).collect().head.getLong(0)
+
+  test("shingleDfBandMax: quantile, budget, floor and empty-histogram arms, closed form") {
+    // dfs [1, 2, 2, 3, 3, 3, 100]: hist over repeated = {2→2, 3→3, 100→1},
+    // n = 6; cum = 2, 5, 6; cumΣdf² = 8, 35, 10035
+    val dfs = Seq(1L, 2L, 2L, 3L, 3L, 3L, 100L)
+    // p90 quantile = first df with cum·10⁴ ≥ 6·9000 → df 100; budget 50
+    // admits through df 3 (35 ≤ 50 < 10035) → min binds at 3; floor 2
+    assert(bandMax(dfs, 9000, 2, 50) == 3L)
+    // unconstrained budget: the quantile is the binding term
+    assert(bandMax(dfs, 9000, 2, 1000000000L) == 100L)
+    // p50: cum 2·10⁴ < 6·5000? 20000 ≥ 30000 is false at df 2; df 3 has
+    // 5·10⁴ ≥ 3·10⁴ → quantile 3
+    assert(bandMax(dfs, 5000, 2, 1000000000L) == 3L)
+    // floor dominates both data-driven terms
+    assert(bandMax(dfs, 9000, 50, 50) == 50L)
+    // a first class over budget still keeps the rarest class
+    assert(bandMax(dfs, 9000, 2, 5) == 2L)
+    // no repeated shingles at all → floor
+    assert(bandMax(Seq(1L, 1L, 1L), 9000, 7, 100) == 7L)
+  }
+
+  /** 2 quote-related docs + 20 identical boilerplate docs: the df
+    * saturation microcosm. Quote shingles have df 2, boilerplate df 20. */
+  private lazy val floodDocs = {
+    val quote = "alpha beta gamma delta epsilon"
+    val long = s"intro words here $quote trailing content words beyond"
+    val boiler = (0 until 10).map(i => s"x$i").mkString(" ")
+    (Seq((1L, quote), (2L, long)) ++
+      (3L to 22L).map(i => (i, boiler))).toDF("doc_id", "text")
+  }
+
+  test("quantile band under saturation: budget drops the flood class, keeps the rare quote") {
+    // hist: {2 → 3 shingles, 20 → 8}; budget 100 admits df 2 (Σ 12) but
+    // not df 20 (Σ 3212) → band 2: boilerplate leaves the index, the
+    // quote pair stays findable — the capability the fixed band loses
+    // (a fixed maxShingleDf = 1 here would return nothing)
+    val got = NearDup.containmentPairsQuantileBand(floodDocs,
+        minContainment = 0.8, quantileBp = 9000, dfFloor = 2,
+        fanoutBudget = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(got.keySet == Set((1L, 2L)), s"got $got")
+    assert(got((1L, 2L)) == 1.0)
+  }
+
+  test("quantile band ≡ fixed band where the floor dominates (the gate-SF regime)") {
+    val fixed = NearDup.containmentPairs(floodDocs, 0.8, maxShingleDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // max df (20) < floor (50): band = floor, bit-identical results
+    val banded = NearDup.containmentPairsQuantileBand(floodDocs, 0.8,
+        quantileBp = 9000, dfFloor = 50, fanoutBudget = 1000000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(banded == fixed)
+    assert(fixed.nonEmpty, "vacuous equivalence — fixture lost its pairs")
+  }
+
+  test("shingleDfProfile: exact cumulative histogram with band flags") {
+    val rows = NearDup.shingleDfProfile(floodDocs, 9000, 2, 100)
+      .orderBy(col("df").asc).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getLong(5)))
+    assert(rows.toSeq == Seq(
+      (2L, 3L, 3L, 12L, 1, 2L),
+      (20L, 8L, 11L, 3212L, 0, 2L)))
+  }
+}
