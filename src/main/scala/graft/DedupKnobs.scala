@@ -97,6 +97,13 @@ private[graft] object DedupKnobs {
   val ContainTopK = 5
   require(ContainTopK >= 1, "top-k must keep at least one match")
 
+  /** Hamming threshold for perceptual-hash image near-dup classes
+    * (q199): the 4-band × 12-bit band join is pigeonhole-exact only
+    * below 4. */
+  val PHashMaxHamming = 3
+  require(PHashMaxHamming >= 0 && PHashMaxHamming < 4,
+    s"pHash band recall needs maxHamming in [0, 4), got $PHashMaxHamming")
+
   /** Ground-truth Jaccard threshold for the generator audit (q188/q191):
     * the definition of a "true" near-dup pair the LSH generator is
     * graded against. */

@@ -2773,6 +2773,18 @@ object SparkEntry {
   private val MixBudgetDen = 2
   private val MixCapEpochs = 2
 
+  /** Naive-Bayes source-classifier feature space (shared with the
+    * q195 oracle): hashed-bucket width + salt. */
+  private val NbBuckets = 256
+  private val NbSalt = "nb-v1"
+
+  /** Perplexity-bucket count for the CCNet-style head/middle/tail
+    * split (q196) — deciles. */
+  private val PplBuckets = 10
+
+  /** Duplicated-substring span width in tokens (q197): 5-grams. */
+  private val DupSpanN = 5
+
   /** Hybrid BM25 + embedding-cosine retrieval fused by reciprocal rank
     * fusion ([[graft.operators.Retrieval.hybridRrf]]) — the RAG
     * two-tower query shape. Lexical side reuses q84's term bag; vector
@@ -2949,6 +2961,55 @@ object SparkEntry {
         r6(col("containment")).as("containment"), col("rk"))
       .orderBy(col("doc_a").asc, col("rk").asc)
   }
+
+  /** Naive-Bayes source self-classification confusion matrix
+    * ([[graft.operators.Classify.naiveBayesSourceConfusion]]): the
+    * quality/domain-classifier stage of a curation pipeline with an
+    * exactly reproducible closed-form model — trained AND applied under
+    * one hash gate. Which sources are separable by token mix alone. */
+  private def q195(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Classify.naiveBayesSourceConfusion(docs(s, dir),
+      NbBuckets, NbSalt)
+
+  /** Corpus-relative perplexity deciles
+    * ([[TextAnalysis.perplexityBuckets]]): the CCNet head/middle/tail
+    * quality split over the unigram-LM score (q110), with bucket
+    * assignment derived from the 6-dp score HISTOGRAM (value-domain-
+    * bounded — no corpus-sized global sort), the round-9
+    * corpus-relative-threshold idiom. */
+  private def q196(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.perplexityBuckets(docs(s, dir), PplBuckets)
+
+  /** Per-doc duplicated-substring fraction
+    * ([[TextAnalysis.dupSpanStats]]): the exact-substring dedup
+    * primitive (Lee et al. 2022) as an audit metric — the share of a
+    * doc's [[DupSpanN]]-gram positions whose span recurs anywhere in
+    * the corpus (multiplicity counts; self-repeats included). */
+  private def q197(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dupSpanStats(docs(s, dir), DupSpanN)
+      .orderBy(col("doc_id").asc)
+
+  /** Perceptual hash per image ([[Multimodal.pHashes]]): the aHash
+    * fingerprint computed from the REAL PNG decode (q169's codec path)
+    * with an integer-exact threshold — the fingerprint stage of an
+    * image-dedup pipeline, gated bit for bit against the pixel-model
+    * replay. */
+  private def q198(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pHashes(s, Multimodal.pngPayloads(s, docs(s, dir)))
+      .orderBy(col("doc_id").asc)
+
+  /** Image near-dup at the hash-CLASS level
+    * ([[Multimodal.pHashClassPairs]]): perceptual-duplicate clusters
+    * paired by banded hamming ≤ [[DedupKnobs.PHashMaxHamming]] — the
+    * image modality's dedup with the flood lesson built in (the
+    * fixture's structured images collide heavily; class rows carry
+    * member counts instead of materializing O(cluster²) image pairs). */
+  private def q199(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pHashClassPairs(
+        Multimodal.pHashes(s, Multimodal.pngPayloads(s, docs(s, dir))),
+        PHashMaxHamming)
+      .orderBy(col("width").asc, col("height").asc,
+        col("ph_a").asc, col("ph_b").asc)
 
   /** q54's deterministic mixture sampler run as a STREAM
     * ([[graft.streaming.EventStream.runMixtureOnce]]) — streaming/batch
@@ -3729,6 +3790,29 @@ object SparkEntry {
 
   private val sqlShingles = sqlShinglesFor("documents")
 
+  /** Pixel-model replay CTE chain for the image queries: the same
+    * deterministic grayscale content [[Multimodal.pngPayloads]] encodes
+    * (w = 4 + id%5, h = 3 + id%4, px = (id·31 + 7x + 13y) mod 256),
+    * reduced to the aHash — ends in `ph(doc_id, width, height, phash)`.
+    * The engine runs the true encode → binary column → `javax.imageio`
+    * decode → hash pipeline; SQL replays the arithmetic. */
+  private lazy val pHashCtes: String =
+    s"""d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+              FROM documents),
+        px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM d),
+        p2 AS (SELECT doc_id, w, h, k,
+                      (doc_id * 31 + 7 * (k % w) + 13 * (k // w)) % 256 AS p
+               FROM px),
+        st AS (SELECT doc_id, count(*) AS n, sum(p) AS sp
+               FROM p2 GROUP BY doc_id),
+        ph AS MATERIALIZED (
+          SELECT p2.doc_id, CAST(any_value(p2.w) AS BIGINT) AS width,
+                 CAST(any_value(p2.h) AS BIGINT) AS height,
+                 CAST(sum(CASE WHEN p2.p * st.n >= st.sp
+                               THEN (1::BIGINT << p2.k) ELSE 0 END)
+                   AS BIGINT) AS phash
+          FROM p2 JOIN st USING (doc_id) GROUP BY p2.doc_id)"""
+
   /** Corpus-relative shingle-df band CTE chain (mirrors
     * [[NearDup.shingleDfBandMax]] integer for integer): df histogram
     * over repeated shingles → cumulative count + exact Σcnt·df²
@@ -4391,7 +4475,12 @@ object SparkEntry {
     "q191_generator_audit_sampled" -> (q191 _),
     "q192_train_manifest" -> (q192 _),
     "q193_shingle_df_profile" -> (q193 _),
-    "q194_containment_topk" -> (q194 _))
+    "q194_containment_topk" -> (q194 _),
+    "q195_nb_source_confusion" -> (q195 _),
+    "q196_perplexity_buckets" -> (q196 _),
+    "q197_dup_span_fraction" -> (q197 _),
+    "q198_image_phash" -> (q198 _),
+    "q199_phash_class_pairs" -> (q199 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -5167,6 +5256,114 @@ object SparkEntry {
           SELECT doc_a, doc_b, n_a, n_common, round(c, 6) AS containment, rk
           FROM rk WHERE rk <= $ContainTopK
           ORDER BY doc_a ASC, rk ASC""",
+    // q195: the NB model rebuilt verbatim — add-1 log-likelihoods and
+    // log-priors at DECIMAL(18,6), exact decimal score sums, argmax
+    // with the lexicographic tie-break
+    "q195_nb_source_confusion" ->
+      s"""WITH tok AS (SELECT doc_id, source,
+                              unnest(string_split(text, ' ')) AS term
+                       FROM documents),
+          db AS MATERIALIZED (
+            SELECT doc_id, source,
+                   ('0x' || substr(md5(term || '$NbSalt'), 1, 8))::BIGINT
+                     % $NbBuckets AS b,
+                   count(*) AS c
+            FROM tok GROUP BY 1, 2, 3),
+          st AS (SELECT source, sum(c) AS tok_s,
+                        count(DISTINCT doc_id) AS nd FROM db GROUP BY 1),
+          na AS (SELECT sum(nd) AS n_all FROM st),
+          bks AS (SELECT DISTINCT b FROM db),
+          sb AS (SELECT source, b, sum(c) AS sc FROM db GROUP BY 1, 2),
+          model AS (SELECT st.source AS m_src, bks.b,
+                           CAST(ln(CAST(coalesce(sc, 0) + 1 AS DOUBLE)
+                                   / (tok_s + $NbBuckets))
+                             AS DECIMAL(18,6)) AS lp
+                    FROM st CROSS JOIN bks
+                    LEFT JOIN sb ON sb.source = st.source AND sb.b = bks.b),
+          pri AS (SELECT source AS m_src,
+                         CAST(ln(CAST(nd AS DOUBLE) / n_all)
+                           AS DECIMAL(18,6)) AS prior
+                  FROM st, na),
+          sc2 AS (SELECT db.doc_id, db.source, m.m_src,
+                         sum(db.c * m.lp) AS ll
+                  FROM db JOIN model m USING (b) GROUP BY 1, 2, 3),
+          fin AS (SELECT doc_id, source, m_src, ll + prior AS score
+                  FROM sc2 JOIN pri USING (m_src)),
+          pred AS (SELECT doc_id, source, m_src AS pred_source FROM fin
+                   QUALIFY row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, m_src ASC) = 1)
+          SELECT source, pred_source, count(*) AS n_docs
+          FROM pred GROUP BY 1, 2
+          ORDER BY source ASC, pred_source ASC""",
+    // q196: q110's per-doc LM score collapsed to its 6-dp class
+    // histogram; bucket = (cum−1)·k DIV n + 1 over the class table
+    "q196_perplexity_buckets" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+                       FROM documents),
+          c AS (SELECT tk, count(*) AS cnt FROM tok GROUP BY 1),
+          t AS (SELECT sum(cnt) AS t_total FROM c),
+          lm AS (SELECT tk, CAST(ln(CAST(cnt AS DOUBLE))
+                                 - ln(CAST(t_total AS DOUBLE))
+                                 AS DECIMAL(18,6)) AS lp FROM c, t),
+          s AS (SELECT doc_id, count(*) AS n_tokens,
+                       floor(CAST(sum(lp) AS DOUBLE) / count(*)
+                             * 1000000 + 0.5) / 1000000 AS avg_logprob
+                FROM tok JOIN lm USING (tk) GROUP BY doc_id),
+          cls AS (SELECT avg_logprob, count(*) AS c2,
+                         CAST(sum(n_tokens) AS BIGINT) AS t2
+                  FROM s GROUP BY 1),
+          cu AS (SELECT *, sum(c2) OVER (ORDER BY avg_logprob ASC) AS cum,
+                        sum(c2) OVER () AS n FROM cls)
+          SELECT CAST(((cum - 1) * $PplBuckets // n) + 1 AS BIGINT) AS bucket,
+                 CAST(sum(c2) AS BIGINT) AS n_docs,
+                 min(avg_logprob) AS lo_logprob,
+                 max(avg_logprob) AS hi_logprob,
+                 floor(CAST(sum(t2) AS DOUBLE) / sum(c2)
+                       * 1000000 + 0.5) / 1000000 AS avg_tokens
+          FROM cu GROUP BY 1 ORDER BY bucket ASC""",
+    // q197: positional n-grams (multiplicity kept — NOT the distinct
+    // shingle table), global occurrence counts, per-doc dup fraction
+    "q197_dup_span_fraction" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+          g AS MATERIALIZED (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - ${DupSpanN - 2}),
+                     i -> ${(0 until DupSpanN).map(j => s"t[i+$j]")
+                             .mkString(" || ' ' || ")})) AS gram
+            FROM tok WHERE len(t) >= $DupSpanN),
+          occ AS (SELECT gram, count(*) AS occ FROM g GROUP BY 1)
+          SELECT doc_id, count(*) AS n_grams,
+                 CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup,
+                 floor(CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*) * 1000000 + 0.5) / 1000000 AS dup_frac
+          FROM g JOIN occ USING (gram)
+          GROUP BY doc_id ORDER BY doc_id ASC""",
+    // q198: the aHash replayed from the deterministic pixel model
+    // (q169's trick) — integer-exact threshold px·n ≥ Σpx, row-major
+    // bit pack into BIGINT (w·h ≤ 48 bits)
+    "q198_image_phash" ->
+      s"""WITH $pHashCtes
+          SELECT doc_id, width, height, phash FROM ph
+          ORDER BY doc_id ASC""",
+    // q199: hash classes self-joined WITHIN dims at hamming ≤ T — the
+    // exact form the engine's 4×12 band join equals by pigeonhole
+    // (T < 4); class counts, not O(cluster²) image pairs
+    "q199_phash_class_pairs" ->
+      s"""WITH $pHashCtes,
+          cls AS (SELECT width, height, phash, count(*) AS n_imgs,
+                         min(doc_id) AS anchor
+                  FROM ph GROUP BY 1, 2, 3)
+          SELECT a.width, a.height, a.phash AS ph_a, b.phash AS ph_b,
+                 a.n_imgs AS n_a, b.n_imgs AS n_b,
+                 a.anchor AS anchor_a, b.anchor AS anchor_b,
+                 CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+          FROM cls a JOIN cls b
+            ON a.width = b.width AND a.height = b.height
+            AND a.phash < b.phash
+            AND bit_count(xor(a.phash, b.phash)) <= $PHashMaxHamming
+          ORDER BY a.width ASC, a.height ASC, ph_a ASC, ph_b ASC""",
     "q46_token_counting" ->
       s"""SELECT doc_id,
                  len(string_split(text, ' ')) AS n_ws_tokens,

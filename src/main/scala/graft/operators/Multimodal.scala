@@ -113,6 +113,92 @@ object Multimodal {
     }.toDF()
   }
 
+  case class PHashRow(doc_id: Long, width: Long, height: Long, phash: Long)
+
+  /** Average-hash (aHash) perceptual fingerprint per image, computed
+    * from the REAL PNG decode: bit k (row-major, k = y·w + x) is set
+    * when pixel(x, y) ≥ the image mean. The classic perceptual-dedup
+    * fingerprint (pHash family), with the threshold made INTEGER-EXACT
+    * — px ≥ mean ⟺ px·n_pixels ≥ Σpx, no division — so the oracle
+    * replays it bit for bit from the deterministic pixel model while
+    * the engine runs the true binary-column → codec → hash pipeline.
+    * Fixture images have w·h ≤ 48 < 64, so the hash packs one long;
+    * real images would be resampled to a fixed 8×8 grid first (the
+    * standard aHash), which is a per-partition decoder detail, not a
+    * plan change. */
+  def pHashes(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.as[PngBlob].mapPartitions { it =>
+      it.map { b =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b.payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val n = (w * h).toLong
+        var s = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { s += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        var bits = 0L
+        y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            if (raster.getSample(x, y, 0).toLong * n >= s)
+              bits |= 1L << (y * w + x)
+            x += 1
+          }
+          y += 1
+        }
+        PHashRow(b.doc_id, w.toLong, h.toLong, bits)
+      }
+    }.toDF()
+  }
+
+  /** Image near-dup pairs at the HASH-CLASS level: perceptual-hash
+    * classes (same dims, same phash — the exact-duplicate clusters)
+    * paired when their hashes sit within `maxHamming` bits. Working on
+    * class representatives instead of images is the flood lesson
+    * applied to the image modality from day one: the fixture's small
+    * structured images collide heavily (2,826 identical-hash image
+    * pairs at sf0.01; ~300k at sf0.1 — measured), so image-level pair
+    * materialization is O(cluster²) exactly like a boilerplate text
+    * flood, while the class table is bounded by |distinct hashes| and
+    * each emitted row carries its member counts (n_a·n_b expands to
+    * image pairs ONLY if a consumer truly needs them). Candidate
+    * generation is the 4×12-bit band equi-join keyed by (w, h, band,
+    * value) — pigeonhole-exact for hamming ≤ 3 over the ≤ 48 used
+    * bits, never n². Classes are staged (both join sides). */
+  def pHashClassPairs(ph: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      "4-band×12-bit pigeonhole recall needs maxHamming < 4")
+    val cls = Shingles.shared(
+      ph.groupBy(col("width"), col("height"), col("phash"))
+        .agg(count(lit(1)).as("n_imgs"), min(col("doc_id")).as("anchor")))
+    val banded = cls.select(col("width"), col("height"), col("phash"),
+        col("n_imgs"), col("anchor"),
+        explode(array((0 until 4).map(j => struct(lit(j).as("band"),
+          shiftright(col("phash"), 12 * j).bitwiseAND(lit(4095L)).as("bv"))): _*))
+          .as("bb"))
+      .select(col("width"), col("height"), col("phash"), col("n_imgs"),
+        col("anchor"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val a = banded.select(col("width"), col("height"), col("band"), col("bv"),
+      col("phash").as("ph_a"), col("n_imgs").as("n_a"), col("anchor").as("anchor_a"))
+    val b = banded.select(col("width"), col("height"), col("band"), col("bv"),
+      col("phash").as("ph_b"), col("n_imgs").as("n_b"), col("anchor").as("anchor_b"))
+    a.join(b, Seq("width", "height", "band", "bv"))
+      .filter(col("ph_a") < col("ph_b"))
+      .select(col("width"), col("height"), col("ph_a"), col("ph_b"),
+        col("n_a"), col("n_b"), col("anchor_a"), col("anchor_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** One sampled frame: index in the stream, byte offset, byte length.
     * A real decoder would add the decoded tensor / thumbnail bytes. */
   case class Frame(frame_idx: Long, offset: Long, n_bytes: Long)

@@ -375,6 +375,91 @@ object TextAnalysis {
         graft.engine.Aggregates.round6Portable(col("__m")).as("avg_logprob"))
   }
 
+  /** Corpus-relative perplexity bucketing — the CCNet-style head/middle/
+    * tail split (Wenzek et al. 2020, "CCNet: Extracting High Quality
+    * Monolingual Datasets from Web Crawl Data") generalized to `k`
+    * quantile buckets over the [[unigramLogprob]] score: each document's
+    * 6-dp portable avg token log-probability places it in the corpus's
+    * own score distribution, and buckets split that distribution into
+    * k cumulative-count slices. Bucket 1 = lowest avg logprob = most
+    * surprising under the corpus LM (the "tail" a curation pipeline
+    * inspects first); bucket k = most predictable ("head").
+    *
+    * Like the round-9 shingle-df band, the assignment is derived from a
+    * VALUE HISTOGRAM, not a per-row global window: scores collapse to
+    * their distinct 6-dp classes (bounded by the score domain at 6 dp,
+    * NOT by corpus size), the cumulative window runs over that class
+    * table, and a whole class lands in the bucket its cumulative END
+    * count selects — bucket = (cum−1)·k DIV n + 1, exact integers, so
+    * both engines agree bit for bit and no corpus-sized single-partition
+    * sort exists anywhere in the plan. Ties at a bucket boundary
+    * therefore stay together (bucket sizes are ~n/k, exact when no 6-dp
+    * class straddles). Output: k rows of census stats. */
+  def perplexityBuckets(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, "need at least two buckets")
+    import org.apache.spark.sql.expressions.Window
+    val cls = unigramLogprob(docs)
+      .groupBy(col("avg_logprob"))
+      .agg(count(lit(1)).as("__c"), sum(col("n_tokens")).as("__t"))
+    val wCum = Window.orderBy(col("avg_logprob").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    cls.select(col("avg_logprob"), col("__c"), col("__t"),
+        sum(col("__c")).over(wCum).as("__cum"),
+        sum(col("__c")).over(wAll).as("__n"))
+      .withColumn("bucket", expr(s"((__cum - 1) * $k DIV __n) + 1"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("__c")).as("n_docs"),
+        min(col("avg_logprob")).as("lo_logprob"),
+        max(col("avg_logprob")).as("hi_logprob"),
+        graft.engine.Aggregates.round6Portable(
+          sum(col("__t")).cast("double") / sum(col("__c"))).as("avg_tokens"))
+      .orderBy(col("bucket").asc)
+  }
+
+  /** Per-document duplicated-substring fraction — the exact-substring
+    * dedup primitive of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better": substrings repeated anywhere in the
+    * corpus are memorization fuel) scaled to a per-doc audit metric:
+    * the fraction of a document's n-gram POSITIONS whose n-gram occurs
+    * ≥ 2 times corpus-wide (multiplicity counts — a doc repeating its
+    * own phrase is self-duplication, which is why positions, not the
+    * distinct-shingle table, are the unit here; [[Shingles]] dedupes
+    * within doc and cannot express this).
+    *
+    * Shape: tokens posexplode → per-doc lead() window builds the n-gram
+    * at every position (window partitioned BY DOC — parallel, no global
+    * sort) → the position table is staged (it feeds the global
+    * occurrence count AND the per-doc rollup) → one equi-join on the
+    * gram. Linear in corpus tokens; the occurrence-count agg is the
+    * only corpus-wide shuffle. Docs with < n tokens have no positions
+    * and are absent (both engines). */
+  def dupSpanStats(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, "spans below 2 tokens are single tokens")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tk")))
+    // all lead columns materialize BEFORE the tail filter — a lead
+    // computed after filtering would skip the dropped positions
+    val withLeads = (1 until n).foldLeft(toks) { (d, i) =>
+      d.withColumn(s"__l$i", lead(col("tk"), i).over(w))
+    }
+    val grams = Shingles.shared(
+      withLeads.filter(col(s"__l${n - 1}").isNotNull)
+        .select(col("doc_id"), concat_ws(" ",
+          col("tk") +: (1 until n).map(i => col(s"__l$i")): _*).as("gram")))
+    val occ = grams.groupBy(col("gram")).agg(count(lit(1)).as("__occ"))
+    grams.join(occ, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__occ") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        graft.engine.Aggregates.round6Portable(
+          col("n_dup").cast("double") / col("n_grams")).as("dup_frac"))
+  }
+
   def vocabJaccardMatrix(docs: DataFrame, groupCol: String): DataFrame = {
     val gt = docs.select(col(groupCol).as("g"),
         explode(array_distinct(tokens(col("text")))).as("tok"))

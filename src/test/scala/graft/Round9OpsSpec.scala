@@ -85,4 +85,85 @@ class Round9OpsSpec extends AnyFunSuite {
       (2L, 3L, 3L, 12L, 1, 2L),
       (20L, 8L, 11L, 3212L, 0, 2L)))
   }
+
+  test("naiveBayesSourceConfusion: disjoint vocabularies classify perfectly; doc total preserved") {
+    val d = Seq(
+      (1L, "aa bb aa", "s1"), (2L, "bb aa bb aa", "s1"), (3L, "aa aa", "s1"),
+      (4L, "xx yy xx", "s2"), (5L, "yy yy xx", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = Classify.naiveBayesSourceConfusion(d, buckets = 64, salt = "nb-spec")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("s1", "s1") -> 3L, ("s2", "s2") -> 2L),
+      s"disjoint-vocab corpus must self-classify on the diagonal, got $out")
+    // determinism: identical rerun
+    val again = Classify.naiveBayesSourceConfusion(d, 64, "nb-spec")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(again == out)
+  }
+
+  test("perplexityBuckets: closed-form class histogram split on a literal corpus") {
+    // global LM: c(x)=4, c(y)=2, total 6 → lp(x)=ln(4/6)→−0.405465,
+    // lp(y)=ln(2/6)→−1.098612 (6 dp). Classes asc: {−1.098612: 2 docs},
+    // {−0.405465: 1 doc}; k=2 → cum 2 of 3 → bucket 1, cum 3 → bucket 2.
+    val d = Seq((1L, "x x x x"), (2L, "y"), (3L, "y")).toDF("doc_id", "text")
+    val rows = TextAnalysis.perplexityBuckets(d, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.toSeq == Seq(
+      (1L, 2L, -1.098612, -1.098612, 1.0),
+      (2L, 1L, -0.405465, -0.405465, 4.0)))
+  }
+
+  test("pHashes: real codec round-trip reproduces the pixel-model hash bit for bit") {
+    val spark0 = spark
+    val d = (1L to 40L).map(i => Tuple1(i)).toDF("doc_id")
+    val got = Multimodal.pHashes(spark0, Multimodal.pngPayloads(spark0, d))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // independent JVM replay of the deterministic pixel model
+    def expected(id: Long): (Long, Long, Long) = {
+      val w = (4 + id % 5).toInt
+      val h = (3 + id % 4).toInt
+      val px = for (y <- 0 until h; x <- 0 until w)
+        yield (y * w + x, (id * 31 + 7 * x + 13 * y) % 256)
+      val n = px.size.toLong
+      val s = px.map(_._2).sum
+      val bits = px.foldLeft(0L) { case (acc, (k, p)) =>
+        if (p * n >= s) acc | (1L << k) else acc
+      }
+      (w.toLong, h.toLong, bits)
+    }
+    for (id <- 1L to 40L) assert(got(id) == expected(id), s"doc $id")
+  }
+
+  test("pHashClassPairs: classes collapse duplicates; pairs within dims at hamming <= T only") {
+    val ph = Seq(
+      (1L, 4L, 4L, 3L),   // class (4,4,3): docs 1, 2
+      (2L, 4L, 4L, 3L),
+      (3L, 4L, 4L, 7L),   // hamming(3, 7) = 1 -> pairs with the class above
+      (4L, 5L, 4L, 3L),   // same hash, different dims -> never paired
+      (5L, 4L, 4L, 60L))  // hamming(3, 60) = 6 -> over threshold
+      .toDF("doc_id", "width", "height", "phash")
+    val got = Multimodal.pHashClassPairs(ph, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    assert(got.toSeq == Seq((4L, 4L, 3L, 7L, 2L, 1L, 1L, 3L, 1L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("dupSpanStats: positional multiplicity — cross-doc and SELF-repeats both count") {
+    val d = Seq(
+      (1L, "a b c d e f"),      // grams: "a b c d e", "b c d e f"
+      (2L, "a b c d e x"),      // grams: "a b c d e", "b c d e x"
+      (3L, "z z z z z z z"),    // 3 positions of "z z z z z" — self-dup
+      (4L, "too short here"))   // < 5 tokens → absent
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dupSpanStats(d, 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      1L -> ((2L, 1L, 0.5)),
+      2L -> ((2L, 1L, 0.5)),
+      3L -> ((3L, 3L, 1.0))), s"got $out")
+    assert(!out.contains(4L), "a doc below the span width has no positions")
+  }
 }
