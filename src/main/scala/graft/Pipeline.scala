@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Dedup, Sources, ZOrder}
-import graft.operators.{Graph, NearDup, Sampling, TextAnalysis}
+import graft.operators.{DataMix, Graph, NearDup, Sampling, TextAnalysis}
 
 /** The end-to-end training-data curation pipeline, composed purely from
   * the engine's operators — the "a user of the reference could run
@@ -19,6 +19,11 @@ import graft.operators.{Graph, NearDup, Sampling, TextAnalysis}
   *   4. mixture sampling — deterministic per-source rates
   *   5. layout           — z-ordered parquet write (scan-efficient on
   *                         both doc_id and n_chars)
+  *   6. planning         — leak-free train/val/test split (near-dup
+  *                         clusters never straddle splits — the SAME
+  *                         pair table stage 3 built) and the
+  *                         per-(split × source) training manifest, the
+  *                         artifact a training launcher consumes
   *
   * Returns per-stage row counts (the audit trail a production run
   * logs). `runMain graft.Pipeline [sfDir] [outDir]` prints them.
@@ -27,7 +32,7 @@ object Pipeline {
 
   final case class StageCounts(input: Long, afterQuality: Long,
                                afterExact: Long, afterNearDup: Long,
-                               afterMix: Long)
+                               afterMix: Long, manifestCells: Long)
 
   /** @param checkpointDir reliable checkpoint location for the
     *        connected-components rounds inside near-dup dedup (stage
@@ -79,8 +84,23 @@ object Pipeline {
         bits = 16, path = dir)
     }
 
+    // 6. planning: split the CURATED corpus leak-free (clusters from
+    // the same pair table stage 3 consumed — a near-dup surviving the
+    // mix can still have its dropped twin's split pinned by the shared
+    // group) and roll up the training manifest. Checkpointed for the
+    // same audit-count + sink double-consumption reason as the stages
+    // above.
+    val clusters = Graph.connectedComponents(pairs, "doc_a", "doc_b")
+    val manifest = DataMix.trainManifest(mixed, clusters,
+        mixSalt + "|split", trainBp = 8000, valBp = 9000,
+        budgetDen = 1, capEpochs = 2)
+      .localCheckpoint()
+    outDir.foreach { dir =>
+      manifest.coalesce(1).write.mode("overwrite").parquet(dir + "_manifest")
+    }
+
     StageCounts(docs.count(), quality.count(), exact.count(),
-      survivors.count(), mixed.count())
+      survivors.count(), mixed.count(), manifest.count())
   }
 
   def main(args: Array[String]): Unit = {
@@ -98,7 +118,7 @@ object Pipeline {
       rates, "pipeline-v1", out)
     println(s"""{"input":${c.input},"quality":${c.afterQuality},""" +
       s""""exact":${c.afterExact},"neardup":${c.afterNearDup},""" +
-      s""""mixed":${c.afterMix}}""")
+      s""""mixed":${c.afterMix},"manifest_cells":${c.manifestCells}}""")
     spark.stop()
   }
 }

@@ -521,6 +521,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     val written = spark.read.parquet(out)
     assert(written.count() === c.afterMix)
     assert(written.columns.contains("text"))
+    // stage 6: the training manifest lands beside the corpus and its
+    // doc census reconciles with the curated output
+    val manifest = spark.read.parquet(out + "_manifest")
+    assert(manifest.count() === c.manifestCells)
+    import org.apache.spark.sql.functions.sum
+    val mDocs = manifest.agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(mDocs === c.afterMix,
+      s"manifest cells must partition the curated corpus: $mDocs vs ${c.afterMix}")
+    assert(manifest.select("split").distinct().count() <= 3)
   }
 
   test("AQE splits a skewed sort-merge join at runtime (skew=true)") {

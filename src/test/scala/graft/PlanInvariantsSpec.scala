@@ -381,6 +381,38 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"wedge-closing join must be a broadcast semi-join:\n$plan")
   }
 
+  test("round-9 rank plans rewrite to bounded heaps (containment top-k, NB argmax)") {
+    // q194's per-doc top-k and q195's per-doc argmax are written as
+    // row_number windows; RewriteRowNumberTopK must swap both for the
+    // bounded-heap operator or the flood-safety claims are prose
+    Seq("q194_containment_topk", "q195_nb_source_confusion").foreach { n =>
+      val plan = planOf(n)
+      assert(plan.contains("TopKPerGroupFinal"),
+        s"$n should use TopKPerGroup:\n$plan")
+      assert(!plan.contains("row_number"),
+        s"$n should not plan a window sort:\n$plan")
+    }
+  }
+
+  test("pHash class pairs join on the band key with the hamming verify inline") {
+    val plan = planOf("q199_phash_class_pairs")
+    assert("Join.*band".r.findAllIn(plan).nonEmpty,
+      s"q199 candidates must come from a band equi-join:\n$plan")
+    assert(plan.contains("bit_count"),
+      s"q199 must verify hamming on candidates:\n$plan")
+  }
+
+  test("perplexity buckets window over the 6-dp score-CLASS table, never per-doc rows") {
+    val plan = planOf("q196_perplexity_buckets")
+    // the only ordered window key is the class column (avg_logprob) —
+    // a per-doc global row_number would be the corpus-sized
+    // single-partition sort this operator exists to avoid
+    assert(plan.contains("windowspecdefinition(avg_logprob"),
+      s"q196 cumulative window must run over score classes:\n$plan")
+    assert(!plan.contains("row_number"),
+      s"q196 must not rank individual docs:\n$plan")
+  }
+
   test("triangle plan CONSTRUCTION fires no Spark job (stats-based broadcast decision)") {
     // the broadcast decision must come from optimizer size estimates
     // (driver-side metadata), not an eager count() — which would run a
