@@ -3011,6 +3011,44 @@ object SparkEntry {
       .orderBy(col("width").asc, col("height").asc,
         col("ph_a").asc, col("ph_b").asc)
 
+  /** Corpus QUALITY SCORECARD — the per-source report a curation run
+    * publishes, rolled up from four independent quality operators in
+    * one query: stopword ratio (q18), unigram-LM score (q110/q196),
+    * duplicated-substring fraction (q197), and naive-Bayes
+    * self-classification accuracy (q195). Every per-doc signal is
+    * pinned by the portable floor-round and carried through
+    * DECIMAL(18,6) exact sums, so each source's averages are
+    * merge-order-free and hash-identical across engines. Inner joins
+    * throughout: a doc must carry every signal to enter the report
+    * (every fixture doc does; both engines agree on the domain). */
+  private def q200(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val sw = TextAnalysis.textStats(d, TextAnalysis.stopwords("en"))
+      .select(col("doc_id"),
+        Aggregates.round6Portable(col("stopword_ratio")).cast(dec6).as("sw6"))
+    val lm = TextAnalysis.unigramLogprob(d)
+      .select(col("doc_id"), col("avg_logprob").cast(dec6).as("lp6"))
+    val dup = TextAnalysis.dupSpanStats(d, DupSpanN)
+      .select(col("doc_id"), col("dup_frac").cast(dec6).as("df6"))
+    val pred = graft.operators.Classify.naiveBayesPredictions(
+        d, NbBuckets, NbSalt)
+      .select(col("doc_id"), col("pred_source"))
+    def avg6(c: Column): Column =
+      Aggregates.round6Portable(sum(c).cast("double") / count(lit(1)))
+    d.select(col("doc_id"), col("source"))
+      .join(sw, Seq("doc_id")).join(lm, Seq("doc_id"))
+      .join(dup, Seq("doc_id")).join(pred, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        avg6(col("sw6")).as("avg_stopword_ratio"),
+        avg6(col("lp6")).as("avg_logprob"),
+        avg6(col("df6")).as("avg_dup_frac"),
+        avg6(when(col("pred_source") === col("source"), 1L).otherwise(0L)
+          .cast(dec6)).as("nb_self_acc"))
+      .orderBy(col("source").asc)
+  }
+
   /** q54's deterministic mixture sampler run as a STREAM
     * ([[graft.streaming.EventStream.runMixtureOnce]]) — streaming/batch
     * operator unification under the oracle gate: the stateless sampler
@@ -3790,6 +3828,51 @@ object SparkEntry {
 
   private val sqlShingles = sqlShinglesFor("documents")
 
+  /** The q197/q200 positional n-gram concatenation over token list `t`
+    * at offset `i` (DuckDB lambda body), width [[DupSpanN]]. */
+  private lazy val dupGramExpr: String =
+    (0 until DupSpanN).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+
+  /** Naive-Bayes prediction CTE chain (mirrors
+    * [[graft.operators.Classify.naiveBayesPredictions]]): hashed-bucket
+    * doc counts → add-1 model + priors at DECIMAL(18,6) → exact decimal
+    * score sums → per-doc argmax with the lexicographic tie-break.
+    * Ends in `pred(doc_id, source, pred_source)`; shared by q195 and
+    * the q200 scorecard. */
+  private lazy val nbPredCtes: String =
+    s"""tok AS (SELECT doc_id, source,
+                       unnest(string_split(text, ' ')) AS term
+                FROM documents),
+        db AS MATERIALIZED (
+          SELECT doc_id, source,
+                 ('0x' || substr(md5(term || '$NbSalt'), 1, 8))::BIGINT
+                   % $NbBuckets AS b,
+                 count(*) AS c
+          FROM tok GROUP BY 1, 2, 3),
+        st AS (SELECT source, sum(c) AS tok_s,
+                      count(DISTINCT doc_id) AS nd FROM db GROUP BY 1),
+        na AS (SELECT sum(nd) AS n_all FROM st),
+        bks AS (SELECT DISTINCT b FROM db),
+        sb AS (SELECT source, b, sum(c) AS sc FROM db GROUP BY 1, 2),
+        model AS (SELECT st.source AS m_src, bks.b,
+                         CAST(ln(CAST(coalesce(sc, 0) + 1 AS DOUBLE)
+                                 / (tok_s + $NbBuckets))
+                           AS DECIMAL(18,6)) AS lp
+                  FROM st CROSS JOIN bks
+                  LEFT JOIN sb ON sb.source = st.source AND sb.b = bks.b),
+        pri AS (SELECT source AS m_src,
+                       CAST(ln(CAST(nd AS DOUBLE) / n_all)
+                         AS DECIMAL(18,6)) AS prior
+                FROM st, na),
+        sc2 AS (SELECT db.doc_id, db.source, m.m_src,
+                       sum(db.c * m.lp) AS ll
+                FROM db JOIN model m USING (b) GROUP BY 1, 2, 3),
+        fin AS (SELECT doc_id, source, m_src, ll + prior AS score
+                FROM sc2 JOIN pri USING (m_src)),
+        pred AS (SELECT doc_id, source, m_src AS pred_source FROM fin
+                 QUALIFY row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, m_src ASC) = 1)"""
+
   /** Pixel-model replay CTE chain for the image queries: the same
     * deterministic grayscale content [[Multimodal.pngPayloads]] encodes
     * (w = 4 + id%5, h = 3 + id%4, px = (id·31 + 7x + 13y) mod 256),
@@ -4480,7 +4563,8 @@ object SparkEntry {
     "q196_perplexity_buckets" -> (q196 _),
     "q197_dup_span_fraction" -> (q197 _),
     "q198_image_phash" -> (q198 _),
-    "q199_phash_class_pairs" -> (q199 _))
+    "q199_phash_class_pairs" -> (q199 _),
+    "q200_quality_scorecard" -> (q200 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -5258,43 +5342,61 @@ object SparkEntry {
           ORDER BY doc_a ASC, rk ASC""",
     // q195: the NB model rebuilt verbatim — add-1 log-likelihoods and
     // log-priors at DECIMAL(18,6), exact decimal score sums, argmax
-    // with the lexicographic tie-break
+    // with the lexicographic tie-break (shared prediction CTEs)
     "q195_nb_source_confusion" ->
-      s"""WITH tok AS (SELECT doc_id, source,
-                              unnest(string_split(text, ' ')) AS term
-                       FROM documents),
-          db AS MATERIALIZED (
-            SELECT doc_id, source,
-                   ('0x' || substr(md5(term || '$NbSalt'), 1, 8))::BIGINT
-                     % $NbBuckets AS b,
-                   count(*) AS c
-            FROM tok GROUP BY 1, 2, 3),
-          st AS (SELECT source, sum(c) AS tok_s,
-                        count(DISTINCT doc_id) AS nd FROM db GROUP BY 1),
-          na AS (SELECT sum(nd) AS n_all FROM st),
-          bks AS (SELECT DISTINCT b FROM db),
-          sb AS (SELECT source, b, sum(c) AS sc FROM db GROUP BY 1, 2),
-          model AS (SELECT st.source AS m_src, bks.b,
-                           CAST(ln(CAST(coalesce(sc, 0) + 1 AS DOUBLE)
-                                   / (tok_s + $NbBuckets))
-                             AS DECIMAL(18,6)) AS lp
-                    FROM st CROSS JOIN bks
-                    LEFT JOIN sb ON sb.source = st.source AND sb.b = bks.b),
-          pri AS (SELECT source AS m_src,
-                         CAST(ln(CAST(nd AS DOUBLE) / n_all)
-                           AS DECIMAL(18,6)) AS prior
-                  FROM st, na),
-          sc2 AS (SELECT db.doc_id, db.source, m.m_src,
-                         sum(db.c * m.lp) AS ll
-                  FROM db JOIN model m USING (b) GROUP BY 1, 2, 3),
-          fin AS (SELECT doc_id, source, m_src, ll + prior AS score
-                  FROM sc2 JOIN pri USING (m_src)),
-          pred AS (SELECT doc_id, source, m_src AS pred_source FROM fin
-                   QUALIFY row_number() OVER (PARTITION BY doc_id
-                     ORDER BY score DESC, m_src ASC) = 1)
+      s"""WITH $nbPredCtes
           SELECT source, pred_source, count(*) AS n_docs
           FROM pred GROUP BY 1, 2
           ORDER BY source ASC, pred_source ASC""",
+    // q200: four per-doc quality signals — each floor-round-pinned,
+    // dec6-cast, exact-summed — rolled up per source; NB predictions
+    // come from the shared q195 CTE chain
+    "q200_quality_scorecard" -> {
+      val stop = sqlStopHits(TextAnalysis.stopwords("en"))
+      def avg6(col: String) =
+        s"floor(CAST(sum($col) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000"
+      s"""WITH $nbPredCtes,
+          sw AS (SELECT doc_id,
+                        CAST(floor($stop / len(string_split(text, ' '))
+                               * 1000000 + 0.5) / 1000000
+                          AS DECIMAL(18,6)) AS sw6
+                 FROM documents),
+          utok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+                   FROM documents),
+          uc AS (SELECT tk, count(*) AS cnt FROM utok GROUP BY 1),
+          ut AS (SELECT sum(cnt) AS t_total FROM uc),
+          ulm AS (SELECT tk, CAST(ln(CAST(cnt AS DOUBLE))
+                                  - ln(CAST(t_total AS DOUBLE))
+                                  AS DECIMAL(18,6)) AS lp FROM uc, ut),
+          us AS (SELECT doc_id,
+                        CAST(floor(CAST(sum(lp) AS DOUBLE) / count(*)
+                               * 1000000 + 0.5) / 1000000
+                          AS DECIMAL(18,6)) AS lp6
+                 FROM utok JOIN ulm USING (tk) GROUP BY doc_id),
+          dtok AS (SELECT doc_id, string_split(text, ' ') AS t
+                   FROM documents),
+          g AS MATERIALIZED (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - ${DupSpanN - 2}),
+                     i -> $dupGramExpr)) AS gram
+            FROM dtok WHERE len(t) >= $DupSpanN),
+          occ AS (SELECT gram, count(*) AS occ FROM g GROUP BY 1),
+          dd AS (SELECT doc_id,
+                        CAST(floor(CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END)
+                                     AS DOUBLE) / count(*) * 1000000 + 0.5)
+                             / 1000000 AS DECIMAL(18,6)) AS df6
+                 FROM g JOIN occ USING (gram) GROUP BY doc_id)
+          SELECT d.source, count(*) AS n_docs,
+                 ${avg6("sw6")} AS avg_stopword_ratio,
+                 ${avg6("lp6")} AS avg_logprob,
+                 ${avg6("df6")} AS avg_dup_frac,
+                 ${avg6("CASE WHEN pred.pred_source = d.source THEN CAST(1 AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END")}
+                   AS nb_self_acc
+          FROM documents d
+          JOIN sw USING (doc_id) JOIN us USING (doc_id)
+          JOIN dd USING (doc_id) JOIN pred USING (doc_id)
+          GROUP BY d.source ORDER BY d.source ASC"""
+    },
     // q196: q110's per-doc LM score collapsed to its 6-dp class
     // histogram; bucket = (cum−1)·k DIV n + 1 over the class table
     "q196_perplexity_buckets" ->
@@ -5329,8 +5431,7 @@ object SparkEntry {
           g AS MATERIALIZED (
             SELECT doc_id,
                    unnest(list_transform(range(1, len(t) - ${DupSpanN - 2}),
-                     i -> ${(0 until DupSpanN).map(j => s"t[i+$j]")
-                             .mkString(" || ' ' || ")})) AS gram
+                     i -> $dupGramExpr)) AS gram
             FROM tok WHERE len(t) >= $DupSpanN),
           occ AS (SELECT gram, count(*) AS occ FROM g GROUP BY 1)
           SELECT doc_id, count(*) AS n_grams,

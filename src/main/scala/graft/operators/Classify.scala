@@ -47,7 +47,18 @@ object Classify {
     * Docs with zero tokens have no feature rows and are absent (both
     * engines). */
   def naiveBayesSourceConfusion(docs: DataFrame, buckets: Int,
-                                salt: String): DataFrame = {
+                                salt: String): DataFrame =
+    naiveBayesPredictions(docs, buckets, salt)
+      .groupBy(col("source"), col("pred_source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source").asc, col("pred_source").asc)
+
+  /** The per-document predictions under the confusion matrix:
+    * (doc_id, source, pred_source). Exposed so downstream rollups (the
+    * q200 quality scorecard's self-accuracy signal) reuse the trained
+    * model instead of re-deriving it. */
+  def naiveBayesPredictions(docs: DataFrame, buckets: Int,
+                            salt: String): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val db = graft.engine.Staging.stagedByPlan(
       docs.select(col("doc_id"), col("source"),
@@ -82,8 +93,6 @@ object Classify {
       .orderBy(col("score").desc, col("m_src").asc)
     scores.withColumn("__r", row_number().over(wDoc))
       .filter(col("__r") === 1)
-      .groupBy(col("source"), col("m_src").as("pred_source"))
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("source").asc, col("pred_source").asc)
+      .select(col("doc_id"), col("source"), col("m_src").as("pred_source"))
   }
 }

@@ -151,6 +151,24 @@ class Round9OpsSpec extends AnyFunSuite {
       s"got ${got.toSeq}")
   }
 
+  test("quality scorecard: source census partitions the corpus; every rate well-domained") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q200_quality_scorecard")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val corpus = graft.engine.Sources.table(spark, sfDir, "documents")
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_._1).toSet == corpus.keySet)
+    for ((src, n, sw, lp, df, acc) <- rows) {
+      assert(n == corpus(src), s"$src census")
+      assert(sw >= 0 && sw <= 1, s"$src stopword ratio $sw")
+      assert(lp < 0, s"$src LM score must be a negative log-prob, got $lp")
+      assert(df >= 0 && df <= 1, s"$src dup fraction $df")
+      assert(acc >= 0 && acc <= 1, s"$src self-accuracy $acc")
+    }
+  }
+
   test("dupSpanStats: positional multiplicity — cross-doc and SELF-repeats both count") {
     val d = Seq(
       (1L, "a b c d e f"),      // grams: "a b c d e", "b c d e f"
