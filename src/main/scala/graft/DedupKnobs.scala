@@ -59,7 +59,7 @@ private[graft] object DedupKnobs {
     * audit has the most to find — measured, SCALE.md round 8/9). The
     * band keeps shingles with df ≤ bmax where
     *
-    *   bmax = max(Floor, min(quantile, fanout-budget threshold)):
+    *   bmax = min(fanout-budget threshold, max(Floor, quantile)):
     *
     *  - quantile: the [[ShingleDfQuantileBp]]-quantile (exact order
     *    statistic, integer basis-point arithmetic — no interpolation,
@@ -74,12 +74,15 @@ private[graft] object DedupKnobs {
     *    band existed to prevent (at sf10, p90 alone keeps 2.4·10¹⁰
     *    join rows — measured); budgeting the fan-out keeps the RAREST
     *    (most containment-informative) shingles up to a hard candidate
-    *    bound at ANY corpus, saturation included. At least the rarest
-    *    df class is always kept, so the candidate set cannot go empty
-    *    while any repeated shingle exists.
-    *  - Floor: below it the band never bites — small/sparse corpora
-    *    (every gate SF: max df at sf0.1 is 25) keep every shingle,
-    *    preserving the exact-audit regime there.
+    *    bound at ANY corpus, saturation included — it binds even below
+    *    the Floor, with exactly one exception: the rarest repeated df
+    *    class is always kept, so the candidate set cannot go empty
+    *    while any repeated shingle exists (a corpus whose rarest class
+    *    alone exceeds the budget therefore exceeds it by that class).
+    *  - Floor: lifts the QUANTILE arm only — the quantile never cuts
+    *    below it, so small/sparse corpora (every gate SF: max df at
+    *    sf0.1 is 25) keep every shingle, preserving the exact-audit
+    *    regime there.
     */
   val ShingleDfQuantileBp = 9000
   require(0 < ShingleDfQuantileBp && ShingleDfQuantileBp <= 10000,

@@ -68,10 +68,21 @@ object Pipeline {
       .drop("__key")
       .localCheckpoint()
 
-    // 3. near-dup dedup: transitive simhash clusters → survivors
-    val pairs = NearDup.simHashPairs(NearDup.simHash(exact), maxHamming = 3)
-    val survivors = Graph.dedupSurvivors(exact, "doc_id", pairs,
-        "doc_a", "doc_b", checkpointDir = checkpointDir)
+    // 3. near-dup dedup: transitive simhash clusters → survivors. The
+    // cluster table is computed ONCE and checkpointed: it feeds both
+    // the survivors anti-join here and stage 6's split groups — the
+    // earlier dedupSurvivors + second connectedComponents form re-ran
+    // the costliest computation in the pipeline (fingerprint → band
+    // join → iterative CC) twice per curate()
+    val pairs = NearDup.simHashPairs(NearDup.simHash(exact),
+      maxHamming = DedupKnobs.SimHashMaxHamming)
+    val clusters = Graph.connectedComponents(pairs, "doc_a", "doc_b",
+        checkpointDir = checkpointDir)
+      .localCheckpoint()
+    val dropIds = clusters.filter(col("n") =!= col("component"))
+      .select(col("n"))
+    val survivors = exact
+      .join(dropIds, exact("doc_id") === dropIds("n"), "left_anti")
       .localCheckpoint()
 
     // 4. deterministic mixture
@@ -84,13 +95,12 @@ object Pipeline {
         bits = 16, path = dir)
     }
 
-    // 6. planning: split the CURATED corpus leak-free (clusters from
-    // the same pair table stage 3 consumed — a near-dup surviving the
-    // mix can still have its dropped twin's split pinned by the shared
+    // 6. planning: split the CURATED corpus leak-free (the SAME
+    // cluster table stage 3 computed — a near-dup surviving the mix
+    // can still have its dropped twin's split pinned by the shared
     // group) and roll up the training manifest. Checkpointed for the
     // same audit-count + sink double-consumption reason as the stages
     // above.
-    val clusters = Graph.connectedComponents(pairs, "doc_a", "doc_b")
     val manifest = DataMix.trainManifest(mixed, clusters,
         mixSalt + "|split", trainBp = 8000, valBp = 9000,
         budgetDen = 1, capEpochs = 2)

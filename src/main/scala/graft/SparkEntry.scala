@@ -2763,10 +2763,13 @@ object SparkEntry {
   private val SplitTrainBp = 8000
   private val SplitValBp = 9000
 
-  /** DSIR hashed-feature model shape (shared with the oracle). */
-  private val DsirBuckets = 256
-  private val DsirSalt = "dsir-v1"
-  private val DsirTargetSource = "src3"
+  /** DSIR hashed-feature model shape (shared with the oracle AND with
+    * tools.StreamStoreBench's q190 runner — `private[graft]` so the
+    * bench measures THE gate's configuration, not a hardcoded copy that
+    * silently drifts when these are retuned). */
+  private[graft] val DsirBuckets = 256
+  private[graft] val DsirSalt = "dsir-v1"
+  private[graft] val DsirTargetSource = "src3"
 
   /** Token-budget allocation knobs (shared with the oracle): budget =
     * Σtokens DIV den, repeat ceiling in epochs. */
@@ -3921,9 +3924,9 @@ object SparkEntry {
         bt AS (SELECT max(df) AS b FROM cu
                WHERE cumsq <= $ShingleDfFanoutBudget),
         mn AS (SELECT min(df) AS m FROM hist),
-        band AS (SELECT greatest($ShingleDfFloor,
-                   least(coalesce(q, $ShingleDfFloor),
-                     coalesce(b, coalesce(m, $ShingleDfFloor)))) AS bmax
+        band AS (SELECT least(coalesce(b, m, $ShingleDfFloor),
+                   greatest($ShingleDfFloor,
+                     coalesce(q, $ShingleDfFloor))) AS bmax
                  FROM qt, bt, mn),
         bd AS (SELECT dfs.shingle FROM dfs, band WHERE df <= bmax),
         b AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN bd USING (shingle))"""

@@ -590,7 +590,7 @@ object NearDup {
     * find), the band threshold is derived from the corpus's own
     * df distribution:
     *
-    *   bmax = max(dfFloor, min(quantile, fanout-budget threshold))
+    *   bmax = min(fanout-budget threshold, max(dfFloor, quantile))
     *
     *  - the `quantileBp`-quantile (exact order statistic over REPEATED
     *    shingles, integer basis-point arithmetic — engine-portable, no
@@ -598,14 +598,16 @@ object NearDup {
     *  - the fan-out budget threshold (largest df t with
     *    Σ_{df'≤t} count·df'² ≤ `fanoutBudget` — the EXACT candidate
     *    row count of the postings self-join below t) bounds the join
-    *    by construction at ANY corpus: a count-quantile alone reopens
-    *    the Σdf² explosion under saturation (p90 at sf10 keeps
-    *    2.4·10¹⁰ join rows — measured). The rarest df class is always
+    *    at ANY corpus: a count-quantile alone reopens the Σdf²
+    *    explosion under saturation (p90 at sf10 keeps 2.4·10¹⁰ join
+    *    rows — measured). It binds even below the floor (a low-df-
+    *    heavy web corpus can blow the budget entirely inside the
+    *    floor), with ONE exception: the rarest df class is always
     *    kept, so the band cannot go empty while repeated shingles
     *    exist — rare shingles are exactly the containment-informative
     *    ones;
-    *  - `dfFloor` preserves the exact-audit regime on small/sparse
-    *    corpora (the band never bites below it).
+    *  - `dfFloor` lifts the QUANTILE arm only — the quantile never
+    *    cuts below it on small/sparse corpora (the gate-SF regime).
     *
     * The threshold derivation runs on the df HISTOGRAM — one row per
     * distinct df value, a post-aggregation table bounded by max(df) —
@@ -663,10 +665,20 @@ object NearDup {
     val bT = hist.filter(col("__cumsq") <= fanoutBudget)
       .agg(max(col("__df")).as("__b"))
     val mn = hist.agg(min(col("__df")).as("__m"))
+    // bmax = min(budget threshold, max(floor, quantile)): the floor
+    // lifts only the QUANTILE arm (don't cut below it on small/sparse
+    // corpora), while the budget arm binds even below the floor — the
+    // original greatest(floor, ...) form let a low-df-heavy corpus
+    // (10⁸ shingles at df 10: Σcnt·df² = 10¹⁰) sail past the budget
+    // under the floor, which is exactly the explosion the budget
+    // exists to prevent. The ONE exception to the hard bound stands
+    // documented: the rarest repeated class is always kept (coalesce
+    // to __m), so a corpus whose rarest class alone exceeds the
+    // budget still gets a candidate set.
     qT.crossJoin(bT).crossJoin(mn)
-      .select(greatest(lit(dfFloor),
-        least(coalesce(col("__q"), lit(dfFloor)),
-          coalesce(col("__b"), coalesce(col("__m"), lit(dfFloor)))))
+      .select(least(
+        coalesce(col("__b"), col("__m"), lit(dfFloor)),
+        greatest(lit(dfFloor), coalesce(col("__q"), lit(dfFloor))))
         .as("__bmax"))
   }
 

@@ -184,13 +184,6 @@ object EventStream {
     * contract), and drop the sink table. Without the drop every
     * invocation would permanently retain its full emission set in
     * driver memory — bench iterations would leak linearly. */
-  /** Peak state-store rows observed by the MOST RECENT [[runToMemory]]
-    * run (max over micro-batch progress of Σ numRowsTotal across state
-    * operators) — harness observability for the state-store scale
-    * measurements (tools.StreamStoreBench → SCALE.md); consumed by no
-    * query. */
-  @volatile var lastRunPeakStateRows: Long = 0L
-
   private[streaming] def runToMemory(spark: SparkSession, prefix: String,
                           mode: String, stream: DataFrame)
                          (summarize: DataFrame => DataFrame): DataFrame = {
@@ -215,6 +208,13 @@ object EventStream {
     try summarize(spark.table(name)).localCheckpoint(true)
     finally spark.catalog.dropTempView(name)
   }
+
+  /** Peak state-store rows observed by the MOST RECENT [[runToMemory]]
+    * run (max over micro-batch progress of Σ numRowsTotal across state
+    * operators) — harness observability for the state-store scale
+    * measurements (tools.StreamStoreBench → SCALE.md); consumed by no
+    * query. */
+  @volatile var lastRunPeakStateRows: Long = 0L
 
   /** Stream the document corpus through the STATELESS deterministic
     * mixture sampler ([[graft.operators.Sampling.deterministicMix]])
@@ -251,6 +251,23 @@ object EventStream {
     * order-free). Scoring a doc through the stream is therefore
     * bit-identical to scoring it in batch (q184), and both hash
     * against the same SQL oracle. */
+  /** The DSIR scoring pipeline shared by the gate stream
+    * ([[runDsirScoreOnce]]) and the production upsert
+    * ([[dsirScoreUpsert]]): explode → hashed bucket → broadcast model
+    * join → per-doc (n_tokens, exact decimal score sum). ONE definition
+    * so the spec-pinned row-identity between the two forms cannot
+    * drift. */
+  private def dsirScore(docs: DataFrame, model: DataFrame,
+                        buckets: Int, salt: String): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+      .withColumn("b",
+        graft.operators.DataMix.termBucket(col("term"), buckets, salt))
+      .join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("s")).cast("double").as("dsir_logratio"))
+
   def runDsirScoreOnce(spark: SparkSession, sfDir: String,
                        isTarget: org.apache.spark.sql.Column,
                        buckets: Int, salt: String): DataFrame = {
@@ -259,17 +276,9 @@ object EventStream {
       isTarget, buckets, salt)
     val stream = spark.readStream.schema(Sources.documents)
       .parquet(s"$sfDir/documents.parque[t]")
-    val scored = stream
-      .select(col("doc_id"),
-        explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
-      .withColumn("b",
-        graft.operators.DataMix.termBucket(col("term"), buckets, salt))
-      .join(broadcast(model), Seq("b"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("w"))
-    runToMemory(spark, "dsir_", "complete", scored) { t =>
-      t.select(col("doc_id"), col("n_tokens"),
-          col("w").cast("double").as("dsir_logratio"))
+    runToMemory(spark, "dsir_", "complete",
+        dsirScore(stream, model, buckets, salt)) { t =>
+      t.select(col("doc_id"), col("n_tokens"), col("dsir_logratio"))
         .orderBy(col("doc_id").asc)
     }
   }
@@ -292,11 +301,19 @@ object EventStream {
     * ([[graft.operators.DataMix.dsirImportance]]) — both pinned by
     * spec. The ≤|buckets|-row model is trained batch-side once and
     * closed over by every micro-batch, exactly the train-then-apply
-    * deployment shape. */
+    * deployment shape.
+    *
+    * `modelVersion` is the caller's MONOTONE model version (training
+    * epoch / timestamp), stored on every row and used as the
+    * latest-wins ordering key: re-scoring after retraining (new
+    * target/salt/corpus stats) must supersede old scores, and no
+    * data-derived column can express that — a doc's n_tokens is
+    * identical under both models, so versioning on it would leave the
+    * merged table a nondeterministic mix of old and new scores. */
   def dsirScoreUpsert(spark: SparkSession, sfDir: String,
                       isTarget: org.apache.spark.sql.Column,
                       buckets: Int, salt: String,
-                      targetPath: String): Unit = {
+                      targetPath: String, modelVersion: Long): Unit = {
     val model = graft.operators.DataMix.dsirBucketScores(
       graft.engine.Sources.table(spark, sfDir, "documents"),
       isTarget, buckets, salt).localCheckpoint(true) // model-sized; pin
@@ -306,17 +323,10 @@ object EventStream {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val scored = batch.toDF()
-          .select(col("doc_id"),
-            explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
-          .withColumn("b",
-            graft.operators.DataMix.termBucket(col("term"), buckets, salt))
-          .join(broadcast(model), Seq("b"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("w"))
-          .select(col("doc_id"), col("n_tokens"),
-            col("w").cast("double").as("dsir_logratio"))
-        mergeBatchIntoTable(scored, Seq("doc_id"), "n_tokens", targetPath)
+        mergeBatchIntoTable(
+          dsirScore(batch.toDF(), model, buckets, salt)
+            .withColumn("model_version", lit(modelVersion)),
+          Seq("doc_id"), "model_version", targetPath)
       }
       .start()
     try {

@@ -54,8 +54,10 @@ object StreamStoreBench {
             graft.DedupKnobs.SimHashBucketCap.toInt).count(); () }),
         "stream_dsir_q190" -> (() => {
           EventStream.runDsirScoreOnce(sess, sfDir,
-            org.apache.spark.sql.functions.col("source") === "src3",
-            256, "dsir-v1").count(); () }))
+            org.apache.spark.sql.functions.col("source") ===
+              graft.SparkEntry.DsirTargetSource,
+            graft.SparkEntry.DsirBuckets,
+            graft.SparkEntry.DsirSalt).count(); () }))
       // SPARK_GRAFT_SSB_ONLY: comma list to restrict runners — the sf10
       // campaign measures the two document-stream gates alone (the
       // event runners' sf10 state is a separate, heavier measurement)

@@ -238,27 +238,39 @@ class DataMixSpec extends AnyFunSuite {
       assert(splits((sp, src)) == n, s"($sp, $src) census mismatch")
   }
 
-  test("dsirScoreUpsert: bounded-state production form lands the batch scorer's exact table, idempotently") {
+  test("dsirScoreUpsert: bounded-state production form lands the batch scorer's exact table; idempotent; retrain supersedes") {
     val dir = java.nio.file.Files.createTempDirectory("dsir_upsert").toString
     val target = s"$dir/scores"
     try {
       graft.streaming.EventStream.dsirScoreUpsert(
-        spark, sfDir, col("source") === "src3", 256, "dsir-v1", target)
+        spark, sfDir, col("source") === "src3", 256, "dsir-v1", target,
+        modelVersion = 1L)
       def landed = spark.read.parquet(target)
+        .select(col("doc_id"), col("n_tokens"), col("dsir_logratio"))
         .orderBy(col("doc_id").asc).collect().toSeq
-      val batch = DataMix.dsirImportance(
+      def batch(tgt: String, salt: String) = DataMix.dsirImportance(
         Sources.table(spark, sfDir, "documents"),
-        col("source") === "src3", 256, "dsir-v1")
+        col("source") === tgt, 256, salt)
         .orderBy(col("doc_id").asc).collect().toSeq
       val first = landed
-      assert(first == batch,
+      assert(first == batch("src3", "dsir-v1"),
         "foreachBatch-scored table must be row-identical to the batch scorer")
-      // re-processing the whole stream (failure-recovery path) must
-      // converge to the same table: scores are a pure function of the
-      // doc + broadcast model, and the merge is latest-wins idempotent
+      // re-processing the whole stream at the SAME model version
+      // (failure-recovery path) must converge to the same table:
+      // scores are a pure function of the doc + broadcast model, and
+      // the merge is latest-wins idempotent
       graft.streaming.EventStream.dsirScoreUpsert(
-        spark, sfDir, col("source") === "src3", 256, "dsir-v1", target)
-      assert(landed == first, "re-ingest must be a no-op")
+        spark, sfDir, col("source") === "src3", 256, "dsir-v1", target,
+        modelVersion = 1L)
+      assert(landed == first, "same-version re-ingest must be a no-op")
+      // RETRAINING (different target) at a HIGHER version must
+      // supersede every stale score — the reason the version column is
+      // caller-supplied rather than derived from the (unchanged) data
+      graft.streaming.EventStream.dsirScoreUpsert(
+        spark, sfDir, col("source") === "src1", 256, "dsir-v1", target,
+        modelVersion = 2L)
+      assert(landed == batch("src1", "dsir-v1"),
+        "higher-version rescore must replace the old model's table")
     } finally {
       import scala.jdk.CollectionConverters._
       val p = java.nio.file.Paths.get(dir)

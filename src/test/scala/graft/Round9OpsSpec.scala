@@ -34,8 +34,11 @@ class Round9OpsSpec extends AnyFunSuite {
     // p50: cum 2·10⁴ < 6·5000? 20000 ≥ 30000 is false at df 2; df 3 has
     // 5·10⁴ ≥ 3·10⁴ → quantile 3
     assert(bandMax(dfs, 5000, 2, 1000000000L) == 3L)
-    // floor dominates both data-driven terms
-    assert(bandMax(dfs, 9000, 50, 50) == 50L)
+    // the budget binds EVEN BELOW the floor — the hard-bound arm
+    // (floor lifts only the quantile): least(b=3, max(50, q=100)) = 3
+    assert(bandMax(dfs, 9000, 50, 50) == 3L)
+    // floor lifts the quantile when the budget is unconstrained
+    assert(bandMax(dfs, 2000, 50, 1000000000L) == 50L)
     // a first class over budget still keeps the rarest class
     assert(bandMax(dfs, 9000, 2, 5) == 2L)
     // no repeated shingles at all → floor
