@@ -107,6 +107,19 @@ private[graft] object DedupKnobs {
   require(PHashMaxHamming >= 0 && PHashMaxHamming < 4,
     s"pHash band recall needs maxHamming in [0, 4), got $PHashMaxHamming")
 
+  /** Per-(width, height, band, value) CLASS-population cap for the
+    * capped pHash pair path (q201): same role as [[SimHashBucketCap]],
+    * guarding the regime where distinct-hash count approaches |images|
+    * and the class join degrades to the raw pair join. */
+  val PHashClassBucketCap = 8L
+
+  /** Resample grid for the standard-aHash arm (q202): the classic 8×8
+    * — 64 bits, stored as two 32-bit halves so no engine touches a
+    * BIGINT sign bit. */
+  val PHashGrid = 8
+  require(PHashGrid >= 2 && PHashGrid * PHashGrid <= 64,
+    s"resample grid must pack into 64 bits, got $PHashGrid")
+
   /** Ground-truth Jaccard threshold for the generator audit (q188/q191):
     * the definition of a "true" near-dup pair the LSH generator is
     * graded against. */

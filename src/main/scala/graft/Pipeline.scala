@@ -34,6 +34,47 @@ object Pipeline {
                                afterExact: Long, afterNearDup: Long,
                                afterMix: Long, manifestCells: Long)
 
+  /** Stage-1 quality profile. The round-4 signals (token floor,
+    * stopword floor, repetition ceiling, lang match) are always on;
+    * the round-9 corpus-relative signals gate behind their knobs:
+    *
+    *  - `dropPplBuckets` > 0 drops docs whose unigram-LM score lands
+    *    in the lowest `dropPplBuckets` of `pplBuckets` corpus-relative
+    *    buckets (the CCNet tail cut, q196's assignment); 0 = off.
+    *  - `maxDupFrac` < 1 drops docs whose duplicated-substring
+    *    fraction (q197's Lee-et-al positional metric over
+    *    `dupSpanN`-grams) exceeds the ceiling; 1.0 = off.
+    *
+    * Both gates remove VIOLATORS by anti-join, so docs too short to
+    * carry the signal (absent from the signal table) are never dropped
+    * for missing it — the token floor already owns that case. The NB
+    * source-confusion signal is source-level, not per-doc, so it feeds
+    * the published scorecard (every signal's per-source average lands
+    * there) rather than a keep/drop decision. */
+  final case class QualityKnobs(minTokens: Long = 5,
+                                minStopRatio: Double = 0.05,
+                                maxRepRatio: Double = 0.6,
+                                pplBuckets: Int = 10,
+                                dropPplBuckets: Int = 0,
+                                dupSpanN: Int = 5,
+                                maxDupFrac: Double = 1.0,
+                                nbBuckets: Int = 256,
+                                nbSalt: String = "nb-v1") {
+    require(dropPplBuckets >= 0 && dropPplBuckets < pplBuckets,
+      s"tail cut must leave at least one bucket: $dropPplBuckets/$pplBuckets")
+    require(maxDupFrac > 0 && maxDupFrac <= 1.0,
+      s"dup-span ceiling must be in (0, 1], got $maxDupFrac")
+  }
+
+  /** Stage 3's near-dup pair generator — exposed so the flood spec can
+    * pin the PIPELINE's generator choice directly (a revert to the
+    * uncapped band join would fail the spec's linear-volume bound, not
+    * just slow a 100 TB run down by 40×). */
+  private[graft] def nearDupPairs(docs: DataFrame): DataFrame =
+    NearDup.simHashPairsCapped(NearDup.simHash(docs),
+      maxHamming = DedupKnobs.SimHashMaxHamming,
+      maxBucket = DedupKnobs.SimHashBucketCap)
+
   /** @param checkpointDir reliable checkpoint location for the
     *        connected-components rounds inside near-dup dedup (stage
     *        3); None = executor-memory localCheckpoint, right for
@@ -42,17 +83,32 @@ object Pipeline {
   def curate(spark: SparkSession, docs: DataFrame,
              mixRates: Map[String, Double], mixSalt: String,
              outDir: Option[String],
-             checkpointDir: Option[String] = None): StageCounts = {
-    // 1. quality: keep only docs passing every signal
+             checkpointDir: Option[String] = None,
+             knobs: QualityKnobs = QualityKnobs()): StageCounts = {
+    // 1. quality: keep only docs passing every enabled signal — the
+    // always-on round-4 reasons, then the corpus-relative perplexity
+    // tail cut and the dup-span ceiling as violator ANTI-joins (see
+    // QualityKnobs for why anti, not semi)
     val decisions = TextAnalysis.curationDecision(docs,
-      TextAnalysis.stopwords("en"),
-      minTokens = 5, minStopRatio = 0.05, maxRepRatio = 0.6)
+      TextAnalysis.stopwords("en"), minTokens = knobs.minTokens,
+      minStopRatio = knobs.minStopRatio, maxRepRatio = knobs.maxRepRatio)
+    var keepIds = decisions.filter(col("keep")).select(col("doc_id"))
+    if (knobs.dropPplBuckets > 0)
+      keepIds = keepIds.join(
+        TextAnalysis.perplexityBucketOf(docs, knobs.pplBuckets)
+          .filter(col("bucket") <= knobs.dropPplBuckets)
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    if (knobs.maxDupFrac < 1.0)
+      keepIds = keepIds.join(
+        TextAnalysis.dupSpanStats(docs, knobs.dupSpanN)
+          .filter(col("dup_frac") > knobs.maxDupFrac)
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
     // checkpointed: the frame is counted for the audit trail AND feeds
     // the dedup chain — unmaterialized, the 3-join decision stage (the
     // most expensive in the pipeline) would run once per consumer
-    val quality = docs.join(
-        decisions.filter(col("keep")).select(col("doc_id")), "doc_id")
-      .localCheckpoint()
+    val quality = docs.join(keepIds, "doc_id").localCheckpoint()
 
     // 2. exact dedup on the normalized content key (case/punct/space
     // insensitive); smallest doc_id is canonical
@@ -73,9 +129,18 @@ object Pipeline {
     // the survivors anti-join here and stage 6's split groups — the
     // earlier dedupSurvivors + second connectedComponents form re-ran
     // the costliest computation in the pipeline (fingerprint → band
-    // join → iterative CC) twice per curate()
-    val pairs = NearDup.simHashPairs(NearDup.simHash(exact),
-      maxHamming = DedupKnobs.SimHashMaxHamming)
+    // join → iterative CC) twice per curate().
+    // CAPPED generator (q170's gated path), never the uncapped band
+    // join: under band-bucket saturation the uncapped form is
+    // O(bucket²) — 1465 s vs 34 s on the sf10 flood (SCALE.md round
+    // 7) — and the flagship composition must survive exactly the
+    // regime the containment family was hardened against. Below the
+    // cap the pair set is identical (≡-exact spec), so fixture
+    // clusters and survivors are unchanged; over it, flood buckets
+    // star-reduce to their anchor, which keeps genuine duplicate
+    // crowds connected (the CC only needs connectivity, not every
+    // pairwise edge).
+    val pairs = nearDupPairs(exact)
     val clusters = Graph.connectedComponents(pairs, "doc_a", "doc_b",
         checkpointDir = checkpointDir)
       .localCheckpoint()
@@ -107,6 +172,13 @@ object Pipeline {
       .localCheckpoint()
     outDir.foreach { dir =>
       manifest.coalesce(1).write.mode("overwrite").parquet(dir + "_manifest")
+      // the q200 quality scorecard over the CURATED corpus — the
+      // per-source report published beside the manifest, so a training
+      // launcher sees what quality the mix it consumes actually has
+      // (|sources| rows; coalesce(1) is census-sized, not corpus-sized)
+      TextAnalysis.qualityScorecard(mixed, TextAnalysis.stopwords("en"),
+          knobs.dupSpanN, knobs.nbBuckets, knobs.nbSalt)
+        .coalesce(1).write.mode("overwrite").parquet(dir + "_scorecard")
     }
 
     StageCounts(docs.count(), quality.count(), exact.count(),
@@ -116,16 +188,22 @@ object Pipeline {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val out = if (args.length > 1) Some(args(1)) else None
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .withExtensions(new GraftExtensions).master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .withExtensions(new GraftExtensions).master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.rdd.compress", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val rates = Map("src1" -> 1.0, "src2" -> 1.0, "src3" -> 0.5,
       "src5" -> 0.8, "src7" -> 1.0, "src11" -> 0.25)
+    // the production profile turns the round-9 signals ON: cut the
+    // lowest perplexity decile (CCNet tail) and cap the duplicated-
+    // substring fraction
     val c = curate(spark, Sources.table(spark, sfDir, "documents"),
-      rates, "pipeline-v1", out)
+      rates, "pipeline-v1", out,
+      knobs = QualityKnobs(dropPplBuckets = 1, maxDupFrac = 0.9))
     println(s"""{"input":${c.input},"quality":${c.afterQuality},""" +
       s""""exact":${c.afterExact},"neardup":${c.afterNearDup},""" +
       s""""mixed":${c.afterMix},"manifest_cells":${c.manifestCells}}""")

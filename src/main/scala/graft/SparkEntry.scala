@@ -3014,6 +3014,31 @@ object SparkEntry {
       .orderBy(col("width").asc, col("height").asc,
         col("ph_a").asc, col("ph_b").asc)
 
+  /** q199 behind the per-(dims, band, value) CLASS-population cap
+    * ([[Multimodal.pHashClassPairsCapped]]): the star-reduction guard
+    * for corpora whose distinct-hash count approaches |images|, where
+    * the class join itself degrades to the raw pair join. Below the
+    * cap the pair set is identical to q199's (spec-pinned); the
+    * fixture's buckets sit under [[DedupKnobs.PHashClassBucketCap]],
+    * so this gate ALSO hash-checks the capped path's small-bucket arm
+    * end to end. */
+  private def q201(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pHashClassPairsCapped(
+        Multimodal.pHashes(s, Multimodal.pngPayloads(s, docs(s, dir))),
+        PHashMaxHamming, PHashClassBucketCap)
+      .orderBy(col("width").asc, col("height").asc,
+        col("ph_a").asc, col("ph_b").asc)
+
+  /** Standard-aHash resample arm ([[Multimodal.pHashesResampled]]):
+    * the [[DedupKnobs.PHashGrid]]² fingerprint from exact integer
+    * box-mean resampling of the REAL PNG decode, thresholded against
+    * the image mean — the hash that matches resize near-dups, gated
+    * bit for bit against the pixel-model + integer-resample replay. */
+  private def q202(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pHashesResampled(s,
+        Multimodal.pngPayloads(s, docs(s, dir)), PHashGrid)
+      .orderBy(col("doc_id").asc)
+
   /** Corpus QUALITY SCORECARD — the per-source report a curation run
     * publishes, rolled up from four independent quality operators in
     * one query: stopword ratio (q18), unigram-LM score (q110/q196),
@@ -3024,33 +3049,9 @@ object SparkEntry {
     * merge-order-free and hash-identical across engines. Inner joins
     * throughout: a doc must carry every signal to enter the report
     * (every fixture doc does; both engines agree on the domain). */
-  private def q200(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
-    val sw = TextAnalysis.textStats(d, TextAnalysis.stopwords("en"))
-      .select(col("doc_id"),
-        Aggregates.round6Portable(col("stopword_ratio")).cast(dec6).as("sw6"))
-    val lm = TextAnalysis.unigramLogprob(d)
-      .select(col("doc_id"), col("avg_logprob").cast(dec6).as("lp6"))
-    val dup = TextAnalysis.dupSpanStats(d, DupSpanN)
-      .select(col("doc_id"), col("dup_frac").cast(dec6).as("df6"))
-    val pred = graft.operators.Classify.naiveBayesPredictions(
-        d, NbBuckets, NbSalt)
-      .select(col("doc_id"), col("pred_source"))
-    def avg6(c: Column): Column =
-      Aggregates.round6Portable(sum(c).cast("double") / count(lit(1)))
-    d.select(col("doc_id"), col("source"))
-      .join(sw, Seq("doc_id")).join(lm, Seq("doc_id"))
-      .join(dup, Seq("doc_id")).join(pred, Seq("doc_id"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        avg6(col("sw6")).as("avg_stopword_ratio"),
-        avg6(col("lp6")).as("avg_logprob"),
-        avg6(col("df6")).as("avg_dup_frac"),
-        avg6(when(col("pred_source") === col("source"), 1L).otherwise(0L)
-          .cast(dec6)).as("nb_self_acc"))
-      .orderBy(col("source").asc)
-  }
+  private def q200(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScorecard(docs(s, dir), TextAnalysis.stopwords("en"),
+      DupSpanN, NbBuckets, NbSalt)
 
   /** q54's deterministic mixture sampler run as a STREAM
     * ([[graft.streaming.EventStream.runMixtureOnce]]) — streaming/batch
@@ -4567,7 +4568,9 @@ object SparkEntry {
     "q197_dup_span_fraction" -> (q197 _),
     "q198_image_phash" -> (q198 _),
     "q199_phash_class_pairs" -> (q199 _),
-    "q200_quality_scorecard" -> (q200 _))
+    "q200_quality_scorecard" -> (q200 _),
+    "q201_phash_class_pairs_capped" -> (q201 _),
+    "q202_phash_resampled" -> (q202 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -5468,6 +5471,95 @@ object SparkEntry {
             AND a.phash < b.phash
             AND bit_count(xor(a.phash, b.phash)) <= $PHashMaxHamming
           ORDER BY a.width ASC, a.height ASC, ph_a ASC, ph_b ASC""",
+    // q201: q199's class pairs behind the per-(dims, band, value)
+    // class-population cap — buckets over the cap star-reduce to their
+    // min-phash anchor class; every edge (star or not) still passes
+    // the exact hamming verify
+    "q201_phash_class_pairs_capped" ->
+      s"""WITH $pHashCtes,
+          cls AS (SELECT width, height, phash, count(*) AS n_imgs,
+                         min(doc_id) AS anchor
+                  FROM ph GROUP BY 1, 2, 3),
+          banded AS (SELECT width, height, phash, n_imgs, anchor,
+                            j AS band, (phash >> (12 * j)) & 4095 AS bv
+                     FROM cls CROSS JOIN
+                       (SELECT unnest(range(0, 4)) AS j) bands),
+          stats AS (SELECT width, height, band, bv, count(*) AS n,
+                           min(phash) AS aph
+                    FROM banded GROUP BY 1, 2, 3, 4),
+          tagged AS (SELECT b.*, s.n, s.aph
+                     FROM banded b JOIN stats s
+                       USING (width, height, band, bv)),
+          allp AS (SELECT a.width, a.height,
+                          a.phash AS ph_a, b.phash AS ph_b,
+                          a.n_imgs AS n_a, b.n_imgs AS n_b,
+                          a.anchor AS anchor_a, b.anchor AS anchor_b
+                   FROM tagged a JOIN tagged b
+                     USING (width, height, band, bv)
+                   WHERE a.n <= $PHashClassBucketCap
+                     AND b.n <= $PHashClassBucketCap
+                     AND a.phash < b.phash),
+          star AS (SELECT t.width, t.height,
+                          a.phash AS ph_a, t.phash AS ph_b,
+                          a.n_imgs AS n_a, t.n_imgs AS n_b,
+                          a.anchor AS anchor_a, t.anchor AS anchor_b
+                   FROM tagged t JOIN cls a
+                     ON a.width = t.width AND a.height = t.height
+                    AND a.phash = t.aph
+                   WHERE t.n > $PHashClassBucketCap AND t.phash <> t.aph),
+          u AS (SELECT DISTINCT width, height, ph_a, ph_b, n_a, n_b,
+                                anchor_a, anchor_b
+                FROM (SELECT * FROM allp UNION ALL SELECT * FROM star))
+          SELECT width, height, ph_a, ph_b, n_a, n_b, anchor_a, anchor_b,
+                 CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+          FROM u
+          WHERE bit_count(xor(ph_a, ph_b)) <= $PHashMaxHamming
+          ORDER BY width ASC, height ASC, ph_a ASC, ph_b ASC""",
+    // q202: the 8×8 box-mean resample replayed in exact integers from
+    // the pixel model — cell (i, j) covers x ∈ [i·w DIV 8,
+    // max((i+1)·w DIV 8, i·w DIV 8 + 1)) (nearest-pixel when the box
+    // is empty), bit c = j·8+i set iff cell-sum·(w·h) ≥ image-sum·box,
+    // packed into two non-negative 32-bit halves
+    "q202_phash_resampled" -> {
+      val g = PHashGrid
+      s"""WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+                     FROM documents),
+          px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM d),
+          p2 AS (SELECT doc_id, w, h, k,
+                        (doc_id * 31 + 7 * (k % w) + 13 * (k // w)) % 256 AS p
+                 FROM px),
+          st AS (SELECT doc_id, count(*) AS n, sum(p) AS sp
+                 FROM p2 GROUP BY doc_id),
+          cb AS (SELECT doc_id, w, h, c,
+                        (c % $g) * w // $g AS x0,
+                        greatest(((c % $g) + 1) * w // $g,
+                                 (c % $g) * w // $g + 1) AS x1,
+                        (c // $g) * h // $g AS y0,
+                        greatest(((c // $g) + 1) * h // $g,
+                                 (c // $g) * h // $g + 1) AS y1
+                 FROM (SELECT doc_id, w, h, unnest(range(0, $g * $g)) AS c
+                       FROM d)),
+          cs AS (SELECT cb.doc_id, cb.c, sum(p2.p) AS sc, count(*) AS nc
+                 FROM cb JOIN p2 ON p2.doc_id = cb.doc_id
+                   AND (p2.k % p2.w) >= cb.x0 AND (p2.k % p2.w) < cb.x1
+                   AND (p2.k // p2.w) >= cb.y0 AND (p2.k // p2.w) < cb.y1
+                 GROUP BY cb.doc_id, cb.c),
+          bits AS (SELECT cs.doc_id, cs.c,
+                          CASE WHEN cs.sc * st.n >= st.sp * cs.nc
+                               THEN 1 ELSE 0 END AS bit
+                   FROM cs JOIN st USING (doc_id))
+          SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
+                 CAST(d.h AS BIGINT) AS height,
+                 CAST(sum(CASE WHEN bit = 1 AND c >= 32
+                               THEN (1::BIGINT << (c - 32)) ELSE 0 END)
+                   AS BIGINT) AS ph_hi,
+                 CAST(sum(CASE WHEN bit = 1 AND c < 32
+                               THEN (1::BIGINT << c) ELSE 0 END)
+                   AS BIGINT) AS ph_lo
+          FROM bits JOIN d USING (doc_id)
+          GROUP BY d.doc_id, d.w, d.h
+          ORDER BY d.doc_id ASC"""
+    },
     "q46_token_counting" ->
       s"""SELECT doc_id,
                  len(string_split(text, ' ')) AS n_ws_tokens,

@@ -204,19 +204,33 @@ object Staging {
     * pipeline uses — durable in storage, re-scannable after executor
     * loss, where a persist replica is simply gone. */
   def stagedByPlan(df: DataFrame, tag: String): DataFrame = {
-    // LITERAL-DATA GUARD: a LocalRelation's canonicalized rendering
-    // shows its SCHEMA, not its rows — two different literal datasets
-    // of the same shape would collide on one key and the second caller
-    // would silently read the first's staged table. Any plan carrying
-    // literal rows therefore falls back to persist(): correct for
-    // arbitrary data, and the right cost model anyway (literal inputs
-    // are driver-built and small by construction; production inputs
-    // are file-backed and take the staged path).
-    val hasLiteralRows = df.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
-        if l.data.nonEmpty => l
-    }.nonEmpty
-    if (hasLiteralRows)
+    // OPAQUE-LEAF GUARD: a leaf whose canonicalized rendering shows its
+    // SCHEMA but not its CONTENT makes the plan key ambiguous — two
+    // different datasets of the same shape would collide on one key and
+    // the second caller would silently read the first's staged table.
+    // Two such leaves exist in this engine:
+    //  - LocalRelation with rows (literal datasets) — the original
+    //    round-6 guard;
+    //  - LogicalRDD (localCheckpoint / checkpoint results): its
+    //    canonicalized form is `LogicalRDD [none#0L, ...]` — PURE
+    //    schema, no RDD identity, and inputFiles is empty, so two
+    //    checkpointed frames of the same shape key IDENTICALLY. Found
+    //    the hard way in round 10: Pipeline.curate checkpoints its
+    //    exact-dedup stage, so the SECOND curate() in a session read
+    //    the FIRST corpus's staged simhash band table and near-dup
+    //    dedup silently did nothing.
+    // Both fall back to persist(): correct for arbitrary data
+    // (CacheManager matches by sameResult, which compares LocalRelation
+    // rows and RDD identity), and the plan-local cost model is right —
+    // checkpointed inputs are already materialized, so the recompute a
+    // stage would avoid is just the checkpoint scan.
+    val hasOpaqueLeaf = df.queryExecution.analyzed.collectLeaves().exists {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.nonEmpty
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _ => false
+    }
+    if (hasOpaqueLeaf)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else {
       val planText = df.queryExecution.analyzed.canonicalized.toString

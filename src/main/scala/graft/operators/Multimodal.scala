@@ -158,6 +158,85 @@ object Multimodal {
     }.toDF()
   }
 
+  case class ResampledHash(doc_id: Long, width: Long, height: Long,
+                           ph_hi: Long, ph_lo: Long)
+
+  /** The standard-aHash RESAMPLE arm: decode, mean-resample the raster
+    * to a fixed `grid`×`grid` (the classic 8×8), threshold each cell
+    * against the image mean — so images whose content matches at
+    * DIFFERENT sizes (the resize near-dups a real crawl is full of,
+    * which [[pHashes]]' native-raster hash cannot see) land on the
+    * same fingerprint. Everything stays INTEGER-EXACT so the oracle
+    * replays it from the pixel model:
+    *
+    *  - cell (i, j) covers source box x ∈ [⌊i·w/g⌋, max(⌊(i+1)·w/g⌋,
+    *    ⌊i·w/g⌋+1)) (and y alike) — exact integer box-mean
+    *    downsampling, degrading to nearest-neighbor replication when
+    *    the source is smaller than the grid (empty box → its floor
+    *    pixel), so the map is total for ANY w, h ≥ 1;
+    *  - bit j·g+i is set iff the CELL mean ≥ the IMAGE mean:
+    *    S_cell·(w·h) ≥ S_img·n_cell — cross-multiplied, no division.
+    *    (Classic aHash thresholds on the mean of the resampled cells;
+    *    with exact box-means the two thresholds agree whenever the
+    *    boxes tile the raster evenly, and the image-mean form stays
+    *    integer-exact when they don't.)
+    *
+    * The hash is `grid`² ≤ 64 bits, stored as two non-negative 32-bit
+    * halves (`ph_hi` bits 32.., `ph_lo` bits 0..31) — the
+    * [[NearDup.simHash64]] convention, so bit 63 never touches a
+    * BIGINT sign bit on either engine. A per-partition decoder detail:
+    * the PLAN is identical to [[pHashes]] (one mapPartitions over the
+    * payload column). */
+  def pHashesResampled(spark: SparkSession, payloads: DataFrame,
+                       grid: Int): DataFrame = {
+    require(grid >= 2 && grid * grid <= 64,
+      s"resample grid must pack into 64 bits, got $grid")
+    import spark.implicits._
+    payloads.as[PngBlob].mapPartitions { it =>
+      it.map { b =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b.payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        var sImg = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sImg += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        val nImg = w.toLong * h
+        var hi = 0L
+        var lo = 0L
+        var j = 0
+        while (j < grid) {
+          val y0 = j * h / grid
+          val y1 = math.max((j + 1) * h / grid, y0 + 1)
+          var i = 0
+          while (i < grid) {
+            val x0 = i * w / grid
+            val x1 = math.max((i + 1) * w / grid, x0 + 1)
+            var sCell = 0L
+            var yy = y0
+            while (yy < y1) {
+              var xx = x0
+              while (xx < x1) { sCell += raster.getSample(xx, yy, 0); xx += 1 }
+              yy += 1
+            }
+            val nCell = (x1 - x0).toLong * (y1 - y0)
+            if (sCell * nImg >= sImg * nCell) {
+              val k = j * grid + i
+              if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+            }
+            i += 1
+          }
+          j += 1
+        }
+        ResampledHash(b.doc_id, w.toLong, h.toLong, hi, lo)
+      }
+    }.toDF()
+  }
+
   /** Image near-dup pairs at the HASH-CLASS level: perceptual-hash
     * classes (same dims, same phash — the exact-duplicate clusters)
     * paired when their hashes sit within `maxHamming` bits. Working on
@@ -193,6 +272,72 @@ object Multimodal {
       .filter(col("ph_a") < col("ph_b"))
       .select(col("width"), col("height"), col("ph_a"), col("ph_b"),
         col("n_a"), col("n_b"), col("anchor_a"), col("anchor_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** [[pHashClassPairs]] behind a per-(width, height, band, value)
+    * CLASS-population cap — the star-reduction lesson carried to the
+    * image modality's remaining blow-up regime: class-level pairing
+    * bounds O(images²), but when a corpus's distinct-hash count
+    * approaches |images| (every image mildly unique — re-encodes,
+    * watermark pixels), a popular band value's CLASS population itself
+    * goes quadratic and the class join degrades to the raw pair join.
+    * Buckets at or under `maxBucket` keep the exact all-pairs band
+    * join; buckets over it star-reduce to their min-phash anchor
+    * CLASS: m−1 candidate edges instead of m(m−1)/2, linear for a
+    * fixed cap. Every emitted edge still passes the exact hamming
+    * verify, so the output stays a subset of true class pairs, and a
+    * genuine near-dup crowd stays connected through its anchor
+    * (identical argument to [[NearDup.simHashPairsCapped]], which see
+    * for the recall trade-off discussion). Below the cap the pair set
+    * is IDENTICAL to the uncapped operator (spec-pinned). */
+  def pHashClassPairsCapped(ph: DataFrame, maxHamming: Int,
+                            maxBucket: Long): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      "4-band×12-bit pigeonhole recall needs maxHamming < 4")
+    require(maxBucket >= 2, "maxBucket must be at least 2")
+    val cls = Shingles.shared(
+      ph.groupBy(col("width"), col("height"), col("phash"))
+        .agg(count(lit(1)).as("n_imgs"), min(col("doc_id")).as("anchor")))
+    val banded = cls.select(col("width"), col("height"), col("phash"),
+        col("n_imgs"), col("anchor"),
+        explode(array((0 until 4).map(j => struct(lit(j).as("band"),
+          shiftright(col("phash"), 12 * j).bitwiseAND(lit(4095L)).as("bv"))): _*))
+          .as("bb"))
+      .select(col("width"), col("height"), col("phash"), col("n_imgs"),
+        col("anchor"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    // anchor class = min struct(phash, n_imgs, anchor): phash is unique
+    // within a (w, h, band, bv) bucket, so the struct min is exactly the
+    // min-phash class with its own member count and representative
+    val stats = banded.groupBy(col("width"), col("height"), col("band"),
+        col("bv"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("phash"), col("n_imgs"), col("anchor"))).as("__a"))
+    val tagged = banded.join(stats, Seq("width", "height", "band", "bv"))
+    val small = tagged.filter(col("__n") <= maxBucket)
+    val allPairs = small
+      .select(col("width"), col("height"), col("band"), col("bv"),
+        col("phash").as("ph_a"), col("n_imgs").as("n_a"),
+        col("anchor").as("anchor_a"))
+      .join(small.select(col("width"), col("height"), col("band"), col("bv"),
+        col("phash").as("ph_b"), col("n_imgs").as("n_b"),
+        col("anchor").as("anchor_b")),
+        Seq("width", "height", "band", "bv"))
+      .filter(col("ph_a") < col("ph_b"))
+    val star = tagged.filter(col("__n") > maxBucket)
+      .filter(col("phash") =!= col("__a.phash"))
+      // the anchor carries the bucket's min phash, so ph_a < ph_b
+      .select(col("width"), col("height"),
+        col("__a.phash").as("ph_a"), col("phash").as("ph_b"),
+        col("__a.n_imgs").as("n_a"), col("n_imgs").as("n_b"),
+        col("__a.anchor").as("anchor_a"), col("anchor").as("anchor_b"))
+    allPairs
+      .select(col("width"), col("height"), col("ph_a"), col("ph_b"),
+        col("n_a"), col("n_b"), col("anchor_a"), col("anchor_b"))
+      .union(star)
       .distinct()
       .withColumn("hamming",
         bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))

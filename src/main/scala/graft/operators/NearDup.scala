@@ -620,13 +620,25 @@ object NearDup {
                                    fanoutBudget: Long,
                                    prefixFilter: Boolean = false): DataFrame = {
     val sh = Shingles.table(docs, None)
+    containmentFromBand(sh,
+      bandedShingleDfs(sh, quantileBp, dfFloor, fanoutBudget),
+      minContainment, prefixFilter)
+  }
+
+  /** The in-band (shingle, df) table the quantile-band containment
+    * family filters its postings through — the band threshold
+    * crossJoins in as a BROADCAST one-row frame. Exposed `private[graft]`
+    * so the plan-invariant spec asserts the broadcast on THIS subplan:
+    * the staged postings table hides it from the downstream queries'
+    * executed plans. */
+  private[graft] def bandedShingleDfs(sh: DataFrame, quantileBp: Int,
+                                      dfFloor: Long,
+                                      fanoutBudget: Long): DataFrame = {
     val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
     val band = broadcast(
       shingleDfBandMax(dfs, quantileBp, dfFloor, fanoutBudget))
-    containmentFromBand(sh,
-      dfs.crossJoin(band).filter(col("__df") <= col("__bmax"))
-        .select(col("shingle"), col("__df")),
-      minContainment, prefixFilter)
+    dfs.crossJoin(band).filter(col("__df") <= col("__bmax"))
+      .select(col("shingle"), col("__df"))
   }
 
   /** Cumulative df histogram over REPEATED shingles: one row per
@@ -688,17 +700,28 @@ object NearDup {
     * instead of re-probing the corpus. Output is ≤ |distinct df
     * values| rows. cum_fanout narrows to BIGINT for engine-portable
     * output (domain: Σdf² < 2⁶³ — 2.4·10¹⁰ at sf10, nine orders of
-    * headroom). */
+    * headroom). The narrowing is GUARDED: past the documented domain
+    * Spark's non-ANSI DECIMAL→long cast yields NULL while DuckDB's
+    * HUGEINT→BIGINT cast throws, so the two engines would fail in
+    * different, silent-vs-loud ways — raise_error makes the engine
+    * side as loud as the oracle's. */
   def shingleDfProfile(docs: DataFrame, quantileBp: Int, dfFloor: Long,
                        fanoutBudget: Long): DataFrame = {
     val sh = Shingles.table(docs, None)
     val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
     val band = broadcast(
       shingleDfBandMax(dfs, quantileBp, dfFloor, fanoutBudget))
+    val cumLong = when(
+      col("__cumsq") <= lit(Long.MaxValue)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)),
+      col("__cumsq").cast("long"))
+      .otherwise(raise_error(concat(
+        lit("cum_fanout exceeds BIGINT: "), col("__cumsq").cast("string")))
+        .cast("long"))
     dfHistogram(dfs).crossJoin(band)
       .select(col("__df").as("df"), col("__cnt").as("n_shingles"),
         col("__cum").as("cum_shingles"),
-        col("__cumsq").cast("long").as("cum_fanout"),
+        cumLong.as("cum_fanout"),
         when(col("__df") <= col("__bmax"), 1).otherwise(0).as("in_band"),
         col("__bmax").as("band_max"))
   }

@@ -395,11 +395,25 @@ object TextAnalysis {
     * sort exists anywhere in the plan. Ties at a bucket boundary
     * therefore stay together (bucket sizes are ~n/k, exact when no 6-dp
     * class straddles). Output: k rows of census stats. */
-  def perplexityBuckets(docs: DataFrame, k: Int): DataFrame = {
+  def perplexityBuckets(docs: DataFrame, k: Int): DataFrame =
+    scoreClassBuckets(unigramLogprob(docs), k)
+      .groupBy(col("bucket"))
+      .agg(sum(col("__c")).as("n_docs"),
+        min(col("avg_logprob")).as("lo_logprob"),
+        max(col("avg_logprob")).as("hi_logprob"),
+        graft.engine.Aggregates.round6Portable(
+          sum(col("__t")).cast("double") / sum(col("__c"))).as("avg_tokens"))
+      .orderBy(col("bucket").asc)
+
+  /** The bucketed 6-dp score-CLASS table shared by the census rollup
+    * ([[perplexityBuckets]]) and the per-doc assignment
+    * ([[perplexityBucketOf]]): one row per distinct avg_logprob with
+    * its doc count, token sum, and bucket — bounded by the score
+    * domain at 6 dp, never by corpus size. */
+  private def scoreClassBuckets(lp: DataFrame, k: Int): DataFrame = {
     require(k >= 2, "need at least two buckets")
     import org.apache.spark.sql.expressions.Window
-    val cls = unigramLogprob(docs)
-      .groupBy(col("avg_logprob"))
+    val cls = lp.groupBy(col("avg_logprob"))
       .agg(count(lit(1)).as("__c"), sum(col("n_tokens")).as("__t"))
     val wCum = Window.orderBy(col("avg_logprob").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -409,13 +423,24 @@ object TextAnalysis {
         sum(col("__c")).over(wCum).as("__cum"),
         sum(col("__c")).over(wAll).as("__n"))
       .withColumn("bucket", expr(s"((__cum - 1) * $k DIV __n) + 1"))
-      .groupBy(col("bucket"))
-      .agg(sum(col("__c")).as("n_docs"),
-        min(col("avg_logprob")).as("lo_logprob"),
-        max(col("avg_logprob")).as("hi_logprob"),
-        graft.engine.Aggregates.round6Portable(
-          sum(col("__t")).cast("double") / sum(col("__c"))).as("avg_tokens"))
-      .orderBy(col("bucket").asc)
+  }
+
+  /** Per-document perplexity-bucket assignment: (doc_id, avg_logprob,
+    * bucket) — the class table's bucket joined back to each doc by its
+    * 6-dp score class. The class table is score-domain-bounded, so the
+    * join BROADCASTS and the per-doc side never shuffles; this is the
+    * form a curation filter consumes (drop bucket ≤ tail), while
+    * [[perplexityBuckets]] stays the census report. */
+  def perplexityBucketOf(docs: DataFrame, k: Int): DataFrame = {
+    // staged: the logprob table feeds BOTH the class derivation and the
+    // per-doc join side — unmaterialized, the corpus-wide LM subtree
+    // (two scans + a token join) would run twice
+    val lp = graft.engine.Staging.stagedByPlan(unigramLogprob(docs), "ppl_lp")
+    lp.join(
+        broadcast(scoreClassBuckets(lp, k)
+          .select(col("avg_logprob"), col("bucket"))),
+        Seq("avg_logprob"))
+      .select(col("doc_id"), col("avg_logprob"), col("bucket"))
   }
 
   /** Per-document duplicated-substring fraction — the exact-substring
@@ -458,6 +483,48 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_grams"), col("n_dup"),
         graft.engine.Aggregates.round6Portable(
           col("n_dup").cast("double") / col("n_grams")).as("dup_frac"))
+  }
+
+  /** Corpus QUALITY SCORECARD — the per-source report a curation run
+    * publishes, rolled up from four independent quality operators in
+    * one frame: stopword ratio ([[textStats]]), unigram-LM score
+    * ([[unigramLogprob]]), duplicated-substring fraction
+    * ([[dupSpanStats]]), and naive-Bayes self-classification accuracy
+    * ([[Classify.naiveBayesPredictions]]). Every per-doc signal is
+    * pinned by the portable floor-round and carried through
+    * DECIMAL(18,6) exact sums, so each source's averages are
+    * merge-order-free and hash-identical across engines. Inner joins
+    * throughout: a doc must carry every signal to enter the report.
+    * Shared by the q200 gate and [[graft.Pipeline]]'s published
+    * scorecard (same arithmetic, different corpus slice). */
+  def qualityScorecard(docs: DataFrame, stopSet: Seq[String],
+                       dupSpanN: Int, nbBuckets: Int,
+                       nbSalt: String): DataFrame = {
+    val dec6 = DecimalType(18, 6)
+    val sw = textStats(docs, stopSet)
+      .select(col("doc_id"),
+        graft.engine.Aggregates.round6Portable(col("stopword_ratio"))
+          .cast(dec6).as("sw6"))
+    val lm = unigramLogprob(docs)
+      .select(col("doc_id"), col("avg_logprob").cast(dec6).as("lp6"))
+    val dup = dupSpanStats(docs, dupSpanN)
+      .select(col("doc_id"), col("dup_frac").cast(dec6).as("df6"))
+    val pred = Classify.naiveBayesPredictions(docs, nbBuckets, nbSalt)
+      .select(col("doc_id"), col("pred_source"))
+    def avg6(c: Column): Column =
+      graft.engine.Aggregates.round6Portable(
+        sum(c).cast("double") / count(lit(1)))
+    docs.select(col("doc_id"), col("source"))
+      .join(sw, Seq("doc_id")).join(lm, Seq("doc_id"))
+      .join(dup, Seq("doc_id")).join(pred, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        avg6(col("sw6")).as("avg_stopword_ratio"),
+        avg6(col("lp6")).as("avg_logprob"),
+        avg6(col("df6")).as("avg_dup_frac"),
+        avg6(when(col("pred_source") === col("source"), 1L).otherwise(0L)
+          .cast(dec6)).as("nb_self_acc"))
+      .orderBy(col("source").asc)
   }
 
   def vocabJaccardMatrix(docs: DataFrame, groupCol: String): DataFrame = {

@@ -309,11 +309,33 @@ object EventStream {
     * target/salt/corpus stats) must supersede old scores, and no
     * data-derived column can express that — a doc's n_tokens is
     * identical under both models, so versioning on it would leave the
-    * merged table a nondeterministic mix of old and new scores. */
+    * merged table a nondeterministic mix of old and new scores.
+    * Monotonicity is ENFORCED, not assumed: before the stream starts,
+    * the existing target's max(model_version) is read (a one-row agg
+    * over one column — no payload collect) and the new version must be
+    * ≥ it; a lower version would merge into a nondeterministic per-doc
+    * mix, because latestByKey breaks EQUAL versions by arbitrary
+    * row_number order. Re-running at an EQUAL version is therefore
+    * idempotent only when the scores are identical (same model/target/
+    * salt — the documented replay case); a retrain must bump the
+    * version. */
   def dsirScoreUpsert(spark: SparkSession, sfDir: String,
                       isTarget: org.apache.spark.sql.Column,
                       buckets: Int, salt: String,
                       targetPath: String, modelVersion: Long): Unit = {
+    val tgt = new org.apache.hadoop.fs.Path(targetPath)
+    val tfs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (tfs.exists(tgt)) {
+      val row = spark.read.parquet(targetPath)
+        .agg(max(col("model_version"))).head()
+      if (!row.isNullAt(0)) {
+        val existingMax = row.getLong(0)
+        require(modelVersion >= existingMax,
+          s"dsirScoreUpsert version must be monotone: new $modelVersion < " +
+            s"existing max $existingMax at $targetPath — a lower-version " +
+            "re-score would merge into a nondeterministic per-doc mix")
+      }
+    }
     val model = graft.operators.DataMix.dsirBucketScores(
       graft.engine.Sources.table(spark, sfDir, "documents"),
       isTarget, buckets, salt).localCheckpoint(true) // model-sized; pin

@@ -60,14 +60,29 @@ object StreamStoreBench {
             graft.SparkEntry.DsirSalt).count(); () }))
       // SPARK_GRAFT_SSB_ONLY: comma list to restrict runners — the sf10
       // campaign measures the two document-stream gates alone (the
-      // event runners' sf10 state is a separate, heavier measurement)
+      // event runners' sf10 state is a separate, heavier measurement).
+      // Unknown names fail loudly: a typo would otherwise filter the
+      // runner list to empty and the campaign would "succeed" with no
+      // output at all.
       val ssbOnly = sys.env.get("SPARK_GRAFT_SSB_ONLY").map(_.split(",").toSet)
+      ssbOnly.foreach { only =>
+        val known = runners.map(_._1).toSet
+        val unknown = only.diff(known)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_SSB_ONLY names no runner: ${unknown.mkString(",")}" +
+            s" (known: ${known.toSeq.sorted.mkString(",")})")
+      }
       runners.filter { case (n, _) => ssbOnly.forall(_.contains(n)) }
         .map { case (name, run) =>
         run() // warm: codegen + sink plumbing
         def pass(): Double = {
           val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
         }
+        // reset-to-sentinel before the measured passes: only runToMemory
+        // updates the global, so a runner routed elsewhere (foreachBatch
+        // upsert forms) must report -1 "not measured", never the
+        // PREVIOUS runner's stale peak
+        EventStream.lastRunPeakStateRows = -1L
         val t = math.min(pass(), pass())
         val stateRows = EventStream.lastRunPeakStateRows
         println(f"""{"provider":"$label","runner":"$name","sec":$t%.3f,"peak_state_rows":$stateRows}""")

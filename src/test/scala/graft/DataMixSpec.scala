@@ -271,6 +271,18 @@ class DataMixSpec extends AnyFunSuite {
         modelVersion = 2L)
       assert(landed == batch("src1", "dsir-v1"),
         "higher-version rescore must replace the old model's table")
+      // a LOWER-version re-score must be REFUSED before any stream
+      // starts: latestByKey breaks equal-or-lower versions by arbitrary
+      // row order, so merging it would leave a nondeterministic per-doc
+      // mix of old and new scores
+      val ex = intercept[IllegalArgumentException] {
+        graft.streaming.EventStream.dsirScoreUpsert(
+          spark, sfDir, col("source") === "src3", 256, "dsir-v1", target,
+          modelVersion = 1L)
+      }
+      assert(ex.getMessage.contains("monotone"), ex.getMessage)
+      assert(landed == batch("src1", "dsir-v1"),
+        "the refused run must not have touched the table")
     } finally {
       import scala.jdk.CollectionConverters._
       val p = java.nio.file.Paths.get(dir)

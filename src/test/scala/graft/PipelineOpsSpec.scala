@@ -532,6 +532,115 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(manifest.select("split").distinct().count() <= 3)
   }
 
+  test("curate quality knobs: perplexity tail cut and dup-span ceiling drop the right docs") {
+    // three planted tiers, separable ONLY by the round-9 signals (all
+    // pass the always-on round-4 reasons):
+    //  - 5 gibberish docs: mostly df-1 tokens → lowest unigram-LM class
+    //    (cum 5 of 46 → bucket 1 of 10; X's class starts at cum 6 →
+    //    bucket 2, above the cut) → dropped by the tail cut
+    //  - X/Y: a shared 40-token prefix (P P, P = 20 distinct common
+    //    words) + distinct common-letter tails → dup_frac 36/38 ≈ 0.947
+    //    over 5-grams (> 0.9 ceiling) while rep_ratio stays 0.45 (≤ 0.6)
+    //    and every token is frequent → NOT in the tail bucket
+    //  - 39 common docs: a unique token every ≤ 4 positions, so no
+    //    5-gram ever repeats corpus-wide (dup_frac 0), high logprob
+    def letters(i: Int): String =
+      s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    val p = ("the of " + (1 to 18).map(i => s"c${letters(i)}").mkString(" "))
+    val xy = Seq(
+      (900L, s"$p $p caa cab", "src1"),
+      (901L, s"$p $p cac cad", "src1"))
+    val gib = (0 until 5).map(i =>
+      (800L + i, s"the of " + (1 to 8).map(j => s"g${letters(i)}${letters(j)}qx").mkString(" "), "src1"))
+    val common = (0 until 39).map { i =>
+      val u = (1 to 3).map(j => s"u${letters(i)}${letters(j)}zz")
+      (i.toLong,
+        s"the cab cac cad ${u(0)} cae caf cag of ${u(1)} cah cai caj ${u(2)}",
+        "src1")
+    }
+    val docs = (common ++ gib ++ xy).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+    val rates = Map("src1" -> 1.0)
+    // knobs OFF (defaults): every planted doc passes stage 1
+    val off = graft.Pipeline.curate(spark, docs, rates, "quality-spec", None)
+    assert(off.input === 46L && off.afterQuality === 46L,
+      s"all tiers must pass the always-on signals: $off")
+    // knobs ON: the tail cut takes the 4 gibberish docs, the dup-span
+    // ceiling takes X/Y, the 39 common docs survive
+    val out = java.nio.file.Files.createTempDirectory("pipeq").toString + "/o"
+    val on = graft.Pipeline.curate(spark, docs, rates, "quality-spec",
+      Some(out), knobs = graft.Pipeline.QualityKnobs(
+        dropPplBuckets = 1, maxDupFrac = 0.9))
+    assert(on.afterQuality === 39L,
+      s"tail cut + dup ceiling must drop exactly gib + X/Y: $on")
+    assert(on.afterQuality >= on.afterExact &&
+      on.afterExact >= on.afterNearDup && on.afterNearDup >= on.afterMix)
+    // the scorecard lands beside the manifest and censuses the CURATED
+    // corpus (sum of its per-source doc counts = the mixed output)
+    val card = spark.read.parquet(out + "_scorecard")
+    assert(card.columns.toSet === Set("source", "n_docs",
+      "avg_stopword_ratio", "avg_logprob", "avg_dup_frac", "nb_self_acc"))
+    val cardDocs = card.agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(cardDocs === on.afterMix,
+      s"scorecard must census the curated corpus: $cardDocs vs ${on.afterMix}")
+  }
+
+  test("curation pipeline is flood-safe: capped stage-3 generator, flood collapses") {
+    // Deterministic quality-passing simhash flood: 21 distinct boiler
+    // tokens, each repeated 3× consecutively. Every bit's vote is
+    // 3·(odd ±1 sum) so |vote| ≥ 3, and the per-doc unique tail token
+    // (±1) can never flip a bit — ALL flood docs share the boiler's
+    // EXACT fingerprint, flooding every band bucket — while the tails
+    // differ in letters, so normalized exact-dedup keeps them apart.
+    // No 3-gram repeats (rep_ratio 0), 6/64 stopword tokens, lang en:
+    // the flood sails through stage 1 and stresses stage 3 directly.
+    val boilerWords = ("the of quick brown foxes jump over lazy dogs " +
+      "while green ideas sleep furious under amber skies beyond silent " +
+      "rivers tonight").split(" ")
+    assert(boilerWords.length == 21 && boilerWords.distinct.length == 21)
+    val boiler = boilerWords.flatMap(w => Seq(w, w, w)).mkString(" ")
+    def letters(i: Int): String =
+      s"zq${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    val flood = (0 until 100).map(i =>
+      (i.toLong, s"$boiler ${letters(i)}", "src1"))
+    val normal = (0 until 10).map(i =>
+      (1000L + i, s"the pebble${letters(i)} canyon${letters(i)} " +
+        s"marble${letters(i)} lantern${letters(i)} orchid${letters(i)} " +
+        s"velvet${letters(i)} thimble${letters(i)}", "src2"))
+    val docs = (flood ++ normal).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+    // the PIPELINE's own generator must be the capped one: linear
+    // star-reduced volume where the uncapped band join is quadratic
+    val floodOnly = docs.filter(col("doc_id") < 1000L)
+    val uncapped = NearDup.simHashPairs(NearDup.simHash(floodOnly),
+      graft.DedupKnobs.SimHashMaxHamming).count()
+    assert(uncapped >= 4950L, s"flood must be quadratic uncapped: $uncapped")
+    val piped = graft.Pipeline.nearDupPairs(floodOnly)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(piped.size <= 150,
+      s"pipeline stage-3 generator not flood-bounded: ${piped.size} pairs")
+    (1L until 100L).foreach(i => assert(piped.contains((0L, i)),
+      s"flood member $i must reach the anchor"))
+
+    // end to end: every stage completes, the flood collapses to ONE
+    // survivor (identical fingerprints → one connected component), and
+    // the quality stage dropped nothing (the flood is crafted to pass)
+    val c = graft.Pipeline.curate(spark, docs,
+      Map("src1" -> 1.0, "src2" -> 1.0), "flood-spec", None)
+    assert(c.input === 110L)
+    assert(c.afterQuality === 110L,
+      s"flood docs must pass the quality stage: $c")
+    assert(c.afterExact === 110L,
+      s"letter tails must survive normalized exact dedup: $c")
+    assert(c.afterNearDup === 11L,
+      s"flood must collapse to one survivor + 10 normal docs: $c")
+    assert(c.afterMix === 11L)
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (skew=true)") {
     val confs = Map(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",

@@ -394,6 +394,53 @@ class PlanInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("containment family broadcasts the ONE-ROW df band, never shuffles for it") {
+    // the corpus-relative band threshold is a one-row frame crossJoined
+    // into the shingle filter; it must plan as a broadcast nested-loop
+    // join (driver-side metadata, zero shuffle) — a shuffled join here
+    // would ship the whole df table to meet one row. q118/q187 stage
+    // their banded postings, so their executed plans only scan landed
+    // parquet (like q96's triangles) — assert on the band build's own
+    // subplan, plus q193 whose crossJoin is NOT staged.
+    import org.apache.spark.sql.functions.col
+    val sh = graft.operators.Shingles.table(
+      graft.engine.Sources.table(spark, sfDir, "documents"), None)
+    val bandPlan = graft.operators.NearDup.bandedShingleDfs(sh,
+        DedupKnobs.ShingleDfQuantileBp, DedupKnobs.ShingleDfFloor,
+        DedupKnobs.ShingleDfFanoutBudget)
+      .queryExecution.executedPlan.toString
+    assert(bandPlan.contains("BroadcastNestedLoopJoin"),
+      s"the band threshold must broadcast into the df filter:\n$bandPlan")
+    val plan = planOf("q193_shingle_df_profile")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"q193 must broadcast the one-row band threshold:\n$plan")
+  }
+
+  test("NB classifier scores through BROADCAST model joins, never a shuffle join") {
+    // the trained model is ≤ |sources|·buckets rows and the priors are
+    // |sources| rows: both join the corpus-sized doc-bucket table and
+    // must broadcast — an accidental sort-merge join would shuffle the
+    // whole corpus feature table twice per scoring run
+    val plan = planOf("q195_nb_source_confusion")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"q195 model and prior joins must both broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q195 must not shuffle the corpus against the model:\n$plan")
+  }
+
+  test("df-band derivation windows over the POST-AGG df histogram, not corpus rows") {
+    // dfHistogram's unpartitioned cumulative window is bounded by
+    // |distinct df values| ONLY because its input is the df histogram
+    // (groupBy __df) — a refactor windowing over shingles or docs would
+    // silently reintroduce the corpus-sized single-partition sort
+    val plan = planOf("q193_shingle_df_profile")
+    assert(plan.contains("windowspecdefinition(__df"),
+      s"q193 cumulative window must order by the df class:\n$plan")
+    assert(!plan.contains("windowspecdefinition(shingle") &&
+      !plan.contains("windowspecdefinition(doc_id"),
+      s"q193 must never window over corpus-sized rows:\n$plan")
+  }
+
   test("pHash class pairs join on the band key with the hamming verify inline") {
     val plan = planOf("q199_phash_class_pairs")
     assert("Join.*band".r.findAllIn(plan).nonEmpty,
