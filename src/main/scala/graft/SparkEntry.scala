@@ -3039,6 +3039,19 @@ object SparkEntry {
         Multimodal.pngPayloads(s, docs(s, dir)), PHashGrid)
       .orderBy(col("doc_id").asc)
 
+  /** Scale-invariant image near-dup classes over the RESAMPLED hash
+    * ([[Multimodal.resampledClassPairsCapped]]): hash-keyed classes
+    * (dims deliberately absent — resampling exists so different-size
+    * images can match), 4×16-bit band candidates, per-bucket class cap.
+    * The resize-robust dedup stage q202's fingerprint feeds. */
+  private def q203(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resampledClassPairsCapped(
+        Multimodal.pHashesResampled(s,
+          Multimodal.pngPayloads(s, docs(s, dir)), PHashGrid),
+        PHashMaxHamming, PHashClassBucketCap)
+      .orderBy(col("ph_hi_a").asc, col("ph_lo_a").asc,
+        col("ph_hi_b").asc, col("ph_lo_b").asc)
+
   /** Corpus QUALITY SCORECARD — the per-source report a curation run
     * publishes, rolled up from four independent quality operators in
     * one query: stopword ratio (q18), unigram-LM score (q110/q196),
@@ -3900,6 +3913,55 @@ object SparkEntry {
                    AS BIGINT) AS phash
           FROM p2 JOIN st USING (doc_id) GROUP BY p2.doc_id)"""
 
+  /** The q202/q203 resampled-fingerprint CTE chain: the deterministic
+    * pixel model resampled to the [[DedupKnobs.PHashGrid]]² grid in
+    * exact integers — cell (i, j) covers x ∈ [i·w DIV g,
+    * max((i+1)·w DIV g, i·w DIV g + 1)) (nearest-pixel when the box is
+    * empty), bit c = j·g+i set iff cell-sum·(w·h) ≥ image-sum·box —
+    * packed into two non-negative 32-bit halves. Ends in CTE `rs`
+    * (doc_id, width, height, ph_hi, ph_lo), MATERIALIZED because q203
+    * references it from both class-join sides. */
+  private lazy val pHashResampleCtes: String = {
+    val g = PHashGrid
+    s"""d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+              FROM documents),
+        px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM d),
+        p2 AS (SELECT doc_id, w, h, k,
+                      (doc_id * 31 + 7 * (k % w) + 13 * (k // w)) % 256 AS p
+               FROM px),
+        st AS (SELECT doc_id, count(*) AS n, sum(p) AS sp
+               FROM p2 GROUP BY doc_id),
+        cb AS (SELECT doc_id, w, h, c,
+                      (c % $g) * w // $g AS x0,
+                      greatest(((c % $g) + 1) * w // $g,
+                               (c % $g) * w // $g + 1) AS x1,
+                      (c // $g) * h // $g AS y0,
+                      greatest(((c // $g) + 1) * h // $g,
+                               (c // $g) * h // $g + 1) AS y1
+               FROM (SELECT doc_id, w, h, unnest(range(0, $g * $g)) AS c
+                     FROM d)),
+        cs AS (SELECT cb.doc_id, cb.c, sum(p2.p) AS sc, count(*) AS nc
+               FROM cb JOIN p2 ON p2.doc_id = cb.doc_id
+                 AND (p2.k % p2.w) >= cb.x0 AND (p2.k % p2.w) < cb.x1
+                 AND (p2.k // p2.w) >= cb.y0 AND (p2.k // p2.w) < cb.y1
+               GROUP BY cb.doc_id, cb.c),
+        bits AS (SELECT cs.doc_id, cs.c,
+                        CASE WHEN cs.sc * st.n >= st.sp * cs.nc
+                             THEN 1 ELSE 0 END AS bit
+                 FROM cs JOIN st USING (doc_id)),
+        rs AS MATERIALIZED (
+          SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
+                 CAST(d.h AS BIGINT) AS height,
+                 CAST(sum(CASE WHEN bit = 1 AND c >= 32
+                               THEN (1::BIGINT << (c - 32)) ELSE 0 END)
+                   AS BIGINT) AS ph_hi,
+                 CAST(sum(CASE WHEN bit = 1 AND c < 32
+                               THEN (1::BIGINT << c) ELSE 0 END)
+                   AS BIGINT) AS ph_lo
+          FROM bits JOIN d USING (doc_id)
+          GROUP BY d.doc_id, d.w, d.h)"""
+  }
+
   /** Corpus-relative shingle-df band CTE chain (mirrors
     * [[NearDup.shingleDfBandMax]] integer for integer): df histogram
     * over repeated shingles → cumulative count + exact Σcnt·df²
@@ -4570,7 +4632,8 @@ object SparkEntry {
     "q199_phash_class_pairs" -> (q199 _),
     "q200_quality_scorecard" -> (q200 _),
     "q201_phash_class_pairs_capped" -> (q201 _),
-    "q202_phash_resampled" -> (q202 _))
+    "q202_phash_resampled" -> (q202 _),
+    "q203_resampled_class_pairs" -> (q203 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -5520,46 +5583,62 @@ object SparkEntry {
     // max((i+1)·w DIV 8, i·w DIV 8 + 1)) (nearest-pixel when the box
     // is empty), bit c = j·8+i set iff cell-sum·(w·h) ≥ image-sum·box,
     // packed into two non-negative 32-bit halves
-    "q202_phash_resampled" -> {
-      val g = PHashGrid
-      s"""WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
-                     FROM documents),
-          px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM d),
-          p2 AS (SELECT doc_id, w, h, k,
-                        (doc_id * 31 + 7 * (k % w) + 13 * (k // w)) % 256 AS p
-                 FROM px),
-          st AS (SELECT doc_id, count(*) AS n, sum(p) AS sp
-                 FROM p2 GROUP BY doc_id),
-          cb AS (SELECT doc_id, w, h, c,
-                        (c % $g) * w // $g AS x0,
-                        greatest(((c % $g) + 1) * w // $g,
-                                 (c % $g) * w // $g + 1) AS x1,
-                        (c // $g) * h // $g AS y0,
-                        greatest(((c // $g) + 1) * h // $g,
-                                 (c // $g) * h // $g + 1) AS y1
-                 FROM (SELECT doc_id, w, h, unnest(range(0, $g * $g)) AS c
-                       FROM d)),
-          cs AS (SELECT cb.doc_id, cb.c, sum(p2.p) AS sc, count(*) AS nc
-                 FROM cb JOIN p2 ON p2.doc_id = cb.doc_id
-                   AND (p2.k % p2.w) >= cb.x0 AND (p2.k % p2.w) < cb.x1
-                   AND (p2.k // p2.w) >= cb.y0 AND (p2.k // p2.w) < cb.y1
-                 GROUP BY cb.doc_id, cb.c),
-          bits AS (SELECT cs.doc_id, cs.c,
-                          CASE WHEN cs.sc * st.n >= st.sp * cs.nc
-                               THEN 1 ELSE 0 END AS bit
-                   FROM cs JOIN st USING (doc_id))
-          SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
-                 CAST(d.h AS BIGINT) AS height,
-                 CAST(sum(CASE WHEN bit = 1 AND c >= 32
-                               THEN (1::BIGINT << (c - 32)) ELSE 0 END)
-                   AS BIGINT) AS ph_hi,
-                 CAST(sum(CASE WHEN bit = 1 AND c < 32
-                               THEN (1::BIGINT << c) ELSE 0 END)
-                   AS BIGINT) AS ph_lo
-          FROM bits JOIN d USING (doc_id)
-          GROUP BY d.doc_id, d.w, d.h
-          ORDER BY d.doc_id ASC"""
-    },
+    "q202_phash_resampled" ->
+      s"""WITH $pHashResampleCtes
+          SELECT doc_id, width, height, ph_hi, ph_lo FROM rs
+          ORDER BY doc_id ASC""",
+    // q203: hash-keyed classes over the resampled fingerprint (dims
+    // deliberately absent), 4×16-bit band candidates, per-bucket class
+    // cap with min-hash-anchor star reduction — q201's capped machinery
+    // carried to the 64-bit scale-invariant hash
+    "q203_resampled_class_pairs" ->
+      s"""WITH $pHashResampleCtes,
+          cls AS (SELECT ph_hi, ph_lo, count(*) AS n_imgs,
+                         min(doc_id) AS anchor
+                  FROM rs GROUP BY 1, 2),
+          banded AS (SELECT ph_hi, ph_lo, n_imgs, anchor, j AS band,
+                            CASE j
+                              WHEN 0 THEN ph_lo & 65535
+                              WHEN 1 THEN (ph_lo >> 16) & 65535
+                              WHEN 2 THEN ph_hi & 65535
+                              ELSE (ph_hi >> 16) & 65535 END AS bv
+                     FROM cls CROSS JOIN
+                       (SELECT unnest(range(0, 4)) AS j) bands),
+          stats AS (SELECT band, bv, count(*) AS n,
+                           arg_min(ph_hi, CAST(ph_hi AS HUGEINT)
+                             * 4294967296 + ph_lo) AS a_hi,
+                           arg_min(ph_lo, CAST(ph_hi AS HUGEINT)
+                             * 4294967296 + ph_lo) AS a_lo
+                    FROM banded GROUP BY 1, 2),
+          tagged AS (SELECT b.*, s.n, s.a_hi, s.a_lo
+                     FROM banded b JOIN stats s USING (band, bv)),
+          allp AS (SELECT a.ph_hi AS ph_hi_a, a.ph_lo AS ph_lo_a,
+                          b.ph_hi AS ph_hi_b, b.ph_lo AS ph_lo_b,
+                          a.n_imgs AS n_a, b.n_imgs AS n_b,
+                          a.anchor AS anchor_a, b.anchor AS anchor_b
+                   FROM tagged a JOIN tagged b USING (band, bv)
+                   WHERE a.n <= $PHashClassBucketCap
+                     AND b.n <= $PHashClassBucketCap
+                     AND (a.ph_hi, a.ph_lo) < (b.ph_hi, b.ph_lo)),
+          star AS (SELECT c.ph_hi AS ph_hi_a, c.ph_lo AS ph_lo_a,
+                          t.ph_hi AS ph_hi_b, t.ph_lo AS ph_lo_b,
+                          c.n_imgs AS n_a, t.n_imgs AS n_b,
+                          c.anchor AS anchor_a, t.anchor AS anchor_b
+                   FROM tagged t JOIN cls c
+                     ON c.ph_hi = t.a_hi AND c.ph_lo = t.a_lo
+                   WHERE t.n > $PHashClassBucketCap
+                     AND (t.ph_hi, t.ph_lo) <> (t.a_hi, t.a_lo)),
+          u AS (SELECT DISTINCT ph_hi_a, ph_lo_a, ph_hi_b, ph_lo_b,
+                                n_a, n_b, anchor_a, anchor_b
+                FROM (SELECT * FROM allp UNION ALL SELECT * FROM star))
+          SELECT ph_hi_a, ph_lo_a, ph_hi_b, ph_lo_b, n_a, n_b,
+                 anchor_a, anchor_b,
+                 CAST(bit_count(xor(ph_hi_a, ph_hi_b)) +
+                      bit_count(xor(ph_lo_a, ph_lo_b)) AS BIGINT) AS hamming
+          FROM u
+          WHERE bit_count(xor(ph_hi_a, ph_hi_b)) +
+                bit_count(xor(ph_lo_a, ph_lo_b)) <= $PHashMaxHamming
+          ORDER BY ph_hi_a ASC, ph_lo_a ASC, ph_hi_b ASC, ph_lo_b ASC""",
     "q46_token_counting" ->
       s"""SELECT doc_id,
                  len(string_split(text, ' ')) AS n_ws_tokens,

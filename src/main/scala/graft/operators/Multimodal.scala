@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
@@ -341,6 +341,81 @@ object Multimodal {
       .distinct()
       .withColumn("hamming",
         bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Near-dup CLASS pairs over the RESAMPLED hash
+    * ([[pHashesResampled]]) — the dedup stage that completes the
+    * resize-robust arm. Two deliberate differences from the
+    * native-raster pair operator ([[pHashClassPairs]]):
+    *
+    *  - classes key on the HASH ALONE, never (width, height):
+    *    resampling exists precisely so images of different dimensions
+    *    can match, so dims must not partition the candidate space;
+    *  - capped from day one (the flood lesson): candidates come from a
+    *    4-band × 16-bit equi-join over the 64-bit hash
+    *    (pigeonhole-exact for hamming < 4), and any band bucket over
+    *    `maxBucket` classes star-reduces to its min-hash anchor class —
+    *    identical recall trade-off to [[pHashClassPairsCapped]], which
+    *    see. Below the cap the pair set is the exact band join's.
+    *
+    * Hamming is the sum over both 32-bit halves; the (hi, lo) pair
+    * order is lexicographic, expressible identically in both engines
+    * without touching a 64-bit sign bit. */
+  def resampledClassPairsCapped(rh: DataFrame, maxHamming: Int,
+                                maxBucket: Long): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      "4-band×16-bit pigeonhole recall needs maxHamming < 4")
+    require(maxBucket >= 2, "maxBucket must be at least 2")
+    val cls = Shingles.shared(
+      rh.groupBy(col("ph_hi"), col("ph_lo"))
+        .agg(count(lit(1)).as("n_imgs"), min(col("doc_id")).as("anchor")))
+    val bands = Seq[(Int, org.apache.spark.sql.Column)](
+      (0, col("ph_lo").bitwiseAND(lit(65535L))),
+      (1, shiftright(col("ph_lo"), 16).bitwiseAND(lit(65535L))),
+      (2, col("ph_hi").bitwiseAND(lit(65535L))),
+      (3, shiftright(col("ph_hi"), 16).bitwiseAND(lit(65535L))))
+    val banded = cls.select(col("ph_hi"), col("ph_lo"), col("n_imgs"),
+        col("anchor"),
+        explode(array(bands.map { case (b, v) =>
+          struct(lit(b).as("band"), v.as("bv")) }: _*)).as("bb"))
+      .select(col("ph_hi"), col("ph_lo"), col("n_imgs"), col("anchor"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    // anchor class = min struct((hi, lo), …): the hash is unique within
+    // a bucket, so the struct min is the lexicographically first class
+    val stats = banded.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("ph_hi"), col("ph_lo"), col("n_imgs"),
+          col("anchor"))).as("__a"))
+    val tagged = banded.join(stats, Seq("band", "bv"))
+    def ordered(hiA: Column, loA: Column, hiB: Column, loB: Column) =
+      (hiA < hiB) || (hiA === hiB && loA < loB)
+    val small = tagged.filter(col("__n") <= maxBucket)
+    val allPairs = small
+      .select(col("band"), col("bv"), col("ph_hi").as("ph_hi_a"),
+        col("ph_lo").as("ph_lo_a"), col("n_imgs").as("n_a"),
+        col("anchor").as("anchor_a"))
+      .join(small.select(col("band"), col("bv"), col("ph_hi").as("ph_hi_b"),
+        col("ph_lo").as("ph_lo_b"), col("n_imgs").as("n_b"),
+        col("anchor").as("anchor_b")), Seq("band", "bv"))
+      .filter(ordered(col("ph_hi_a"), col("ph_lo_a"),
+        col("ph_hi_b"), col("ph_lo_b")))
+    val star = tagged.filter(col("__n") > maxBucket)
+      .filter(!(col("ph_hi") === col("__a.ph_hi") &&
+        col("ph_lo") === col("__a.ph_lo")))
+      // the anchor carries the bucket's lexicographic min, so a < b
+      .select(col("__a.ph_hi").as("ph_hi_a"), col("__a.ph_lo").as("ph_lo_a"),
+        col("ph_hi").as("ph_hi_b"), col("ph_lo").as("ph_lo_b"),
+        col("__a.n_imgs").as("n_a"), col("n_imgs").as("n_b"),
+        col("__a.anchor").as("anchor_a"), col("anchor").as("anchor_b"))
+    allPairs
+      .select(col("ph_hi_a"), col("ph_lo_a"), col("ph_hi_b"), col("ph_lo_b"),
+        col("n_a"), col("n_b"), col("anchor_a"), col("anchor_b"))
+      .union(star)
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("ph_hi_a").bitwiseXOR(col("ph_hi_b"))) +
+         bit_count(col("ph_lo_a").bitwiseXOR(col("ph_lo_b")))).cast("long"))
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -750,7 +750,15 @@ object NearDup {
     //    Σ_s df(s)² candidate rows. Cheapest when df is near-uniform
     //    and small (the banded synthetic fixture: 2.5 s vs 8 s at
     //    sf0.1 — the prefix machinery's verify fan-out Σ_cand·|S(a)|
-    //    EXCEEDS Σ df² there).
+    //    EXCEEDS Σ df² there). MEASURED RULE (round 10, sf10 under the
+    //    corpus-relative band): postings 20.5 s vs prefix 490.7 s —
+    //    the fan-out-budget band already bounds the postings join at
+    //    ≤ ShingleDfFanoutBudget candidates BY CONSTRUCTION, and the
+    //    saturation regime's df is uniformly high, so rarest-first
+    //    prefixes have no rare shingles to exploit while their verify
+    //    walk pays Σ_cand·|S(a)| on ~10⁸ candidates. Under the banded
+    //    entry points, postings is the right default at ANY corpus;
+    //    prefixFilter remains for RAW-df (unbanded) skewed callers.
     //  - prefixFilter = true: PPJoin-family candidate generation for
     //    df-SKEWED corpora where Σ df² explodes. If |S(a)∩S(b)| ≥
     //    t·n_a then S(b) must hit one of a's p = n_a − ⌈t·n_a⌉ + 1

@@ -49,6 +49,43 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(capped === exact)
   }
 
+  test("resampled class pairs: hash-keyed classes, hamming gate, counts and anchors") {
+    val rh = Seq(
+      (1L, 8L, 8L, 5L, 9L),    // class (hi 5, lo 9): docs 1, 2
+      (2L, 16L, 16L, 5L, 9L),  //   …across DIFFERENT dims (the point)
+      (3L, 8L, 8L, 5L, 11L),   // hamming((5,9),(5,11)) = 1 -> pairs
+      (4L, 8L, 8L, 5L, 57L))   // hamming vs (5,9) = 2, vs (5,11) = 3 -> over
+      .toDF("doc_id", "width", "height", "ph_hi", "ph_lo")
+      .select(col("doc_id"), col("ph_hi"), col("ph_lo"))
+    val got = Multimodal.resampledClassPairsCapped(rh, 1, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8)))
+    // only the hamming-1 class pair survives; the two-doc class spans
+    // two dims because classes key on the hash alone
+    assert(got.toSeq == Seq((5L, 9L, 5L, 11L, 2L, 1L, 1L, 3L, 1L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("capped resampled class pairs bound a flooded band bucket; anchors reached") {
+    // 49 classes all sharing band 0 (low 16 bits zero): base (0,0) plus
+    // one bit set among lo[16..31] / hi[0..31] — anchor↔member hamming
+    // 1, member↔member 2, so an uncapped join would emit C(49,2); the
+    // capped path must star-reduce to the 48 anchor edges
+    val rh = (Seq((0L, 0L)) ++
+        (16 until 32).map(b => (0L, 1L << b)) ++
+        (0 until 32).map(b => (1L << b, 0L))).zipWithIndex
+      .map { case ((hi, lo), i) => (i.toLong, hi, lo) }
+      .toDF("doc_id", "ph_hi", "ph_lo")
+    val rows = Multimodal.resampledClassPairsCapped(rh, 3, 8).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSet
+    assert(pairs.size == 48, s"flood must star-reduce to 48 edges: ${pairs.size}")
+    (16 until 32).foreach(b => assert(pairs.contains((0L, 0L, 0L, 1L << b))))
+    (0 until 32).foreach(b => assert(pairs.contains((0L, 0L, 1L << b, 0L))))
+    rows.foreach(r => assert(r.getAs[Long]("hamming") <= 3L))
+  }
+
   /** Encode one genuine PNG for the resample tests. */
   private def pngOf(id: Long, w: Int, h: Int,
                     px: (Int, Int) => Int): (Long, Array[Byte]) = {
