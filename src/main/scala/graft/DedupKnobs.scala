@@ -120,6 +120,26 @@ private[graft] object DedupKnobs {
   require(PHashGrid >= 2 && PHashGrid * PHashGrid <= 64,
     s"resample grid must pack into 64 bits, got $PHashGrid")
 
+  /** Audio envelope-fingerprint sub-window count (q206/q207): 16 equal
+    * length-relative index ranges → a 15-bit Haitsma-Kalker
+    * sign-of-energy-delta fingerprint. */
+  val AudioFpSubWindows = 16
+  require(AudioFpSubWindows >= 2 && AudioFpSubWindows <= 32,
+    s"fingerprint bits must pack a long half, got $AudioFpSubWindows")
+
+  /** Hamming threshold for audio fingerprint near-dup classes (q207):
+    * the 2-band × 8-bit band join is pigeonhole-exact only below 2. */
+  val AudioFpMaxHamming = 1
+  require(AudioFpMaxHamming >= 0 && AudioFpMaxHamming < 2,
+    s"audio band recall needs maxHamming in [0, 2), got $AudioFpMaxHamming")
+
+  /** Per-(band, value) CLASS-population cap for the audio pair path
+    * (q207) — the star-reduction guard, capped from day one like the
+    * resampled image arm. */
+  val AudioClassBucketCap = 8L
+  require(AudioClassBucketCap >= 2,
+    s"a cap below 2 leaves no room for any exact pair, got $AudioClassBucketCap")
+
   /** Ground-truth Jaccard threshold for the generator audit (q188/q191):
     * the definition of a "true" near-dup pair the LSH generator is
     * graded against. */

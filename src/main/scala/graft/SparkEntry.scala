@@ -2788,6 +2788,14 @@ object SparkEntry {
   /** Duplicated-substring span width in tokens (q197): 5-grams. */
   private val DupSpanN = 5
 
+  /** Audio feature-window hop in samples (q206). */
+  private val AudioFeatureWindow = 32
+
+  /** Prototype-pruning keep fraction in basis points (q205): keep the
+    * hardest 70% of every cluster — the Sorscher et al. abundant-data
+    * operating point. */
+  private val PruneKeepBp = 7000
+
   /** Hybrid BM25 + embedding-cosine retrieval fused by reciprocal rank
     * fusion ([[graft.operators.Retrieval.hybridRrf]]) — the RAG
     * two-tower query shape. Lexical side reuses q84's term bag; vector
@@ -3051,6 +3059,52 @@ object SparkEntry {
         PHashMaxHamming, PHashClassBucketCap)
       .orderBy(col("ph_hi_a").asc, col("ph_lo_a").asc,
         col("ph_hi_b").asc, col("ph_lo_b").asc)
+
+  /** Duplicate-span REMOVAL ([[TextAnalysis.dedupSpans]]): the
+    * production form of the Lee et al. exact-substring dedup that q197
+    * only measures — every doc rewritten with its corpus-duplicated
+    * [[DupSpanN]]-token spans cut out, plus the removal census. */
+  private def q204(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dedupSpans(docs(s, dir), DupSpanN)
+      .orderBy(col("doc_id").asc)
+
+  /** Prototypicality pruning ([[graft.operators.KMeansQuantizer
+    * .prototypePruning]], Sorscher et al. 2022): every embedding ranked
+    * within its fitted k-means cluster by distance-to-centroid DESC,
+    * kept when rank ≤ ⌈[[PruneKeepBp]]/10⁴ · cluster size⌉ — the
+    * keep-the-hardest data-pruning rule of the abundant-data regime.
+    * Oracle: the q44 unrolled-Lloyd CTE chain plus a final assignment
+    * and per-cluster rank, the ceiling written as the same exact
+    * integer predicate. */
+  private def q205(s: SparkSession, dir: String): DataFrame =
+    graft.operators.KMeansQuantizer
+      .prototypePruning(Sources.table(s, dir, "embeddings"),
+        KmeansK, KmeansIters, PruneKeepBp)
+      .orderBy(col("vec_id").asc)
+
+  /** Windowed audio features from a REAL WAV round-trip
+    * ([[Multimodal.wavPayloads]] → [[Multimodal.audioWindowFeatures]]):
+    * genuine RIFF/WAVE bytes in the binary column, genuinely parsed
+    * back (the JDK's own `javax.sound.sampled`), reduced to per-window
+    * energy + zero crossings — the VAD/segmentation signals of an audio
+    * pipeline. Sample content derives from doc_id alone, so the oracle
+    * replays the arithmetic codec-free (the PNG path's q169 trick). */
+  private def q206(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioWindowFeatures(s,
+        Multimodal.wavPayloads(s, docs(s, dir)), AudioFeatureWindow)
+      .orderBy(col("doc_id").asc, col("window_idx").asc)
+
+  /** Audio near-dup class pairs over the Haitsma-Kalker energy-envelope
+    * fingerprint ([[Multimodal.audioFingerprints]] →
+    * [[Multimodal.audioClassPairsCapped]]) — the audio member of the
+    * multimodal dedup family, class-level and bucket-capped from day
+    * one like the resampled image arm (q203). */
+  private def q207(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioClassPairsCapped(
+        Multimodal.audioFingerprints(s,
+          Multimodal.wavPayloads(s, docs(s, dir)), AudioFpSubWindows),
+        AudioFpMaxHamming, AudioClassBucketCap)
+      .orderBy(col("fp_a").asc, col("fp_b").asc)
 
   /** Corpus QUALITY SCORECARD — the per-source report a curation run
     * publishes, rolled up from four independent quality operators in
@@ -3710,7 +3764,11 @@ object SparkEntry {
       .orderBy(col("centroid_id").asc, col("dim").asc)
 
   /** Unrolled-iteration SQL mirror of [[KMeansQuantizer]]. */
-  private val kmeansOracle: String = {
+  /** The unrolled-Lloyd CTE chain shared by q44 and q205: long-form
+    * embeddings `ed`, deterministic seeds, then per-iteration
+    * distance/assign/update CTEs ending in `c$KmeansIters` (the fitted
+    * centroid table). */
+  private lazy val kmeansCtes: String = {
     val iterCtes = (1 to KmeansIters).map { i =>
       val prev = if (i == 1) "c0" else s"c${i - 1}"
       s"""d$i AS (SELECT ed.vec_id, $prev.centroid_id,
@@ -3723,7 +3781,7 @@ object SparkEntry {
           c$i AS (SELECT a$i.centroid_id, ed.dim, round(avg(ed.x), 6) AS c
                   FROM a$i JOIN ed ON a$i.vec_id = ed.vec_id GROUP BY 1, 2)"""
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         ed AS (SELECT vec_id, i AS dim, v[i] AS x
                FROM e, (SELECT unnest(range(1, ${EmbeddingDim + 1})) AS i) t),
         seeds AS (SELECT vec_id,
@@ -3733,10 +3791,13 @@ object SparkEntry {
                         ORDER BY vec_id ASC LIMIT $KmeansK)),
         c0 AS (SELECT seeds.centroid_id, ed.dim, ed.x AS c
                FROM seeds JOIN ed ON seeds.vec_id = ed.vec_id),
-        $iterCtes
+        $iterCtes"""
+  }
+
+  private lazy val kmeansOracle: String =
+    s"""WITH $kmeansCtes
         SELECT centroid_id, dim, c AS centroid FROM c$KmeansIters
         ORDER BY centroid_id ASC, dim ASC"""
-  }
 
   /** 64-bit (two-half) analog of [[simhashCte]]. */
   private val simhash64Cte: String = {
@@ -4633,7 +4694,11 @@ object SparkEntry {
     "q200_quality_scorecard" -> (q200 _),
     "q201_phash_class_pairs_capped" -> (q201 _),
     "q202_phash_resampled" -> (q202 _),
-    "q203_resampled_class_pairs" -> (q203 _))
+    "q203_resampled_class_pairs" -> (q203 _),
+    "q204_dedup_spans" -> (q204 _),
+    "q205_prototype_pruning" -> (q205 _),
+    "q206_audio_windows" -> (q206 _),
+    "q207_audio_class_pairs" -> (q207 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -5639,6 +5704,143 @@ object SparkEntry {
           WHERE bit_count(xor(ph_hi_a, ph_hi_b)) +
                 bit_count(xor(ph_lo_a, ph_lo_b)) <= $PHashMaxHamming
           ORDER BY ph_hi_a ASC, ph_lo_a ASC, ph_hi_b ASC, ph_lo_b ASC""",
+    // q204: duplicate-span removal — token positions via per-doc lead
+    // windows (mirror of the engine), corpus-wide gram occurrence
+    // count, coverage broadcast forward n-1 positions by a per-doc
+    // ROWS window max, surviving tokens re-joined in position order
+    "q204_dedup_spans" -> {
+      val leads = (1 until DupSpanN)
+        .map(i => s"lead(tk, $i) OVER w AS l$i").mkString(", ")
+      val gram = ("tk" +: (1 until DupSpanN).map(i => s"l$i"))
+        .mkString(" || ' ' || ")
+      s"""WITH dtok AS (SELECT doc_id, string_split(text, ' ') AS t
+                        FROM documents),
+          tok AS MATERIALIZED (
+            SELECT doc_id, s.pos AS pos, s.tk AS tk
+            FROM (SELECT doc_id,
+                    unnest(list_transform(range(1, len(t) + 1),
+                      i -> {'pos': i, 'tk': t[i]})) AS s
+                  FROM dtok)),
+          g AS MATERIALIZED (
+            SELECT doc_id, pos, $gram AS gram
+            FROM (SELECT doc_id, pos, tk, $leads
+                  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+            WHERE l${DupSpanN - 1} IS NOT NULL),
+          occ AS (SELECT gram, count(*) AS occ FROM g GROUP BY 1),
+          ds AS (SELECT doc_id, pos FROM g JOIN occ USING (gram)
+                 WHERE occ >= 2),
+          fl AS (SELECT tok.doc_id, tok.pos, tok.tk,
+                        CASE WHEN ds.pos IS NULL THEN 0 ELSE 1 END AS dupf
+                 FROM tok LEFT JOIN ds USING (doc_id, pos)),
+          cov AS (SELECT doc_id, pos, tk,
+                    max(dupf) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN ${DupSpanN - 1} PRECEDING
+                      AND CURRENT ROW) AS c
+                  FROM fl)
+          SELECT doc_id, count(*) AS n_tokens,
+                 CAST(sum(c) AS BIGINT) AS n_removed,
+                 coalesce(string_agg(CASE WHEN c = 0 THEN tk END, ' '
+                   ORDER BY pos), '') AS cleaned
+          FROM cov GROUP BY doc_id ORDER BY doc_id ASC"""
+    },
+    // q205: the q44 unrolled-Lloyd chain + final assignment with
+    // distance kept, per-cluster hardest-first rank, ceiling as the
+    // exact integer predicate (rnk-1)*10^4 < n*keepBp
+    "q205_prototype_pruning" ->
+      s"""WITH $kmeansCtes,
+          dF AS (SELECT ed.vec_id, cf.centroid_id,
+                   round(sum((ed.x - cf.c) * (ed.x - cf.c)), 6) AS dist
+                 FROM ed JOIN c$KmeansIters cf ON ed.dim = cf.dim
+                 GROUP BY 1, 2),
+          aF AS (SELECT vec_id, centroid_id, dist FROM (
+                   SELECT vec_id, centroid_id, dist, row_number() OVER (
+                     PARTITION BY vec_id
+                     ORDER BY dist ASC, centroid_id ASC) AS rn
+                   FROM dF) WHERE rn = 1),
+          r AS (SELECT vec_id, centroid_id, dist,
+                  CAST(row_number() OVER (PARTITION BY centroid_id
+                    ORDER BY dist DESC, vec_id ASC) AS BIGINT) AS rnk,
+                  count(*) OVER (PARTITION BY centroid_id) AS cn
+                FROM aF)
+          SELECT vec_id, centroid_id, dist, rnk,
+                 CAST(cn AS BIGINT) AS cluster_n,
+                 ((rnk - 1) * 10000 < cn * $PruneKeepBp) AS kept
+          FROM r ORDER BY vec_id ASC""",
+    // q206: the deterministic PCM model replayed sample by sample —
+    // signed value, per-window |v| sum and sign-flip count (lag within
+    // the window partition), portable floor-round mean
+    "q206_audio_windows" ->
+      s"""WITH ad AS (SELECT doc_id, 32 + doc_id % 97 AS ns
+                      FROM documents),
+          sm AS (SELECT doc_id, unnest(range(0, ns)) AS i FROM ad),
+          sv AS (SELECT doc_id, i,
+                        ((doc_id * 131 + i * 29) % 256) - 128 AS v
+                 FROM sm),
+          wv AS (SELECT doc_id, i // $AudioFeatureWindow AS widx, i, v,
+                   lag(v) OVER (PARTITION BY doc_id,
+                     i // $AudioFeatureWindow ORDER BY i) AS pv
+                 FROM sv)
+          SELECT doc_id, CAST(widx AS BIGINT) AS window_idx,
+                 count(*) AS n_samples,
+                 CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+                 CAST(sum(CASE WHEN pv IS NOT NULL
+                            AND ((v >= 0) != (pv >= 0))
+                          THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+                 floor(CAST(sum(abs(v)) AS DOUBLE) / count(*) * 1000000
+                       + 0.5) / 1000000 AS mean_abs
+          FROM wv GROUP BY doc_id, widx
+          ORDER BY doc_id ASC, window_idx ASC""",
+    // q207: envelope fingerprint (length-relative sub-windows, bit k =
+    // E(k+1) > E(k)) then fp-keyed classes, 2×8-bit band candidates,
+    // per-bucket class cap with min-fp-anchor star reduction — the
+    // q201/q203 capped machinery on the audio fingerprint
+    "q207_audio_class_pairs" ->
+      s"""WITH ad AS (SELECT doc_id, 32 + doc_id % 97 AS ns
+                      FROM documents),
+          sm AS (SELECT doc_id, ns, unnest(range(0, ns)) AS i FROM ad),
+          sv AS (SELECT doc_id, ns, i,
+                        abs(((doc_id * 131 + i * 29) % 256) - 128) AS av
+                 FROM sm),
+          eb AS (SELECT doc_id, (i * $AudioFpSubWindows) // ns AS sw,
+                        sum(av) AS e
+                 FROM sv GROUP BY 1, 2),
+          fp AS MATERIALIZED (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN en > e THEN (1::BIGINT << sw)
+                            ELSE 0 END) AS BIGINT) AS f
+            FROM (SELECT doc_id, sw, e,
+                    lead(e) OVER (PARTITION BY doc_id ORDER BY sw) AS en
+                  FROM eb)
+            WHERE en IS NOT NULL GROUP BY doc_id),
+          cls AS (SELECT f, count(*) AS n_docs, min(doc_id) AS anchor
+                  FROM fp GROUP BY 1),
+          banded AS (SELECT f, n_docs, anchor, j AS band,
+                            CASE WHEN j = 0 THEN f & 255
+                                 ELSE (f >> 8) & 255 END AS bv
+                     FROM cls CROSS JOIN
+                       (SELECT unnest(range(0, 2)) AS j) bands),
+          stats AS (SELECT band, bv, count(*) AS n, min(f) AS af
+                    FROM banded GROUP BY 1, 2),
+          tagged AS (SELECT b.*, s.n, s.af
+                     FROM banded b JOIN stats s USING (band, bv)),
+          allp AS (SELECT a.f AS fp_a, b.f AS fp_b,
+                          a.n_docs AS n_a, b.n_docs AS n_b,
+                          a.anchor AS anchor_a, b.anchor AS anchor_b
+                   FROM tagged a JOIN tagged b USING (band, bv)
+                   WHERE a.n <= $AudioClassBucketCap
+                     AND b.n <= $AudioClassBucketCap
+                     AND a.f < b.f),
+          star AS (SELECT c.f AS fp_a, t.f AS fp_b,
+                          c.n_docs AS n_a, t.n_docs AS n_b,
+                          c.anchor AS anchor_a, t.anchor AS anchor_b
+                   FROM tagged t JOIN cls c ON c.f = t.af
+                   WHERE t.n > $AudioClassBucketCap AND t.f <> t.af),
+          u AS (SELECT DISTINCT fp_a, fp_b, n_a, n_b, anchor_a, anchor_b
+                FROM (SELECT * FROM allp UNION ALL SELECT * FROM star))
+          SELECT fp_a, fp_b, n_a, n_b, anchor_a, anchor_b,
+                 CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+          FROM u WHERE bit_count(xor(fp_a, fp_b)) <= $AudioFpMaxHamming
+          ORDER BY fp_a ASC, fp_b ASC""",
     "q46_token_counting" ->
       s"""SELECT doc_id,
                  len(string_split(text, ' ')) AS n_ws_tokens,

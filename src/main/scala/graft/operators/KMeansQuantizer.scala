@@ -92,6 +92,55 @@ object KMeansQuantizer {
     cents
   }
 
+  /** Final assignment WITH the (rounded) distance kept — the per-vector
+    * hardness signal prototype pruning ranks on. Same argmin discipline
+    * as [[lloydStep]]: `min(struct(dist, centroid_id))` — a hash agg,
+    * dist rounded to 6 decimals, ties break on centroid id. */
+  def assignWithDist(ed: DataFrame, cents: DataFrame): DataFrame = {
+    val dists = ed.join(broadcast(cents), "dim")
+      .groupBy(col("vec_id"), col("centroid_id"))
+      .agg(round(sum((col("x") - col("c")) * (col("x") - col("c"))), 6)
+        .as("dist"))
+    dists.groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("centroid_id"))).as("m"))
+      .select(col("vec_id"), col("m.centroid_id").as("centroid_id"),
+        col("m.dist").as("dist"))
+  }
+
+  /** Prototypicality pruning — Sorscher et al. 2022 ("Beyond neural
+    * scaling laws: beating power law scaling via data pruning"): in the
+    * abundant-data regime, keep each cluster's HARDEST examples (largest
+    * distance to its centroid) and drop the prototypical core. Ranks
+    * every vector within its fitted cluster by distance DESC (vec_id
+    * tie-break) and keeps rank ≤ ⌈keepBp/10⁴ · cluster size⌉ — the
+    * ceiling written as the exact integer predicate
+    * (rnk−1)·10⁴ < n·keepBp so both engines agree without float
+    * division; every non-empty cluster keeps ≥ 1 vector (rnk = 1 always
+    * satisfies it for keepBp ≥ 1).
+    *
+    * Scale shape: the corpus shuffles twice beyond the fit — once for
+    * the assignment agg, once for the per-CLUSTER rank/count window.
+    * Cluster-partitioned windows are the honest plan here: the keep
+    * budget is a FRACTION of the cluster, not a constant k, so no
+    * bounded-heap rewrite applies; a pathological megacluster is the
+    * k-means fit's problem (raise k), not the window's. Emits ALL
+    * vectors with the kept flag — the auditable form; callers filter. */
+  def prototypePruning(emb: DataFrame, k: Int, iters: Int,
+                       keepBp: Int): DataFrame = {
+    require(keepBp >= 1 && keepBp <= 10000, "keepBp is basis points")
+    import org.apache.spark.sql.expressions.Window
+    val ed = Shingles.shared(longForm(emb))
+    val cents = fit(emb, k, iters)
+    val asg = assignWithDist(ed, cents)
+    val wRank = Window.partitionBy(col("centroid_id"))
+      .orderBy(col("dist").desc, col("vec_id").asc)
+    val wN = Window.partitionBy(col("centroid_id"))
+    asg.withColumn("rnk", row_number().over(wRank).cast("long"))
+      .withColumn("cluster_n", count(lit(1)).over(wN))
+      .withColumn("kept",
+        (col("rnk") - 1) * 10000 < col("cluster_n") * keepBp)
+  }
+
   /** Within-cluster sum of squared distances for a centroid table — the
     * objective Lloyd iterations must not increase. */
   def sse(emb: DataFrame, cents: DataFrame): Double = {

@@ -419,6 +419,189 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ──────────────────────── audio path ────────────────────────
+  //
+  // Same discipline as the PNG path: a REAL codec round-trip on the
+  // JDK's own `javax.sound.sampled` — genuine RIFF/WAVE bytes (header +
+  // 8-bit unsigned mono PCM) are written into the binary column and
+  // genuinely parsed back out, sample for sample (PCM is lossless).
+  // Sample content derives from doc_id alone, so the DuckDB oracle
+  // replays the arithmetic without a codec while the engine exercises
+  // the true encode → binary-column → decode pipeline.
+
+  case class WavBlob(doc_id: Long, payload: Array[Byte])
+  case class AudioWindow(doc_id: Long, window_idx: Long, n_samples: Long,
+                         sum_abs: Long, zero_crossings: Long)
+  case class AudioFp(doc_id: Long, n_samples: Long, fp: Long)
+
+  /** Deterministic 8-bit unsigned PCM: n_samples = 32 + doc_id % 97,
+    * sample u(i) = (doc_id·131 + 29i) mod 256 (signed value u − 128).
+    * Sized so the sf10 oracle's sample expansion stays ~10⁷ rows —
+    * the codec work per row is identical in kind at any length. */
+  def audioSampleCount(id: Long): Int = (32 + id % 97).toInt
+
+  private def sampleU(id: Long, i: Int): Int =
+    ((id * 131 + i * 29) % 256).toInt
+
+  /** ENCODE: one genuine WAV per document (8 kHz, 8-bit unsigned mono —
+    * the WAVE container's native 8-bit convention, which the JDK writer
+    * requires) → (doc_id, payload: binary). */
+  def wavPayloads(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      // per-partition init: one AudioFormat, reused across rows
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1,
+        /* signed = */ false, /* bigEndian = */ false)
+      it.map { id =>
+        val ns = audioSampleCount(id)
+        val raw = Array.tabulate[Byte](ns)(i => sampleU(id, i).toByte)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(raw), fmt, ns.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        WavBlob(id, bos.toByteArray)
+      }
+    }.toDF()
+  }
+
+  /** DECODE: parse the actual WAV stream (header AND PCM frames) back
+    * to signed sample values. */
+  private def decodeSigned(payload: Array[Byte]): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val f = ais.getFormat
+    require(f.getSampleSizeInBits == 8 && f.getChannels == 1,
+      s"unexpected wav format $f")
+    ais.readAllBytes().map(b => (b & 0xff) - 128)
+  }
+
+  /** Windowed audio features from the REAL WAV decode — the
+    * feature-extraction stage of an audio pipeline (energy + zero
+    * crossings per fixed `window`-sample hop, the classic VAD /
+    * segmentation signals), batched per partition. One row per
+    * (doc, window); the last window may be short (its true length is
+    * emitted). Zero crossings count sign flips of consecutive samples
+    * WITHIN the window (sign(x) = x ≥ 0), so windows are independently
+    * recomputable — the property a chunked/streamed decoder needs. */
+  def audioWindowFeatures(spark: SparkSession, payloads: DataFrame,
+                          window: Int): DataFrame = {
+    require(window >= 2, "a window below 2 samples has no crossings")
+    import spark.implicits._
+    payloads.as[WavBlob].mapPartitions { it =>
+      it.flatMap { b =>
+        val s = decodeSigned(b.payload)
+        val nw = (s.length + window - 1) / window
+        (0 until nw).iterator.map { w =>
+          val st = w * window
+          val en = math.min(st + window, s.length)
+          var sa = 0L
+          var zc = 0L
+          var i = st
+          while (i < en) {
+            sa += math.abs(s(i))
+            if (i > st && ((s(i) >= 0) != (s(i - 1) >= 0))) zc += 1
+            i += 1
+          }
+          AudioWindow(b.doc_id, w.toLong, (en - st).toLong, sa, zc)
+        }
+      }
+    }.toDF()
+      .withColumn("mean_abs", graft.engine.Aggregates.round6Portable(
+        col("sum_abs").cast("double") / col("n_samples")))
+  }
+
+  /** Energy-envelope fingerprint — Haitsma & Kalker 2002 ("A Highly
+    * Robust Audio Fingerprinting System"): split the signal into
+    * `subWindows` equal index ranges (sub(i) = ⌊i·S/n⌋ — length-relative,
+    * so recordings of different lengths with the same envelope SHAPE
+    * fingerprint identically), sum |sample| per range, and set bit k
+    * when E(k+1) > E(k). The sign-of-energy-delta bit is the paper's
+    * core robustness trick: amplitude scaling and mild noise preserve
+    * deltas' signs. S−1 bits pack into one non-negative long. */
+  def audioFingerprints(spark: SparkSession, payloads: DataFrame,
+                        subWindows: Int): DataFrame = {
+    require(subWindows >= 2 && subWindows <= 32, "1..31 fingerprint bits")
+    import spark.implicits._
+    payloads.as[WavBlob].mapPartitions { it =>
+      it.map { b =>
+        val s = decodeSigned(b.payload)
+        val ns = s.length
+        val e = new Array[Long](subWindows)
+        var i = 0
+        while (i < ns) {
+          e((i.toLong * subWindows / ns).toInt) += math.abs(s(i))
+          i += 1
+        }
+        var fp = 0L
+        var k = 0
+        while (k < subWindows - 1) {
+          if (e(k + 1) > e(k)) fp |= (1L << k)
+          k += 1
+        }
+        AudioFp(b.doc_id, ns.toLong, fp)
+      }
+    }.toDF()
+  }
+
+  /** Audio near-dup CLASS pairs over the envelope fingerprint, capped
+    * from day one — completes the multimodal dedup family (image native
+    * [[pHashClassPairs]], image resampled [[resampledClassPairsCapped]],
+    * audio here). Classes key on the fingerprint ALONE (n_samples
+    * deliberately absent: the length-relative sub-windows exist so
+    * different-length recordings can match). 2 bands × 8 bits give
+    * exact recall at hamming ≤ 1 by pigeonhole; buckets over
+    * `maxBucket` star-reduce to their min-fp anchor class (the
+    * [[graft.operators.NearDup.simHashPairsCapped]] argument — CC needs
+    * connectivity, not every pairwise edge). Every emitted edge still
+    * passes the exact hamming verify. */
+  def audioClassPairsCapped(fps: DataFrame, maxHamming: Int,
+                            maxBucket: Long): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 2,
+      "2-band×8-bit pigeonhole recall needs maxHamming < 2")
+    require(maxBucket >= 2, "maxBucket must be at least 2")
+    val cls = Shingles.shared(
+      fps.groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("anchor")))
+    val banded = cls.select(col("fp"), col("n_docs"), col("anchor"),
+        explode(array(
+          struct(lit(0).as("band"),
+            col("fp").bitwiseAND(lit(255L)).as("bv")),
+          struct(lit(1).as("band"),
+            shiftright(col("fp"), 8).bitwiseAND(lit(255L)).as("bv"))))
+          .as("bb"))
+      .select(col("fp"), col("n_docs"), col("anchor"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    // fp is unique within a bucket, so the struct min is the bucket's
+    // min-fp class with its own counts riding along
+    val stats = banded.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("fp"), col("n_docs"), col("anchor"))).as("__a"))
+    val tagged = banded.join(stats, Seq("band", "bv"))
+    val small = tagged.filter(col("__n") <= maxBucket)
+    val allPairs = small
+      .select(col("band"), col("bv"), col("fp").as("fp_a"),
+        col("n_docs").as("n_a"), col("anchor").as("anchor_a"))
+      .join(small.select(col("band"), col("bv"), col("fp").as("fp_b"),
+        col("n_docs").as("n_b"), col("anchor").as("anchor_b")),
+        Seq("band", "bv"))
+      .filter(col("fp_a") < col("fp_b"))
+    val star = tagged.filter(col("__n") > maxBucket)
+      .filter(col("fp") =!= col("__a.fp"))
+      // the anchor carries the bucket's min fp, so a < b holds
+      .select(col("__a.fp").as("fp_a"), col("fp").as("fp_b"),
+        col("__a.n_docs").as("n_a"), col("n_docs").as("n_b"),
+        col("__a.anchor").as("anchor_a"), col("anchor").as("anchor_b"))
+    allPairs
+      .select(col("fp_a"), col("fp_b"), col("n_a"), col("n_b"),
+        col("anchor_a"), col("anchor_b"))
+      .union(star)
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** One sampled frame: index in the stream, byte offset, byte length.
     * A real decoder would add the decoded tensor / thumbnail bytes. */
   case class Frame(frame_idx: Long, offset: Long, n_bytes: Long)

@@ -485,6 +485,65 @@ object TextAnalysis {
           col("n_dup").cast("double") / col("n_grams")).as("dup_frac"))
   }
 
+  /** Duplicate-span REMOVAL — the production form of the Lee et al. 2022
+    * exact-substring dedup that [[dupSpanStats]] only measures: rewrite
+    * every document with its corpus-duplicated spans CUT OUT. A token
+    * position is removed when it is covered by any n-gram (starting at
+    * any of the n positions ending at it) that occurs ≥ 2 times
+    * corpus-wide — multiplicity counts, so a doc repeating its own
+    * boilerplate loses both copies, exactly the memorization-fuel
+    * definition.
+    *
+    * Shape (reference: Lee et al. use a suffix array; position n-grams
+    * are the shuffle-native equivalent at a fixed span width):
+    *   1. token positions (posexplode) — staged, referenced twice
+    *      (gram construction AND final reconstruction);
+    *   2. per-doc lead() windows build the n-gram at every start
+    *      (partitioned BY DOC — parallel, no global sort);
+    *   3. ONE corpus-wide shuffle: the gram-occurrence count;
+    *   4. duplicated starts broadcast coverage forward n−1 positions
+    *      via a per-doc ROWS window max (positions are dense per doc,
+    *      so ROWS ≡ RANGE);
+    *   5. per-doc rebuild: sorted collect of the surviving tokens.
+    * The collect_list is per-DOC (document-sized, the same bound every
+    * text operator here lives under), never corpus-sized. Docs shorter
+    * than n tokens have no grams, hence no coverage — they pass through
+    * verbatim, never dropped. A fully-duplicated doc yields
+    * cleaned = '' (present, empty — the caller decides whether an
+    * emptied doc is then dropped; this operator only rewrites). */
+  def dedupSpans(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, "spans below 2 tokens are single tokens")
+    import org.apache.spark.sql.expressions.Window
+    val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val toks = Shingles.shared(docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tk"))))
+    val withLeads = (1 until n).foldLeft(toks) { (d, i) =>
+      d.withColumn(s"__l$i", lead(col("tk"), i).over(wLead))
+    }
+    val grams = Shingles.shared(
+      withLeads.filter(col(s"__l${n - 1}").isNotNull)
+        .select(col("doc_id"), col("pos"), concat_ws(" ",
+          col("tk") +: (1 until n).map(i => col(s"__l$i")): _*).as("gram")))
+    val occ = grams.groupBy(col("gram")).agg(count(lit(1)).as("__occ"))
+    val dupStarts = grams.join(occ, Seq("gram"))
+      .filter(col("__occ") >= 2)
+      .select(col("doc_id"), col("pos"), lit(1L).as("__dup"))
+    // left join keeps EVERY token position; coverage = any duplicated
+    // start within the trailing n-1 positions (inclusive of self)
+    val wCov = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val covered = toks.join(dupStarts, Seq("doc_id", "pos"), "left")
+      .withColumn("__cov", max(coalesce(col("__dup"), lit(0L))).over(wCov))
+    covered.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__cov")).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+            when(col("__cov") === 0, struct(col("pos"), col("tk"))))),
+          s => s.getField("tk")), " ").as("cleaned"))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        col("cleaned"))
+  }
+
   /** Corpus QUALITY SCORECARD — the per-source report a curation run
     * publishes, rolled up from four independent quality operators in
     * one frame: stopword ratio ([[textStats]]), unigram-LM score

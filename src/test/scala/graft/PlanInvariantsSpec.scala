@@ -428,6 +428,40 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"q195 must not shuffle the corpus against the model:\n$plan")
   }
 
+  test("dedup-spans windows are all doc-partitioned (no corpus-wide sort)") {
+    // q204's lead and coverage windows must both partition BY DOC — an
+    // unpartitioned window here would single-partition the corpus's
+    // token positions
+    val plan = planOf("q204_dedup_spans")
+    val specs = "windowspecdefinition\\(([a-zA-Z_0-9]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(specs.nonEmpty && specs == Set("doc_id"),
+      s"q204 windows must partition by doc_id only, got $specs:\n$plan")
+  }
+
+  test("prototype pruning broadcasts the centroid table; ranks per cluster") {
+    // the fitted centroid table is k·dims rows — the assignment join
+    // must broadcast it against the long-form corpus, and the
+    // hardest-first rank must window per CLUSTER, never unpartitioned
+    val plan = planOf("q205_prototype_pruning")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q205 assignment must broadcast the centroids:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q205 must never shuffle the corpus against the model:\n$plan")
+    assert(plan.contains("windowspecdefinition(centroid_id"),
+      s"q205 rank must partition by cluster:\n$plan")
+  }
+
+  test("audio decode/feature path is a narrow map (no mid-plan shuffle)") {
+    // q206 is encode → binary column → decode → per-window reduce, all
+    // inside mapPartitions: the only exchange in the plan is the final
+    // presentation sort — a hashpartitioning here would mean the codec
+    // path started shuffling payload bytes
+    val plan = planOf("q206_audio_windows")
+    assert(!plan.contains("hashpartitioning"),
+      s"q206 must not shuffle payloads:\n$plan")
+  }
+
   test("df-band derivation windows over the POST-AGG df histogram, not corpus rows") {
     // dfHistogram's unpartitioned cumulative window is bounded by
     // |distinct df values| ONLY because its input is the df histogram

@@ -144,4 +144,171 @@ class Round10OpsSpec extends AnyFunSuite {
     }
     for (id <- 1L to 40L) assert(got(id) == expected(id), s"doc $id")
   }
+
+  // ─────────────────── duplicate-span removal (q204) ───────────────────
+
+  test("dedupSpans cuts corpus-duplicated spans, cross-doc and self-repeat") {
+    val docs = Seq(
+      (1L, "a b c d e f"),      // shares 3-gram "a b c" with doc 2
+      (2L, "x y a b c z"),
+      (3L, "p q r s p q r t"),  // self-repeats "p q r"
+      (4L, "short one"),        // < n tokens: passes through verbatim
+      (5L, "m n o"),            // fully duplicated against doc 6
+      (6L, "m n o"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dedupSpans(docs, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got(1L) == ((6L, 3L, "d e f")))
+    assert(got(2L) == ((6L, 3L, "x y z")))
+    // starts 0 and 4 cover positions 0-2 and 4-6; "s" (3) and "t" (7) survive
+    assert(got(3L) == ((8L, 6L, "s t")))
+    assert(got(4L) == ((2L, 0L, "short one")))
+    assert(got(5L) == ((3L, 3L, "")))
+    assert(got(6L) == ((3L, 3L, "")))
+  }
+
+  test("dedupSpans is the identity on docs dupSpanStats marks clean") {
+    val docs = graft.engine.Sources.table(spark, sfDir, "documents")
+    val stats = TextAnalysis.dupSpanStats(docs, 5)
+      .select(col("doc_id"), col("n_dup"))
+    val joined = TextAnalysis.dedupSpans(docs, 5)
+      .join(stats, Seq("doc_id"), "left")
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (cleaned, text) = (r.getAs[String]("cleaned"), r.getAs[String]("text"))
+      val nDup = Option(r.getAs[java.lang.Long]("n_dup")).map(_.toLong)
+      // n_dup == 0 (or too short for any gram) ⇒ nothing may be removed;
+      // split-on-space + rejoin is lossless, so cleaned == text exactly
+      if (nDup.forall(_ == 0L))
+        assert(cleaned == text && r.getAs[Long]("n_removed") == 0L,
+          s"doc ${r.getLong(0)} mutated without a duplicated span")
+      else assert(r.getAs[Long]("n_removed") > 0L)
+    }
+  }
+
+  // ───────────────── prototypicality pruning (q205) ─────────────────
+
+  test("prototypePruning keeps the hardest ceil-fraction of a cluster") {
+    // k = 1: seed is vec 1, one Lloyd step lands the centroid on the
+    // mean (2.0); dists 4, 1, 9 → hardest-first order v3, v1, v2;
+    // keepBp 3334 on 3 vecs keeps rank ≤ 2 ((rnk-1)·10⁴ < 3·3334)
+    val emb = Seq(
+      (1L, Seq(0.0f)), (2L, Seq(1.0f)), (3L, Seq(5.0f)))
+      .toDF("vec_id", "embedding")
+    val got = KMeansQuantizer.prototypePruning(emb, 1, 1, 3334)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(got(3L) == ((9.0, 1L, 3L, true)))
+    assert(got(1L) == ((4.0, 2L, 3L, true)))
+    assert(got(2L) == ((1.0, 3L, 3L, false)))
+  }
+
+  test("prototypePruning invariants on the fixture embeddings") {
+    val emb = graft.engine.Sources.table(spark, sfDir, "embeddings")
+    val rows = KMeansQuantizer.prototypePruning(emb, 4, 1, 5000).collect()
+    assert(rows.length == emb.count())
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, cs) =>
+      val n = cs.head.getLong(4)
+      assert(n == cs.length, s"cluster_n mismatch in cluster $cid")
+      val keep = cs.count(_.getBoolean(5))
+      assert(keep == (n * 5000 + 9999) / 10000,
+        s"cluster $cid kept $keep of $n")
+      assert(keep >= 1)
+      // kept set is exactly the top ranks, and ranks follow dist desc
+      val sorted = cs.sortBy(r => (-r.getDouble(2), r.getLong(0)))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(3) == i + 1, s"rank mismatch in cluster $cid")
+        assert(r.getBoolean(5) == (i + 1 <= keep))
+      }
+    }
+  }
+
+  // ───────────────────── audio path (q206/q207) ─────────────────────
+
+  test("wav payloads are genuine RIFF/WAVE and the decode replays the model") {
+    val d = (1L to 30L).map(Tuple1(_)).toDF("doc_id")
+    val payloads = Multimodal.wavPayloads(spark, d)
+    payloads.collect().foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      assert(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF")
+      assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    }
+    val got = Multimodal.audioWindowFeatures(spark, payloads, 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // independent JVM replay of the PCM model
+    for (id <- 1L to 30L) {
+      val ns = (32 + id % 97).toInt
+      val s = Array.tabulate(ns)(i => ((id * 131 + i * 29) % 256).toInt - 128)
+      val nw = (ns + 31) / 32
+      for (w <- 0 until nw) {
+        val st = w * 32; val en = math.min(st + 32, ns)
+        val sa = (st until en).map(i => math.abs(s(i)).toLong).sum
+        val zc = (st + 1 until en)
+          .count(i => (s(i) >= 0) != (s(i - 1) >= 0)).toLong
+        assert(got((id, w.toLong)) == ((en - st).toLong, sa, zc),
+          s"doc $id window $w")
+      }
+    }
+  }
+
+  /** Encode one genuine WAV (8-bit unsigned mono PCM) for the
+    * fingerprint tests — the audio analog of [[pngOf]]. */
+  private def wavOf(id: Long, samples: Array[Int]): (Long, Array[Byte]) = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val raw = samples.map(u => u.toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    (id, bos.toByteArray)
+  }
+
+  test("envelope fingerprint is invariant to sample replication (tempo-stretch analog)") {
+    // Haitsma-Kalker robustness: the fingerprint reads the envelope
+    // SHAPE through length-relative sub-windows, so a signal and its
+    // 2×-replicated stretch (every sample doubled — E(k) scales by 2,
+    // delta signs unchanged) must fingerprint identically
+    val base = Array.tabulate(32)(i => (40 + (i * i * 7) % 180))
+    val stretched = base.flatMap(u => Array(u, u))
+    val fps = Multimodal.audioFingerprints(spark,
+        Seq(wavOf(1L, base), wavOf(2L, stretched)).toDF("doc_id", "payload"),
+        16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fps(1L)._1 == 32L && fps(2L)._1 == 64L)
+    assert(fps(1L)._2 == fps(2L)._2,
+      s"replicated signal must keep the fingerprint: $fps")
+  }
+
+  test("audio class pairs: exact under the cap, star-reduced over it") {
+    // 20 classes sharing band 1 (high byte 0): fp = 0..19 — one flooded
+    // bucket. Star edges go anchor (fp 0) → member, then the exact
+    // hamming verify keeps only bit-count-1 members: fp ∈ {1,2,4,8,16}
+    val flood = (0L until 20L).map(fp => (100L + fp, 32L, fp))
+      .toDF("doc_id", "n_samples", "fp")
+    val starRows = Multimodal.audioClassPairsCapped(flood, 1, 8).collect()
+    val star = starRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star == Set((0L, 1L), (0L, 2L), (0L, 4L), (0L, 8L), (0L, 16L)),
+      s"flood must star-reduce to the anchor's hamming-1 edges: $star")
+    starRows.foreach(r => assert(r.getAs[Long]("hamming") <= 1L))
+
+    // under the cap the 2×8-bit band join is pigeonhole-exact at
+    // hamming ≤ 1: compare against the brute-force class-pair truth
+    val fps = Seq(5L, 7L, 37L, 36L, 260L, 261L, 300L, 1025L)
+      .zipWithIndex.map { case (fp, i) => (i.toLong, 32L, fp) }
+      .toDF("doc_id", "n_samples", "fp")
+    val got = Multimodal.audioClassPairsCapped(fps, 1, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val distinct = Seq(5L, 7L, 37L, 36L, 260L, 261L, 300L, 1025L)
+    val brute = (for {
+      a <- distinct; b <- distinct
+      if a < b && java.lang.Long.bitCount(a ^ b) <= 1
+    } yield (a, b)).toSet
+    assert(got == brute, s"got $got expected $brute")
+  }
 }
