@@ -13,6 +13,8 @@ import graft.operators.{DataMix, Graph, NearDup, Sampling, TextAnalysis}
   * operators; no collects besides the final counts):
   *
   *   1. quality filter   — curationDecision reasons → keep
+  *   1.5 span removal    — (optional) corpus-duplicated spans cut out
+  *                         of surviving docs (q204's operator)
   *   2. exact dedup      — latest doc per normalized-content key
   *   3. near-dup dedup   — simhash pairs → connected components →
   *                         one canonical doc per cluster
@@ -31,6 +33,7 @@ import graft.operators.{DataMix, Graph, NearDup, Sampling, TextAnalysis}
 object Pipeline {
 
   final case class StageCounts(input: Long, afterQuality: Long,
+                               afterSpanRewrite: Long,
                                afterExact: Long, afterNearDup: Long,
                                afterMix: Long, manifestCells: Long)
 
@@ -59,11 +62,14 @@ object Pipeline {
                                 dupSpanN: Int = 5,
                                 maxDupFrac: Double = 1.0,
                                 nbBuckets: Int = 256,
-                                nbSalt: String = "nb-v1") {
+                                nbSalt: String = "nb-v1",
+                                spanDedupN: Int = 0) {
     require(dropPplBuckets >= 0 && dropPplBuckets < pplBuckets,
       s"tail cut must leave at least one bucket: $dropPplBuckets/$pplBuckets")
     require(maxDupFrac > 0 && maxDupFrac <= 1.0,
       s"dup-span ceiling must be in (0, 1], got $maxDupFrac")
+    require(spanDedupN == 0 || spanDedupN >= 2,
+      s"span-removal width must be off (0) or a real span, got $spanDedupN")
   }
 
   /** Stage 3's near-dup pair generator — exposed so the flood spec can
@@ -110,6 +116,26 @@ object Pipeline {
     // most expensive in the pipeline) would run once per consumer
     val quality = docs.join(keepIds, "doc_id").localCheckpoint()
 
+    // 1.5 (optional, `spanDedupN` ≥ 2): duplicate-span REMOVAL — the
+    // Lee et al. exact-substring dedup in its production form (q204):
+    // instead of only DROPPING dup-heavy docs (the maxDupFrac gate),
+    // REWRITE every surviving doc with its corpus-duplicated spans cut
+    // out. Runs over the quality-pass corpus (duplication is defined
+    // on what survives stage 1 — no compute spent on dropped docs) and
+    // BEFORE exact dedup, so docs differing only in removed boilerplate
+    // collapse to one normalized key in stage 2. Docs emptied by the
+    // rewrite were pure corpus-duplicated boilerplate and are dropped
+    // (the operator itself only rewrites; the drop is pipeline policy).
+    val spanned =
+      if (knobs.spanDedupN < 2) quality
+      else quality
+        .join(TextAnalysis.dedupSpans(quality, knobs.spanDedupN)
+          .select(col("doc_id"), col("cleaned")), Seq("doc_id"))
+        .withColumn("text", col("cleaned")).drop("cleaned")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .filter(col("n_chars") > 0)
+        .localCheckpoint()
+
     // 2. exact dedup on the normalized content key (case/punct/space
     // insensitive); smallest doc_id is canonical
     // latestByKey keeps the max of orderBy; negating picks the SMALLEST
@@ -118,7 +144,7 @@ object Pipeline {
     // materialization the whole upstream chain runs once per branch
     // (at 100 TB each stage would be a staging table instead).
     val exact = Dedup.latestByKey(
-        quality.withColumn("__key",
+        spanned.withColumn("__key",
           md5(TextAnalysis.normalizeText(col("text")))),
         keys = Seq("__key"), orderBy = Seq(-col("doc_id")))
       .drop("__key")
@@ -181,8 +207,8 @@ object Pipeline {
         .coalesce(1).write.mode("overwrite").parquet(dir + "_scorecard")
     }
 
-    StageCounts(docs.count(), quality.count(), exact.count(),
-      survivors.count(), mixed.count(), manifest.count())
+    StageCounts(docs.count(), quality.count(), spanned.count(),
+      exact.count(), survivors.count(), mixed.count(), manifest.count())
   }
 
   def main(args: Array[String]): Unit = {
@@ -198,13 +224,17 @@ object Pipeline {
     spark.sparkContext.setLogLevel("WARN")
     val rates = Map("src1" -> 1.0, "src2" -> 1.0, "src3" -> 0.5,
       "src5" -> 0.8, "src7" -> 1.0, "src11" -> 0.25)
-    // the production profile turns the round-9 signals ON: cut the
-    // lowest perplexity decile (CCNet tail) and cap the duplicated-
-    // substring fraction
+    // the production profile turns the round-9 signals ON — cut the
+    // lowest perplexity decile (CCNet tail), cap the duplicated-
+    // substring fraction — and the round-10 span REWRITE (q204's
+    // operator): surviving docs lose their corpus-duplicated 5-grams
+    // before exact dedup
     val c = curate(spark, Sources.table(spark, sfDir, "documents"),
       rates, "pipeline-v1", out,
-      knobs = QualityKnobs(dropPplBuckets = 1, maxDupFrac = 0.9))
+      knobs = QualityKnobs(dropPplBuckets = 1, maxDupFrac = 0.9,
+        spanDedupN = 5))
     println(s"""{"input":${c.input},"quality":${c.afterQuality},""" +
+      s""""span_rewrite":${c.afterSpanRewrite},""" +
       s""""exact":${c.afterExact},"neardup":${c.afterNearDup},""" +
       s""""mixed":${c.afterMix},"manifest_cells":${c.manifestCells}}""")
     spark.stop()

@@ -3106,6 +3106,16 @@ object SparkEntry {
         AudioFpMaxHamming, AudioClassBucketCap)
       .orderBy(col("fp_a").asc, col("fp_b").asc)
 
+  /** Streaming quality gate ([[EventStream.runQualityGateOnce]]): the
+    * corpus streamed through the join-free STATELESS form of q69's
+    * curation decision (pure column expressions — no stream-stream
+    * self-join, no state store), rolled up to the per-source admission
+    * report a streaming ingest publishes. Same knobs as q69; the
+    * per-doc decisions are spec-pinned ≡ the batch form. */
+  private def q208(s: SparkSession, dir: String): DataFrame =
+    EventStream.runQualityGateOnce(s, dir, TextAnalysis.stopwords("en"),
+      minTokens = 5, minStopRatio = 0.10, maxRepRatio = 0.5)
+
   /** Corpus QUALITY SCORECARD — the per-source report a curation run
     * publishes, rolled up from four independent quality operators in
     * one query: stopword ratio (q18), unigram-LM score (q110/q196),
@@ -4698,7 +4708,8 @@ object SparkEntry {
     "q204_dedup_spans" -> (q204 _),
     "q205_prototype_pruning" -> (q205 _),
     "q206_audio_windows" -> (q206 _),
-    "q207_audio_class_pairs" -> (q207 _))
+    "q207_audio_class_pairs" -> (q207 _),
+    "q208_stream_quality_gate" -> (q208 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -5841,6 +5852,49 @@ object SparkEntry {
                  CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
           FROM u WHERE bit_count(xor(fp_a, fp_b)) <= $AudioFpMaxHamming
           ORDER BY fp_a ASC, fp_b ASC""",
+    // q208: q69's per-doc decision CTEs rolled up per source — the
+    // streaming gate must equal the batch census exactly (the per-doc
+    // decisions are stateless, so micro-batching cannot move a count)
+    "q208_stream_quality_gate" -> {
+      val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+      val hitCols = langs
+        .map(l => s"${sqlStopHits(TextAnalysis.stopwords(l))} AS hits_$l")
+        .mkString(", ")
+      val g = langs.map(l => s"hits_$l").mkString("greatest(", ", ", ")")
+      val cases = langs
+        .map(l => s"WHEN hits_$l = g AND g > 0 THEN '$l'").mkString(" ")
+      val stop = sqlStopHits(TextAnalysis.stopwords("en"))
+      def n(c: String) =
+        s"CAST(sum(CASE WHEN $c THEN 1 ELSE 0 END) AS BIGINT) AS n_$c"
+      s"""WITH $sqlShingles,
+          d AS (SELECT doc_id, count(*) AS n_distinct FROM sh GROUP BY doc_id),
+          t AS (SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) - 2 AS BIGINT) AS n_total
+                FROM documents),
+          rep AS (SELECT t.doc_id, 1.0 - d.n_distinct / t.n_total AS rep_ratio
+                  FROM t JOIN d ON t.doc_id = d.doc_id WHERE t.n_total > 0),
+          st AS (SELECT doc_id, source,
+                        len(string_split(text, ' ')) AS n_tokens,
+                        $stop / len(string_split(text, ' ')) AS stop_ratio
+                 FROM documents),
+          sc AS (SELECT doc_id, lang, $hitCols FROM documents),
+          p AS (SELECT doc_id, lang, CASE $cases ELSE 'und' END AS pred_lang
+                FROM (SELECT *, $g AS g FROM sc)),
+          r AS (SELECT st.doc_id, st.source,
+                       st.n_tokens < 5 AS too_short,
+                       st.stop_ratio < 0.10 AS low_stopword,
+                       coalesce(rep.rep_ratio, 0) > 0.5 AS high_repetition,
+                       p.pred_lang != p.lang AS lang_mismatch
+                FROM st JOIN p ON st.doc_id = p.doc_id
+                LEFT JOIN rep ON st.doc_id = rep.doc_id)
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(CASE WHEN NOT (too_short OR low_stopword
+                            OR high_repetition OR lang_mismatch)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+                 ${n("too_short")}, ${n("low_stopword")},
+                 ${n("high_repetition")}, ${n("lang_mismatch")}
+          FROM r GROUP BY source ORDER BY source ASC"""
+    },
     "q46_token_counting" ->
       s"""SELECT doc_id,
                  len(string_split(text, ' ')) AS n_ws_tokens,

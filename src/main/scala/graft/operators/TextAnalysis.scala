@@ -208,6 +208,62 @@ object TextAnalysis {
         col("high_repetition") || col("lang_mismatch")))
   }
 
+  /** [[curationDecision]] as ONE join-free select — the STREAMING form:
+    * every signal (token count, stopword ratio, distinct-shingle
+    * repetition, stopword-profile lang-ID) is a pure column expression
+    * over the doc row, so the decision is stateless on a stream (no
+    * stream-stream self-join, no state store) and trivially identical
+    * across micro-batch splits. Semantics are spec-pinned ≡ the batch
+    * form: the 3-shingle set mirrors [[graft.functions.ShingleGenerator]]
+    * (split on single spaces keeping empties, per-doc distinct), docs
+    * with < 3 tokens take repetition 0 (the batch left-join coalesce).
+    * The batch form stays the default for batch callers — its staged
+    * shingle table is shared with the rest of the dedup family, where
+    * this form would recompute. */
+  def curationDecisionStateless(docs: DataFrame, stopSet: Seq[String],
+                                minTokens: Long, minStopRatio: Double,
+                                maxRepRatio: Double): DataFrame = {
+    // LAYERED selects, each higher-order function evaluated exactly
+    // ONCE as a named column: HOFs (filter/transform lambdas) run
+    // interpreted (CodegenFallback), so an expression tree that
+    // re-expands them — the lang argmax referencing every language's
+    // hit count inside every WHEN branch — multiplies the per-row cost
+    // ~25× (measured 378 s vs 18 s for the batch form at sf10 before
+    // this layering). Downstream layers reference only SCALAR columns,
+    // which Catalyst may inline for free; the non-cheap aliases stay
+    // un-collapsed (CollapseProject duplicates only cheap expressions).
+    val langs = stopwords.keys.toSeq.sorted
+    val toksed = docs.select(col("doc_id"), col("source"), col("lang"),
+      tokens(col("text")).as("__toks"))
+    val t = col("__toks")
+    val scoreCols = Seq(
+      col("doc_id"), col("source"), col("lang"),
+      size(t).cast("long").as("__n_tok"),
+      hitCount(t, stopSet).as("__n_stop"),
+      when(size(t) >= 3,
+        size(array_distinct(transform(sequence(lit(0), size(t) - 3),
+          i => concat_ws(" ", element_at(t, i + 1),
+            element_at(t, i + 2), element_at(t, i + 3))))))
+        .otherwise(lit(0)).cast("long").as("__n_distinct")) ++
+      langs.map(l => hitCount(t, stopwords(l)).as(s"__hits_$l"))
+    val scored = toksed.select(scoreCols: _*)
+    val best = langs.map(l => col(s"__hits_$l")).reduce(greatest(_, _))
+    val pred = langs.reverse.foldLeft(lit("und")) { case (acc, l) =>
+      when(col(s"__hits_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    val nTotal = col("__n_tok") - 2
+    val repRatio = when(nTotal > 0,
+      lit(1.0) - col("__n_distinct") / nTotal).otherwise(lit(0.0))
+    scored.select(col("doc_id"), col("source"),
+        (col("__n_tok") < minTokens).as("too_short"),
+        (col("__n_stop") / col("__n_tok") < minStopRatio).as("low_stopword"),
+        (repRatio > maxRepRatio).as("high_repetition"),
+        (pred =!= col("lang")).as("lang_mismatch"))
+      .withColumn("keep",
+        !(col("too_short") || col("low_stopword") ||
+          col("high_repetition") || col("lang_mismatch")))
+  }
+
   /** Word n-grams as rows: (doc_id, ngram) with the gram joined by
     * single spaces, one row per POSITION (duplicates preserved —
     * callers wanting per-doc gram SETS apply `.distinct()`). Same

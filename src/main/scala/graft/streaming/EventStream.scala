@@ -241,6 +241,34 @@ object EventStream {
     }
   }
 
+  /** Stream the document corpus through the JOIN-FREE quality gate
+    * ([[graft.operators.TextAnalysis.curationDecisionStateless]]) — the
+    * streaming front door of the curation pipeline: per-doc keep/reason
+    * decisions are pure column expressions (no stream-stream self-join,
+    * no state store, identical under any micro-batch split), summarized
+    * to the per-source admission report a streaming ingest publishes.
+    * The per-doc decisions are spec-pinned ≡ the batch
+    * `curationDecision` (q69), so the gate's semantics never fork
+    * between the batch and streaming entrances. */
+  def runQualityGateOnce(spark: SparkSession, sfDir: String,
+                         stopSet: Seq[String], minTokens: Long,
+                         minStopRatio: Double,
+                         maxRepRatio: Double): DataFrame = {
+    val stream = spark.readStream.schema(Sources.documents)
+      .parquet(s"$sfDir/documents.parque[t]")
+    val decided = graft.operators.TextAnalysis.curationDecisionStateless(
+      stream, stopSet, minTokens, minStopRatio, maxRepRatio)
+    runToMemory(spark, "qgate_", "append", decided) { t =>
+      def n(c: String) = sum(when(col(c), 1L).otherwise(0L)).as(s"n_$c")
+      t.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+          n("too_short"), n("low_stopword"),
+          n("high_repetition"), n("lang_mismatch"))
+        .orderBy(col("source").asc)
+    }
+  }
+
   /** Score a document STREAM with a batch-trained DSIR model — the
     * train-then-apply shape on streams: the ≤|buckets|-row score table
     * is built once from the static corpus

@@ -514,7 +514,9 @@ class PipelineOpsSpec extends AnyFunSuite {
       "src5" -> 0.8, "src7" -> 1.0, "src11" -> 0.25)
     val c = graft.Pipeline.curate(spark,
       Sources.table(spark, sfDir, "documents"), rates, "pipeline-v1", Some(out))
-    assert(c.input >= c.afterQuality && c.afterQuality >= c.afterExact &&
+    assert(c.input >= c.afterQuality &&
+      c.afterQuality >= c.afterSpanRewrite &&
+      c.afterSpanRewrite >= c.afterExact &&
       c.afterExact >= c.afterNearDup && c.afterNearDup >= c.afterMix,
       s"stages must only shrink: $c")
     assert(c.afterMix > 0, "the pipeline should keep something")
@@ -575,7 +577,8 @@ class PipelineOpsSpec extends AnyFunSuite {
         dropPplBuckets = 1, maxDupFrac = 0.9))
     assert(on.afterQuality === 39L,
       s"tail cut + dup ceiling must drop exactly gib + X/Y: $on")
-    assert(on.afterQuality >= on.afterExact &&
+    assert(on.afterQuality >= on.afterSpanRewrite &&
+      on.afterSpanRewrite >= on.afterExact &&
       on.afterExact >= on.afterNearDup && on.afterNearDup >= on.afterMix)
     // the scorecard lands beside the manifest and censuses the CURATED
     // corpus (sum of its per-source doc counts = the mixed output)
@@ -585,6 +588,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     val cardDocs = card.agg(sum("n_docs")).collect()(0).getLong(0)
     assert(cardDocs === on.afterMix,
       s"scorecard must census the curated corpus: $cardDocs vs ${on.afterMix}")
+  }
+
+  test("curate span rewrite: boilerplate cut, emptied docs dropped, tails survive") {
+    // one 10-token boilerplate phrase shared by THREE quality-passing
+    // docs (every interior 5-gram occurs 3× corpus-wide), two with
+    // distinct 6-token tails and one that IS the boilerplate; plus one
+    // all-unique doc. spanDedupN = 5 must cut the boilerplate from all
+    // three, drop the emptied doc, and leave the other two as their
+    // tails — distinct, so exact dedup keeps both.
+    val boiler = "the of b1 b2 b3 b4 b5 b6 b7 b8"
+    val docs = Seq(
+      (1L, s"$boiler alpha bravo charlie delta echo foxtrot", "src1"),
+      (2L, s"$boiler zulu yankee xray whiskey victor uniform", "src1"),
+      (3L, boiler, "src1"),
+      (4L, "the of u1 u2 u3 u4 u5 u6", "src1"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val rates = Map("src1" -> 1.0)
+
+    // off by default: the rewrite stage is the identity
+    val off = graft.Pipeline.curate(spark, docs, rates, "span-spec", None)
+    assert(off.afterQuality === 4L && off.afterSpanRewrite === 4L,
+      s"default knobs must not rewrite: $off")
+
+    val out = java.nio.file.Files.createTempDirectory("pipes").toString + "/o"
+    val on = graft.Pipeline.curate(spark, docs, rates, "span-spec",
+      Some(out), knobs = graft.Pipeline.QualityKnobs(spanDedupN = 5))
+    assert(on.afterQuality === 4L, s"all docs pass stage 1: $on")
+    assert(on.afterSpanRewrite === 3L,
+      s"the pure-boilerplate doc must empty and drop: $on")
+    assert(on.afterExact === 3L && on.afterNearDup === 3L,
+      s"distinct tails must survive dedup: $on")
+    val written = spark.read.parquet(out)
+      .select(col("doc_id"), col("text"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(written(1L)._1 == "alpha bravo charlie delta echo foxtrot")
+    assert(written(2L)._1 == "zulu yankee xray whiskey victor uniform")
+    assert(written(4L)._1 == "the of u1 u2 u3 u4 u5 u6",
+      "the all-unique doc must pass through verbatim")
+    // n_chars is recomputed from the REWRITTEN text
+    written.foreach { case (id, (t, n)) => assert(n == t.length, s"doc $id") }
   }
 
   test("curation pipeline is flood-safe: capped stage-3 generator, flood collapses") {

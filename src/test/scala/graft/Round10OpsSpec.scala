@@ -311,4 +311,34 @@ class Round10OpsSpec extends AnyFunSuite {
     } yield (a, b)).toSet
     assert(got == brute, s"got $got expected $brute")
   }
+
+  // ─────────────── streaming quality gate (q208) ───────────────
+
+  test("stateless curation decision ≡ the batch form, edge cases included") {
+    // the streaming gate's semantics must never fork from q69's: same
+    // decision on every fixture doc AND on the edge shapes the fixture
+    // may not contain (empty text, < 3 tokens, all-repeated 3 tokens,
+    // double spaces → empty tokens)
+    val edge = Seq(
+      (9001L, "", "sx", "en"),
+      (9002L, "a b", "sx", "en"),
+      (9003L, "the the the", "sx", "en"),
+      (9004L, "the  of  a  b  c", "sx", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val docs = graft.engine.Sources.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("source"), col("lang"),
+        col("n_chars"))
+      .union(edge)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("too_short"), col("low_stopword"),
+        col("high_repetition"), col("lang_mismatch"), col("keep"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))).toSet
+    val batch = key(TextAnalysis.curationDecision(docs,
+      TextAnalysis.stopwords("en"), 5, 0.10, 0.5))
+    val stateless = key(TextAnalysis.curationDecisionStateless(docs,
+      TextAnalysis.stopwords("en"), 5, 0.10, 0.5))
+    assert(stateless == batch)
+  }
 }
