@@ -3116,6 +3116,47 @@ object SparkEntry {
     EventStream.runQualityGateOnce(s, dir, TextAnalysis.stopwords("en"),
       minTokens = 5, minStopRatio = 0.10, maxRepRatio = 0.5)
 
+  /** The MULTIMODAL curation record — one row per document carrying
+    * every modality's fingerprint and quality signal side by side:
+    * text (token count, stopword ratio), image (the scale-invariant
+    * resampled aHash, q202's fingerprint, from the REAL PNG decode)
+    * and audio (the envelope fingerprint, q207's, from the REAL WAV
+    * decode). This is the typed record a multimodal training pipeline
+    * stages once and every downstream consumer (dedup, mixing,
+    * retrieval) keys into — three 1:1 equi-joins on doc_id, each side
+    * a narrow decode map, no fan-out anywhere. */
+  private def q209(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val txt = TextAnalysis.textStats(d, TextAnalysis.stopwords("en"))
+      .select(col("doc_id"), col("n_tokens"),
+        Aggregates.round6Portable(col("stopword_ratio"))
+          .as("stopword_ratio"))
+    val img = Multimodal.pHashesResampled(s,
+        Multimodal.pngPayloads(s, d), PHashGrid)
+      .select(col("doc_id"), col("width"), col("height"),
+        col("ph_hi"), col("ph_lo"))
+    val aud = Multimodal.audioFingerprints(s,
+        Multimodal.wavPayloads(s, d), AudioFpSubWindows)
+      .select(col("doc_id"), col("n_samples"), col("fp").as("audio_fp"))
+    txt.join(img, Seq("doc_id")).join(aud, Seq("doc_id"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Temperature-smoothed mixture budget (q210). */
+  private val TempBudgetDen = 2
+  private val TempMixSalt = "temp-v1"
+
+  /** Exponentiated-smoothing mixture
+    * ([[graft.operators.DataMix.temperatureMix]], α = ½ — the
+    * mBERT/XLM low-resource boost): per-source sampling rates ∝
+    * √tokens instead of tokens, integerized once and carried through
+    * exact DECIMAL(38,0) cross-multiplication, membership by the
+    * standard hash-bucket contract. */
+  private def q210(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DataMix
+      .temperatureMix(docs(s, dir), TempBudgetDen, TempMixSalt)
+      .orderBy(col("source").asc)
+
   /** Corpus QUALITY SCORECARD — the per-source report a curation run
     * publishes, rolled up from four independent quality operators in
     * one query: stopword ratio (q18), unigram-LM score (q110/q196),
@@ -4709,7 +4750,9 @@ object SparkEntry {
     "q205_prototype_pruning" -> (q205 _),
     "q206_audio_windows" -> (q206 _),
     "q207_audio_class_pairs" -> (q207 _),
-    "q208_stream_quality_gate" -> (q208 _))
+    "q208_stream_quality_gate" -> (q208 _),
+    "q209_multimodal_record" -> (q209 _),
+    "q210_temperature_mix" -> (q210 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -5895,6 +5938,74 @@ object SparkEntry {
                  ${n("high_repetition")}, ${n("lang_mismatch")}
           FROM r GROUP BY source ORDER BY source ASC"""
     },
+    // q209: the multimodal record = text stats ⋈ resampled image hash
+    // ⋈ audio envelope fingerprint, every modality replayed from its
+    // deterministic model (q202's resample chain, q207's PCM chain)
+    "q209_multimodal_record" -> {
+      val stop = sqlStopHits(TextAnalysis.stopwords("en"))
+      s"""WITH $pHashResampleCtes,
+          ad AS (SELECT doc_id, 32 + doc_id % 97 AS ns FROM documents),
+          sm AS (SELECT doc_id, ns, unnest(range(0, ns)) AS i FROM ad),
+          sv AS (SELECT doc_id, ns, i,
+                        abs(((doc_id * 131 + i * 29) % 256) - 128) AS av
+                 FROM sm),
+          eb AS (SELECT doc_id, (i * $AudioFpSubWindows) // ns AS sw,
+                        sum(av) AS e
+                 FROM sv GROUP BY 1, 2),
+          fp AS (SELECT doc_id,
+                        CAST(sum(CASE WHEN en > e THEN (1::BIGINT << sw)
+                                 ELSE 0 END) AS BIGINT) AS f
+                 FROM (SELECT doc_id, sw, e,
+                         lead(e) OVER (PARTITION BY doc_id ORDER BY sw) AS en
+                       FROM eb)
+                 WHERE en IS NOT NULL GROUP BY doc_id),
+          tq AS (SELECT doc_id,
+                        CAST(len(string_split(text, ' ')) AS BIGINT)
+                          AS n_tokens,
+                        floor($stop * 1.0
+                              / len(string_split(text, ' ')) * 1000000
+                              + 0.5) / 1000000 AS stopword_ratio
+                 FROM documents)
+          SELECT tq.doc_id, tq.n_tokens, tq.stopword_ratio,
+                 rs.width, rs.height, rs.ph_hi, rs.ph_lo,
+                 CAST(ad.ns AS BIGINT) AS n_samples, fp.f AS audio_fp
+          FROM tq JOIN rs ON tq.doc_id = rs.doc_id
+            JOIN ad ON tq.doc_id = ad.doc_id
+            JOIN fp ON tq.doc_id = fp.doc_id
+          ORDER BY tq.doc_id ASC"""
+    },
+    // q210: √-weight integerized once (⌊√tokens·10³+½⌋), then pure
+    // HUGEINT cross-multiplication — sqrt is IEEE-correctly-rounded in
+    // both engines, so the only float op agrees bit for bit
+    "q210_temperature_mix" ->
+      s"""WITH census AS (SELECT source, count(*) AS n_docs,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens
+               FROM documents GROUP BY 1),
+          wi AS (SELECT source, n_docs, n_tokens,
+                   CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000 + 0.5)
+                     AS BIGINT) AS w
+                 FROM census),
+          tot AS (SELECT sum(w) AS tw, sum(n_tokens) AS tt FROM wi),
+          rated AS (SELECT source, n_docs, n_tokens,
+                      least(10000, CAST(
+                        (CAST(w AS HUGEINT) * (tt // $TempBudgetDen) * 10000)
+                        // (CAST(tw AS HUGEINT) * n_tokens) AS BIGINT))
+                        AS rate_bp
+                    FROM wi CROSS JOIN tot),
+          kept AS (SELECT d.source, count(*) AS n_kept_docs,
+                     CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
+                       AS n_kept_tokens
+                   FROM documents d JOIN rated r USING (source)
+                   WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                       || '$TempMixSalt'), 1, 8))::BIGINT % 10000
+                     < r.rate_bp
+                   GROUP BY 1)
+          SELECT r.source, r.n_docs, r.n_tokens, r.rate_bp,
+                 coalesce(k.n_kept_docs, 0) AS n_kept_docs,
+                 coalesce(k.n_kept_tokens, 0) AS n_kept_tokens
+          FROM rated r LEFT JOIN kept k USING (source)
+          ORDER BY source ASC""",
     "q46_token_counting" ->
       s"""SELECT doc_id,
                  len(string_split(text, ' ')) AS n_ws_tokens,

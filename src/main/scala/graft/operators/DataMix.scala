@@ -189,6 +189,57 @@ object DataMix {
       .orderBy(col("source").asc)
   }
 
+  /** Temperature-smoothed mixture rates — the exponentiated-smoothing
+    * rule of multilingual pretraining (Devlin et al. 2019 mBERT, α
+    * exponent; Conneau & Lample 2019 XLM, α = 0.5): sources are
+    * sampled proportionally to p_s^α instead of p_s, boosting
+    * low-resource sources without flattening the mix. Fixed α = ½ here
+    * so the weight is `sqrt` — IEEE-correctly-rounded in BOTH engines
+    * (an arbitrary `pow` is libm-dependent and NOT portable), then
+    * integerized once (⌊√tokens·10³+½⌋, the round-half-up idiom) so
+    * everything downstream is exact integer arithmetic:
+    *
+    *   rate_bp(s) = min(10⁴, ⌊10⁴·w_s·B / (W·tokens_s)⌋),
+    *   B = Σtokens DIV budgetDen, w_s = ⌊√tokens_s·10³+½⌋, W = Σw_s
+    *
+    * (cross-multiplied in DECIMAL(38,0), quotient via integral `div` —
+    * the df-band discipline; exact at any corpus the DECIMAL holds).
+    * Membership is then [[Sampling.hashBucket]] < rate_bp — the same
+    * pure-function-of-(doc_id, salt) contract as every sampler here,
+    * so the kept set is rerun-stable and engine-portable. One corpus
+    * scan for the census (staged), one broadcast of the |sources|-row
+    * rate table back onto the corpus for the kept rollup. Output per
+    * source: census, rate_bp, kept docs/tokens. */
+  def temperatureMix(docs: DataFrame, budgetDen: Int,
+                     salt: String): DataFrame = {
+    require(budgetDen >= 1, "degenerate budget")
+    val per = graft.engine.Staging.stagedByPlan(
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(tokens(col("text"))).cast("long")).as("n_tokens")),
+      "temp_census")
+    val wi = per.withColumn("__wi",
+      floor(sqrt(col("n_tokens").cast("double")) * 1000 + 0.5))
+    val tot = wi.agg(sum(col("__wi")).as("__W"),
+      sum(col("n_tokens")).as("__T"))
+    val rated = wi.crossJoin(broadcast(tot))
+      .withColumn("rate_bp", least(lit(10000L),
+        expr(s"(CAST(__wi AS DECIMAL(38,0)) * (__T DIV $budgetDen) * 10000)" +
+          " div (CAST(__W AS DECIMAL(38,0)) * n_tokens)")))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("rate_bp"))
+    val kept = docs
+      .join(broadcast(rated.select(col("source"), col("rate_bp"))),
+        Seq("source"))
+      .filter(Sampling.hashBucket(col("doc_id"), salt) < col("rate_bp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_kept_tokens"))
+    rated.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("rate_bp"),
+        coalesce(col("n_kept_docs"), lit(0L)).as("n_kept_docs"),
+        coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"))
+  }
+
   /** Per-(split × source) TRAINING MANIFEST — the table a training
     * launcher actually consumes: [[leakFreeSplit]]'s split assignment
     * and [[tokenBudgetMix]]'s per-source allocation composed into one

@@ -274,5 +274,93 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("dedupSpans equals the brute-force span remover on random corpora") {
+    // tiny vocab (3 tokens, 27 possible 3-grams over ~40 positions) so
+    // corpus-duplicated spans actually occur; brute force recomputes
+    // occurrence counts, coverage, and the rebuilt text independently
+    val vocab = Seq("a", "b", "c")
+    val docGen = Gen.chooseNum(4, 10)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+    val corpusGen = Gen.chooseNum(3, 6).flatMap(k => Gen.listOfN(k, docGen))
+    cases(corpusGen).foreach { corpus =>
+      val n = 3
+      val docsSeq = corpus.zipWithIndex.map { case (tk, i) =>
+        (i.toLong, tk.mkString(" "))
+      }
+      val toks = docsSeq.map { case (id, t) => id -> t.split(" ", -1) }.toMap
+      val occ = docsSeq.flatMap { case (id, _) =>
+        val tk = toks(id)
+        (0 to tk.length - n).map(p => tk.slice(p, p + n).mkString(" "))
+      }.groupBy(identity).view.mapValues(_.size).toMap
+      val expect = docsSeq.map { case (id, _) =>
+        val tk = toks(id)
+        val starts = (0 to tk.length - n)
+          .filter(p => occ(tk.slice(p, p + n).mkString(" ")) >= 2).toSet
+        val covered = tk.indices
+          .filter(q => (math.max(0, q - n + 1) to q).exists(starts)).toSet
+        (id, (tk.length.toLong, covered.size.toLong,
+          tk.indices.filterNot(covered).map(tk).mkString(" ")))
+      }.toMap
+      val got = graft.operators.TextAnalysis
+        .dedupSpans(docsSeq.toDF("doc_id", "text"), n)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+        .toMap
+      assert(got === expect, s"corpus=$docsSeq")
+    }
+  }
+
+  test("prototypePruning: keepBp=10000 keeps all; kept sets are monotone in keepBp") {
+    val embGen = Gen.chooseNum(8, 16).flatMap(k =>
+      Gen.listOfN(k, Gen.listOfN(2, Gen.chooseNum(-50.0, 50.0))))
+    cases(embGen, n = 4).foreach { vs =>
+      val emb = vs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+        .toDF("vec_id", "embedding")
+      def kept(bp: Int): Set[Long] = graft.operators.KMeansQuantizer
+        .prototypePruning(emb, 3, 1, bp)
+        .collect().filter(_.getBoolean(5)).map(_.getLong(0)).toSet
+      val all = kept(10000)
+      assert(all.size == vs.size, "keepBp=10000 must keep every vector")
+      val k5 = kept(5000)
+      val k8 = kept(8000)
+      assert(k5.subsetOf(k8) && k8.subsetOf(all),
+        s"kept sets must be monotone in keepBp: $k5 / $k8")
+    }
+  }
+
+  test("audio fingerprint survives the WAV codec round-trip on random signals") {
+    // arbitrary unsigned-PCM signals (including lengths BELOW the
+    // sub-window count, where some sub-windows are empty) encoded
+    // through the real writer must fingerprint exactly like the
+    // JVM-side arithmetic replay
+    val sigGen = Gen.chooseNum(8, 80)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(0, 255)))
+    val sigs = cases(sigGen, n = 12).zipWithIndex
+      .map { case (s, i) => (i.toLong, s.toArray) }
+    val sw = 16
+    val payloads = sigs.map { case (id, s) =>
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(s.map(_.toByte)), fmt, s.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      (id, bos.toByteArray)
+    }.toDF("doc_id", "payload")
+    val got = graft.operators.Multimodal
+      .audioFingerprints(spark, payloads, sw)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    sigs.foreach { case (id, s) =>
+      val e = new Array[Long](sw)
+      s.zipWithIndex.foreach { case (u, i) =>
+        e((i.toLong * sw / s.length).toInt) += math.abs(u - 128)
+      }
+      val fp = (0 until sw - 1)
+        .foldLeft(0L)((acc, k) => if (e(k + 1) > e(k)) acc | (1L << k) else acc)
+      assert(got(id) == ((s.length.toLong, fp)), s"signal $id")
+    }
+  }
+
   private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
 }

@@ -341,4 +341,33 @@ class Round10OpsSpec extends AnyFunSuite {
       TextAnalysis.stopwords("en"), 5, 0.10, 0.5))
     assert(stateless == batch)
   }
+
+  // ─────────────── temperature-smoothed mixture (q210) ───────────────
+
+  test("temperature mix boosts low-resource sources; rates match the integer replay") {
+    // A: 400 tokens, B: 16 — proportional sampling at budgetDen 2
+    // would rate both 5000 bp; √-smoothing must cap tiny B at 10000
+    // while A lands at the exact integer formula value
+    val docs = ((1 to 50).map(i => (i.toLong, "a b c d e f g h", "A")) ++
+      Seq((101L, "a b c d e f g h", "B"), (102L, "a b c d e f g h", "B")))
+      .toDF("doc_id", "text", "source")
+    val got = DataMix.temperatureMix(docs, 2, "t-spec").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val toks = Map("A" -> 400L, "B" -> 16L)
+    val w = toks.view
+      .mapValues(t => math.floor(math.sqrt(t.toDouble) * 1000 + 0.5).toLong)
+      .toMap
+    val bigW = w.values.sum
+    val b = (400L + 16L) / 2
+    def bp(s: String): Long = math.min(10000L,
+      (BigInt(w(s)) * b * 10000 / (BigInt(bigW) * toks(s))).toLong)
+    assert(got("A")._3 == bp("A") && got("A")._3 < 5000,
+      s"A must be smoothed DOWN from proportional: ${got("A")}")
+    assert(got("B")._3 == 10000L, s"tiny B must cap at keep-all: ${got("B")}")
+    // rate 10000 keeps every doc: census == kept for B
+    assert(got("B")._4 == 2L && got("B")._5 == 16L)
+    // kept tokens never exceed census tokens
+    got.values.foreach { case (_, nt, _, _, kt) => assert(kt <= nt) }
+  }
 }
