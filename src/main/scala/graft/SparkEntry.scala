@@ -3157,6 +3157,23 @@ object SparkEntry {
       .temperatureMix(docs(s, dir), TempBudgetDen, TempMixSalt)
       .orderBy(col("source").asc)
 
+  /** Balanced shard plan (q211). */
+  private val ShardN = 8
+  private val ShardBuckets = 32
+  private val ShardSalt = "shard-v1"
+
+  /** Token-balanced output sharding
+    * ([[graft.operators.Sampling.balancedShardPlan]]): docs hash into
+    * 256 micro-buckets, the SMALL bucket census ranks by token mass,
+    * and ranks snake over 8 shards — deterministic ≈equal-mass shards
+    * with no corpus-wide sort, the output-layout plan a training
+    * launcher feeds its writers. */
+  private def q211(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.balancedShardPlan(docs(s, dir),
+        col("doc_id"), size(graft.functions.TextFns.tokens(col("text"))),
+        ShardN, ShardBuckets, ShardSalt)
+      .orderBy(col("shard").asc)
+
   /** Corpus QUALITY SCORECARD — the per-source report a curation run
     * publishes, rolled up from four independent quality operators in
     * one query: stopword ratio (q18), unigram-LM score (q110/q196),
@@ -4752,7 +4769,8 @@ object SparkEntry {
     "q207_audio_class_pairs" -> (q207 _),
     "q208_stream_quality_gate" -> (q208 _),
     "q209_multimodal_record" -> (q209 _),
-    "q210_temperature_mix" -> (q210 _))
+    "q210_temperature_mix" -> (q210 _),
+    "q211_balanced_shards" -> (q211 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -6006,6 +6024,28 @@ object SparkEntry {
                  coalesce(k.n_kept_tokens, 0) AS n_kept_tokens
           FROM rated r LEFT JOIN kept k USING (source)
           ORDER BY source ASC""",
+    // q211: micro-bucket census ranked by token mass, ranks snake over
+    // shards (serpentine round-robin) — all arithmetic integer-exact
+    "q211_balanced_shards" ->
+      s"""WITH mb AS (
+            SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                     || '$ShardSalt'), 1, 8))::BIGINT % 10000)
+                   % ${ShardN * ShardBuckets} AS mbk,
+                   count(*) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                     AS n_tokens
+            FROM documents GROUP BY 1),
+          r AS (SELECT mbk, n_docs, n_tokens,
+                  row_number() OVER (ORDER BY n_tokens DESC, mbk ASC) - 1
+                    AS rn
+                FROM mb)
+          SELECT CAST(CASE WHEN (rn // $ShardN) % 2 = 0 THEN rn % $ShardN
+                           ELSE ${ShardN - 1} - rn % $ShardN END AS BIGINT)
+                   AS shard,
+                 count(*) AS n_buckets,
+                 CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+          FROM r GROUP BY 1 ORDER BY shard ASC""",
     "q46_token_counting" ->
       s"""SELECT doc_id,
                  len(string_split(text, ' ')) AS n_ws_tokens,

@@ -98,4 +98,41 @@ object Sampling {
     graft.engine.Ranking.topKPerGroup(keyed, Seq(groupCol),
       Seq("__sel_key" -> false, "__sel_id" -> true), n)
   }
+
+  /** Token-BALANCED shard plan — deterministic assignment of documents
+    * to `nShards` output shards of ≈equal weight mass, with NO
+    * corpus-wide sort: docs hash into nShards·bucketsPerShard
+    * micro-buckets (pure function of id — rerun-stable, so a doc's
+    * shard is recomputable anywhere from the plan table), the
+    * micro-bucket census — a SMALL table, the ONLY thing ever ranked —
+    * is ordered by mass, and ranks snake over shards
+    * (serpentine/boustrophedon round-robin, the LPT-lite rule: the
+    * shard that took a round's heaviest bucket takes the next round's
+    * lightest). The unpartitioned rank window is bounded by the
+    * micro-bucket count by construction — the post-agg window idiom,
+    * never corpus rows. Returns the per-shard census (shard,
+    * n_buckets, n_docs, n_tokens); writers broadcast it back onto the
+    * corpus to route rows. */
+  def balancedShardPlan(docs: DataFrame, idCol: Column, weight: Column,
+                        nShards: Int, bucketsPerShard: Int,
+                        salt: String): DataFrame = {
+    require(nShards >= 1 && bucketsPerShard >= 1, "degenerate shard grid")
+    require(nShards * bucketsPerShard <= 10000,
+      "micro-buckets are carved out of the 10^4 hash-bucket space")
+    val m = nShards * bucketsPerShard
+    val mb = docs
+      .select(hashBucket(idCol, salt).mod(m).as("__mb"),
+        weight.cast("long").as("__w"))
+      .groupBy(col("__mb"))
+      .agg(count(lit(1)).as("__docs"), sum(col("__w")).as("__tokens"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__tokens").desc, col("__mb").asc)
+    mb.withColumn("__rn", (row_number().over(wRank) - 1).cast("long"))
+      .withColumn("shard",
+        when(expr(s"__rn div $nShards") % 2 === 0, col("__rn") % nShards)
+          .otherwise(lit(nShards - 1) - col("__rn") % nShards))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("__docs")).as("n_docs"),
+        sum(col("__tokens")).as("n_tokens"))
+  }
 }

@@ -370,4 +370,44 @@ class Round10OpsSpec extends AnyFunSuite {
     // kept tokens never exceed census tokens
     got.values.foreach { case (_, nt, _, _, kt) => assert(kt <= nt) }
   }
+
+  // ───────────────── balanced shard plan (q211) ─────────────────
+
+  test("balanced shard plan: partition of the corpus, near-equal token mass") {
+    val docs = graft.engine.Sources.table(spark, sfDir, "documents")
+    val plan = Sampling.balancedShardPlan(docs, col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))), 8, 32, "shard-v1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(plan.map(_._1).sorted.toSeq == (0L until 8L),
+      s"every shard must be populated: ${plan.toSeq}")
+    assert(plan.map(_._3).sum == docs.count(),
+      "shards must partition the corpus")
+    val tokTotal = docs
+      .agg(sum(size(graft.functions.TextFns.tokens(col("text")))))
+      .collect()(0).getLong(0)
+    assert(plan.map(_._4).sum == tokTotal,
+      "shard token masses must sum to the census")
+    val masses = plan.map(_._4)
+    assert(masses.max.toDouble / masses.min <= 1.15,
+      s"serpentine LPT-lite must balance within 15%: ${plan.toSeq}")
+  }
+
+  test("serpentine beats naive modulo assignment on the fixture") {
+    // same micro-buckets, two assignment rules: the snake must produce
+    // a spread no worse than shard = bucket % n (the rule it replaces)
+    val docs = graft.engine.Sources.table(spark, sfDir, "documents")
+    val w = size(graft.functions.TextFns.tokens(col("text")))
+    val snake = Sampling.balancedShardPlan(docs, col("doc_id"), w,
+        8, 32, "shard-v1")
+      .collect().map(_.getLong(3))
+    val naive = docs
+      .select((Sampling.hashBucket(col("doc_id"), "shard-v1") % 256)
+        .mod(8).as("shard"), w.cast("long").as("w"))
+      .groupBy(col("shard")).agg(sum(col("w")).as("t"))
+      .collect().map(_.getLong(1))
+    def spread(a: Array[Long]) = a.max.toDouble / a.min
+    assert(spread(snake) <= spread(naive),
+      s"snake ${snake.toSeq} vs naive ${naive.toSeq}")
+  }
 }
