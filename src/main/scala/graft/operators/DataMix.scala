@@ -234,7 +234,10 @@ object DataMix {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept_docs"),
         sum(size(tokens(col("text"))).cast("long")).as("n_kept_tokens"))
-    rated.join(kept, Seq("source"), "left")
+    // both sides are |sources|-row tables; broadcast keeps the final
+    // rollup join shuffle-free (and the plan pin strict: no SMJ
+    // anywhere in the query)
+    rated.join(broadcast(kept), Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("n_tokens"), col("rate_bp"),
         coalesce(col("n_kept_docs"), lit(0L)).as("n_kept_docs"),
         coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"))

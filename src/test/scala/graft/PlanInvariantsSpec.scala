@@ -462,6 +462,26 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"q206 must not shuffle payloads:\n$plan")
   }
 
+  test("temperature mix broadcasts its rate table; shard rank windows post-agg rows") {
+    // q210: the |sources|-row rate table must broadcast back onto the
+    // corpus for the kept rollup — a sort-merge join here would
+    // shuffle the corpus against a 6-row table
+    val p210 = planOf("q210_temperature_mix")
+    assert(p210.contains("BroadcastHashJoin"),
+      s"q210 must broadcast the rate table:\n$p210")
+    assert(!p210.contains("SortMergeJoin"),
+      s"q210 must not shuffle the corpus against the rates:\n$p210")
+    // q211: the serpentine rank's unpartitioned window is bounded by
+    // the micro-bucket count ONLY because it orders the post-agg
+    // census (__tokens) — a refactor windowing doc rows would
+    // single-partition the corpus
+    val p211 = planOf("q211_balanced_shards")
+    val specs = "windowspecdefinition\\(([a-zA-Z_0-9#]+)".r
+      .findAllMatchIn(p211).map(_.group(1).takeWhile(_ != '#')).toSet
+    assert(specs == Set("__tokens"),
+      s"q211 must rank only the bucket census, got $specs:\n$p211")
+  }
+
   test("df-band derivation windows over the POST-AGG df histogram, not corpus rows") {
     // dfHistogram's unpartitioned cumulative window is bounded by
     // |distinct df values| ONLY because its input is the df histogram
