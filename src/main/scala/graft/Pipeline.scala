@@ -81,16 +81,52 @@ object Pipeline {
       maxHamming = DedupKnobs.SimHashMaxHamming,
       maxBucket = DedupKnobs.SimHashBucketCap)
 
+  /** Stage 3's MULTIMODAL pair generator: the text simhash pairs
+    * unioned with the image (q203 resampled-aHash) and audio (q207
+    * envelope-fingerprint) dedup arms projected onto the document
+    * graph — within-class star edges to each class representative
+    * ([[graft.operators.Multimodal.classMemberEdges]]) plus the capped
+    * class-pair tables' (anchor_a, anchor_b) representative edges. CC
+    * over the union puts documents that duplicate under ANY modality
+    * in one cluster, so a text-rewritten mirror of an image, or a
+    * re-encoded recording, still collapses to one survivor. Every arm
+    * is the already-flood-bounded generator its gate query runs; the
+    * union adds no new fan-out. */
+  private[graft] def multimodalPairs(spark: SparkSession,
+                                     docs: DataFrame): DataFrame = {
+    import graft.operators.Multimodal
+    val text = nearDupPairs(docs).select(col("doc_a"), col("doc_b"))
+    val img = Multimodal.pHashesResampled(spark,
+      Multimodal.pngPayloads(spark, docs), DedupKnobs.PHashGrid)
+    val imgEdges = Multimodal.classMemberEdges(img, Seq("ph_hi", "ph_lo"))
+      .union(Multimodal.resampledClassPairsCapped(img,
+          DedupKnobs.PHashMaxHamming, DedupKnobs.PHashClassBucketCap)
+        .select(col("anchor_a").as("doc_a"), col("anchor_b").as("doc_b")))
+    val aud = Multimodal.audioFingerprints(spark,
+      Multimodal.wavPayloads(spark, docs), DedupKnobs.AudioFpSubWindows)
+    val audEdges = Multimodal.classMemberEdges(aud, Seq("fp"))
+      .union(Multimodal.audioClassPairsCapped(aud,
+          DedupKnobs.AudioFpMaxHamming, DedupKnobs.AudioClassBucketCap)
+        .select(col("anchor_a").as("doc_a"), col("anchor_b").as("doc_b")))
+    text.union(imgEdges).union(audEdges)
+  }
+
   /** @param checkpointDir reliable checkpoint location for the
     *        connected-components rounds inside near-dup dedup (stage
     *        3); None = executor-memory localCheckpoint, right for
     *        local mode — on a cluster pass a warehouse/HDFS path so a
     *        lost executor replays from storage (see Graph.cut). */
+  /** @param multimodal stage 3 clusters over the UNION of the text,
+    *        image and audio dedup arms ([[multimodalPairs]]) instead
+    *        of text simhash alone — the knob for corpora whose
+    *        documents carry image/audio payloads (here derived from
+    *        doc_id, the deterministic-fake container story). */
   def curate(spark: SparkSession, docs: DataFrame,
              mixRates: Map[String, Double], mixSalt: String,
              outDir: Option[String],
              checkpointDir: Option[String] = None,
-             knobs: QualityKnobs = QualityKnobs()): StageCounts = {
+             knobs: QualityKnobs = QualityKnobs(),
+             multimodal: Boolean = false): StageCounts = {
     // 1. quality: keep only docs passing every enabled signal — the
     // always-on round-4 reasons, then the corpus-relative perplexity
     // tail cut and the dup-span ceiling as violator ANTI-joins (see
@@ -166,7 +202,8 @@ object Pipeline {
     // star-reduce to their anchor, which keeps genuine duplicate
     // crowds connected (the CC only needs connectivity, not every
     // pairwise edge).
-    val pairs = nearDupPairs(exact)
+    val pairs =
+      if (multimodal) multimodalPairs(spark, exact) else nearDupPairs(exact)
     val clusters = Graph.connectedComponents(pairs, "doc_a", "doc_b",
         checkpointDir = checkpointDir)
       .localCheckpoint()

@@ -1501,6 +1501,27 @@ object SparkEntry {
       .orderBy(col("channel").asc)
   }
 
+  /** The VERIFIED containment pair table (doc_a, doc_b, n_a, n_common,
+    * containment), staged ONCE per (knobs, corpus) — the round-11
+    * single-build fix for the family's biggest wall-clock sink: q118,
+    * q187 and q194 each used to call
+    * [[NearDup.containmentPairsQuantileBand]] from scratch, so the
+    * Σdf²-budget candidate join (the ~275 s stage at sf1) executed
+    * three times per catalog run while only the banded POSTINGS were
+    * staged. Mirrors [[stagedSimhashPairsCapped]]: land the pair table,
+    * let q187 become a census-sized rollup and q194 a bounded-heap scan
+    * of landed parquet. At 100 TB this IS the pipeline shape — the
+    * verified pair table is a warehouse stage every provenance report
+    * reads, not a computation each report repeats. Callers who must
+    * not land the pair table keep the direct operator
+    * (`containmentPairsQuantileBand`) — same plan, unstaged. */
+  private def stagedContainmentPairs(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Staging.stagedParquet(s,
+        s"contain_pairs|c>=$MinContainment|q=$ShingleDfQuantileBp" +
+          s"|f=$ShingleDfFloor|b=$ShingleDfFanoutBudget|$dir", Seq(dir))(
+      NearDup.containmentPairsQuantileBand(docs(s, dir), MinContainment,
+        ShingleDfQuantileBp, ShingleDfFloor, ShingleDfFanoutBudget))
+
   /** Directional n-gram containment pairs
     * ([[NearDup.containmentPairsQuantileBand]]): quote/subset detection
     * — the asymmetric relation Jaccard (q24) misses. The shingle-df
@@ -1508,10 +1529,11 @@ object SparkEntry {
     * (quantile + fan-out budget over the df distribution, floor for
     * sparse corpora — [[DedupKnobs.ShingleDfQuantileBp]]), so the
     * detector keeps a candidate set under the df saturation that
-    * emptied the round-2–8 fixed band at sf10. */
+    * emptied the round-2–8 fixed band at sf10. Reads the staged pair
+    * table ([[stagedContainmentPairs]]) so the candidate join builds
+    * once for the whole family. */
   private def q118(s: SparkSession, dir: String): DataFrame =
-    NearDup.containmentPairsQuantileBand(docs(s, dir), MinContainment,
-        ShingleDfQuantileBp, ShingleDfFloor, ShingleDfFanoutBudget)
+    stagedContainmentPairs(s, dir)
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_common"),
         r6(col("containment")).as("containment"))
       .orderBy(col("doc_a").asc, col("doc_b").asc)
@@ -2756,6 +2778,54 @@ object SparkEntry {
       .orderBy(col("vec_id").asc)
   }
 
+  /** The prototype-pruning KEPT set (q205's rule, staged): the hardest
+    * ⌈keepBp⌉ fraction of each fitted k-means cluster. One stage serves
+    * the q214 composition's pair build AND its survivor anti-join. */
+  private def stagedPrunedEmbIds(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Staging.stagedParquet(s,
+        s"pruned_ids|k=$KmeansK|it=$KmeansIters|keep=$PruneKeepBp|$dir",
+        Seq(dir))(
+      graft.operators.KMeansQuantizer
+        .prototypePruning(Sources.table(s, dir, "embeddings"),
+          KmeansK, KmeansIters, PruneKeepBp)
+        .filter(col("kept")).select(col("vec_id")))
+
+  /** Semantic-dedup clusters over the PRUNED corpus: the q179 capped
+    * multi-table-LSH generator re-run on prototype-pruning survivors
+    * (bucket stats and caps are the pruned sub-corpus's own — the
+    * composition is prune-THEN-dedup, not a pair-table filter), then
+    * min-label CC. Staged: feeds the q214 survivor anti-join. */
+  private def stagedPrunedSemClusters(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Staging.stagedParquet(s,
+        s"pruned_sem_clusters|k=$KmeansK|it=$KmeansIters|keep=$PruneKeepBp" +
+          s"|cos>=$EmbNearDupMinCosine|p=$EmbLshPlanes|t=$EmbLshTables" +
+          s"|cap=$EmbLshBucketCap|$dir", Seq(dir))(
+      graft.operators.Graph.connectedComponents(
+        Similarity.nearDupPairsLsh(
+          Sources.table(s, dir, "embeddings")
+            .join(stagedPrunedEmbIds(s, dir), Seq("vec_id")),
+          EmbNearDupMinCosine, EmbLshPlanes, EmbLshTables, EmbLshBucketCap),
+        "vec_a", "vec_b"))
+
+  /** Sorscher et al.'s ACTUAL data-pruning recipe composed end to end:
+    * prototype-prune the embedding corpus FIRST (keep each cluster's
+    * hardest [[PruneKeepBp]] fraction — q205's rule), then SemDeDup the
+    * survivors (capped LSH pairs → CC → one canonical vector per
+    * duplicate cluster — q180/q181's machinery over the pruned set).
+    * Output: the vectors a training run would embed-train on. Every
+    * stage staged and flood-bounded; the prune stage reuses q205's
+    * histogram-threshold plan (no cluster-sized windows anywhere). */
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    val kept = Sources.table(s, dir, "embeddings")
+      .join(stagedPrunedEmbIds(s, dir), Seq("vec_id"))
+    val dropIds = stagedPrunedSemClusters(s, dir)
+      .filter(col("n") =!= col("component"))
+      .select(col("n"))
+    kept.join(dropIds, kept("vec_id") === dropIds("n"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id").asc)
+  }
+
   /** Salt for the leakage-free split's group hash, and the split
     * boundaries in basis points (80/10/10) — interpolated into the
     * oracle so engine and SQL cannot drift. */
@@ -2787,6 +2857,14 @@ object SparkEntry {
 
   /** Duplicated-substring span width in tokens (q197): 5-grams. */
   private val DupSpanN = 5
+
+  /** Minimum MERGED span length (tokens) for the length-thresholded
+    * removal (q213) — the Lee et al. production rule thresholds on
+    * TRUE span length (they use ≥ 50 on web corpora); the fixture
+    * value is chosen so both arms are exercised at every gate SF
+    * (spans both below and at-or-above it exist — probed on the q212
+    * interval table). */
+  private val DupSpanMinLen = 8
 
   /** Audio feature-window hop in samples (q206). */
   private val AudioFeatureWindow = 32
@@ -2859,16 +2937,16 @@ object SparkEntry {
     * q118's directional shingle-containment pairs rolled up to
     * (source_a ⊂ source_b) counts + mean containment. The corpus-level
     * provenance view of the quote detector (syndication/mirror-site
-    * audit); pair volume is q118's df-banded candidate set, the rollup
-    * is a |sources|² group-by. Each pair's containment is PINNED by the
+    * audit); consumes the STAGED pair table
+    * ([[stagedContainmentPairs]]) — the rollup itself is a |sources|²
+    * group-by over landed parquet, no candidate join re-run. Each pair's containment is PINNED by the
     * portable floor-round BEFORE the DECIMAL(18,6) cast (the two
     * engines' raw double→decimal casts disagree on exact-half ties —
     * [[Aggregates.roundPortable]] doc), so the sum is exact and the
     * single closing division sits under the portable floor-round. */
   private def q187(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("source"))
-    NearDup.containmentPairsQuantileBand(docs(s, dir), MinContainment,
-        ShingleDfQuantileBp, ShingleDfFloor, ShingleDfFanoutBudget)
+    stagedContainmentPairs(s, dir)
       .join(d.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
       .groupBy(col("src_a"), col("src_b"))
@@ -2958,14 +3036,17 @@ object SparkEntry {
     * kept to the top-[[DedupKnobs.ContainTopK]] matches per doc_a
     * (containment desc, doc_b tiebreak) — the DUMPABLE form of the
     * quote audit in the saturation regime, where the uncapped pair set
-    * is O(dup-cluster²) (107M rows at sf10, measured). The
+    * is O(dup-cluster²) (107M rows at sf10, measured). Reads the
+    * STAGED pair table ([[stagedContainmentPairs]]); the
     * row_number-top-k plan rewrites to bounded per-partition heaps
-    * (RewriteRowNumberTopK), so output ≤ k·|docs| at any corpus. */
+    * (RewriteRowNumberTopK), so output ≤ k·|docs| at any corpus. A
+    * caller who must not land the pair table composes the same window
+    * directly over `containmentPairsQuantileBand` — identical plan,
+    * unstaged. */
   private def q194(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_a"))
       .orderBy(col("containment").desc, col("doc_b").asc)
-    NearDup.containmentPairsQuantileBand(docs(s, dir), MinContainment,
-        ShingleDfQuantileBp, ShingleDfFloor, ShingleDfFanoutBudget)
+    stagedContainmentPairs(s, dir)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= ContainTopK)
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_common"),
@@ -3173,6 +3254,26 @@ object SparkEntry {
         col("doc_id"), size(graft.functions.TextFns.tokens(col("text"))),
         ShardN, ShardBuckets, ShardSalt)
       .orderBy(col("shard").asc)
+
+  /** MAXIMAL duplicated-span intervals ([[TextAnalysis
+    * .dupSpanIntervals]]): runs of overlapping/adjacent duplicated
+    * [[DupSpanN]]-gram coverage merged into one row per maximal span
+    * with its TRUE token length — the table q204's fixed-width removal
+    * cannot report and a curation run tunes its length threshold on
+    * (Lee et al. threshold at ≥ 50 tokens). Gaps-and-islands per doc;
+    * the gram-occurrence count stays the one corpus shuffle. */
+  private def q212(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dupSpanIntervals(docs(s, dir), DupSpanN)
+      .orderBy(col("doc_id").asc, col("span_start").asc)
+
+  /** LENGTH-THRESHOLDED duplicate-span removal ([[TextAnalysis
+    * .dedupSpansMinLen]]): q204's rewrite gated on true merged span
+    * length ≥ [[DupSpanMinLen]] — short organic repeats survive, long
+    * duplicated runs are cut, the actual Lee et al. production rule.
+    * Same census schema as q204. */
+  private def q213(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dedupSpansMinLen(docs(s, dir), DupSpanN, DupSpanMinLen)
+      .orderBy(col("doc_id").asc)
 
   /** Corpus QUALITY SCORECARD — the per-source report a curation run
     * publishes, rolled up from four independent quality operators in
@@ -3867,6 +3968,28 @@ object SparkEntry {
         SELECT centroid_id, dim, c AS centroid FROM c$KmeansIters
         ORDER BY centroid_id ASC, dim ASC"""
 
+  /** Final assignment + per-cluster hardest-first rank CTEs (dF, aF,
+    * r) on top of [[kmeansCtes]] — shared by the q205 oracle and the
+    * q214 composition (whose kept set is q205's rule). The oracle
+    * keeps the rank-WINDOW form deliberately: it is the semantic
+    * definition the engine's histogram decomposition must reproduce
+    * bit for bit. */
+  private lazy val kmeansAssignRankCtes: String =
+    s"""dF AS (SELECT ed.vec_id, cf.centroid_id,
+               round(sum((ed.x - cf.c) * (ed.x - cf.c)), 6) AS dist
+             FROM ed JOIN c$KmeansIters cf ON ed.dim = cf.dim
+             GROUP BY 1, 2),
+        aF AS (SELECT vec_id, centroid_id, dist FROM (
+                 SELECT vec_id, centroid_id, dist, row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY dist ASC, centroid_id ASC) AS rn
+                 FROM dF) WHERE rn = 1),
+        r AS (SELECT vec_id, centroid_id, dist,
+                CAST(row_number() OVER (PARTITION BY centroid_id
+                  ORDER BY dist DESC, vec_id ASC) AS BIGINT) AS rnk,
+                count(*) OVER (PARTITION BY centroid_id) AS cn
+              FROM aF)"""
+
   /** 64-bit (two-half) analog of [[simhashCte]]. */
   private val simhash64Cte: String = {
     val nibs = (1 to 16)
@@ -4230,17 +4353,21 @@ object SparkEntry {
     * cosine)`. The single-side n <= cap predicate prunes over-cap
     * buckets out of the pair arm BEFORE the join, so the oracle never
     * materializes a flooded bucket's m² candidates. */
-  private lazy val embLshPairCtes: String = {
+  /** The LSH band/cap/verify CTE body (b, st, bt, u) over an arbitrary
+    * `(vec_id, v)` source CTE — parameterized so the q214 composition
+    * can run the IDENTICAL generator over the pruned sub-corpus (its
+    * bucket stats and caps are the sub-corpus's own, exactly like the
+    * engine's re-run on the kept set). */
+  private def embLshPairCtesOver(src: String): String = {
     val w = Similarity.lshTableWeights(EmbLshTables, EmbLshPlanes, EmbeddingDim)
     val arms = (0 until EmbLshTables).map { t =>
       val sig = (0 until EmbLshPlanes).map { p =>
         val arr = w(t)(p).mkString("[", ", ", "]")
         s"CASE WHEN list_dot_product(v, CAST($arr AS DOUBLE[])) > 0 THEN ${1L << p} ELSE 0 END"
       }.mkString(" + ")
-      s"SELECT vec_id, v, $t AS tbl, CAST($sig AS BIGINT) AS bucket FROM e"
+      s"SELECT vec_id, v, $t AS tbl, CAST($sig AS BIGINT) AS bucket FROM $src"
     }.mkString("\n            UNION ALL ")
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        b AS MATERIALIZED ($arms),
+    s"""b AS MATERIALIZED ($arms),
         st AS (SELECT tbl, bucket, count(*) AS n, min(vec_id) AS anchor
                FROM b GROUP BY 1, 2),
         bt AS (SELECT b.vec_id, b.v, b.tbl, b.bucket, st.n, st.anchor
@@ -4255,10 +4382,14 @@ object SparkEntry {
           UNION ALL
           SELECT t.anchor AS vec_a, t.vec_id AS vec_b,
                  ${sqlCos("f.v", "t.v")} AS cosine
-          FROM bt t JOIN e f ON f.vec_id = t.anchor
+          FROM bt t JOIN $src f ON f.vec_id = t.anchor
           WHERE t.n > $EmbLshBucketCap AND t.vec_id <> t.anchor
             AND ${sqlCos("f.v", "t.v")} >= $EmbNearDupMinCosine)"""
   }
+
+  private lazy val embLshPairCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ${embLshPairCtesOver("e")}"""
 
   /** q179's pair set symmetrized into the `edges(n, m)` relation
     * [[ccUnrolledCtes]] expects — the embedding-space twin of
@@ -4770,7 +4901,10 @@ object SparkEntry {
     "q208_stream_quality_gate" -> (q208 _),
     "q209_multimodal_record" -> (q209 _),
     "q210_temperature_mix" -> (q210 _),
-    "q211_balanced_shards" -> (q211 _))
+    "q211_balanced_shards" -> (q211 _),
+    "q212_dup_span_intervals" -> (q212 _),
+    "q213_dedup_spans_minlen" -> (q213 _),
+    "q214_prune_semdedup" -> (q214 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -5815,29 +5949,133 @@ object SparkEntry {
                    ORDER BY pos), '') AS cleaned
           FROM cov GROUP BY doc_id ORDER BY doc_id ASC"""
     },
+    // q212: the q204 coverage chain (0-based positions — span_start is
+    // OUTPUT here) + gaps-and-islands: a new group when the coverage
+    // flag changes (lag NULL ≠ flag opens the first), covered groups
+    // rolled to (min pos, count) = maximal merged spans + true lengths
+    "q212_dup_span_intervals" -> {
+      val leads = (1 until DupSpanN)
+        .map(i => s"lead(tk, $i) OVER w AS l$i").mkString(", ")
+      val gram = ("tk" +: (1 until DupSpanN).map(i => s"l$i"))
+        .mkString(" || ' ' || ")
+      s"""WITH dtok AS (SELECT doc_id, string_split(text, ' ') AS t
+                        FROM documents),
+          tok AS MATERIALIZED (
+            SELECT doc_id, s.pos AS pos, s.tk AS tk
+            FROM (SELECT doc_id,
+                    unnest(list_transform(range(1, len(t) + 1),
+                      i -> {'pos': i - 1, 'tk': t[i]})) AS s
+                  FROM dtok)),
+          g AS MATERIALIZED (
+            SELECT doc_id, pos, $gram AS gram
+            FROM (SELECT doc_id, pos, tk, $leads
+                  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+            WHERE l${DupSpanN - 1} IS NOT NULL),
+          occ AS (SELECT gram, count(*) AS occ FROM g GROUP BY 1),
+          ds AS (SELECT doc_id, pos FROM g JOIN occ USING (gram)
+                 WHERE occ >= 2),
+          fl AS (SELECT tok.doc_id, tok.pos,
+                        CASE WHEN ds.pos IS NULL THEN 0 ELSE 1 END AS dupf
+                 FROM tok LEFT JOIN ds USING (doc_id, pos)),
+          cov AS (SELECT doc_id, pos,
+                    max(dupf) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN ${DupSpanN - 1} PRECEDING
+                      AND CURRENT ROW) AS c
+                  FROM fl),
+          chg AS (SELECT doc_id, pos, c,
+                    CASE WHEN c = lag(c) OVER (PARTITION BY doc_id
+                      ORDER BY pos) THEN 0 ELSE 1 END AS nw
+                  FROM cov),
+          grp AS (SELECT doc_id, pos, c,
+                    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                  FROM chg)
+          SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                 count(*) AS span_len
+          FROM grp WHERE c = 1 GROUP BY doc_id, g
+          ORDER BY doc_id ASC, span_start ASC"""
+    },
+    // q213: q212's merged groups carry their run length; only covered
+    // groups of >= minLen positions are removed, then the q204 census +
+    // position-ordered rebuild
+    "q213_dedup_spans_minlen" -> {
+      val leads = (1 until DupSpanN)
+        .map(i => s"lead(tk, $i) OVER w AS l$i").mkString(", ")
+      val gram = ("tk" +: (1 until DupSpanN).map(i => s"l$i"))
+        .mkString(" || ' ' || ")
+      s"""WITH dtok AS (SELECT doc_id, string_split(text, ' ') AS t
+                        FROM documents),
+          tok AS MATERIALIZED (
+            SELECT doc_id, s.pos AS pos, s.tk AS tk
+            FROM (SELECT doc_id,
+                    unnest(list_transform(range(1, len(t) + 1),
+                      i -> {'pos': i, 'tk': t[i]})) AS s
+                  FROM dtok)),
+          g AS MATERIALIZED (
+            SELECT doc_id, pos, $gram AS gram
+            FROM (SELECT doc_id, pos, tk, $leads
+                  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+            WHERE l${DupSpanN - 1} IS NOT NULL),
+          occ AS (SELECT gram, count(*) AS occ FROM g GROUP BY 1),
+          ds AS (SELECT doc_id, pos FROM g JOIN occ USING (gram)
+                 WHERE occ >= 2),
+          fl AS (SELECT tok.doc_id, tok.pos, tok.tk,
+                        CASE WHEN ds.pos IS NULL THEN 0 ELSE 1 END AS dupf
+                 FROM tok LEFT JOIN ds USING (doc_id, pos)),
+          cov AS (SELECT doc_id, pos, tk,
+                    max(dupf) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN ${DupSpanN - 1} PRECEDING
+                      AND CURRENT ROW) AS c
+                  FROM fl),
+          chg AS (SELECT doc_id, pos, tk, c,
+                    CASE WHEN c = lag(c) OVER (PARTITION BY doc_id
+                      ORDER BY pos) THEN 0 ELSE 1 END AS nw
+                  FROM cov),
+          grp AS (SELECT doc_id, pos, tk, c,
+                    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                  FROM chg),
+          rl AS (SELECT doc_id, pos, tk, c, g,
+                   count(*) OVER (PARTITION BY doc_id, g) AS runlen
+                 FROM grp),
+          rm AS (SELECT doc_id, pos, tk,
+                   CASE WHEN c = 1 AND runlen >= $DupSpanMinLen
+                        THEN 1 ELSE 0 END AS r
+                 FROM rl)
+          SELECT doc_id, count(*) AS n_tokens,
+                 CAST(sum(r) AS BIGINT) AS n_removed,
+                 coalesce(string_agg(CASE WHEN r = 0 THEN tk END, ' '
+                   ORDER BY pos), '') AS cleaned
+          FROM rm GROUP BY doc_id ORDER BY doc_id ASC"""
+    },
     // q205: the q44 unrolled-Lloyd chain + final assignment with
     // distance kept, per-cluster hardest-first rank, ceiling as the
     // exact integer predicate (rnk-1)*10^4 < n*keepBp
     "q205_prototype_pruning" ->
       s"""WITH $kmeansCtes,
-          dF AS (SELECT ed.vec_id, cf.centroid_id,
-                   round(sum((ed.x - cf.c) * (ed.x - cf.c)), 6) AS dist
-                 FROM ed JOIN c$KmeansIters cf ON ed.dim = cf.dim
-                 GROUP BY 1, 2),
-          aF AS (SELECT vec_id, centroid_id, dist FROM (
-                   SELECT vec_id, centroid_id, dist, row_number() OVER (
-                     PARTITION BY vec_id
-                     ORDER BY dist ASC, centroid_id ASC) AS rn
-                   FROM dF) WHERE rn = 1),
-          r AS (SELECT vec_id, centroid_id, dist,
-                  CAST(row_number() OVER (PARTITION BY centroid_id
-                    ORDER BY dist DESC, vec_id ASC) AS BIGINT) AS rnk,
-                  count(*) OVER (PARTITION BY centroid_id) AS cn
-                FROM aF)
+          $kmeansAssignRankCtes
           SELECT vec_id, centroid_id, dist, rnk,
                  CAST(cn AS BIGINT) AS cluster_n,
                  ((rnk - 1) * 10000 < cn * $PruneKeepBp) AS kept
           FROM r ORDER BY vec_id ASC""",
+    // q214: Sorscher composition — the q205 rank CTEs pick the kept
+    // set, the SAME capped LSH generator re-runs over that sub-corpus
+    // (its own bucket stats/caps), CC + anti-join as in q181
+    "q214_prune_semdedup" ->
+      s"""WITH $kmeansCtes,
+          $kmeansAssignRankCtes,
+          keptv AS MATERIALIZED (SELECT vec_id FROM r
+                   WHERE (rnk - 1) * 10000 < cn * $PruneKeepBp),
+          ke AS MATERIALIZED (SELECT e.vec_id, e.v
+                FROM e JOIN keptv USING (vec_id)),
+          ${embLshPairCtesOver("ke")},
+          prs AS MATERIALIZED (SELECT DISTINCT vec_a AS doc_a, vec_b AS doc_b FROM u),
+          edges AS MATERIALIZED (SELECT doc_a AS n, doc_b AS m FROM prs
+                    UNION SELECT doc_b AS n, doc_a AS m FROM prs),
+          ${ccUnrolledCtes()}
+          SELECT k.vec_id, emb.label
+          FROM keptv k JOIN embeddings emb USING (vec_id)
+          WHERE NOT EXISTS (SELECT 1 FROM clusters c
+                            WHERE c.n = k.vec_id AND c.n != c.cluster_id)
+          ORDER BY k.vec_id ASC""",
     // q206: the deterministic PCM model replayed sample by sample —
     // signed value, per-window |v| sum and sign-flip count (lag within
     // the window partition), portable floor-round mean

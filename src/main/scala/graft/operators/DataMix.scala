@@ -222,10 +222,26 @@ object DataMix {
       floor(sqrt(col("n_tokens").cast("double")) * 1000 + 0.5))
     val tot = wi.agg(sum(col("__wi")).as("__W"),
       sum(col("n_tokens")).as("__T"))
+    // DOMAIN GUARD on the cross-multiplication: past DECIMAL(38,0) the
+    // non-ANSI product (or the `div` LONG narrowing) goes NULL —
+    // Spark's `least` would then silently keep the 10000 arm (full
+    // keep) while the DuckDB oracle's HUGEINT errors loudly, the
+    // silent-vs-loud divergence the raise_error narrowing discipline
+    // exists to prevent (shingleDfProfile's cum_fanout guard is the
+    // template). The in-domain quotient is ≤ 10⁴·T/tokens_s (W ≥ wi),
+    // far inside LONG for any corpus the DECIMAL product holds, so a
+    // NULL quotient can only mean out-of-domain inputs; a zero-token
+    // source (division by zero → NULL) gets the same loudness — DuckDB
+    // errors there too.
     val rated = wi.crossJoin(broadcast(tot))
-      .withColumn("rate_bp", least(lit(10000L),
+      .withColumn("__rr",
         expr(s"(CAST(__wi AS DECIMAL(38,0)) * (__T DIV $budgetDen) * 10000)" +
-          " div (CAST(__W AS DECIMAL(38,0)) * n_tokens)")))
+          " div (CAST(__W AS DECIMAL(38,0)) * n_tokens)"))
+      .withColumn("rate_bp", least(lit(10000L),
+        when(col("__rr").isNotNull, col("__rr"))
+          .otherwise(raise_error(concat(
+            lit("temperatureMix rate out of integer domain for source "),
+            col("source"))).cast("long"))))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("rate_bp"))
     val kept = docs
       .join(broadcast(rated.select(col("source"), col("rate_bp"))),

@@ -527,6 +527,16 @@ object Multimodal {
       it.map { b =>
         val s = decodeSigned(b.payload)
         val ns = s.length
+        // DOMAIN GUARD (round 11): below `subWindows` samples some
+        // sub-windows receive no sample at all. The engine fingerprints
+        // them as E = 0 and compares ALL consecutive pairs, while the
+        // oracle's eb/lead(e) chain only sees POPULATED sub-windows and
+        // compares skip-adjacent ones at different bit indices — a
+        // latent engine/oracle divergence. Unreachable on the fixtures
+        // (n_samples >= 32 by construction), so fail LOUDLY at the
+        // boundary instead of silently diverging past it.
+        require(ns >= subWindows,
+          s"audio fingerprint needs >= $subWindows samples, doc ${b.doc_id} has $ns")
         val e = new Array[Long](subWindows)
         var i = 0
         while (i < ns) {
@@ -600,6 +610,24 @@ object Multimodal {
       .withColumn("hamming",
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** DOC-level within-class edges of a fingerprint-CLASS dedup arm:
+    * every class member connects to its class representative (the min
+    * doc_id) — |members| − |classes| edges, linear, never the
+    * member×member expansion. Together with a class-pair table's
+    * (anchor_a, anchor_b) representative edges this projects a whole
+    * class-level dedup arm (image q203, audio q207) onto the document
+    * graph: connectivity is preserved (CC needs a spanning set, not
+    * every pairwise edge — the star-reduction argument), so a
+    * cross-modality union of such edge sets clusters documents that
+    * are duplicates under ANY modality. */
+  def classMemberEdges(fps: DataFrame, keys: Seq[String]): DataFrame = {
+    val reps = fps.groupBy(keys.map(col): _*)
+      .agg(min(col("doc_id")).as("__rep"))
+    fps.join(reps, keys)
+      .filter(col("doc_id") =!= col("__rep"))
+      .select(col("__rep").as("doc_a"), col("doc_id").as("doc_b"))
   }
 
   /** One sampled frame: index in the stream, byte offset, byte length.

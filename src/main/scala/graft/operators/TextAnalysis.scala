@@ -600,6 +600,97 @@ object TextAnalysis {
         col("cleaned"))
   }
 
+  /** Every token position with its duplication-coverage flag and its
+    * maximal same-flag RUN — the shared substrate of the
+    * variable-length span family ([[dupSpanIntervals]],
+    * [[dedupSpansMinLen]]). Coverage is [[dedupSpans]]'s definition
+    * (any duplicated n-gram start within the trailing n−1 positions);
+    * runs are gaps-and-islands over the per-doc position order: a new
+    * run opens whenever the flag CHANGES (lag ≠ current, first row
+    * included via the null-≠ fallthrough), so a maximal run of covered
+    * positions IS a maximal merged duplicated span — the union of
+    * overlapping/adjacent [p, p+n−1] coverage intervals — and its row
+    * count is the TRUE span length Lee et al.'s production rule
+    * thresholds on. Every window partitions by doc (or finer); the
+    * gram-occurrence count stays the one corpus-wide shuffle. The
+    * toks/grams subtrees are the IDENTICAL staged tables
+    * [[dedupSpans]] lands, so running q204 and the interval queries in
+    * one process builds them once. */
+  private def coverageRuns(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, "spans below 2 tokens are single tokens")
+    import org.apache.spark.sql.expressions.Window
+    val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val toks = Shingles.shared(docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tk"))))
+    val withLeads = (1 until n).foldLeft(toks) { (d, i) =>
+      d.withColumn(s"__l$i", lead(col("tk"), i).over(wLead))
+    }
+    val grams = Shingles.shared(
+      withLeads.filter(col(s"__l${n - 1}").isNotNull)
+        .select(col("doc_id"), col("pos"), concat_ws(" ",
+          col("tk") +: (1 until n).map(i => col(s"__l$i")): _*).as("gram")))
+    val occ = grams.groupBy(col("gram")).agg(count(lit(1)).as("__occ"))
+    val dupStarts = grams.join(occ, Seq("gram"))
+      .filter(col("__occ") >= 2)
+      .select(col("doc_id"), col("pos"), lit(1L).as("__dup"))
+    val wCov = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val wPos = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val covered = toks.join(dupStarts, Seq("doc_id", "pos"), "left")
+      .withColumn("__cov", max(coalesce(col("__dup"), lit(0L))).over(wCov))
+    covered
+      .withColumn("__new",
+        when(col("__cov") === lag(col("__cov"), 1).over(wPos), 0L)
+          .otherwise(1L))
+      .withColumn("__grp", sum(col("__new")).over(
+        wPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__runlen", count(lit(1)).over(
+        Window.partitionBy(col("doc_id"), col("__grp"))))
+      .select(col("doc_id"), col("pos"), col("tk"), col("__cov"),
+        col("__grp"), col("__runlen"))
+  }
+
+  /** MAXIMAL corpus-duplicated span intervals — the variable-length
+    * report [[dupSpanStats]] cannot give (it counts positions, not
+    * spans) and [[dedupSpans]] does not need (it removes everything
+    * covered): one row per maximal merged duplicated span with its
+    * 0-based start and TRUE token length. This is the table a curation
+    * run tunes its length threshold on — Lee et al. 2022 target runs
+    * ≥ 50 tokens; adjacent duplicated n-gram starts merge into one
+    * interval here exactly as their suffix-array runs do at fixed
+    * width (reference analog: the dedup intent of check_duplicates.py
+    * generalized to positions). Output is bounded by the number of
+    * maximal spans ≤ positions/n. */
+  def dupSpanIntervals(docs: DataFrame, n: Int): DataFrame =
+    coverageRuns(docs, n).filter(col("__cov") === 1)
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        count(lit(1)).as("span_len"))
+      .select(col("doc_id"), col("span_start"), col("span_len"))
+
+  /** [[dedupSpans]] behind a LENGTH KNOB — the production Lee et al.
+    * rule: only maximal merged spans of at least `minLen` tokens are
+    * cut out, so short organic repeats (an idiom, a name) survive
+    * while long duplicated runs (boilerplate, mirrored passages) go.
+    * `minLen` ≤ n degenerates to [[dedupSpans]] (every covered run is
+    * ≥ n tokens by construction — property-pinned). Same per-doc
+    * window discipline and single corpus shuffle as the fixed form;
+    * emits the same (doc_id, n_tokens, n_removed, cleaned) census. */
+  def dedupSpansMinLen(docs: DataFrame, n: Int, minLen: Int): DataFrame = {
+    require(minLen >= 1, "a span threshold below 1 removes nothing")
+    coverageRuns(docs, n)
+      .withColumn("__rm",
+        (col("__cov") === 1) && (col("__runlen") >= minLen))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__rm"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+            when(!col("__rm"), struct(col("pos"), col("tk"))))),
+          s => s.getField("tk")), " ").as("cleaned"))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        col("cleaned"))
+  }
+
   /** Corpus QUALITY SCORECARD — the per-source report a curation run
     * publishes, rolled up from four independent quality operators in
     * one frame: stopword ratio ([[textStats]]), unigram-LM score

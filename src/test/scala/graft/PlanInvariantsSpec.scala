@@ -429,27 +429,41 @@ class PlanInvariantsSpec extends AnyFunSuite {
   }
 
   test("dedup-spans windows are all doc-partitioned (no corpus-wide sort)") {
-    // q204's lead and coverage windows must both partition BY DOC — an
-    // unpartitioned window here would single-partition the corpus's
+    // the span family's lead/coverage/island windows must all partition
+    // BY DOC (or finer: the run-length window keys (doc_id, __grp)) —
+    // an unpartitioned window here would single-partition the corpus's
     // token positions
-    val plan = planOf("q204_dedup_spans")
-    val specs = "windowspecdefinition\\(([a-zA-Z_0-9]+)".r
-      .findAllMatchIn(plan).map(_.group(1)).toSet
-    assert(specs.nonEmpty && specs == Set("doc_id"),
-      s"q204 windows must partition by doc_id only, got $specs:\n$plan")
+    Seq("q204_dedup_spans", "q212_dup_span_intervals",
+        "q213_dedup_spans_minlen").foreach { n =>
+      val plan = planOf(n)
+      val specs = "windowspecdefinition\\(([a-zA-Z_0-9]+)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSet
+      assert(specs.nonEmpty && specs == Set("doc_id"),
+        s"$n windows must lead with doc_id, got $specs:\n$plan")
+    }
   }
 
-  test("prototype pruning broadcasts the centroid table; ranks per cluster") {
-    // the fitted centroid table is k·dims rows — the assignment join
-    // must broadcast it against the long-form corpus, and the
-    // hardest-first rank must window per CLUSTER, never unpartitioned
+  test("prototype pruning broadcasts centroids + classes; never rank-windows a cluster") {
+    // the fitted centroid table (k·dims rows) and the distance-class
+    // table (k·|6-dp classes| rows) must both broadcast against the
+    // corpus — and the round-10 k-partition straggler (a per-vector
+    // rank window partitioned by centroid_id ALONE, ordered dist DESC,
+    // vec_id ASC: all n vectors sorted in k tasks) must be gone. The
+    // only per-vector window partitions by the FINE (centroid_id,
+    // dist) class, whose partition size is one 6-dp tie class.
     val plan = planOf("q205_prototype_pruning")
     assert(plan.contains("BroadcastHashJoin"),
       s"q205 assignment must broadcast the centroids:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"q205 must never shuffle the corpus against the model:\n$plan")
-    assert(plan.contains("windowspecdefinition(centroid_id"),
-      s"q205 rank must partition by cluster:\n$plan")
+    val clusterRank =
+      "windowspecdefinition\\(centroid_id#\\d+L?, dist#\\d+ DESC NULLS LAST, vec_id#\\d+L?".r
+    assert(clusterRank.findFirstIn(plan).isEmpty,
+      s"q205 must not rank whole clusters in a centroid_id window:\n$plan")
+    assert(
+      "windowspecdefinition\\(centroid_id#\\d+L?, dist#\\d+, vec_id#\\d+L? ASC".r
+        .findFirstIn(plan).isDefined,
+      s"q205 tie rank must partition by the (centroid, dist) class:\n$plan")
   }
 
   test("audio decode/feature path is a narrow map (no mid-plan shuffle)") {
