@@ -96,15 +96,24 @@ object Pipeline {
                                      docs: DataFrame): DataFrame = {
     import graft.operators.Multimodal
     val text = nearDupPairs(docs).select(col("doc_a"), col("doc_b"))
+    // both fingerprint arms project through the SATURATION-guarded
+    // within-class stars (classMemberEdges doc): a class bigger than
+    // the cap is birthday saturation of a small fingerprint space, not
+    // a duplicate crowd — the unguarded projection collapsed the sf10
+    // corpus (114,890 → 1) through 500-member audio fp classes and
+    // 4,000-member image hash classes. The caps are the arms' existing
+    // bucket caps: the same "bounded evidence per bucket" contract.
     val img = Multimodal.pHashesResampled(spark,
       Multimodal.pngPayloads(spark, docs), DedupKnobs.PHashGrid)
-    val imgEdges = Multimodal.classMemberEdges(img, Seq("ph_hi", "ph_lo"))
+    val imgEdges = Multimodal.classMemberEdges(img, Seq("ph_hi", "ph_lo"),
+        DedupKnobs.PHashClassBucketCap)
       .union(Multimodal.resampledClassPairsCapped(img,
           DedupKnobs.PHashMaxHamming, DedupKnobs.PHashClassBucketCap)
         .select(col("anchor_a").as("doc_a"), col("anchor_b").as("doc_b")))
     val aud = Multimodal.audioFingerprints(spark,
       Multimodal.wavPayloads(spark, docs), DedupKnobs.AudioFpSubWindows)
-    val audEdges = Multimodal.classMemberEdges(aud, Seq("fp"))
+    val audEdges = Multimodal.classMemberEdges(aud, Seq("fp"),
+        DedupKnobs.AudioClassBucketCap)
       .union(Multimodal.audioClassPairsCapped(aud,
           DedupKnobs.AudioFpMaxHamming, DedupKnobs.AudioClassBucketCap)
         .select(col("anchor_a").as("doc_a"), col("anchor_b").as("doc_b")))
@@ -250,7 +259,11 @@ object Pipeline {
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val out = if (args.length > 1) Some(args(1)) else None
+    // "multimodal" anywhere in args turns on the stage-3 union of the
+    // text/image/audio dedup arms; a literal "-" out dir means none
+    val multimodal = args.contains("multimodal")
+    val out = args.drop(1).filterNot(_ == "multimodal").headOption
+      .filter(_ != "-")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions).master(s"local[$cpus]")
@@ -269,7 +282,8 @@ object Pipeline {
     val c = curate(spark, Sources.table(spark, sfDir, "documents"),
       rates, "pipeline-v1", out,
       knobs = QualityKnobs(dropPplBuckets = 1, maxDupFrac = 0.9,
-        spanDedupN = 5))
+        spanDedupN = 5),
+      multimodal = multimodal)
     println(s"""{"input":${c.input},"quality":${c.afterQuality},""" +
       s""""span_rewrite":${c.afterSpanRewrite},""" +
       s""""exact":${c.afterExact},"neardup":${c.afterNearDup},""" +

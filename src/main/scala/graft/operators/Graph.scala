@@ -452,7 +452,13 @@ object Graph {
       .filter(col("n") =!= col("m")).distinct(), checkpointDir,
       edgeScale = true)
     val sym = e1.union(e1.select(col("m").as("n"), col("n").as("m")))
-    val deg = sym.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // the degree CENSUS is cut once (node-sized): every round's
+    // contribution join reads it — uncut, each of the `iterations`
+    // rounds re-aggregates the full edge list for a table that never
+    // changes (round 11; exchange reuse cannot save it because each
+    // round is its own query execution)
+    val deg = cut(sym.groupBy(col("n")).agg(count(lit(1)).as("deg")),
+      checkpointDir)
     // edges partitioned once on the rank-join key; every round reuses
     // the exchange instead of reshuffling the (large) edge side
     val symPart = cut(sym.repartition(col("n")), checkpointDir,

@@ -117,6 +117,13 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(Seq(1L, 2L, 3L, 4L).map(cc).toSet === Set(1L),
       s"cross-modality chain must share one cluster: $cc")
     assert(!cc.contains(5L), "a singleton class must emit no edges")
+    // SATURATION guard: a class whose population exceeds the cap is
+    // birthday evidence of a too-small fingerprint space, not a
+    // duplicate crowd — it must emit NO edges (the unguarded
+    // projection collapsed the sf10 corpus into one cluster)
+    val flooded = (1L to 12L).map(i => (i, 42L)).toDF("doc_id", "fp")
+    assert(Multimodal.classMemberEdges(flooded, Seq("fp"), 8).count() === 0L)
+    assert(Multimodal.classMemberEdges(flooded, Seq("fp"), 12).count() === 11L)
   }
 
   test("curate(multimodal=true) dedups under the unioned arms (fixture run)") {
