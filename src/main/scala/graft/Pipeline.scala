@@ -17,7 +17,11 @@ import graft.operators.{DataMix, Graph, NearDup, Sampling, TextAnalysis}
   *                         of surviving docs (q204's operator)
   *   2. exact dedup      — latest doc per normalized-content key
   *   3. near-dup dedup   — simhash pairs → connected components →
-  *                         one canonical doc per cluster
+  *                         one canonical doc per cluster (or the
+  *                         multimodal union of text/image/audio arms)
+  *   3.5 embedding stage — (optional) prototype pruning + semantic
+  *                         dedup over a doc-keyed vector table (the
+  *                         q214 Sorscher composition)
   *   4. mixture sampling — deterministic per-source rates
   *   5. layout           — z-ordered parquet write (scan-efficient on
   *                         both doc_id and n_chars)
@@ -35,7 +39,24 @@ object Pipeline {
   final case class StageCounts(input: Long, afterQuality: Long,
                                afterSpanRewrite: Long,
                                afterExact: Long, afterNearDup: Long,
-                               afterMix: Long, manifestCells: Long)
+                               afterMix: Long, manifestCells: Long,
+                               afterEmbedding: Long = -1L)
+
+  /** Stage-3.5 knobs for embedding-bearing corpora — the q214
+    * composition (Sorscher prune-the-core, then SemDeDup the
+    * survivors) wired into [[curate]]: documents whose vector is
+    * pruned as prototypical or deduped as a semantic twin drop;
+    * documents carrying no vector pass through untouched. Defaults
+    * mirror the q205/q214 gate values. */
+  final case class EmbedKnobs(k: Int = 8, iters: Int = 2,
+                              keepBp: Int = 7000,
+                              minCosine: Double = 0.45,
+                              planes: Int = 5, tables: Int = 16,
+                              bucketCap: Long = 32L) {
+    require(k >= 1 && iters >= 0 && keepBp >= 1 && keepBp <= 10000,
+      "degenerate prune shape")
+    require(minCosine > 0 && minCosine <= 1, "cosine threshold in (0,1]")
+  }
 
   /** Stage-1 quality profile. The round-4 signals (token floor,
     * stopword floor, repetition ceiling, lang match) are always on;
@@ -63,13 +84,20 @@ object Pipeline {
                                 maxDupFrac: Double = 1.0,
                                 nbBuckets: Int = 256,
                                 nbSalt: String = "nb-v1",
-                                spanDedupN: Int = 0) {
+                                spanDedupN: Int = 0,
+                                spanDedupMinLen: Int = 0) {
     require(dropPplBuckets >= 0 && dropPplBuckets < pplBuckets,
       s"tail cut must leave at least one bucket: $dropPplBuckets/$pplBuckets")
     require(maxDupFrac > 0 && maxDupFrac <= 1.0,
       s"dup-span ceiling must be in (0, 1], got $maxDupFrac")
     require(spanDedupN == 0 || spanDedupN >= 2,
       s"span-removal width must be off (0) or a real span, got $spanDedupN")
+    // spanDedupMinLen >= 1 switches stage 1.5 to the LENGTH-gated rule
+    // (q213): only maximal merged spans of at least that many tokens
+    // are cut — the threshold Lee et al. tune (50 on web corpora);
+    // 0 keeps the fixed-width rule (every covered span, q204)
+    require(spanDedupMinLen >= 0,
+      s"span length gate must be off (0) or positive, got $spanDedupMinLen")
   }
 
   /** Stage 3's near-dup pair generator — exposed so the flood spec can
@@ -129,13 +157,21 @@ object Pipeline {
     *        image and audio dedup arms ([[multimodalPairs]]) instead
     *        of text simhash alone — the knob for corpora whose
     *        documents carry image/audio payloads (here derived from
-    *        doc_id, the deterministic-fake container story). */
+    *        doc_id, the deterministic-fake container story).
+    * @param embeddings (vec_id keyed in the doc_id space, embedding)
+    *        table for embedding-bearing corpora: enables stage 3.5 —
+    *        prototype pruning + semantic dedup over the vectors (the
+    *        q214 composition), dropping docs whose vector is pruned
+    *        as prototypical or deduped as a semantic twin; docs
+    *        without a vector pass through untouched. */
   def curate(spark: SparkSession, docs: DataFrame,
              mixRates: Map[String, Double], mixSalt: String,
              outDir: Option[String],
              checkpointDir: Option[String] = None,
              knobs: QualityKnobs = QualityKnobs(),
-             multimodal: Boolean = false): StageCounts = {
+             multimodal: Boolean = false,
+             embeddings: Option[DataFrame] = None,
+             embedKnobs: EmbedKnobs = EmbedKnobs()): StageCounts = {
     // 1. quality: keep only docs passing every enabled signal — the
     // always-on round-4 reasons, then the corpus-relative perplexity
     // tail cut and the dup-span ceiling as violator ANTI-joins (see
@@ -174,7 +210,10 @@ object Pipeline {
     val spanned =
       if (knobs.spanDedupN < 2) quality
       else quality
-        .join(TextAnalysis.dedupSpans(quality, knobs.spanDedupN)
+        .join((if (knobs.spanDedupMinLen >= 1)
+            TextAnalysis.dedupSpansMinLen(quality, knobs.spanDedupN,
+              knobs.spanDedupMinLen)
+          else TextAnalysis.dedupSpans(quality, knobs.spanDedupN))
           .select(col("doc_id"), col("cleaned")), Seq("doc_id"))
         .withColumn("text", col("cleaned")).drop("cleaned")
         .withColumn("n_chars", length(col("text")).cast("long"))
@@ -222,8 +261,43 @@ object Pipeline {
       .join(dropIds, exact("doc_id") === dropIds("n"), "left_anti")
       .localCheckpoint()
 
+    // 3.5 (optional, embedding-bearing corpora): the q214 composition
+    // — prototype-prune the vector corpus (keep each fitted cluster's
+    // hardest keepBp fraction, Sorscher et al.), then semantic-dedup
+    // the pruned survivors (capped multi-table LSH pairs → CC). A doc
+    // whose vector is pruned as prototypical or deduped as a semantic
+    // twin drops; docs carrying no vector pass through — the vector
+    // table governs only the docs it covers. Restricted to vectors of
+    // SURVIVING docs first: no compute on docs already dropped.
+    val embedded = embeddings match {
+      case None => survivors
+      case Some(embAll) =>
+        val emb = embAll
+          .join(survivors.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+          .localCheckpoint()
+        val kept = graft.operators.KMeansQuantizer
+          .prototypePruning(emb, embedKnobs.k, embedKnobs.iters,
+            embedKnobs.keepBp)
+          .filter(col("kept")).select(col("vec_id"))
+        val keptEmb = emb.join(kept, Seq("vec_id")).localCheckpoint()
+        val clusters = Graph.connectedComponents(
+          graft.operators.Similarity.nearDupPairsLsh(keptEmb,
+            embedKnobs.minCosine, embedKnobs.planes, embedKnobs.tables,
+            embedKnobs.bucketCap),
+          "vec_a", "vec_b", checkpointDir = checkpointDir)
+        val dupVecs = clusters.filter(col("n") =!= col("component"))
+          .select(col("n").as("vec_id"))
+        val vecSurvivors = keptEmb.select(col("vec_id"))
+          .join(dupVecs, Seq("vec_id"), "left_anti")
+        val dropDocs = emb.select(col("vec_id"))
+          .join(vecSurvivors, Seq("vec_id"), "left_anti")
+          .select(col("vec_id").as("doc_id"))
+        survivors.join(dropDocs, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+    }
+
     // 4. deterministic mixture
-    val mixed = Sampling.deterministicMix(survivors, col("doc_id"),
+    val mixed = Sampling.deterministicMix(embedded, col("doc_id"),
       col("source"), mixRates, mixSalt)
 
     // 5. z-ordered layout (skip when no sink requested — tests count only)
@@ -254,7 +328,8 @@ object Pipeline {
     }
 
     StageCounts(docs.count(), quality.count(), spanned.count(),
-      exact.count(), survivors.count(), mixed.count(), manifest.count())
+      exact.count(), survivors.count(), mixed.count(), manifest.count(),
+      afterEmbedding = if (embeddings.isDefined) embedded.count() else -1L)
   }
 
   def main(args: Array[String]): Unit = {

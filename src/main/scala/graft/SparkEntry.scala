@@ -3275,6 +3275,30 @@ object SparkEntry {
     TextAnalysis.dedupSpansMinLen(docs(s, dir), DupSpanN, DupSpanMinLen)
       .orderBy(col("doc_id").asc)
 
+  /** Dedup-signal SATURATION audit ([[Multimodal.signalSaturation]]):
+    * for each fingerprint signal a dedup arm might collapse on — the
+    * resampled image hash (q203), the audio envelope fingerprint
+    * (q207), the 64-bit text simhash (q50) — the distinct-class census
+    * and the saturated verdict against that arm's class cap. The
+    * report a campaign reads BEFORE clustering: the round-11 sf10
+    * percolation (one cluster from birthday-collided 15-bit audio fps)
+    * would have been visible here as saturated = true. */
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val img = Multimodal.pHashesResampled(s,
+      Multimodal.pngPayloads(s, d), PHashGrid)
+    val aud = Multimodal.audioFingerprints(s,
+      Multimodal.wavPayloads(s, d), AudioFpSubWindows)
+    val sh = NearDup.simHash64(d)
+    Multimodal.signalSaturation(img, Seq("ph_hi", "ph_lo"),
+        "image_resampled", PHashClassBucketCap)
+      .union(Multimodal.signalSaturation(aud, Seq("fp"),
+        "audio_envelope", AudioClassBucketCap))
+      .union(Multimodal.signalSaturation(sh, Seq("fp_hi", "fp_lo"),
+        "text_simhash64", SimHashBucketCap))
+      .orderBy(col("signal").asc)
+  }
+
   /** Corpus QUALITY SCORECARD — the per-source report a curation run
     * publishes, rolled up from four independent quality operators in
     * one query: stopword ratio (q18), unigram-LM score (q110/q196),
@@ -4904,7 +4928,8 @@ object SparkEntry {
     "q211_balanced_shards" -> (q211 _),
     "q212_dup_span_intervals" -> (q212 _),
     "q213_dedup_spans_minlen" -> (q213 _),
-    "q214_prune_semdedup" -> (q214 _))
+    "q214_prune_semdedup" -> (q214 _),
+    "q215_signal_saturation" -> (q215 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -6046,6 +6071,45 @@ object SparkEntry {
                    ORDER BY pos), '') AS cleaned
           FROM rm GROUP BY doc_id ORDER BY doc_id ASC"""
     },
+    // q215: the three fingerprint replays (resampled image hash, audio
+    // envelope fp, 64-bit simhash) each rolled to a one-row class
+    // census with the saturated verdict against its arm's class cap
+    "q215_signal_saturation" ->
+      s"""WITH $pHashResampleCtes,
+          $simhash64Cte,
+          ad AS (SELECT doc_id, 32 + doc_id % 97 AS ns FROM documents),
+          sm AS (SELECT doc_id, ns, unnest(range(0, ns)) AS i FROM ad),
+          sv AS (SELECT doc_id, ns, i,
+                        abs(((doc_id * 131 + i * 29) % 256) - 128) AS av
+                 FROM sm),
+          eb AS (SELECT doc_id, (i * $AudioFpSubWindows) // ns AS sw,
+                        sum(av) AS e
+                 FROM sv GROUP BY 1, 2),
+          afp AS (SELECT doc_id,
+                        CAST(sum(CASE WHEN en > e THEN (1::BIGINT << sw)
+                                 ELSE 0 END) AS BIGINT) AS f
+                 FROM (SELECT doc_id, sw, e,
+                         lead(e) OVER (PARTITION BY doc_id ORDER BY sw) AS en
+                       FROM eb)
+                 WHERE en IS NOT NULL GROUP BY doc_id),
+          imgc AS (SELECT ph_hi, ph_lo, count(*) AS n FROM rs GROUP BY 1, 2),
+          audc AS (SELECT f, count(*) AS n FROM afp GROUP BY 1),
+          txtc AS (SELECT fp_hi, fp_lo, count(*) AS n FROM fpt64 GROUP BY 1, 2)
+          SELECT * FROM (
+            SELECT 'image_resampled' AS signal,
+                   CAST(sum(n) AS BIGINT) AS n_items,
+                   count(*) AS n_classes,
+                   CAST(max(n) AS BIGINT) AS max_class,
+                   max(n) > $PHashClassBucketCap AS saturated FROM imgc
+            UNION ALL
+            SELECT 'audio_envelope', CAST(sum(n) AS BIGINT), count(*),
+                   CAST(max(n) AS BIGINT),
+                   max(n) > $AudioClassBucketCap FROM audc
+            UNION ALL
+            SELECT 'text_simhash64', CAST(sum(n) AS BIGINT), count(*),
+                   CAST(max(n) AS BIGINT),
+                   max(n) > ${DedupKnobs.SimHashBucketCap} FROM txtc)
+          ORDER BY signal ASC""",
     // q205: the q44 unrolled-Lloyd chain + final assignment with
     // distance kept, per-cluster hardest-first rank, ceiling as the
     // exact integer predicate (rnk-1)*10^4 < n*keepBp

@@ -647,6 +647,26 @@ object Multimodal {
       .select(col("__rep").as("doc_a"), col("doc_id").as("doc_b"))
   }
 
+  /** SATURATION census of a dedup fingerprint signal — the round-11
+    * percolation lesson ([[classMemberEdges]] doc) as a REPORT a
+    * campaign reads BEFORE clustering: one row with the signal's item
+    * count, distinct-class count, and largest class population, plus
+    * the saturated verdict against the cap the dedup projection would
+    * use. A signal whose max_class exceeds the cap (or whose n_classes
+    * is tiny relative to n_items) has too little entropy for
+    * identity-on-signal dedup at this corpus size — widen the
+    * fingerprint or quarantine the arm. One hash agg over the
+    * fingerprint table, then a single-row rollup: census-sized at any
+    * corpus. */
+  def signalSaturation(fps: DataFrame, keys: Seq[String], name: String,
+                       cap: Long): DataFrame =
+    fps.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("n_items"),
+        count(lit(1)).as("n_classes"),
+        coalesce(max(col("__n")), lit(0L)).as("max_class"))
+      .select(lit(name).as("signal"), col("n_items"), col("n_classes"),
+        col("max_class"), (col("max_class") > cap).as("saturated"))
+
   /** One sampled frame: index in the stream, byte offset, byte length.
     * A real decoder would add the decoded tensor / thumbnail bytes. */
   case class Frame(frame_idx: Long, offset: Long, n_bytes: Long)

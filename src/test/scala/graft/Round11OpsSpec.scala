@@ -140,6 +140,48 @@ class Round11OpsSpec extends AnyFunSuite {
       s"union arms must not resurrect duplicates: $multi vs $mono")
   }
 
+  test("pipeline stage 1.5 honors the span LENGTH knob (q213's rule)") {
+    // two identical 6-token docs: their one merged duplicated span IS
+    // the whole doc (length 6). Under the fixed-width rule (gate off)
+    // the rewrite empties both and stage 1.5 drops them; under the
+    // length gate at 8 the 6-token span is below threshold, both
+    // survive verbatim (and exact dedup then collapses them to one).
+    // All-stopword text keeps every always-on quality signal green.
+    val docs = Seq(
+      (1L, "the and of to in at", "src1", 19L, "en"),
+      (2L, "the and of to in at", "src1", 19L, "en"))
+      .toDF("doc_id", "text", "source", "n_chars", "lang")
+    def run(minLen: Int) = Pipeline.curate(spark, docs,
+      Map("src1" -> 1.0), "len-v1", None,
+      knobs = Pipeline.QualityKnobs(minTokens = 1, minStopRatio = 0.0,
+        maxRepRatio = 1.0, spanDedupN = 5, spanDedupMinLen = minLen))
+    val gated = run(8)
+    assert(gated.afterQuality === 2L, s"quality must pass both: $gated")
+    assert(gated.afterSpanRewrite === 2L && gated.afterExact === 1L,
+      s"length gate must spare the short span: $gated")
+    val fixed = run(0)
+    assert(fixed.afterSpanRewrite === 0L,
+      s"fixed-width rule must empty pure boilerplate: $fixed")
+  }
+
+  test("pipeline stage 3.5 drops docs whose vector is pruned or semantically deduped") {
+    val docs = graft.engine.Sources.table(spark, sfDir, "documents")
+    val emb = graft.engine.Sources.table(spark, sfDir, "embeddings")
+    val rates = Map("src1" -> 1.0, "src2" -> 1.0, "src3" -> 1.0,
+      "src5" -> 1.0, "src7" -> 1.0, "src11" -> 1.0)
+    val without = Pipeline.curate(spark, docs, rates, "emb-v1", None)
+    val withEmb = Pipeline.curate(spark, docs, rates, "emb-v1", None,
+      embeddings = Some(emb))
+    assert(without.afterEmbedding === -1L, "stage off must report -1")
+    // every fixture doc carries a vector, so the embedding stage can
+    // only shrink the survivor set — and with keepBp 7000 it MUST
+    // (at least the prototypical 30% of each cluster drops)
+    assert(withEmb.afterEmbedding > 0 &&
+      withEmb.afterEmbedding < withEmb.afterNearDup,
+      s"embedding stage must prune: $withEmb")
+    assert(withEmb.afterMix <= withEmb.afterEmbedding)
+  }
+
   test("q214 survivors are a subset of q205's kept set (one per semantic cluster)") {
     val kept = SparkEntry.queries("q205_prototype_pruning")(spark, sfDir)
       .filter(col("kept")).select(col("vec_id"))
