@@ -3123,9 +3123,27 @@ object SparkEntry {
     * box-mean resampling of the REAL PNG decode, thresholded against
     * the image mean — the hash that matches resize near-dups, gated
     * bit for bit against the pixel-model + integer-resample replay. */
+  /** The RESAMPLED image fingerprint table, staged once per corpus —
+    * the encode→decode→resample codec pass feeds four queries
+    * (q202/q203/q209/q215); a production pipeline lands fingerprints
+    * and every consumer scans the landed table (the round-11
+    * containment-staging doctrine applied to the codec arms). */
+  private def stagedResampledHashes(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Staging.stagedParquet(s,
+        s"resampled_phash|g=$PHashGrid|$dir", Seq(dir))(
+      Multimodal.pHashesResampled(s,
+        Multimodal.pngPayloads(s, docs(s, dir)), PHashGrid))
+
+  /** The audio envelope-fingerprint table, staged once per corpus
+    * (consumers: q207/q209/q215). */
+  private def stagedAudioFps(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Staging.stagedParquet(s,
+        s"audio_fp|sw=$AudioFpSubWindows|$dir", Seq(dir))(
+      Multimodal.audioFingerprints(s,
+        Multimodal.wavPayloads(s, docs(s, dir)), AudioFpSubWindows))
+
   private def q202(s: SparkSession, dir: String): DataFrame =
-    Multimodal.pHashesResampled(s,
-        Multimodal.pngPayloads(s, docs(s, dir)), PHashGrid)
+    stagedResampledHashes(s, dir)
       .orderBy(col("doc_id").asc)
 
   /** Scale-invariant image near-dup classes over the RESAMPLED hash
@@ -3135,8 +3153,7 @@ object SparkEntry {
     * The resize-robust dedup stage q202's fingerprint feeds. */
   private def q203(s: SparkSession, dir: String): DataFrame =
     Multimodal.resampledClassPairsCapped(
-        Multimodal.pHashesResampled(s,
-          Multimodal.pngPayloads(s, docs(s, dir)), PHashGrid),
+        stagedResampledHashes(s, dir),
         PHashMaxHamming, PHashClassBucketCap)
       .orderBy(col("ph_hi_a").asc, col("ph_lo_a").asc,
         col("ph_hi_b").asc, col("ph_lo_b").asc)
@@ -3182,8 +3199,7 @@ object SparkEntry {
     * one like the resampled image arm (q203). */
   private def q207(s: SparkSession, dir: String): DataFrame =
     Multimodal.audioClassPairsCapped(
-        Multimodal.audioFingerprints(s,
-          Multimodal.wavPayloads(s, docs(s, dir)), AudioFpSubWindows),
+        stagedAudioFps(s, dir),
         AudioFpMaxHamming, AudioClassBucketCap)
       .orderBy(col("fp_a").asc, col("fp_b").asc)
 
@@ -3212,12 +3228,10 @@ object SparkEntry {
       .select(col("doc_id"), col("n_tokens"),
         Aggregates.round6Portable(col("stopword_ratio"))
           .as("stopword_ratio"))
-    val img = Multimodal.pHashesResampled(s,
-        Multimodal.pngPayloads(s, d), PHashGrid)
+    val img = stagedResampledHashes(s, dir)
       .select(col("doc_id"), col("width"), col("height"),
         col("ph_hi"), col("ph_lo"))
-    val aud = Multimodal.audioFingerprints(s,
-        Multimodal.wavPayloads(s, d), AudioFpSubWindows)
+    val aud = stagedAudioFps(s, dir)
       .select(col("doc_id"), col("n_samples"), col("fp").as("audio_fp"))
     txt.join(img, Seq("doc_id")).join(aud, Seq("doc_id"))
       .orderBy(col("doc_id").asc)
@@ -3285,10 +3299,8 @@ object SparkEntry {
     * would have been visible here as saturated = true. */
   private def q215(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val img = Multimodal.pHashesResampled(s,
-      Multimodal.pngPayloads(s, d), PHashGrid)
-    val aud = Multimodal.audioFingerprints(s,
-      Multimodal.wavPayloads(s, d), AudioFpSubWindows)
+    val img = stagedResampledHashes(s, dir)
+    val aud = stagedAudioFps(s, dir)
     val sh = NearDup.simHash64(d)
     Multimodal.signalSaturation(img, Seq("ph_hi", "ph_lo"),
         "image_resampled", PHashClassBucketCap)

@@ -192,6 +192,29 @@ class Round11OpsSpec extends AnyFunSuite {
       s"q214 must select among pruned survivors: ${surv.size} vs ${kept.size}")
   }
 
+  test("fingerprint tables stage once; the codec families share the landed files") {
+    // the image (q202/q203/q209/q215) and audio (q207/q209/q215)
+    // fingerprint consumers must scan ONE landed table per modality —
+    // not re-run the encode→decode codec pass per query
+    def stagedFiles(name: String): Set[String] =
+      SparkEntry.queries(name)(spark, sfDir).inputFiles
+        .filter(_.contains("graft_stage_")).toSet
+    // (q203/q207 scan their own SECOND-level staged class tables —
+    // built FROM the landed fingerprints — so their inputFiles are the
+    // class stage, not the fingerprint stage; the direct consumers
+    // q202/q209/q215 must share the fingerprint files themselves)
+    val img = stagedFiles("q202_phash_resampled")
+    assert(img.nonEmpty, "q202 must scan the staged fingerprint table")
+    val f209 = stagedFiles("q209_multimodal_record")
+    val f215 = stagedFiles("q215_signal_saturation")
+    assert(img.subsetOf(f209) && img.subsetOf(f215),
+      s"q209/q215 must consume q202's staged fingerprints")
+    // both also share the AUDIO fingerprint stage — their common staged
+    // files exceed the image stage alone
+    assert((f209 intersect f215).size > img.size,
+      "q209 and q215 must share the staged audio fingerprints too")
+  }
+
   test("audio fingerprint fails loudly below the sub-window count") {
     // engine and oracle diverge on signals shorter than `subWindows`
     // (engine zero-fills empty sub-windows, the oracle's lead() chain
