@@ -123,12 +123,24 @@ object Bench {
     // driver's stdout capture keeps only a bounded tail (BENCH_r10's
     // 2000-char tail truncated the dict at q30), so the judge could
     // not diff per-query timings without re-running. One sorted line,
-    // 3-dp values; path overridable for builder-local campaigns.
+    // 3-dp values; path overridable for builder-local campaigns. The
+    // default anchors to the REPO (nearest ancestor of this class's
+    // code source carrying build.sbt), falling back to cwd only when
+    // run from an unpacked jar — a run launched from an arbitrary
+    // directory must not scatter BENCH_local.json files (or overwrite
+    // an unrelated file of that name) into that directory.
+    val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
+      val here = java.nio.file.Paths.get(getClass.getProtectionDomain
+        .getCodeSource.getLocation.toURI)
+      Iterator.iterate(here)(_.getParent).takeWhile(_ != null)
+        .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+        .map(_.resolve("BENCH_local.json").toString)
+        .getOrElse("BENCH_local.json")
+    }
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.env.getOrElse(
-        "SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")), full + "\n")
+      java.nio.file.Paths.get(benchOut), full + "\n")
     catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write BENCH_local.json: ${e.getMessage}")
+      System.err.println(s"[bench] could not write $benchOut: ${e.getMessage}")
     }
     spark.stop()
   }

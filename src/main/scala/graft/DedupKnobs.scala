@@ -127,6 +127,18 @@ private[graft] object DedupKnobs {
   require(AudioFpSubWindows >= 2 && AudioFpSubWindows <= 32,
     s"fingerprint bits must pack a long half, got $AudioFpSubWindows")
 
+  /** Frequency-proxy band count for the MULTI-BAND Haitsma-Kalker
+    * fingerprint (q216/q217 and the pipeline's audio arm): band 0 is
+    * the envelope, bands 1..B−1 are lag-b first differences —
+    * (subWindows − 1) × bands = 60 sign-of-delta bits in two 32-bit
+    * halves, wide enough that identical fingerprints are duplication
+    * evidence at any realistic corpus size (the round-11 saturation
+    * lesson: the 15-bit envelope alone birthday-collides at sf10). */
+  val AudioFpBands = 4
+  require(AudioFpBands >= 1 && (AudioFpSubWindows - 1) * AudioFpBands <= 64,
+    s"multiband fingerprint must pack 64 bits, got " +
+      s"${(AudioFpSubWindows - 1) * AudioFpBands}")
+
   /** Hamming threshold for audio fingerprint near-dup classes (q207):
     * the 2-band × 8-bit band join is pigeonhole-exact only below 2. */
   val AudioFpMaxHamming = 1

@@ -110,8 +110,8 @@ object Pipeline {
       maxBucket = DedupKnobs.SimHashBucketCap)
 
   /** Stage 3's MULTIMODAL pair generator: the text simhash pairs
-    * unioned with the image (q203 resampled-aHash) and audio (q207
-    * envelope-fingerprint) dedup arms projected onto the document
+    * unioned with the image (q203 resampled-aHash) and audio (q217
+    * multi-band fingerprint) dedup arms projected onto the document
     * graph — within-class star edges to each class representative
     * ([[graft.operators.Multimodal.classMemberEdges]]) plus the capped
     * class-pair tables' (anchor_a, anchor_b) representative edges. CC
@@ -138,11 +138,20 @@ object Pipeline {
       .union(Multimodal.resampledClassPairsCapped(img,
           DedupKnobs.PHashMaxHamming, DedupKnobs.PHashClassBucketCap)
         .select(col("anchor_a").as("doc_a"), col("anchor_b").as("doc_b")))
-    val aud = Multimodal.audioFingerprints(spark,
-      Multimodal.wavPayloads(spark, docs), DedupKnobs.AudioFpSubWindows)
-    val audEdges = Multimodal.classMemberEdges(aud, Seq("fp"),
+    // the audio arm clusters on the MULTI-BAND fingerprint (q216/q217)
+    // — the ≤31-bit envelope saturates at corpus scale (round 11's
+    // percolation; q215 measures it), so identity on it is not
+    // duplication evidence. The multi-band signal is wide enough that
+    // the saturation cap below is a true anomaly guard, not the arm's
+    // de-facto off switch.
+    val aud = Multimodal.audioFingerprintsMultiBand(spark,
+        Multimodal.wavPayloads(spark, docs),
+        DedupKnobs.AudioFpSubWindows, DedupKnobs.AudioFpBands)
+    val audEdges = Multimodal.classMemberEdges(aud, Seq("fp_hi", "fp_lo"),
         DedupKnobs.AudioClassBucketCap)
-      .union(Multimodal.audioClassPairsCapped(aud,
+      .union(Multimodal.resampledClassPairsCapped(
+          aud.select(col("doc_id"), col("fp_hi").as("ph_hi"),
+            col("fp_lo").as("ph_lo")),
           DedupKnobs.AudioFpMaxHamming, DedupKnobs.AudioClassBucketCap)
         .select(col("anchor_a").as("doc_a"), col("anchor_b").as("doc_b")))
     text.union(imgEdges).union(audEdges)
@@ -164,6 +173,23 @@ object Pipeline {
     *        q214 composition), dropping docs whose vector is pruned
     *        as prototypical or deduped as a semantic twin; docs
     *        without a vector pass through untouched. */
+  /** The staged artifacts a curate() run lands that the NEXT
+    * increment consumes (the whole-corpus tables an incremental run
+    * must never recompute):
+    *  - `exact`: the post-exact-dedup corpus (stage 2's output) — the
+    *    key set batch exact-dedup anti-joins and the doc set batch
+    *    near-dup compares against (the full rerun pairs over exact
+    *    output, so this — not the final survivors — is the right
+    *    comparison corpus);
+    *  - `cells`: the manifest's additive census
+    *    ([[graft.operators.DataMix.manifestCells]]) — increments merge
+    *    by summing and re-derive the budget half;
+    *  - `published`: the mixed documents the run actually shipped (what
+    *    `outDir` receives) — the frame equivalence specs slice, and
+    *    what a compaction pass reads when revocations accumulate. */
+  final case class CorpusArtifacts(exact: DataFrame, cells: DataFrame,
+                                   published: DataFrame)
+
   def curate(spark: SparkSession, docs: DataFrame,
              mixRates: Map[String, Double], mixSalt: String,
              outDir: Option[String],
@@ -171,7 +197,23 @@ object Pipeline {
              knobs: QualityKnobs = QualityKnobs(),
              multimodal: Boolean = false,
              embeddings: Option[DataFrame] = None,
-             embedKnobs: EmbedKnobs = EmbedKnobs()): StageCounts = {
+             embedKnobs: EmbedKnobs = EmbedKnobs()): StageCounts =
+    curateWithArtifacts(spark, docs, mixRates, mixSalt, outDir,
+      checkpointDir, knobs, multimodal, embeddings, embedKnobs)._1
+
+  /** [[curate]] that ALSO returns the staged artifacts the next
+    * [[curateIncrement]] consumes. The artifact frames are lazy views
+    * over tables the run computed anyway — returning them costs
+    * nothing unless a consumer scans them. */
+  def curateWithArtifacts(spark: SparkSession, docs: DataFrame,
+             mixRates: Map[String, Double], mixSalt: String,
+             outDir: Option[String],
+             checkpointDir: Option[String] = None,
+             knobs: QualityKnobs = QualityKnobs(),
+             multimodal: Boolean = false,
+             embeddings: Option[DataFrame] = None,
+             embedKnobs: EmbedKnobs = EmbedKnobs())
+      : (StageCounts, CorpusArtifacts) = {
     // 1. quality: keep only docs passing every enabled signal — the
     // always-on round-4 reasons, then the corpus-relative perplexity
     // tail cut and the dup-span ceiling as violator ANTI-joins (see
@@ -312,8 +354,12 @@ object Pipeline {
     // group) and roll up the training manifest. Checkpointed for the
     // same audit-count + sink double-consumption reason as the stages
     // above.
-    val manifest = DataMix.trainManifest(mixed, clusters,
-        mixSalt + "|split", trainBp = 8000, valBp = 9000,
+    // through the cells → allocation split (≡ trainManifest by
+    // construction), so the additive census is available as the
+    // increment artifact
+    val cells = DataMix.manifestCells(mixed, clusters,
+      mixSalt + "|split", trainBp = 8000, valBp = 9000)
+    val manifest = DataMix.manifestFromCells(cells,
         budgetDen = 1, capEpochs = 2)
       .localCheckpoint()
     outDir.foreach { dir =>
@@ -327,18 +373,161 @@ object Pipeline {
         .coalesce(1).write.mode("overwrite").parquet(dir + "_scorecard")
     }
 
-    StageCounts(docs.count(), quality.count(), spanned.count(),
+    (StageCounts(docs.count(), quality.count(), spanned.count(),
       exact.count(), survivors.count(), mixed.count(), manifest.count(),
-      afterEmbedding = if (embeddings.isDefined) embedded.count() else -1L)
+      afterEmbedding = if (embeddings.isDefined) embedded.count() else -1L),
+      CorpusArtifacts(exact, cells, mixed))
+  }
+
+  final case class IncrementCounts(input: Long, afterQuality: Long,
+                                   afterExact: Long, afterNearDup: Long,
+                                   afterMix: Long, manifestCells: Long,
+                                   revokedCorpusDocs: Long)
+
+  /** Curate a NEW batch against yesterday's curated corpus WITHOUT
+    * re-curating the corpus — the shape a real 100 TB ingestion runs
+    * daily. Every whole-corpus table is a staged artifact of the prior
+    * run, probed but never rebuilt:
+    *
+    *   1. quality    — the per-doc signals on the batch alone;
+    *   2. exact      — batch keys anti-join the corpus post-exact key
+    *                   set ([[CorpusArtifacts.exact]]), then the
+    *                   within-batch latest-by-key;
+    *   3. near-dup   — [[graft.operators.NearDup
+    *                   .incrementalSimhashPairsCapped]] (the q70/q168
+    *                   incremental shape on the pipeline's simhash
+    *                   generator: batch-vs-corpus + batch-internal
+    *                   pairs, union-exact caps) unioned with the
+    *                   corpus's LANDED pair table, CC, canonical-min
+    *                   survivors — a batch doc connected to any corpus
+    *                   doc or smaller batch doc drops;
+    *   4. mix        — the same pure-hash membership;
+    *   5. manifest   — the batch's census cells MERGE into the corpus
+    *                   cells by summation
+    *                   ([[graft.operators.DataMix.mergeCells]]) and
+    *                   the budget half re-derives from the merged
+    *                   census — the latest-wins-by-key upsert shape of
+    *                   [[graft.streaming.EventStream.upsertStreamToTable]]
+    *                   with the merged row as the new version.
+    *
+    * EQUIVALENCE (spec-pinned): the batch survivor set equals the
+    * batch slice of a full `curate(corpus ∪ batch)` rerun, and the
+    * merged manifest equals the full rerun's manifest, PROVIDED
+    * (a) every batch doc_id exceeds every corpus doc_id (checked
+    * here — monotone ingest ids), (b) only per-doc quality signals
+    * are on (corpus-relative knobs would be batch-relative: checked),
+    * and (c) no batch doc BRIDGES two distinct corpus clusters — a
+    * bridge means a previously published corpus survivor would lose
+    * its canonical status in a full rerun. Bridged survivors are
+    * DETECTED and reported (`revokedCorpusDocs`), never silently
+    * retracted: published data is immutable in an incremental design,
+    * and a production deployment routes revocations to a compaction
+    * pass.
+    *
+    * Returns (batch mixed survivors, merged manifest, counts). */
+  def curateIncrement(spark: SparkSession, corpus: CorpusArtifacts,
+                      batch: DataFrame,
+                      mixRates: Map[String, Double], mixSalt: String,
+                      knobs: QualityKnobs = QualityKnobs(),
+                      checkpointDir: Option[String] = None)
+      : (DataFrame, DataFrame, IncrementCounts) = {
+    require(knobs.dropPplBuckets == 0 && knobs.maxDupFrac >= 1.0 &&
+      knobs.spanDedupN == 0,
+      "corpus-relative quality stages (perplexity tail, dup-span gate, " +
+        "span rewrite) are whole-corpus signals — run them in curate()")
+    // id-ordering contract: the union anchor of any shared bucket must
+    // be a corpus doc (see incrementalSimhashPairsCapped). Two census
+    // aggs — not data-sized collects.
+    val maxCorpusId = corpus.exact.agg(max(col("doc_id"))).head().getLong(0)
+    val minBatchId = batch.agg(min(col("doc_id"))).head().getLong(0)
+    require(minBatchId > maxCorpusId,
+      s"batch ids must exceed corpus ids (monotone ingest): " +
+        s"batch min $minBatchId <= corpus max $maxCorpusId")
+
+    // 1. per-doc quality
+    val decisions = TextAnalysis.curationDecision(batch,
+      TextAnalysis.stopwords("en"), minTokens = knobs.minTokens,
+      minStopRatio = knobs.minStopRatio, maxRepRatio = knobs.maxRepRatio)
+    val quality = batch
+      .join(decisions.filter(col("keep")).select(col("doc_id")), "doc_id")
+      .localCheckpoint()
+
+    // 2. exact: within-batch latest-by-key, then the corpus key set
+    // anti-join (the corpus canonical always has the smaller id)
+    def keyOf(df: DataFrame) =
+      md5(TextAnalysis.normalizeText(df("text")))
+    val corpusKeys = corpus.exact.select(keyOf(corpus.exact).as("__key"))
+      .distinct()
+    val exactB = Dedup.latestByKey(
+        quality.withColumn("__key",
+          md5(TextAnalysis.normalizeText(col("text")))),
+        keys = Seq("__key"), orderBy = Seq(-col("doc_id")))
+      .join(corpusKeys, Seq("__key"), "left_anti")
+      .drop("__key")
+      .localCheckpoint()
+
+    // 3. near-dup: landed corpus artifacts (fingerprints, pair table —
+    // plan-keyed staged, so in-process they build once per corpus and
+    // a durable root lands them across runs) + the incremental pairs
+    val corpusFps = graft.operators.Shingles.shared(
+      NearDup.simHash(corpus.exact))
+    val corpusPairs = graft.operators.Shingles.shared(
+      NearDup.simHashPairsCapped(corpusFps,
+          DedupKnobs.SimHashMaxHamming, DedupKnobs.SimHashBucketCap)
+        .select(col("doc_a"), col("doc_b")))
+    val incPairs = NearDup.incrementalSimhashPairsCapped(corpusFps,
+        NearDup.simHash(exactB),
+        DedupKnobs.SimHashMaxHamming, DedupKnobs.SimHashBucketCap)
+      .select(col("doc_a"), col("doc_b"))
+    val merged = Graph.connectedComponents(corpusPairs.union(incPairs),
+        "doc_a", "doc_b", checkpointDir = checkpointDir)
+      .localCheckpoint()
+    val dropIds = merged.filter(col("n") =!= col("component"))
+      .select(col("n"))
+    val survivors = exactB
+      .join(dropIds, exactB("doc_id") === dropIds("n"), "left_anti")
+      .localCheckpoint()
+    // revocation audit: previously-published corpus survivors whose
+    // canonical status a full rerun would revoke (a batch doc bridged
+    // their cluster to a smaller-min one)
+    val corpusCC = Graph.connectedComponents(corpusPairs,
+      "doc_a", "doc_b", checkpointDir = checkpointDir)
+    val corpusSurvivorIds = corpus.exact.select(col("doc_id"))
+      .join(corpusCC.filter(col("n") =!= col("component"))
+          .select(col("n").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+    val revoked = corpusSurvivorIds
+      .join(dropIds.select(col("n").as("doc_id")), Seq("doc_id"))
+      .count()
+
+    // 4. mix
+    val mixed = Sampling.deterministicMix(survivors, col("doc_id"),
+      col("source"), mixRates, mixSalt)
+
+    // 5. manifest: sum-merge the batch's cells into the corpus cells,
+    // re-derive the budget half from the merged census
+    val deltaCells = DataMix.manifestCells(mixed, merged,
+      mixSalt + "|split", trainBp = 8000, valBp = 9000)
+    val manifest = DataMix.manifestFromCells(
+        DataMix.mergeCells(corpus.cells, deltaCells),
+        budgetDen = 1, capEpochs = 2)
+      .localCheckpoint()
+
+    (mixed, manifest,
+      IncrementCounts(batch.count(), quality.count(), exactB.count(),
+        survivors.count(), mixed.count(), manifest.count(), revoked))
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     // "multimodal" anywhere in args turns on the stage-3 union of the
-    // text/image/audio dedup arms; a literal "-" out dir means none
+    // text/image/audio dedup arms; the POSITIONAL args are what's left
+    // (so `runMain graft.Pipeline multimodal` keeps the default sfDir
+    // instead of reading the flag as a corpus path); a literal "-" out
+    // dir means none
     val multimodal = args.contains("multimodal")
-    val out = args.drop(1).filterNot(_ == "multimodal").headOption
-      .filter(_ != "-")
+    val pos = args.filterNot(_ == "multimodal")
+    val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = pos.drop(1).headOption.filter(_ != "-")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions).master(s"local[$cpus]")

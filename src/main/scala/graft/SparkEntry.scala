@@ -3135,12 +3135,24 @@ object SparkEntry {
         Multimodal.pngPayloads(s, docs(s, dir)), PHashGrid))
 
   /** The audio envelope-fingerprint table, staged once per corpus
-    * (consumers: q207/q209/q215). */
+    * (consumers: q207/q215). */
   private def stagedAudioFps(s: SparkSession, dir: String): DataFrame =
     graft.engine.Staging.stagedParquet(s,
         s"audio_fp|sw=$AudioFpSubWindows|$dir", Seq(dir))(
       Multimodal.audioFingerprints(s,
         Multimodal.wavPayloads(s, docs(s, dir)), AudioFpSubWindows))
+
+  /** The MULTI-BAND audio fingerprint table
+    * ([[Multimodal.audioFingerprintsMultiBand]]), staged once per
+    * corpus — the production-width signal the pipeline's audio arm
+    * clusters on (consumers: q209/q215/q216/q217). */
+  private def stagedAudioMbFps(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Staging.stagedParquet(s,
+        s"audio_fp_mb|sw=$AudioFpSubWindows|b=${DedupKnobs.AudioFpBands}|$dir",
+        Seq(dir))(
+      Multimodal.audioFingerprintsMultiBand(s,
+        Multimodal.wavPayloads(s, docs(s, dir)), AudioFpSubWindows,
+        DedupKnobs.AudioFpBands))
 
   private def q202(s: SparkSession, dir: String): DataFrame =
     stagedResampledHashes(s, dir)
@@ -3217,8 +3229,9 @@ object SparkEntry {
     * every modality's fingerprint and quality signal side by side:
     * text (token count, stopword ratio), image (the scale-invariant
     * resampled aHash, q202's fingerprint, from the REAL PNG decode)
-    * and audio (the envelope fingerprint, q207's, from the REAL WAV
-    * decode). This is the typed record a multimodal training pipeline
+    * and audio (the multi-band Haitsma-Kalker fingerprint, q216's,
+    * from the REAL WAV decode — the signal the pipeline's audio arm
+    * clusters on). This is the typed record a multimodal training pipeline
     * stages once and every downstream consumer (dedup, mixing,
     * retrieval) keys into — three 1:1 equi-joins on doc_id, each side
     * a narrow decode map, no fan-out anywhere. */
@@ -3231,8 +3244,9 @@ object SparkEntry {
     val img = stagedResampledHashes(s, dir)
       .select(col("doc_id"), col("width"), col("height"),
         col("ph_hi"), col("ph_lo"))
-    val aud = stagedAudioFps(s, dir)
-      .select(col("doc_id"), col("n_samples"), col("fp").as("audio_fp"))
+    val aud = stagedAudioMbFps(s, dir)
+      .select(col("doc_id"), col("n_samples"),
+        col("fp_hi").as("audio_fp_hi"), col("fp_lo").as("audio_fp_lo"))
     txt.join(img, Seq("doc_id")).join(aud, Seq("doc_id"))
       .orderBy(col("doc_id").asc)
   }
@@ -3292,7 +3306,9 @@ object SparkEntry {
   /** Dedup-signal SATURATION audit ([[Multimodal.signalSaturation]]):
     * for each fingerprint signal a dedup arm might collapse on — the
     * resampled image hash (q203), the audio envelope fingerprint
-    * (q207), the 64-bit text simhash (q50) — the distinct-class census
+    * (q207), the multi-band audio fingerprint (q217, the arm the
+    * pipeline clusters on), the 64-bit text simhash (q50) — the
+    * distinct-class census
     * and the saturated verdict against that arm's class cap. The
     * report a campaign reads BEFORE clustering: the round-11 sf10
     * percolation (one cluster from birthday-collided 15-bit audio fps)
@@ -3301,14 +3317,141 @@ object SparkEntry {
     val d = docs(s, dir)
     val img = stagedResampledHashes(s, dir)
     val aud = stagedAudioFps(s, dir)
+    val mb = stagedAudioMbFps(s, dir)
     val sh = NearDup.simHash64(d)
     Multimodal.signalSaturation(img, Seq("ph_hi", "ph_lo"),
         "image_resampled", PHashClassBucketCap)
       .union(Multimodal.signalSaturation(aud, Seq("fp"),
         "audio_envelope", AudioClassBucketCap))
+      .union(Multimodal.signalSaturation(mb, Seq("fp_hi", "fp_lo"),
+        "audio_multiband", AudioClassBucketCap))
       .union(Multimodal.signalSaturation(sh, Seq("fp_hi", "fp_lo"),
         "text_simhash64", SimHashBucketCap))
       .orderBy(col("signal").asc)
+  }
+
+  /** MULTI-BAND Haitsma-Kalker audio fingerprint table
+    * ([[Multimodal.audioFingerprintsMultiBand]]): per sub-window the
+    * envelope plus lag-b comb-filter band energies, sign-of-delta bits
+    * packed into two 32-bit halves — the round-12 widening of q207's
+    * ≤31-bit envelope (which q215 measures SATURATED at sf10: 1,271
+    * classes over ~500k docs), the signal the pipeline's audio arm
+    * clusters on. Gated bit for bit against the PCM-model replay. */
+  private def q216(s: SparkSession, dir: String): DataFrame =
+    stagedAudioMbFps(s, dir)
+      .orderBy(col("doc_id").asc)
+
+  /** Audio near-dup CLASS pairs over the MULTI-BAND fingerprint — the
+    * 64-bit class machinery ([[Multimodal.resampledClassPairsCapped]]:
+    * hash-keyed classes, 4×16-bit band candidates, per-bucket class
+    * cap with lexicographic-anchor star reduction) applied verbatim to
+    * q216's signal after a column rename. Replaces q207 as the
+    * pipeline's audio dedup arm; q207 remains the gated degenerate
+    * (B = 1) form. */
+  private def q217(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resampledClassPairsCapped(
+        stagedAudioMbFps(s, dir)
+          .select(col("doc_id"), col("fp_hi").as("ph_hi"),
+            col("fp_lo").as("ph_lo")),
+        AudioFpMaxHamming, AudioClassBucketCap)
+      .select(col("ph_hi_a").as("fp_hi_a"), col("ph_lo_a").as("fp_lo_a"),
+        col("ph_hi_b").as("fp_hi_b"), col("ph_lo_b").as("fp_lo_b"),
+        col("n_a").as("n_docs_a"), col("n_b").as("n_docs_b"),
+        col("anchor_a"), col("anchor_b"), col("hamming"))
+      .orderBy(col("fp_hi_a").asc, col("fp_lo_a").asc,
+        col("fp_hi_b").asc, col("fp_lo_b").asc)
+
+  /** INCREMENTAL train manifest — q192's result reached through the
+    * incremental machinery instead of a whole-corpus rebuild: the
+    * corpus slice (doc_id ≤ ⌊4/5·max⌋) lands its fingerprint and
+    * capped-pair artifacts once; the batch slice pairs via
+    * [[NearDup.incrementalSimhashPairsCapped]] (batch-vs-corpus +
+    * batch-internal, union-exact caps); cells census the two slices
+    * under their respective cluster scopes and SUM-merge
+    * ([[graft.operators.DataMix.mergeCells]]); the budget half
+    * re-derives from the merged census. Clusters the increment TOUCHED
+    * (a batch doc bridging two corpus clusters changes their merged
+    * id — the fixture really has such bridges) are handled by a
+    * bounded census CORRECTION: the drifted docs' stale rows retract
+    * (negative cells) and re-add under the merged clustering. The
+    * ORACLE is deliberately the batch-oblivious full-corpus manifest
+    * (q192's SQL): the gate IS the equivalence theorem — an increment
+    * plus its corrections must land exactly where a full rebuild
+    * would, unconditionally. */
+  private def q218(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{DataMix, Graph}
+    val d = docs(s, dir)
+    val cut = d.agg(max(col("doc_id"))).head().getLong(0) * 4 / 5
+    val corpus = d.filter(col("doc_id") <= cut)
+    val batch = d.filter(col("doc_id") > cut)
+    val corpusFps = graft.operators.Shingles.shared(NearDup.simHash(corpus))
+    val corpusPairs = graft.operators.Shingles.shared(
+      NearDup.simHashPairsCapped(corpusFps,
+          DedupKnobs.SimHashMaxHamming, DedupKnobs.SimHashBucketCap)
+        .select(col("doc_a"), col("doc_b")))
+    val incPairs = NearDup.incrementalSimhashPairsCapped(corpusFps,
+        NearDup.simHash(batch),
+        DedupKnobs.SimHashMaxHamming, DedupKnobs.SimHashBucketCap)
+      .select(col("doc_a"), col("doc_b"))
+    val mergedCC = Graph.connectedComponents(corpusPairs.union(incPairs),
+        "doc_a", "doc_b")
+      .localCheckpoint()
+    val corpusCC = Graph.connectedComponents(corpusPairs, "doc_a", "doc_b")
+      .localCheckpoint()
+    // the census correction set: corpus docs whose cluster id the
+    // increment CHANGED (a batch doc bridged their cluster to a
+    // smaller-min one). Their stale census rows retract and their
+    // corrected rows add — bounded by the touched clusters, never a
+    // corpus re-census. Everything else keeps the landed corpus cells.
+    val g0 = corpus.select(col("doc_id"))
+      .join(corpusCC.select(col("n").as("doc_id"),
+        col("component").as("__g0")), Seq("doc_id"), "left")
+    val drifted = g0
+      .join(mergedCC.select(col("n").as("doc_id"),
+        col("component").as("__g1")), Seq("doc_id"), "left")
+      .filter(coalesce(col("__g0"), col("doc_id")) =!=
+        coalesce(col("__g1"), col("doc_id")))
+      .select(col("doc_id"))
+    val driftedDocs = corpus.join(drifted, Seq("doc_id"))
+    val corpusCells = DataMix.manifestCells(corpus, corpusCC,
+      SplitSalt, SplitTrainBp, SplitValBp)
+    val retract = DataMix.negateCells(DataMix.manifestCells(driftedDocs,
+      corpusCC, SplitSalt, SplitTrainBp, SplitValBp))
+    val correct = DataMix.manifestCells(driftedDocs, mergedCC,
+      SplitSalt, SplitTrainBp, SplitValBp)
+    val batchCells = DataMix.manifestCells(batch, mergedCC,
+      SplitSalt, SplitTrainBp, SplitValBp)
+    DataMix.manifestFromCells(
+        DataMix.mergeCells(corpusCells, retract, correct, batchCells),
+        MixBudgetDen, MixCapEpochs)
+      .orderBy(col("split").asc, col("source").asc)
+  }
+
+  /** KEYSET pagination — the scale path q75's LIMIT/OFFSET form only
+    * documents: page 3 arrives via the previous page's last
+    * (sort-key, tiebreak) CURSOR as a pushed predicate + top-k, so the
+    * engine never sorts-then-skips the whole prefix (OFFSET n scans
+    * and discards n rows per page — O(n²) over a deep pagination walk;
+    * the keyset walk is O(page) per page). The cursor collect is
+    * page-sized (a real client carries it from page 2's response);
+    * the tie predicate (price < p) OR (price = p AND key > k) is the
+    * standard composite-cursor form and reaches the parquet scan as a
+    * pushed filter (plan-spec-pinned). Oracle: the OFFSET form —
+    * keyset page 3 must equal offset page 3 row for row. */
+  private def q219(s: SparkSession, dir: String): DataFrame = {
+    val page = 10
+    val orders = Sources.table(s, dir, "orders")
+    val cursor = orders
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select(col("o_totalprice"), col("o_orderkey"))
+      .limit(2 * page).collect().last
+    val (cp, ck) = (cursor.getDouble(0), cursor.getLong(1))
+    orders
+      .filter(col("o_totalprice") < cp ||
+        (col("o_totalprice") === cp && col("o_orderkey") > ck))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+      .limit(page)
   }
 
   /** Corpus QUALITY SCORECARD — the per-source report a curation run
@@ -4184,22 +4327,48 @@ object SparkEntry {
     * reduced to the aHash — ends in `ph(doc_id, width, height, phash)`.
     * The engine runs the true encode → binary column → `javax.imageio`
     * decode → hash pipeline; SQL replays the arithmetic. */
-  private lazy val pHashCtes: String =
-    s"""d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
-              FROM documents),
-        px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM d),
-        p2 AS (SELECT doc_id, w, h, k,
-                      (doc_id * 31 + 7 * (k % w) + 13 * (k // w)) % 256 AS p
+  /** Shared deterministic-pixel-model CTE prefix (mirrors
+    * [[Multimodal.imageContentId]]/`pixel` integer for integer):
+    * content id with the planted image twins (doc_id ≡ 27 mod 50
+    * carries doc_id − 27's payload), dims 8..12 × 8..11, per-pixel
+    * multiplicative-hash values, per-image sums. Ends in
+    * d(doc_id, w, h, icid), p2(doc_id, w, h, k, p),
+    * st(doc_id, n, sp). */
+  private lazy val pixelModelCtes: String =
+    s"""d AS (SELECT doc_id, icid, 8 + icid % 5 AS w, 8 + icid % 4 AS h
+              FROM (SELECT doc_id,
+                      CASE WHEN doc_id % 50 = 27 THEN doc_id - 27
+                           ELSE doc_id END AS icid
+                    FROM documents)),
+        px AS (SELECT doc_id, icid, w, h, unnest(range(0, w * h)) AS k
+               FROM d),
+        pt AS (SELECT doc_id, w, h, k,
+                      (icid * 2654435761 + (k % w) * 40503
+                       + (k // w) * 30011
+                       + (k % w) * (k // w) * 12289) % 1000003 AS t
                FROM px),
+        p2 AS (SELECT doc_id, w, h, k, (t * t % 1000003) % 256 AS p
+               FROM pt),
         st AS (SELECT doc_id, count(*) AS n, sum(p) AS sp
-               FROM p2 GROUP BY doc_id),
+               FROM p2 GROUP BY doc_id)"""
+
+  /** Native-raster aHash chain: threshold bits parity-folded into 48
+    * hash bits (bit j = XOR of thresholds at k ≡ j mod 48 — identical
+    * to the plain pack when w·h ≤ 48; see [[Multimodal.pHashes]]).
+    * Ends in ph(doc_id, width, height, phash), MATERIALIZED. */
+  private lazy val pHashCtes: String =
+    s"""$pixelModelCtes,
+        pb AS (SELECT doc_id, k % 48 AS j,
+                      sum(CASE WHEN p2.p * st.n >= st.sp
+                               THEN 1 ELSE 0 END) % 2 AS bit
+               FROM p2 JOIN st USING (doc_id) GROUP BY doc_id, k % 48),
         ph AS MATERIALIZED (
-          SELECT p2.doc_id, CAST(any_value(p2.w) AS BIGINT) AS width,
-                 CAST(any_value(p2.h) AS BIGINT) AS height,
-                 CAST(sum(CASE WHEN p2.p * st.n >= st.sp
-                               THEN (1::BIGINT << p2.k) ELSE 0 END)
+          SELECT pb.doc_id, CAST(any_value(d.w) AS BIGINT) AS width,
+                 CAST(any_value(d.h) AS BIGINT) AS height,
+                 CAST(sum(CASE WHEN bit = 1
+                               THEN (1::BIGINT << j) ELSE 0 END)
                    AS BIGINT) AS phash
-          FROM p2 JOIN st USING (doc_id) GROUP BY p2.doc_id)"""
+          FROM pb JOIN d USING (doc_id) GROUP BY pb.doc_id)"""
 
   /** The q202/q203 resampled-fingerprint CTE chain: the deterministic
     * pixel model resampled to the [[DedupKnobs.PHashGrid]]² grid in
@@ -4211,14 +4380,7 @@ object SparkEntry {
     * references it from both class-join sides. */
   private lazy val pHashResampleCtes: String = {
     val g = PHashGrid
-    s"""d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
-              FROM documents),
-        px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM d),
-        p2 AS (SELECT doc_id, w, h, k,
-                      (doc_id * 31 + 7 * (k % w) + 13 * (k // w)) % 256 AS p
-               FROM px),
-        st AS (SELECT doc_id, count(*) AS n, sum(p) AS sp
-               FROM p2 GROUP BY doc_id),
+    s"""$pixelModelCtes,
         cb AS (SELECT doc_id, w, h, c,
                       (c % $g) * w // $g AS x0,
                       greatest(((c % $g) + 1) * w // $g,
@@ -4260,6 +4422,213 @@ object SparkEntry {
     * engine's DECIMAL(38,0) (long products overflow first at
     * web-corpus dfs); all comparisons are exact integers, so both
     * engines derive the identical threshold. */
+  /** Shared deterministic-PCM-model CTE prefix (mirrors
+    * [[Multimodal.audioContentId]]/`sampleU` integer for integer):
+    * content id with the planted audio twins (doc_id ≡ 49 mod 50
+    * carries doc_id − 24's recording), per-doc sample count, signed
+    * sample values. Ends in ad(doc_id, acid, ns) and
+    * sv(doc_id, ns, i, v). */
+  private lazy val audioPcmCtes: String =
+    s"""ad AS (SELECT doc_id, acid, 32 + acid % 97 AS ns
+               FROM (SELECT doc_id,
+                       CASE WHEN doc_id % 50 = 49 THEN doc_id - 24
+                            ELSE doc_id END AS acid
+                     FROM documents)),
+        sm AS (SELECT doc_id, acid, ns, unnest(range(0, ns)) AS i FROM ad),
+        st0 AS (SELECT doc_id, ns, i,
+                       (acid * 2654435761 + i * 7919) % 1000003 AS t
+                FROM sm),
+        sv AS (SELECT doc_id, ns, i, (t * t % 1000003) % 256 - 128 AS v
+               FROM st0)"""
+
+  /** Envelope-fingerprint chain over [[audioPcmCtes]] (the q207 B=1
+    * form): length-relative sub-window |v| sums, sign-of-delta bits.
+    * Ends in afp(doc_id, f), MATERIALIZED (q207 joins both sides). */
+  private lazy val audioEnvFpCtes: String =
+    s"""$audioPcmCtes,
+        eb AS (SELECT doc_id, (i * $AudioFpSubWindows) // ns AS sw,
+                      sum(abs(v)) AS e
+               FROM sv GROUP BY 1, 2),
+        afp AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN en > e THEN (1::BIGINT << sw)
+                          ELSE 0 END) AS BIGINT) AS f
+          FROM (SELECT doc_id, sw, e,
+                  lead(e) OVER (PARTITION BY doc_id ORDER BY sw) AS en
+                FROM eb)
+          WHERE en IS NOT NULL GROUP BY doc_id)"""
+
+  /** MULTI-BAND fingerprint chain over [[audioPcmCtes]] (mirrors
+    * [[Multimodal.audioFingerprintsMultiBand]]): per sub-window, band
+    * 0 = Σ|v| and band b = Σ|v − lag_b(v)| (lag across the whole
+    * signal, i ≥ b — the engine's comb filter exactly); bit
+    * (sw + b·(S−1)) = sign of the adjacent-sub-window delta, split
+    * into two non-negative 32-bit halves. Ends in
+    * fpm(doc_id, ns, fp_hi, fp_lo), MATERIALIZED. */
+  private lazy val audioMbCtes: String = {
+    val sw = AudioFpSubWindows
+    val nb = DedupKnobs.AudioFpBands
+    val lags = (1 until nb)
+      .map(b => s"lag(v, $b) OVER (PARTITION BY doc_id ORDER BY i) AS v$b")
+      .mkString(", ")
+    val bandSums = (1 until nb)
+      .map(b => s"sum(CASE WHEN v$b IS NULL THEN 0 ELSE abs(v - v$b) END) AS e$b")
+      .mkString(", ")
+    val leads = (0 until nb)
+      .map(b => s"e$b, lead(e$b) OVER (PARTITION BY doc_id ORDER BY sw) AS en$b")
+      .mkString(", ")
+    def half(hiSide: Boolean): String = (0 until nb).map { b =>
+      val off = b * (sw - 1)
+      val cond = if (hiSide) s"sw + $off >= 32" else s"sw + $off < 32"
+      val shift = if (hiSide) s"sw + $off - 32" else s"sw + $off"
+      s"sum(CASE WHEN en$b > e$b AND $cond THEN (1::BIGINT << ($shift)) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""$audioPcmCtes,
+        svl AS (SELECT doc_id, ns, i, v, $lags FROM sv),
+        be AS (SELECT doc_id, any_value(ns) AS ns,
+                      (i * $sw) // ns AS sw,
+                      sum(abs(v)) AS e0, $bandSums
+               FROM svl GROUP BY doc_id, (i * $sw) // ns),
+        bel AS (SELECT doc_id, ns, sw, $leads FROM be),
+        fpm AS MATERIALIZED (
+          SELECT doc_id, CAST(any_value(ns) AS BIGINT) AS ns,
+                 CAST(${half(hiSide = true)} AS BIGINT) AS fp_hi,
+                 CAST(${half(hiSide = false)} AS BIGINT) AS fp_lo
+          FROM bel WHERE en0 IS NOT NULL GROUP BY doc_id)"""
+  }
+
+  /** The full-corpus train-manifest SQL (q192) — ALSO the oracle of
+    * q218, whose engine reaches the same result through the
+    * incremental pair/cells machinery (the gate is the equivalence
+    * theorem). */
+  /** q192's manifest TAIL — docs + a `clusters` relation → split
+    * cells → budget → apportionment. Shared by the full-corpus (q192)
+    * and incremental (q218) manifest oracles: only the EDGE SET that
+    * feeds the CC differs. */
+  private lazy val manifestTailSql: String =
+    s"""k AS (SELECT d.doc_id, d.source,
+                       len(string_split(d.text, ' ')) AS n_tok,
+                       coalesce(c.cluster_id, d.doc_id) AS gid
+                FROM documents d LEFT JOIN clusters c ON c.n = d.doc_id),
+          sp AS (SELECT source, n_tok,
+                        CASE WHEN bucket < $SplitTrainBp THEN 'train'
+                             WHEN bucket < $SplitValBp THEN 'val'
+                             ELSE 'test' END AS split
+                 FROM (SELECT source, n_tok,
+                         ('0x' || substr(md5(CAST(gid AS VARCHAR) || '$SplitSalt'), 1, 8))::BIGINT
+                           % 10000 AS bucket
+                       FROM k)),
+          cell AS (SELECT split, source, count(*) AS n_docs,
+                          CAST(sum(n_tok) AS BIGINT) AS n_tokens
+                   FROM sp GROUP BY 1, 2),
+          per AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tokens
+                  FROM k GROUP BY source),
+          tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS t_tot,
+                         count(*) AS n_src FROM per),
+          bb AS (SELECT per.source, per.src_tokens,
+                        t_tot // $MixBudgetDen AS budget,
+                        (t_tot // $MixBudgetDen) // n_src AS base
+                 FROM per, tot),
+          cp AS (SELECT *, least(base, src_tokens * $MixCapEpochs) AS capped,
+                        src_tokens * $MixCapEpochs > base AS uncapped
+                 FROM bb),
+          lf AS (SELECT CAST(sum(capped) AS BIGINT) AS sum_capped,
+                        CAST(sum(CASE WHEN uncapped THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n_unc FROM cp),
+          al AS (SELECT source, src_tokens,
+                        least(capped + CASE WHEN uncapped
+                               THEN (budget - sum_capped) // NULLIF(n_unc, 0)
+                               ELSE 0 END,
+                              src_tokens * $MixCapEpochs) AS src_alloc
+                 FROM cp, lf)
+          SELECT cell.split, cell.source, cell.n_docs, cell.n_tokens,
+                 CAST(src_alloc * cell.n_tokens // NULLIF(src_tokens, 0)
+                   AS BIGINT) AS alloc_tokens,
+                 round(CAST(src_alloc * cell.n_tokens // NULLIF(src_tokens, 0)
+                        AS DOUBLE) / NULLIF(cell.n_tokens, 0), 6) AS epochs
+          FROM cell JOIN al USING (source)
+          ORDER BY split ASC, source ASC"""
+
+  private lazy val fullManifestOracle: String =
+    s"""WITH $simhashCte,
+        $cappedEdgeCtes,
+        ${ccUnrolledCtes()},
+        $manifestTailSql"""
+
+  /** The INCREMENTAL edge set — q218's oracle mirror of the landed
+    * corpus pair table ([[NearDup.simHashPairsCapped]] over the corpus
+    * slice, CORPUS-side caps) unioned with
+    * [[NearDup.incrementalSimhashPairsCapped]] (batch-vs-corpus +
+    * batch-internal, UNION-side caps). Expects `fpt`/`bnd` from
+    * [[simhashCte]]; ends in `edges` for [[ccUnrolledCtes]]. */
+  private lazy val incrementalEdgeCtes: String =
+    s"""mx AS (SELECT max(doc_id) * 4 // 5 AS cut FROM documents),
+        cbnd AS MATERIALIZED (SELECT b.* FROM bnd b, mx
+               WHERE b.doc_id <= mx.cut),
+        bbnd AS MATERIALIZED (SELECT b.* FROM bnd b, mx
+               WHERE b.doc_id > mx.cut),
+        cstats AS (SELECT band, bv, count(*) AS n, min(doc_id) AS anchor
+                   FROM cbnd GROUP BY 1, 2),
+        cbt AS (SELECT b.doc_id, b.simhash, b.band, b.bv, s.n, s.anchor
+                FROM cbnd b JOIN cstats s ON b.band = s.band AND b.bv = s.bv),
+        cu AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM cbt a JOIN cbt b
+            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+          WHERE a.n <= $SimHashBucketCap
+            AND bit_count(xor(a.simhash, b.simhash)) <= $SimHashMaxHamming
+          UNION ALL
+          SELECT t.anchor AS doc_a, t.doc_id AS doc_b
+          FROM cbt t JOIN fpt f ON f.doc_id = t.anchor
+          WHERE t.n > $SimHashBucketCap AND t.doc_id <> t.anchor
+            AND bit_count(xor(f.simhash, t.simhash)) <= $SimHashMaxHamming),
+        bstats AS (SELECT band, bv, count(*) AS nb, min(doc_id) AS ab
+                   FROM bbnd GROUP BY 1, 2),
+        ustats AS (SELECT bs.band, bs.bv,
+                          bs.nb + coalesce(cs.n, 0) AS n,
+                          CASE WHEN coalesce(cs.n, 0) > 0 THEN cs.anchor
+                               ELSE bs.ab END AS anchor
+                   FROM bstats bs LEFT JOIN cstats cs
+                     ON bs.band = cs.band AND bs.bv = cs.bv),
+        ibt AS (SELECT b.doc_id, b.simhash, b.band, b.bv, u.n, u.anchor
+                FROM bbnd b JOIN ustats u ON b.band = u.band AND b.bv = u.bv),
+        iu AS (
+          SELECT least(x.doc_id, y.doc_id) AS doc_a,
+                 greatest(x.doc_id, y.doc_id) AS doc_b
+          FROM ibt x JOIN cbnd y
+            ON x.band = y.band AND x.bv = y.bv
+          WHERE x.n <= $SimHashBucketCap
+            AND bit_count(xor(x.simhash, y.simhash)) <= $SimHashMaxHamming
+          UNION ALL
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM ibt x JOIN ibt y
+            ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+          WHERE x.n <= $SimHashBucketCap
+            AND bit_count(xor(x.simhash, y.simhash)) <= $SimHashMaxHamming
+          UNION ALL
+          SELECT least(t.doc_id, t.anchor) AS doc_a,
+                 greatest(t.doc_id, t.anchor) AS doc_b
+          FROM ibt t JOIN fpt f ON f.doc_id = t.anchor
+          WHERE t.n > $SimHashBucketCap AND t.doc_id <> t.anchor
+            AND bit_count(xor(f.simhash, t.simhash)) <= $SimHashMaxHamming),
+        prs AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b
+              FROM (SELECT doc_a, doc_b FROM cu
+                    UNION ALL SELECT doc_a, doc_b FROM iu)),
+        edges AS MATERIALIZED (SELECT doc_a AS n, doc_b AS m FROM prs
+                  UNION SELECT doc_b AS n, doc_a AS m FROM prs)"""
+
+  /** q218's oracle: the manifest tail over the INCREMENTALLY built
+    * edge set — on the engine side the cells merge additively with a
+    * drifted-cluster correction, which algebraically collapses to
+    * cells-under-the-merged-clustering; the oracle computes the
+    * collapsed form, so the gate also pins that the correction
+    * algebra is exact. */
+  private lazy val incrementalManifestOracle: String =
+    s"""WITH $simhashCte,
+        $incrementalEdgeCtes,
+        ${ccUnrolledCtes()},
+        $manifestTailSql"""
+
   private lazy val dfBandCtes: String =
     s"""dfs AS MATERIALIZED (SELECT shingle, count(*) AS df
                              FROM sh GROUP BY 1),
@@ -4941,7 +5310,11 @@ object SparkEntry {
     "q212_dup_span_intervals" -> (q212 _),
     "q213_dedup_spans_minlen" -> (q213 _),
     "q214_prune_semdedup" -> (q214 _),
-    "q215_signal_saturation" -> (q215 _))
+    "q215_signal_saturation" -> (q215 _),
+    "q216_audio_multiband_fp" -> (q216 _),
+    "q217_audio_multiband_pairs" -> (q217 _),
+    "q218_incremental_manifest" -> (q218 _),
+    "q219_keyset_page" -> (q219 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -5161,20 +5534,14 @@ object SparkEntry {
     // codec defect (wrong raster band, lossy path, truncated stream)
     // lands as a value mismatch here
     "q169_image_decode" ->
-      """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
-                       FROM documents),
-          px AS (SELECT d.doc_id, d.w, d.h,
-                        (d.doc_id * 31 + 7 * xs.x + 13 * ys.y) % 256 AS p
-                 FROM dims d,
-                      (SELECT unnest(range(0, 8)) AS x) xs,
-                      (SELECT unnest(range(0, 6)) AS y) ys
-                 WHERE xs.x < d.w AND ys.y < d.h)
-          SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-                 CAST(w * h AS BIGINT) AS n_pixels,
-                 CAST(sum(p) AS BIGINT) AS sum_px,
-                 floor(CAST(sum(p) AS DOUBLE) / (w * h) * 1000000 + 0.5)
+      s"""WITH $pixelModelCtes
+          SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
+                 CAST(d.h AS BIGINT) AS height,
+                 CAST(st.n AS BIGINT) AS n_pixels,
+                 CAST(st.sp AS BIGINT) AS sum_px,
+                 floor(CAST(st.sp AS DOUBLE) / st.n * 1000000 + 0.5)
                    / 1000000 AS avg_px
-          FROM px GROUP BY doc_id, w, h ORDER BY doc_id ASC""",
+          FROM d JOIN st USING (doc_id) ORDER BY doc_id ASC""",
     // q170/q171: the q58/q59 oracles with the capped pair generator
     // swapped in — same unrolled hook+jump CC, same survivor anti-join,
     // over the flood-bounded edge set
@@ -5639,52 +6006,10 @@ object SparkEntry {
     // q192: q183's split CTEs (with token counts) × q185's allocation
     // CTEs, apportioned by exact integer floor division — every number
     // BIGINT until the final epochs readout
-    "q192_train_manifest" ->
-      s"""WITH $simhashCte,
-          $cappedEdgeCtes,
-          ${ccUnrolledCtes()},
-          k AS (SELECT d.doc_id, d.source,
-                       len(string_split(d.text, ' ')) AS n_tok,
-                       coalesce(c.cluster_id, d.doc_id) AS gid
-                FROM documents d LEFT JOIN clusters c ON c.n = d.doc_id),
-          sp AS (SELECT source, n_tok,
-                        CASE WHEN bucket < $SplitTrainBp THEN 'train'
-                             WHEN bucket < $SplitValBp THEN 'val'
-                             ELSE 'test' END AS split
-                 FROM (SELECT source, n_tok,
-                         ('0x' || substr(md5(CAST(gid AS VARCHAR) || '$SplitSalt'), 1, 8))::BIGINT
-                           % 10000 AS bucket
-                       FROM k)),
-          cell AS (SELECT split, source, count(*) AS n_docs,
-                          CAST(sum(n_tok) AS BIGINT) AS n_tokens
-                   FROM sp GROUP BY 1, 2),
-          per AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tokens
-                  FROM k GROUP BY source),
-          tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS t_tot,
-                         count(*) AS n_src FROM per),
-          bb AS (SELECT per.source, per.src_tokens,
-                        t_tot // $MixBudgetDen AS budget,
-                        (t_tot // $MixBudgetDen) // n_src AS base
-                 FROM per, tot),
-          cp AS (SELECT *, least(base, src_tokens * $MixCapEpochs) AS capped,
-                        src_tokens * $MixCapEpochs > base AS uncapped
-                 FROM bb),
-          lf AS (SELECT CAST(sum(capped) AS BIGINT) AS sum_capped,
-                        CAST(sum(CASE WHEN uncapped THEN 1 ELSE 0 END) AS BIGINT)
-                          AS n_unc FROM cp),
-          al AS (SELECT source, src_tokens,
-                        least(capped + CASE WHEN uncapped
-                               THEN (budget - sum_capped) // NULLIF(n_unc, 0)
-                               ELSE 0 END,
-                              src_tokens * $MixCapEpochs) AS src_alloc
-                 FROM cp, lf)
-          SELECT cell.split, cell.source, cell.n_docs, cell.n_tokens,
-                 CAST(src_alloc * cell.n_tokens // NULLIF(src_tokens, 0)
-                   AS BIGINT) AS alloc_tokens,
-                 round(CAST(src_alloc * cell.n_tokens // NULLIF(src_tokens, 0)
-                        AS DOUBLE) / NULLIF(cell.n_tokens, 0), 6) AS epochs
-          FROM cell JOIN al USING (source)
-          ORDER BY split ASC, source ASC""",
+    "q192_train_manifest" -> fullManifestOracle,
+    // q218: the batch-oblivious FULL manifest — the equivalence-theorem
+    // gate for the incremental path (see the engine-side scaladoc)
+    "q218_incremental_manifest" -> incrementalManifestOracle,
     // q193: the df-band derivation's cumulative histogram as a result
     // table — integers all the way (cum/cumsq narrowed HUGEINT→BIGINT
     // to match the engine's long output)
@@ -6045,7 +6370,7 @@ object SparkEntry {
             SELECT doc_id, s.pos AS pos, s.tk AS tk
             FROM (SELECT doc_id,
                     unnest(list_transform(range(1, len(t) + 1),
-                      i -> {'pos': i, 'tk': t[i]})) AS s
+                      i -> {'pos': i - 1, 'tk': t[i]})) AS s
                   FROM dtok)),
           g AS MATERIALIZED (
             SELECT doc_id, pos, $gram AS gram
@@ -6089,23 +6414,20 @@ object SparkEntry {
     "q215_signal_saturation" ->
       s"""WITH $pHashResampleCtes,
           $simhash64Cte,
-          ad AS (SELECT doc_id, 32 + doc_id % 97 AS ns FROM documents),
-          sm AS (SELECT doc_id, ns, unnest(range(0, ns)) AS i FROM ad),
-          sv AS (SELECT doc_id, ns, i,
-                        abs(((doc_id * 131 + i * 29) % 256) - 128) AS av
-                 FROM sm),
-          eb AS (SELECT doc_id, (i * $AudioFpSubWindows) // ns AS sw,
-                        sum(av) AS e
+          $audioMbCtes,
+          eb2 AS (SELECT doc_id, (i * $AudioFpSubWindows) // ns AS sw,
+                        sum(abs(v)) AS e
                  FROM sv GROUP BY 1, 2),
           afp AS (SELECT doc_id,
                         CAST(sum(CASE WHEN en > e THEN (1::BIGINT << sw)
                                  ELSE 0 END) AS BIGINT) AS f
                  FROM (SELECT doc_id, sw, e,
                          lead(e) OVER (PARTITION BY doc_id ORDER BY sw) AS en
-                       FROM eb)
+                       FROM eb2)
                  WHERE en IS NOT NULL GROUP BY doc_id),
           imgc AS (SELECT ph_hi, ph_lo, count(*) AS n FROM rs GROUP BY 1, 2),
           audc AS (SELECT f, count(*) AS n FROM afp GROUP BY 1),
+          mbc AS (SELECT fp_hi, fp_lo, count(*) AS n FROM fpm GROUP BY 1, 2),
           txtc AS (SELECT fp_hi, fp_lo, count(*) AS n FROM fpt64 GROUP BY 1, 2)
           SELECT * FROM (
             SELECT 'image_resampled' AS signal,
@@ -6117,6 +6439,10 @@ object SparkEntry {
             SELECT 'audio_envelope', CAST(sum(n) AS BIGINT), count(*),
                    CAST(max(n) AS BIGINT),
                    max(n) > $AudioClassBucketCap FROM audc
+            UNION ALL
+            SELECT 'audio_multiband', CAST(sum(n) AS BIGINT), count(*),
+                   CAST(max(n) AS BIGINT),
+                   max(n) > $AudioClassBucketCap FROM mbc
             UNION ALL
             SELECT 'text_simhash64', CAST(sum(n) AS BIGINT), count(*),
                    CAST(max(n) AS BIGINT),
@@ -6156,12 +6482,7 @@ object SparkEntry {
     // signed value, per-window |v| sum and sign-flip count (lag within
     // the window partition), portable floor-round mean
     "q206_audio_windows" ->
-      s"""WITH ad AS (SELECT doc_id, 32 + doc_id % 97 AS ns
-                      FROM documents),
-          sm AS (SELECT doc_id, unnest(range(0, ns)) AS i FROM ad),
-          sv AS (SELECT doc_id, i,
-                        ((doc_id * 131 + i * 29) % 256) - 128 AS v
-                 FROM sm),
+      s"""WITH $audioPcmCtes,
           wv AS (SELECT doc_id, i // $AudioFeatureWindow AS widx, i, v,
                    lag(v) OVER (PARTITION BY doc_id,
                      i // $AudioFeatureWindow ORDER BY i) AS pv
@@ -6181,25 +6502,9 @@ object SparkEntry {
     // per-bucket class cap with min-fp-anchor star reduction — the
     // q201/q203 capped machinery on the audio fingerprint
     "q207_audio_class_pairs" ->
-      s"""WITH ad AS (SELECT doc_id, 32 + doc_id % 97 AS ns
-                      FROM documents),
-          sm AS (SELECT doc_id, ns, unnest(range(0, ns)) AS i FROM ad),
-          sv AS (SELECT doc_id, ns, i,
-                        abs(((doc_id * 131 + i * 29) % 256) - 128) AS av
-                 FROM sm),
-          eb AS (SELECT doc_id, (i * $AudioFpSubWindows) // ns AS sw,
-                        sum(av) AS e
-                 FROM sv GROUP BY 1, 2),
-          fp AS MATERIALIZED (
-            SELECT doc_id,
-                   CAST(sum(CASE WHEN en > e THEN (1::BIGINT << sw)
-                            ELSE 0 END) AS BIGINT) AS f
-            FROM (SELECT doc_id, sw, e,
-                    lead(e) OVER (PARTITION BY doc_id ORDER BY sw) AS en
-                  FROM eb)
-            WHERE en IS NOT NULL GROUP BY doc_id),
+      s"""WITH $audioEnvFpCtes,
           cls AS (SELECT f, count(*) AS n_docs, min(doc_id) AS anchor
-                  FROM fp GROUP BY 1),
+                  FROM afp GROUP BY 1),
           banded AS (SELECT f, n_docs, anchor, j AS band,
                             CASE WHEN j = 0 THEN f & 255
                                  ELSE (f >> 8) & 255 END AS bv
@@ -6230,6 +6535,65 @@ object SparkEntry {
     // q208: q69's per-doc decision CTEs rolled up per source — the
     // streaming gate must equal the batch census exactly (the per-doc
     // decisions are stateless, so micro-batching cannot move a count)
+    // q216: the multi-band fingerprint replayed from the PCM model —
+    // per sub-window envelope + lag-b comb energies, sign-of-delta
+    // bits at (sw + b·(S−1)) split into two non-negative halves
+    "q216_audio_multiband_fp" ->
+      s"""WITH $audioMbCtes
+          SELECT doc_id, ns AS n_samples, fp_hi, fp_lo FROM fpm
+          ORDER BY doc_id ASC""",
+    // q217: the q203 class-pair chain (hash-keyed classes, 4×16-bit
+    // bands, per-bucket cap with lexicographic-anchor star reduction)
+    // over the multi-band fingerprint
+    "q217_audio_multiband_pairs" ->
+      s"""WITH $audioMbCtes,
+          cls AS (SELECT fp_hi AS ph_hi, fp_lo AS ph_lo,
+                         count(*) AS n_docs, min(doc_id) AS anchor
+                  FROM fpm GROUP BY 1, 2),
+          banded AS (SELECT ph_hi, ph_lo, n_docs, anchor, j AS band,
+                            CASE j
+                              WHEN 0 THEN ph_lo & 65535
+                              WHEN 1 THEN (ph_lo >> 16) & 65535
+                              WHEN 2 THEN ph_hi & 65535
+                              ELSE (ph_hi >> 16) & 65535 END AS bv
+                     FROM cls CROSS JOIN
+                       (SELECT unnest(range(0, 4)) AS j) bands),
+          stats AS (SELECT band, bv, count(*) AS n,
+                           arg_min(ph_hi, CAST(ph_hi AS HUGEINT)
+                             * 4294967296 + ph_lo) AS a_hi,
+                           arg_min(ph_lo, CAST(ph_hi AS HUGEINT)
+                             * 4294967296 + ph_lo) AS a_lo
+                    FROM banded GROUP BY 1, 2),
+          tagged AS (SELECT b.*, s.n, s.a_hi, s.a_lo
+                     FROM banded b JOIN stats s USING (band, bv)),
+          allp AS (SELECT a.ph_hi AS ph_hi_a, a.ph_lo AS ph_lo_a,
+                          b.ph_hi AS ph_hi_b, b.ph_lo AS ph_lo_b,
+                          a.n_docs AS n_a, b.n_docs AS n_b,
+                          a.anchor AS anchor_a, b.anchor AS anchor_b
+                   FROM tagged a JOIN tagged b USING (band, bv)
+                   WHERE a.n <= $AudioClassBucketCap
+                     AND b.n <= $AudioClassBucketCap
+                     AND (a.ph_hi, a.ph_lo) < (b.ph_hi, b.ph_lo)),
+          star AS (SELECT c.ph_hi AS ph_hi_a, c.ph_lo AS ph_lo_a,
+                          t.ph_hi AS ph_hi_b, t.ph_lo AS ph_lo_b,
+                          c.n_docs AS n_a, t.n_docs AS n_b,
+                          c.anchor AS anchor_a, t.anchor AS anchor_b
+                   FROM tagged t JOIN cls c
+                     ON c.ph_hi = t.a_hi AND c.ph_lo = t.a_lo
+                   WHERE t.n > $AudioClassBucketCap
+                     AND (t.ph_hi, t.ph_lo) <> (t.a_hi, t.a_lo)),
+          u AS (SELECT DISTINCT ph_hi_a, ph_lo_a, ph_hi_b, ph_lo_b,
+                                n_a, n_b, anchor_a, anchor_b
+                FROM (SELECT * FROM allp UNION ALL SELECT * FROM star))
+          SELECT ph_hi_a AS fp_hi_a, ph_lo_a AS fp_lo_a,
+                 ph_hi_b AS fp_hi_b, ph_lo_b AS fp_lo_b,
+                 n_a AS n_docs_a, n_b AS n_docs_b, anchor_a, anchor_b,
+                 CAST(bit_count(xor(ph_hi_a, ph_hi_b)) +
+                      bit_count(xor(ph_lo_a, ph_lo_b)) AS BIGINT) AS hamming
+          FROM u
+          WHERE bit_count(xor(ph_hi_a, ph_hi_b)) +
+                bit_count(xor(ph_lo_a, ph_lo_b)) <= $AudioFpMaxHamming
+          ORDER BY fp_hi_a ASC, fp_lo_a ASC, fp_hi_b ASC, fp_lo_b ASC""",
     "q208_stream_quality_gate" -> {
       val langs = TextAnalysis.stopwords.keys.toSeq.sorted
       val hitCols = langs
@@ -6276,21 +6640,7 @@ object SparkEntry {
     "q209_multimodal_record" -> {
       val stop = sqlStopHits(TextAnalysis.stopwords("en"))
       s"""WITH $pHashResampleCtes,
-          ad AS (SELECT doc_id, 32 + doc_id % 97 AS ns FROM documents),
-          sm AS (SELECT doc_id, ns, unnest(range(0, ns)) AS i FROM ad),
-          sv AS (SELECT doc_id, ns, i,
-                        abs(((doc_id * 131 + i * 29) % 256) - 128) AS av
-                 FROM sm),
-          eb AS (SELECT doc_id, (i * $AudioFpSubWindows) // ns AS sw,
-                        sum(av) AS e
-                 FROM sv GROUP BY 1, 2),
-          fp AS (SELECT doc_id,
-                        CAST(sum(CASE WHEN en > e THEN (1::BIGINT << sw)
-                                 ELSE 0 END) AS BIGINT) AS f
-                 FROM (SELECT doc_id, sw, e,
-                         lead(e) OVER (PARTITION BY doc_id ORDER BY sw) AS en
-                       FROM eb)
-                 WHERE en IS NOT NULL GROUP BY doc_id),
+          $audioMbCtes,
           tq AS (SELECT doc_id,
                         CAST(len(string_split(text, ' ')) AS BIGINT)
                           AS n_tokens,
@@ -6300,10 +6650,10 @@ object SparkEntry {
                  FROM documents)
           SELECT tq.doc_id, tq.n_tokens, tq.stopword_ratio,
                  rs.width, rs.height, rs.ph_hi, rs.ph_lo,
-                 CAST(ad.ns AS BIGINT) AS n_samples, fp.f AS audio_fp
+                 fpm.ns AS n_samples, fpm.fp_hi AS audio_fp_hi,
+                 fpm.fp_lo AS audio_fp_lo
           FROM tq JOIN rs ON tq.doc_id = rs.doc_id
-            JOIN ad ON tq.doc_id = ad.doc_id
-            JOIN fp ON tq.doc_id = fp.doc_id
+            JOIN fpm ON tq.doc_id = fpm.doc_id
           ORDER BY tq.doc_id ASC"""
     },
     // q210: √-weight integerized once (⌊√tokens·10³+½⌋), then pure
@@ -6688,6 +7038,13 @@ object SparkEntry {
           FROM events WHERE $sqlClean
           GROUP BY 1, 2 ORDER BY user_id ASC, event_type ASC""",
     "q75_pagination" ->
+      s"""SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+          FROM orders
+          ORDER BY o_totalprice DESC, o_orderkey ASC
+          LIMIT 10 OFFSET 20""",
+    // q219: keyset page 3 ≡ offset page 3 — the oracle is deliberately
+    // the OFFSET form; the engine walks in via the composite cursor
+    "q219_keyset_page" ->
       s"""SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
           FROM orders
           ORDER BY o_totalprice DESC, o_orderkey ASC

@@ -167,6 +167,18 @@ object DataMix {
       docs.groupBy(col("source"))
         .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tokens")),
       "budget_census")
+    allocFromCensus(per, budgetDen, capEpochs)
+      .orderBy(col("source").asc)
+  }
+
+  /** [[tokenBudgetMix]]'s allocation arithmetic over an ALREADY
+    * computed per-source token census (source, n_tokens) — shared with
+    * [[manifestFromCells]], where the census re-aggregates from merged
+    * manifest cells instead of a corpus scan. Output: (source,
+    * n_tokens, alloc_tokens, epochs), unordered. */
+  private def allocFromCensus(per: DataFrame, budgetDen: Int,
+                              capEpochs: Int): DataFrame = {
+    require(budgetDen >= 1 && capEpochs >= 1, "degenerate budget/cap")
     val tot = per.agg(sum(col("n_tokens")).as("t_tot"),
       count(lit(1)).as("n_src"))
     val based = per.crossJoin(broadcast(tot))
@@ -186,7 +198,6 @@ object DataMix {
       .select(col("source"), col("n_tokens"), col("alloc_tokens"),
         round(col("alloc_tokens").cast("double") / col("n_tokens"), 6)
           .as("epochs"))
-      .orderBy(col("source").asc)
   }
 
   /** Temperature-smoothed mixture rates — the exponentiated-smoothing
@@ -281,19 +292,63 @@ object DataMix {
     * the apportionment rule itself is unchanged. */
   def trainManifest(docs: DataFrame, clusters: DataFrame, salt: String,
                     trainBp: Int, valBp: Int,
-                    budgetDen: Int, capEpochs: Int): DataFrame = {
+                    budgetDen: Int, capEpochs: Int): DataFrame =
+    manifestFromCells(manifestCells(docs, clusters, salt, trainBp, valBp),
+      budgetDen, capEpochs)
+
+  /** The ADDITIVE half of the manifest: (split, source, n_docs,
+    * n_tokens) census cells over the corpus — pure counts, so two
+    * corpora's (or a corpus's and an increment's) cell tables merge by
+    * SUMMING per key, and the full manifest re-derives from the merged
+    * cells via [[manifestFromCells]] (trainManifest ≡ the composition,
+    * by construction). This split is what makes the manifest
+    * incrementally maintainable: the budget/allocation half is a pure
+    * function of the census, never of the documents. */
+  def manifestCells(docs: DataFrame, clusters: DataFrame, salt: String,
+                    trainBp: Int, valBp: Int): DataFrame = {
     val sp = leakFreeSplit(docs, clusters, salt, trainBp, valBp)
       .select(col("doc_id"), col("split"))
-    val cell = docs
+    docs
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("__tok"))
       .join(sp, Seq("doc_id"))
       .groupBy(col("split"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))
-    val alloc = tokenBudgetMix(docs, budgetDen, capEpochs)
+  }
+
+  /** Sum-merge of manifest cell tables (corpus ⊎ increment ⊎
+    * corrections): counts add per (split, source) key. A CORRECTION
+    * table carries negative counts (retract the stale census of a
+    * cluster the increment touched, then add its re-censused rows —
+    * see [[graft.SparkEntry]] q218); cells summing to zero docs are
+    * dropped, matching a from-scratch census that never saw them. */
+  def mergeCells(cells: DataFrame*): DataFrame =
+    cells.reduce(_ unionByName _)
+      .groupBy(col("split"), col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .filter(col("n_docs") =!= 0)
+
+  /** Sign-flip of a cell table — the retraction half of a census
+    * correction. */
+  def negateCells(cells: DataFrame): DataFrame =
+    cells.select(col("split"), col("source"),
+      (-col("n_docs")).as("n_docs"), (-col("n_tokens")).as("n_tokens"))
+
+  /** The manifest's allocation half, derived from cells alone: the
+    * per-source token census re-aggregates from the (census-sized)
+    * cell table, [[tokenBudgetMix]]'s allocation arithmetic runs on
+    * it, and each source's allocation apportions across its splits in
+    * exact integer proportion to split token mass (see
+    * [[trainManifest]]'s domain notes — unchanged). */
+  def manifestFromCells(cells: DataFrame,
+                        budgetDen: Int, capEpochs: Int): DataFrame = {
+    val per = cells.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("n_tokens"))
+    val alloc = allocFromCensus(per, budgetDen, capEpochs)
       .select(col("source"), col("n_tokens").as("__src_tokens"),
         col("alloc_tokens").as("__src_alloc"))
-    cell.join(broadcast(alloc), Seq("source"))
+    cells.join(broadcast(alloc), Seq("source"))
       .withColumn("alloc_tokens",
         when(col("__src_tokens") > 0,
           expr("__src_alloc * n_tokens DIV __src_tokens")))

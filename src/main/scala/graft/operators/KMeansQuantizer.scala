@@ -159,16 +159,30 @@ object KMeansQuantizer {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col("centroid_id"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val classes = asg.groupBy(col("centroid_id"), col("dist"))
-      .agg(count(lit(1)).as("__c"))
-      .select(col("centroid_id"), col("dist"),
-        (sum(col("__c")).over(wCum) - col("__c")).as("__start0"),
-        sum(col("__c")).over(wAll).as("cluster_n"))
+    // staged (landed parquet): the size probe below and the join both
+    // scan the landed table — the histogram is never computed twice
+    val classes = Shingles.shared(
+      asg.groupBy(col("centroid_id"), col("dist"))
+        .agg(count(lit(1)).as("__c"))
+        .select(col("centroid_id"), col("dist"),
+          (sum(col("__c")).over(wCum) - col("__c")).as("__start0"),
+          sum(col("__c")).over(wAll).as("cluster_n")))
     // within-class tie order by vec_id: partition keys are the FINE
     // (centroid, 6-dp distance) class — partition size = one tie class
     val wIn = Window.partitionBy(col("centroid_id"), col("dist"))
       .orderBy(col("vec_id").asc)
-    asg.join(broadcast(classes), Seq("centroid_id", "dist"))
+    // SIZE-GUARDED broadcast (round-12 ADVICE): the class table is
+    // bounded by the 6-dp distance DOMAIN, which on real corpora can
+    // approach O(n) distinct values — a forced broadcast there risks
+    // the driver, so classes broadcast only while the table is
+    // measurably census-sized and otherwise take the ordinary shuffle
+    // equi-join on the same keys (the plan stays correct either way;
+    // only the exchange strategy changes). Counting classes is itself
+    // a post-agg census read off the staged assignment.
+    val nClasses = classes.count()
+    val classesSide =
+      if (nClasses <= 1000000L) broadcast(classes) else classes
+    asg.join(classesSide, Seq("centroid_id", "dist"))
       .withColumn("rnk",
         (col("__start0") + row_number().over(wIn)).cast("long"))
       .withColumn("kept",

@@ -54,14 +54,42 @@ object Multimodal {
   case class PixelStats(doc_id: Long, width: Long, height: Long,
                         n_pixels: Long, sum_px: Long)
 
-  /** Deterministic pixel content: an 8-bit grayscale image whose shape
-    * and pixels derive from doc_id alone —
-    * width = 4 + doc_id % 5, height = 3 + doc_id % 4,
-    * pixel(x, y) = (doc_id·31 + 7x + 13y) mod 256.
-    * Small on purpose: the fixture rows stand in for real image bytes;
-    * the codec work per row is identical in kind at any size. */
-  private def pixel(id: Long, x: Int, y: Int): Int =
-    ((id * 31 + 7 * x + 13 * y) % 256).toInt
+  /** Image CONTENT id: which deterministic payload a document carries.
+    * Documents with doc_id ≡ 27 (mod 50) carry the payload of
+    * doc_id − 27 (≡ 0 mod 50) — 2% of the corpus are PLANTED image
+    * twins (pair classes, donors never remap), so the image dedup arm
+    * has true duplicates to find at every scale while the entropy of
+    * [[pixel]] keeps unrelated documents' fingerprints distinct. */
+  def imageContentId(id: Long): Long = if (id % 50 == 27) id - 27 else id
+
+  /** Image dims derive from the CONTENT id: width 8..12, height 8..11
+    * — at least 8×8 source pixels, so the [[pHashesResampled]] grid's
+    * 64 cells are all informative (a raster below the grid replicates
+    * pixels into multiple cells and caps the fingerprint's entropy at
+    * w·h bits — the round-11 saturation lesson, q215). */
+  def imageWidth(id: Long): Int = (8 + imageContentId(id) % 5).toInt
+  def imageHeight(id: Long): Int = (8 + imageContentId(id) % 4).toInt
+
+  /** Deterministic pixel content: an 8-bit grayscale image whose
+    * pixels derive from the CONTENT id alone through a
+    * multiplicative-hash mix —
+    *   t = (cid·2654435761 + 40503x + 30011y + 12289xy) mod 1000003
+    *   pixel(x, y) = (t² mod 1000003) mod 256
+    * (Knuth's 2654435761 = ⌊2³²/φ⌋; 1000003 prime). The SQUARE is
+    * load-bearing: without it the document key enters only as an
+    * additive offset, so documents with cid·K congruent mod 256 share
+    * most pixels and fingerprints birthday-collide (measured: max
+    * class 12 at 20k ids); squaring makes the key perturb every pixel
+    * position-dependently (quadratic-residue scramble — measured: 500k
+    * ids, 500k distinct resampled hashes, zero accidental collisions).
+    * All intermediates stay far under 2⁶³ (t < 10⁶ so t² < 10¹²), so
+    * the DuckDB oracle replays the arithmetic exactly (BIGINT raises
+    * on overflow where a Long would wrap). */
+  private def pixel(cid: Long, x: Int, y: Int): Int = {
+    val t = (cid * 2654435761L + x * 40503L + y * 30011L +
+      x.toLong * y * 12289L) % 1000003L
+    ((t * t % 1000003L) % 256L).toInt
+  }
 
   /** ENCODE: one genuine PNG per document, via `javax.imageio` —
     * (doc_id, payload: binary). PNG's 8-bit grayscale is lossless, so
@@ -71,9 +99,10 @@ object Multimodal {
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
       // per-partition init: ImageIO's plugin registry scan + stream
       // buffers amortize across the partition's rows
-      it.map { id =>
-        val w = (4 + id % 5).toInt
-        val h = (3 + id % 4).toInt
+      it.map { rowId =>
+        val id = imageContentId(rowId)
+        val w = (8 + id % 5).toInt
+        val h = (8 + id % 4).toInt
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
         val raster = img.getRaster
@@ -85,7 +114,7 @@ object Multimodal {
         }
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
-        PngBlob(id, bos.toByteArray)
+        PngBlob(rowId, bos.toByteArray)
       }
     }.toDF()
   }
@@ -116,16 +145,20 @@ object Multimodal {
   case class PHashRow(doc_id: Long, width: Long, height: Long, phash: Long)
 
   /** Average-hash (aHash) perceptual fingerprint per image, computed
-    * from the REAL PNG decode: bit k (row-major, k = y·w + x) is set
-    * when pixel(x, y) ≥ the image mean. The classic perceptual-dedup
-    * fingerprint (pHash family), with the threshold made INTEGER-EXACT
-    * — px ≥ mean ⟺ px·n_pixels ≥ Σpx, no division — so the oracle
-    * replays it bit for bit from the deterministic pixel model while
-    * the engine runs the true binary-column → codec → hash pipeline.
-    * Fixture images have w·h ≤ 48 < 64, so the hash packs one long;
-    * real images would be resampled to a fixed 8×8 grid first (the
-    * standard aHash), which is a per-partition decoder detail, not a
-    * plan change. */
+    * from the REAL PNG decode: threshold bit k (row-major, k = y·w+x)
+    * is on when pixel(x, y) ≥ the image mean, PARITY-FOLDED into 48
+    * hash bits — hash bit j = XOR of the threshold bits at positions
+    * k ≡ j (mod 48). For rasters of at most 48 pixels each residue
+    * holds one position and the fold IS the classic aHash bit pack
+    * (the pre-round-12 fixture regime, preserved bit for bit); larger
+    * rasters fold instead of overflowing the pack — 48 keeps the hash
+    * inside the 4×12-bit band structure of [[pHashClassPairs]] and off
+    * every BIGINT sign bit. The threshold is INTEGER-EXACT — px ≥ mean
+    * ⟺ px·n_pixels ≥ Σpx, no division — so the oracle replays the
+    * hash from the deterministic pixel model while the engine runs the
+    * true binary-column → codec → hash pipeline. The RESAMPLED arm
+    * ([[pHashesResampled]]) is the standard production aHash; this
+    * native-raster fold is the cheap no-resample screen. */
   def pHashes(spark: SparkSession, payloads: DataFrame): DataFrame = {
     import spark.implicits._
     payloads.as[PngBlob].mapPartitions { it =>
@@ -148,7 +181,7 @@ object Multimodal {
           var x = 0
           while (x < w) {
             if (raster.getSample(x, y, 0).toLong * n >= s)
-              bits |= 1L << (y * w + x)
+              bits ^= 1L << ((y * w + x) % 48)
             x += 1
           }
           y += 1
@@ -434,14 +467,33 @@ object Multimodal {
                          sum_abs: Long, zero_crossings: Long)
   case class AudioFp(doc_id: Long, n_samples: Long, fp: Long)
 
-  /** Deterministic 8-bit unsigned PCM: n_samples = 32 + doc_id % 97,
-    * sample u(i) = (doc_id·131 + 29i) mod 256 (signed value u − 128).
-    * Sized so the sf10 oracle's sample expansion stays ~10⁷ rows —
-    * the codec work per row is identical in kind at any length. */
-  def audioSampleCount(id: Long): Int = (32 + id % 97).toInt
+  /** Audio CONTENT id: documents with doc_id ≡ 49 (mod 50) carry the
+    * recording of doc_id − 24 (≡ 25 mod 50) — 2% of the corpus are
+    * PLANTED audio twins (pair classes, donors never remap and are
+    * disjoint from the image donors, which sit at ≡ 0 mod 50), so the
+    * audio dedup arm has true duplicates to remove at every scale. */
+  def audioContentId(id: Long): Long = if (id % 50 == 49) id - 24 else id
 
-  private def sampleU(id: Long, i: Int): Int =
-    ((id * 131 + i * 29) % 256).toInt
+  /** Deterministic 8-bit unsigned PCM derived from the CONTENT id:
+    * n_samples = 32 + cid % 97,
+    *   t = (cid·2654435761 + 7919i) mod 1000003
+    *   u(i) = (t² mod 1000003) mod 256     (signed value u − 128)
+    * — the pixel model's quadratic-residue mix (see [[pixel]]: the
+    * square stops the document key from being a constant byte offset),
+    * every intermediate far under 2⁶³ so the DuckDB oracle replays it
+    * exactly. The round-12 entropy raise: the former
+    * (cid·131 + 29i) mod 256 model had only 256·97 possible signals
+    * corpus-wide, so even a production-width fingerprint saturated on
+    * it (identical fingerprints stopped being duplication evidence);
+    * the mixed model measures 499,941 distinct multi-band fingerprints
+    * over 500k ids (max accidental class 2). */
+  def audioSampleCount(id: Long): Int =
+    (32 + audioContentId(id) % 97).toInt
+
+  private def sampleU(cid: Long, i: Int): Int = {
+    val t = (cid * 2654435761L + i * 7919L) % 1000003L
+    ((t * t % 1000003L) % 256L).toInt
+  }
 
   /** ENCODE: one genuine WAV per document (8 kHz, 8-bit unsigned mono —
     * the WAVE container's native 8-bit convention, which the JDK writer
@@ -453,8 +505,9 @@ object Multimodal {
       val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1,
         /* signed = */ false, /* bigEndian = */ false)
       it.map { id =>
+        val cid = audioContentId(id)
         val ns = audioSampleCount(id)
-        val raw = Array.tabulate[Byte](ns)(i => sampleU(id, i).toByte)
+        val raw = Array.tabulate[Byte](ns)(i => sampleU(cid, i).toByte)
         val ais = new javax.sound.sampled.AudioInputStream(
           new java.io.ByteArrayInputStream(raw), fmt, ns.toLong)
         val bos = new java.io.ByteArrayOutputStream()
@@ -550,6 +603,79 @@ object Multimodal {
           k += 1
         }
         AudioFp(b.doc_id, ns.toLong, fp)
+      }
+    }.toDF()
+  }
+
+  case class AudioFpMb(doc_id: Long, n_samples: Long, fp_hi: Long,
+                       fp_lo: Long)
+
+  /** MULTI-BAND Haitsma-Kalker fingerprint — the production-width form
+    * of [[audioFingerprints]] (the round-11 weak grade: ≤31 envelope
+    * bits saturate at corpus scale; Haitsma & Kalker 2002 use a
+    * 32-bit-per-frame multi-band matrix, 8,192 bits over a 3 s
+    * excerpt). Per length-relative sub-window the signal is reduced to
+    * `bands` FREQUENCY-PROXY band energies, each an integer-exact
+    * comb-filter magnitude so the oracle replays it:
+    *
+    *  - band 0: Σ|s(i)| — the envelope (so `bands` = 1 reproduces
+    *    [[audioFingerprints]]' bits exactly, spec-pinned);
+    *  - band b ≥ 1: Σ|s(i) − s(i−b)| over i ≥ b — the lag-b first
+    *    difference, a comb filter with response |2·sin(πfb)|: larger
+    *    lags emphasize progressively lower frequencies, the cheap
+    *    integer stand-in for the paper's Fourier band energies.
+    *
+    * Bit (k + b·(S−1)) is set when E(k+1, b) > E(k, b) — the paper's
+    * sign-of-delta robustness trick per (sub-window, band) —
+    * (S−1)·bands ≤ 64 bits packed into two non-negative 32-bit halves
+    * (`fp_hi` bits 32.., `fp_lo` bits 0..31, the simHash64/resampled
+    * convention), so the 4×16-bit class-pair machinery
+    * ([[resampledClassPairsCapped]]) applies verbatim after a column
+    * rename. Same domain guard as the envelope form: signals shorter
+    * than `subWindows` samples would leave sub-windows empty on the
+    * engine but absent from the oracle's lead() chain — fail loudly. */
+  def audioFingerprintsMultiBand(spark: SparkSession, payloads: DataFrame,
+                                 subWindows: Int, bands: Int): DataFrame = {
+    require(subWindows >= 2 && subWindows <= 32,
+      s"sub-window count must be 2..32, got $subWindows")
+    require(bands >= 1 && (subWindows - 1) * bands <= 64,
+      s"(subWindows-1)*bands must pack 64 bits, got " +
+        s"${(subWindows - 1) * bands}")
+    import spark.implicits._
+    payloads.as[WavBlob].mapPartitions { it =>
+      it.map { b =>
+        val s = decodeSigned(b.payload)
+        val ns = s.length
+        require(ns >= subWindows,
+          s"audio fingerprint needs >= $subWindows samples, " +
+            s"doc ${b.doc_id} has $ns")
+        val e = Array.ofDim[Long](bands, subWindows)
+        var i = 0
+        while (i < ns) {
+          val sw = (i.toLong * subWindows / ns).toInt
+          e(0)(sw) += math.abs(s(i))
+          var bd = 1
+          while (bd < bands) {
+            if (i >= bd) e(bd)(sw) += math.abs(s(i) - s(i - bd))
+            bd += 1
+          }
+          i += 1
+        }
+        var hi = 0L
+        var lo = 0L
+        var bd = 0
+        while (bd < bands) {
+          var k = 0
+          while (k < subWindows - 1) {
+            if (e(bd)(k + 1) > e(bd)(k)) {
+              val bit = bd * (subWindows - 1) + k
+              if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+            }
+            k += 1
+          }
+          bd += 1
+        }
+        AudioFpMb(b.doc_id, ns.toLong, hi, lo)
       }
     }.toDF()
   }

@@ -369,6 +369,86 @@ object NearDup {
     allPairs.union(star).distinct()
   }
 
+  /** Incremental [[simHashPairsCapped]]: the pairs a full recompute
+    * over (corpus ∪ batch) would ADD — batch-vs-corpus plus
+    * batch-internal — without re-pairing the corpus, the only shape a
+    * daily 100 TB ingest can afford (the simhash twin of
+    * [[incrementalCandidatesCapped]], q70/q168). The corpus side is
+    * its landed fingerprint table ([[simHash]] output, staged once at
+    * corpus-build time); its banded form and per-bucket census are
+    * plan-keyed staged here, so every batch after the first probes
+    * landed tables only.
+    *
+    * Cap semantics are UNION-EXACT: each bucket's population is
+    * counted over corpus + batch together (the corpus census plus the
+    * fresh batch counts), so under the documented id-ordering contract
+    * the output EQUALS `simHashPairsCapped(corpus ∪ batch)` filtered
+    * to pairs touching a batch doc — in the flood regime included
+    * (spec-pinned): an over-cap union bucket stars its batch members
+    * to the union anchor, which is the corpus anchor whenever the
+    * bucket has corpus members.
+    *
+    * CONTRACT: every batch doc_id must exceed every corpus doc_id
+    * (monotone ingest ids — the natural daily shape). A smaller batch
+    * id would make the union anchor a batch doc, whose star edges to
+    * CORPUS members a corpus-blind increment cannot emit;
+    * [[graft.Pipeline.curateIncrement]] checks the boundary before
+    * calling. */
+  def incrementalSimhashPairsCapped(corpusFps: DataFrame,
+                                    batchFps: DataFrame,
+                                    maxHamming: Int,
+                                    maxBucket: Long): DataFrame = {
+    require(maxHamming < SimHashBands,
+      s"band-join recall guarantee needs maxHamming < $SimHashBands")
+    require(maxBucket >= 2, "maxBucket must be at least 2")
+    val cb = simHashBanded(corpusFps)
+    val cs = Shingles.shared(cb.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("__nc"),
+        min(struct(col("doc_id"), col("simhash"))).as("__ac")))
+    val bb = simHashBanded(batchFps)
+    val bs = bb.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("__nb"),
+        min(struct(col("doc_id"), col("simhash"))).as("__ab"))
+    // union census per batch-touched bucket; the anchor is the corpus
+    // anchor when corpus members exist (smaller ids by contract)
+    val stats = bs.join(cs, Seq("band", "bv"), "left")
+      .select(col("band"), col("bv"),
+        (col("__nb") + coalesce(col("__nc"), lit(0L))).as("__n"),
+        when(coalesce(col("__nc"), lit(0L)) > 0, col("__ac"))
+          .otherwise(col("__ab")).as("__a"))
+    val taggedB = bb.join(stats, Seq("band", "bv"))
+    val smallB = taggedB.filter(col("__n") <= maxBucket)
+    val vsCorpus = smallB
+      .select(col("band"), col("bv"), col("doc_id").as("doc_new"),
+        col("simhash").as("fp_new"))
+      .join(cb.select(col("band"), col("bv"), col("doc_id").as("doc_c"),
+        col("simhash").as("fp_c")), Seq("band", "bv"))
+      .withColumn("hamming",
+        bit_count(col("fp_new").bitwiseXOR(col("fp_c"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(least(col("doc_new"), col("doc_c")).as("doc_a"),
+        greatest(col("doc_new"), col("doc_c")).as("doc_b"), col("hamming"))
+    val withinB = smallB
+      .select(col("band"), col("bv"), col("doc_id").as("doc_a"),
+        col("simhash").as("fp_a"))
+      .join(smallB.select(col("band"), col("bv"), col("doc_id").as("doc_b"),
+        col("simhash").as("fp_b")), Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    val star = taggedB.filter(col("__n") > maxBucket)
+      .filter(col("doc_id") =!= col("__a.doc_id"))
+      .withColumn("hamming",
+        bit_count(col("__a.simhash").bitwiseXOR(col("simhash"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(least(col("doc_id"), col("__a.doc_id")).as("doc_a"),
+        greatest(col("doc_id"), col("__a.doc_id")).as("doc_b"),
+        col("hamming"))
+    vsCorpus.union(withinB).union(star).distinct()
+  }
+
   /** 64-bit SimHash for corpora where 8-bit band buckets collide heavily
     * (≥ millions of docs): stored as two non-negative 32-bit halves
     * (`fp_hi`, `fp_lo`) so no engine ever touches the sign bit — bit b

@@ -377,9 +377,13 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     (0L until 20L).foreach { id =>
-      val (w, h) = (4 + id % 5, 3 + id % 4)
-      val sum = (for (y <- 0L until h; x <- 0L until w)
-        yield (id * 31 + 7 * x + 13 * y) % 256).sum
+      val cid = if (id % 50 == 27) id - 27 else id
+      val (w, h) = (8 + cid % 5, 8 + cid % 4)
+      val sum = (for (y <- 0L until h; x <- 0L until w) yield {
+        val t = (cid * 2654435761L + x * 40503L + y * 30011L +
+          x * y * 12289L) % 1000003L
+        (t * t % 1000003L) % 256L
+      }).sum
       assert(stats(id) === ((w, h, w * h, sum)),
         s"doc $id: decoded stats must equal the encoded arithmetic")
     }

@@ -42,6 +42,18 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"q14:\n$plan")
   }
 
+  test("keyset page (q219) is cursor-predicate + top-k — no global sort-then-skip") {
+    val plan = planOf("q219_keyset_page")
+    assert(plan.contains("TakeOrderedAndProject"), s"q219:\n$plan")
+    // the OFFSET form's skip operator must be absent: the deep-page
+    // cost model is the whole point of the keyset rewrite
+    assert(!plan.contains("Offset"), s"q219 must not sort-then-skip:\n$plan")
+    // the composite cursor predicate reaches the parquet scan
+    val scan = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scan.contains("o_totalprice"),
+      s"q219 cursor filter should push to the scan: $scan")
+  }
+
   test("column pruning: q01 reads only the referenced event columns") {
     val plan = planOf("q01_avg_value_by_user")
     val scan = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

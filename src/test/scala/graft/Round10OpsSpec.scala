@@ -124,9 +124,14 @@ class Round10OpsSpec extends AnyFunSuite {
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     // independent JVM replay of pixel model + integer resample
     def expected(id: Long): (Long, Long, Long, Long) = {
-      val w = (4 + id % 5).toInt
-      val h = (3 + id % 4).toInt
-      def p(x: Int, y: Int): Long = (id * 31 + 7 * x + 13 * y) % 256
+      val cid = if (id % 50 == 27) id - 27 else id
+      val w = (8 + cid % 5).toInt
+      val h = (8 + cid % 4).toInt
+      def p(x: Int, y: Int): Long = {
+        val t = (cid * 2654435761L + x * 40503L + y * 30011L +
+          x.toLong * y * 12289L) % 1000003L
+        (t * t % 1000003L) % 256L
+      }
       val sImg = (for (y <- 0 until h; x <- 0 until w) yield p(x, y)).sum
       val nImg = w.toLong * h
       var hi = 0L
@@ -242,8 +247,12 @@ class Round10OpsSpec extends AnyFunSuite {
         (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     // independent JVM replay of the PCM model
     for (id <- 1L to 30L) {
-      val ns = (32 + id % 97).toInt
-      val s = Array.tabulate(ns)(i => ((id * 131 + i * 29) % 256).toInt - 128)
+      val cid = if (id % 50 == 49) id - 24 else id
+      val ns = (32 + cid % 97).toInt
+      val s = Array.tabulate(ns) { i =>
+        val t = (cid * 2654435761L + i * 7919L) % 1000003L
+        ((t * t % 1000003L) % 256L).toInt - 128
+      }
       val nw = (ns + 31) / 32
       for (w <- 0 until nw) {
         val st = w * 32; val en = math.min(st + 32, ns)

@@ -119,24 +119,43 @@ class Round9OpsSpec extends AnyFunSuite {
 
   test("pHashes: real codec round-trip reproduces the pixel-model hash bit for bit") {
     val spark0 = spark
-    val d = (1L to 40L).map(i => Tuple1(i)).toDF("doc_id")
+    val d = (1L to 60L).map(i => Tuple1(i)).toDF("doc_id")
     val got = Multimodal.pHashes(spark0, Multimodal.pngPayloads(spark0, d))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
-    // independent JVM replay of the deterministic pixel model
+    // independent JVM replay of the deterministic pixel model (round
+    // 12: content-id planted twins, hash-mixed pixels, 48-bit parity
+    // fold)
     def expected(id: Long): (Long, Long, Long) = {
-      val w = (4 + id % 5).toInt
-      val h = (3 + id % 4).toInt
+      val cid = if (id % 50 == 27) id - 27 else id
+      val w = (8 + cid % 5).toInt
+      val h = (8 + cid % 4).toInt
+      def p(x: Int, y: Int): Long = {
+        val t = (cid * 2654435761L + x * 40503L + y * 30011L +
+          x.toLong * y * 12289L) % 1000003L
+        (t * t % 1000003L) % 256L
+      }
       val px = for (y <- 0 until h; x <- 0 until w)
-        yield (y * w + x, (id * 31 + 7 * x + 13 * y) % 256)
+        yield ((y * w + x) % 48, p(x, y))
       val n = px.size.toLong
       val s = px.map(_._2).sum
-      val bits = px.foldLeft(0L) { case (acc, (k, p)) =>
-        if (p * n >= s) acc | (1L << k) else acc
+      val bits = px.foldLeft(0L) { case (acc, (j, v)) =>
+        if (v * n >= s) acc ^ (1L << j) else acc
       }
       (w.toLong, h.toLong, bits)
     }
-    for (id <- 1L to 40L) assert(got(id) == expected(id), s"doc $id")
+    for (id <- 1L to 60L) assert(got(id) == expected(id), s"doc $id")
+  }
+
+  test("planted image twins: doc ≡ 27 (mod 50) carries its donor's exact payload") {
+    val spark0 = spark
+    val d = Seq(0L, 27L, 50L, 77L, 28L).map(Tuple1(_)).toDF("doc_id")
+    val ph = Multimodal.pHashes(spark0, Multimodal.pngPayloads(spark0, d))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(ph(27L) === ph(0L), "doc 27 must carry doc 0's image")
+    assert(ph(77L) === ph(50L), "doc 77 must carry doc 50's image")
+    assert(ph(28L) !== ph(0L), "a non-plant must keep its own content")
   }
 
   test("pHashClassPairs: classes collapse duplicates; pairs within dims at hamming <= T only") {

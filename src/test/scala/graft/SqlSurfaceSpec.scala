@@ -52,7 +52,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "q48_bloom_semi_join", "q49_topk_per_group", "q52_cube_quantity",
     "q61_ntile_quartiles", "q62_grouping_sets", "q64_histogram",
     "q67_rank_family", "q72_unpivot", "q73_dynamic_pivot", "q74_map_agg",
-    "q75_pagination", "q78_slope_summary", "q79_subquery_scalar",
+    "q75_pagination", "q219_keyset_page", "q78_slope_summary",
+    "q79_subquery_scalar",
     "q80_subquery_exists", "q81_multiset_ops", "q83_share_of_total",
     "q87_salted_join", "q89_fuzzy_pairs", "q90_funnel", "q92_exact_corr")
 
