@@ -139,6 +139,16 @@ private[graft] object DedupKnobs {
     s"multiband fingerprint must pack 64 bits, got " +
       s"${(AudioFpSubWindows - 1) * AudioFpBands}")
 
+  /** Hamming threshold for the MULTI-BAND audio class pairs (q217 and
+    * the pipeline's audio arm): the 4×16-bit band machinery is
+    * pigeonhole-exact below 4, and 3 admits the planted near twins
+    * (one-sample re-encode noise — most land at hamming 1–3, measured)
+    * while 60-bit fingerprint entropy keeps accidental cross-class
+    * matches at ~2⁻⁴⁴ per pair. */
+  val AudioMbMaxHamming = 3
+  require(AudioMbMaxHamming >= 0 && AudioMbMaxHamming < 4,
+    s"multiband band recall needs maxHamming in [0, 4), got $AudioMbMaxHamming")
+
   /** Hamming threshold for audio fingerprint near-dup classes (q207):
     * the 2-band × 8-bit band join is pigeonhole-exact only below 2. */
   val AudioFpMaxHamming = 1

@@ -152,7 +152,7 @@ object Pipeline {
       .union(Multimodal.resampledClassPairsCapped(
           aud.select(col("doc_id"), col("fp_hi").as("ph_hi"),
             col("fp_lo").as("ph_lo")),
-          DedupKnobs.AudioFpMaxHamming, DedupKnobs.AudioClassBucketCap)
+          DedupKnobs.AudioMbMaxHamming, DedupKnobs.AudioClassBucketCap)
         .select(col("anchor_a").as("doc_a"), col("anchor_b").as("doc_b")))
     text.union(imgEdges).union(audEdges)
   }

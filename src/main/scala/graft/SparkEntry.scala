@@ -3353,7 +3353,7 @@ object SparkEntry {
         stagedAudioMbFps(s, dir)
           .select(col("doc_id"), col("fp_hi").as("ph_hi"),
             col("fp_lo").as("ph_lo")),
-        AudioFpMaxHamming, AudioClassBucketCap)
+        DedupKnobs.AudioMbMaxHamming, AudioClassBucketCap)
       .select(col("ph_hi_a").as("fp_hi_a"), col("ph_lo_a").as("fp_lo_a"),
         col("ph_hi_b").as("fp_hi_b"), col("ph_lo_b").as("fp_lo_b"),
         col("n_a").as("n_docs_a"), col("n_b").as("n_docs_b"),
@@ -4338,15 +4338,21 @@ object SparkEntry {
     s"""d AS (SELECT doc_id, icid, 8 + icid % 5 AS w, 8 + icid % 4 AS h
               FROM (SELECT doc_id,
                       CASE WHEN doc_id % 50 = 27 THEN doc_id - 27
+                           WHEN doc_id % 50 = 31 THEN doc_id - 12
                            ELSE doc_id END AS icid
                     FROM documents)),
         px AS (SELECT doc_id, icid, w, h, unnest(range(0, w * h)) AS k
                FROM d),
-        pt AS (SELECT doc_id, w, h, k,
-                      (icid * 2654435761 + (k % w) * 40503
-                       + (k // w) * 30011
-                       + (k % w) * (k // w) * 12289) % 1000003 AS t
+        pk AS (SELECT doc_id, icid, w, h, k,
+                      CASE WHEN doc_id % 50 = 31 AND k = 0 THEN 1
+                           WHEN doc_id % 50 = 31 AND k = 1 THEN 0
+                           ELSE k END AS kk
                FROM px),
+        pt AS (SELECT doc_id, w, h, k,
+                      (icid * 2654435761 + (kk % w) * 40503
+                       + (kk // w) * 30011
+                       + (kk % w) * (kk // w) * 12289) % 1000003 AS t
+               FROM pk),
         p2 AS (SELECT doc_id, w, h, k, (t * t % 1000003) % 256 AS p
                FROM pt),
         st AS (SELECT doc_id, count(*) AS n, sum(p) AS sp
@@ -4431,14 +4437,18 @@ object SparkEntry {
   private lazy val audioPcmCtes: String =
     s"""ad AS (SELECT doc_id, acid, 32 + acid % 97 AS ns
                FROM (SELECT doc_id,
-                       CASE WHEN doc_id % 50 = 49 THEN doc_id - 24
+                       CASE WHEN doc_id % 50 = 49 OR doc_id % 50 = 37
+                            THEN doc_id - 24
                             ELSE doc_id END AS acid
                      FROM documents)),
         sm AS (SELECT doc_id, acid, ns, unnest(range(0, ns)) AS i FROM ad),
         st0 AS (SELECT doc_id, ns, i,
                        (acid * 2654435761 + i * 7919) % 1000003 AS t
                 FROM sm),
-        sv AS (SELECT doc_id, ns, i, (t * t % 1000003) % 256 - 128 AS v
+        sv AS (SELECT doc_id, ns, i,
+                      CASE WHEN doc_id % 50 = 37 AND i = 5
+                           THEN ((t * t % 1000003) % 256 + 97) % 256 - 128
+                           ELSE (t * t % 1000003) % 256 - 128 END AS v
                FROM st0)"""
 
   /** Envelope-fingerprint chain over [[audioPcmCtes]] (the q207 B=1
@@ -6592,7 +6602,7 @@ object SparkEntry {
                       bit_count(xor(ph_lo_a, ph_lo_b)) AS BIGINT) AS hamming
           FROM u
           WHERE bit_count(xor(ph_hi_a, ph_hi_b)) +
-                bit_count(xor(ph_lo_a, ph_lo_b)) <= $AudioFpMaxHamming
+                bit_count(xor(ph_lo_a, ph_lo_b)) <= ${DedupKnobs.AudioMbMaxHamming}
           ORDER BY fp_hi_a ASC, fp_lo_a ASC, fp_hi_b ASC, fp_lo_b ASC""",
     "q208_stream_quality_gate" -> {
       val langs = TextAnalysis.stopwords.keys.toSeq.sorted

@@ -56,11 +56,26 @@ object Multimodal {
 
   /** Image CONTENT id: which deterministic payload a document carries.
     * Documents with doc_id ≡ 27 (mod 50) carry the payload of
-    * doc_id − 27 (≡ 0 mod 50) — 2% of the corpus are PLANTED image
-    * twins (pair classes, donors never remap), so the image dedup arm
-    * has true duplicates to find at every scale while the entropy of
-    * [[pixel]] keeps unrelated documents' fingerprints distinct. */
-  def imageContentId(id: Long): Long = if (id % 50 == 27) id - 27 else id
+    * doc_id − 27 (≡ 0 mod 50) — EXACT planted twins — and documents
+    * with doc_id ≡ 31 (mod 50) carry doc_id − 12's (≡ 19) payload with
+    * its first two pixels SWAPPED ([[imageNearTwin]]) — NEAR twins:
+    * the sum-preserving swap changes at most the two affected
+    * threshold bits, so the near twin lands within hamming ≤ 2 of its
+    * donor on both the native and the resampled fingerprint (exactly
+    * hamming 0 when the two pixels agree on the mean side — then it
+    * simply joins the donor's class). 4% of the corpus carries planted
+    * duplication (pair classes, donors ≡ 0 / ≡ 19 never remap), so the
+    * image dedup arm has true exact AND near duplicates to find at
+    * every scale while [[pixel]]'s entropy keeps unrelated documents'
+    * fingerprints distinct. */
+  def imageContentId(id: Long): Long =
+    if (id % 50 == 27) id - 27
+    else if (id % 50 == 31) id - 12
+    else id
+
+  /** True when the document carries the pixel-swapped NEAR-twin form
+    * of its donor's image (see [[imageContentId]]). */
+  def imageNearTwin(id: Long): Boolean = id % 50 == 31
 
   /** Image dims derive from the CONTENT id: width 8..12, height 8..11
     * — at least 8×8 source pixels, so the [[pHashesResampled]] grid's
@@ -101,6 +116,7 @@ object Multimodal {
       // buffers amortize across the partition's rows
       it.map { rowId =>
         val id = imageContentId(rowId)
+        val swap = imageNearTwin(rowId)
         val w = (8 + id % 5).toInt
         val h = (8 + id % 4).toInt
         val img = new java.awt.image.BufferedImage(
@@ -111,6 +127,12 @@ object Multimodal {
           var x = 0
           while (x < w) { raster.setSample(x, y, 0, pixel(id, x, y)); x += 1 }
           y += 1
+        }
+        if (swap) {
+          // the near-twin perturbation: a sum-preserving swap of the
+          // first two pixels (w ≥ 8, so (0,0) and (1,0) always exist)
+          raster.setSample(0, 0, 0, pixel(id, 1, 0))
+          raster.setSample(1, 0, 0, pixel(id, 0, 0))
         }
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
@@ -468,11 +490,24 @@ object Multimodal {
   case class AudioFp(doc_id: Long, n_samples: Long, fp: Long)
 
   /** Audio CONTENT id: documents with doc_id ≡ 49 (mod 50) carry the
-    * recording of doc_id − 24 (≡ 25 mod 50) — 2% of the corpus are
-    * PLANTED audio twins (pair classes, donors never remap and are
-    * disjoint from the image donors, which sit at ≡ 0 mod 50), so the
-    * audio dedup arm has true duplicates to remove at every scale. */
-  def audioContentId(id: Long): Long = if (id % 50 == 49) id - 24 else id
+    * recording of doc_id − 24 (≡ 25 mod 50) — EXACT planted twins —
+    * and documents with doc_id ≡ 37 (mod 50) carry doc_id − 24's
+    * (≡ 13) recording with sample 5 bumped by +97 mod 256
+    * ([[audioNearTwin]]) — NEAR twins, the synthetic stand-in for a
+    * noisy re-encode: the one-sample bump shifts a handful of
+    * sub-window band energies, and the sign-of-delta bits flip only
+    * where the energy margin was smaller than the bump (measured over
+    * 1,000 planted twins: 24% hamming 0, 68% hamming 1–3, tail ≤ 7) —
+    * so most near twins land within the multi-band pair threshold
+    * ([[graft.DedupKnobs.AudioMbMaxHamming]]) and a few legitimately
+    * escape, exactly like real mild noise. Donors (≡ 25, ≡ 13) never
+    * remap and are disjoint from the image donors (≡ 0, ≡ 19). */
+  def audioContentId(id: Long): Long =
+    if (id % 50 == 49 || id % 50 == 37) id - 24 else id
+
+  /** True when the document carries the one-sample-bumped NEAR-twin
+    * form of its donor's recording (see [[audioContentId]]). */
+  def audioNearTwin(id: Long): Boolean = id % 50 == 37
 
   /** Deterministic 8-bit unsigned PCM derived from the CONTENT id:
     * n_samples = 32 + cid % 97,
@@ -507,7 +542,10 @@ object Multimodal {
       it.map { id =>
         val cid = audioContentId(id)
         val ns = audioSampleCount(id)
-        val raw = Array.tabulate[Byte](ns)(i => sampleU(cid, i).toByte)
+        val raw = Array.tabulate[Byte](ns) { i =>
+          val u = sampleU(cid, i)
+          (if (audioNearTwin(id) && i == 5) (u + 97) % 256 else u).toByte
+        }
         val ais = new javax.sound.sampled.AudioInputStream(
           new java.io.ByteArrayInputStream(raw), fmt, ns.toLong)
         val bos = new java.io.ByteArrayOutputStream()

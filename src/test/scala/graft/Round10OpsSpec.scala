@@ -124,14 +124,17 @@ class Round10OpsSpec extends AnyFunSuite {
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     // independent JVM replay of pixel model + integer resample
     def expected(id: Long): (Long, Long, Long, Long) = {
-      val cid = if (id % 50 == 27) id - 27 else id
+      val cid = if (id % 50 == 27) id - 27
+        else if (id % 50 == 31) id - 12 else id
       val w = (8 + cid % 5).toInt
       val h = (8 + cid % 4).toInt
-      def p(x: Int, y: Int): Long = {
+      def p0(x: Int, y: Int): Long = {
         val t = (cid * 2654435761L + x * 40503L + y * 30011L +
           x.toLong * y * 12289L) % 1000003L
         (t * t % 1000003L) % 256L
       }
+      def p(x: Int, y: Int): Long =
+        if (id % 50 == 31 && y == 0 && x <= 1) p0(1 - x, 0) else p0(x, y)
       val sImg = (for (y <- 0 until h; x <- 0 until w) yield p(x, y)).sum
       val nImg = w.toLong * h
       var hi = 0L
@@ -247,11 +250,12 @@ class Round10OpsSpec extends AnyFunSuite {
         (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     // independent JVM replay of the PCM model
     for (id <- 1L to 30L) {
-      val cid = if (id % 50 == 49) id - 24 else id
+      val cid = if (id % 50 == 49 || id % 50 == 37) id - 24 else id
       val ns = (32 + cid % 97).toInt
       val s = Array.tabulate(ns) { i =>
         val t = (cid * 2654435761L + i * 7919L) % 1000003L
-        ((t * t % 1000003L) % 256L).toInt - 128
+        val u = ((t * t % 1000003L) % 256L).toInt
+        (if (id % 50 == 37 && i == 5) (u + 97) % 256 else u) - 128
       }
       val nw = (ns + 31) / 32
       for (w <- 0 until nw) {

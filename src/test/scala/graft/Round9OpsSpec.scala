@@ -127,14 +127,18 @@ class Round9OpsSpec extends AnyFunSuite {
     // 12: content-id planted twins, hash-mixed pixels, 48-bit parity
     // fold)
     def expected(id: Long): (Long, Long, Long) = {
-      val cid = if (id % 50 == 27) id - 27 else id
+      val cid = if (id % 50 == 27) id - 27
+        else if (id % 50 == 31) id - 12 else id
       val w = (8 + cid % 5).toInt
       val h = (8 + cid % 4).toInt
-      def p(x: Int, y: Int): Long = {
+      def p0(x: Int, y: Int): Long = {
         val t = (cid * 2654435761L + x * 40503L + y * 30011L +
           x.toLong * y * 12289L) % 1000003L
         (t * t % 1000003L) % 256L
       }
+      // the near twin (id ≡ 31 mod 50) swaps the first two pixels
+      def p(x: Int, y: Int): Long =
+        if (id % 50 == 31 && y == 0 && x <= 1) p0(1 - x, 0) else p0(x, y)
       val px = for (y <- 0 until h; x <- 0 until w)
         yield ((y * w + x) % 48, p(x, y))
       val n = px.size.toLong
@@ -156,6 +160,20 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(ph(27L) === ph(0L), "doc 27 must carry doc 0's image")
     assert(ph(77L) === ph(50L), "doc 77 must carry doc 50's image")
     assert(ph(28L) !== ph(0L), "a non-plant must keep its own content")
+  }
+
+  test("planted image NEAR twins: doc ≡ 31 (mod 50) is within hamming 2 of its donor") {
+    val spark0 = spark
+    val d = Seq(19L, 31L, 69L, 81L).map(Tuple1(_)).toDF("doc_id")
+    val ph = Multimodal.pHashes(spark0, Multimodal.pngPayloads(spark0, d))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    Seq((31L, 19L), (81L, 69L)).foreach { case (twin, donor) =>
+      assert(ph(twin)._1 === ph(donor)._1 && ph(twin)._2 === ph(donor)._2,
+        "near twin keeps the donor's dims")
+      val h = java.lang.Long.bitCount(ph(twin)._3 ^ ph(donor)._3)
+      assert(h <= 2, s"sum-preserving pixel swap flips at most 2 bits: $h")
+    }
   }
 
   test("pHashClassPairs: classes collapse duplicates; pairs within dims at hamming <= T only") {
