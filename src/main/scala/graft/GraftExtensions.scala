@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
     e.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[graft.functions.SimHash64Fp].getName,
+        "graft_simhash64"),
+      (exprs: Seq[Expression]) => graft.functions.SimHash64Fp(exprs(0))))
+    e.injectFunction((
       FunctionIdentifier("graft_heavy_hitters"),
       new ExpressionInfo(classOf[SpaceSaving].getName, "graft_heavy_hitters"),
       (exprs: Seq[Expression]) => {

@@ -550,7 +550,19 @@ object NearDup {
     *
     * Returns struct(fp_hi, fp_lo); NULL text → NULL struct (the batch
     * form drops the doc entirely — callers filter nulls first). */
-  def simHash64Row(text: Column): Column = {
+  def simHash64Row(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.SimHash64Fp(
+        org.apache.spark.sql.GraftSqlBridge.expression(text)))
+
+  /** The COMPOSABLE higher-order-function form of [[simHash64Row]] —
+    * superseded on the hot path by the native
+    * [[graft.functions.SimHash64Fp]] expression (HOFs evaluate
+    * interpreted: ~64 boxed `when` trees per token made the q178 sf1
+    * micro-batch fingerprint-bound — 30.4 s addBatch, ~7.5 s of it
+    * state). Kept as the independent reference implementation the
+    * equality spec pins the native expression against. */
+  private[graft] def simHash64RowHof(text: Column): Column = {
     val toks = graft.functions.TextFns.tokens(text)
     // one md5 per token, decoded once into (v1, v2) — votes below read
     // the decoded words, never re-hash

@@ -124,6 +124,31 @@ class Round12OpsSpec extends AnyFunSuite {
       s"no non-planted edge may appear: $pairs")
   }
 
+  test("native simhash64 expression ≡ the HOF form ≡ the batch aggregation") {
+    val docs = graft.engine.Sources.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+    def byDoc(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val native = byDoc(docs.select(col("doc_id"),
+        NearDup.simHash64Row(col("text")).as("fp"))
+      .select(col("doc_id"), col("fp.fp_hi"), col("fp.fp_lo")))
+    val hof = byDoc(docs.select(col("doc_id"),
+        NearDup.simHash64RowHof(col("text")).as("fp"))
+      .select(col("doc_id"), col("fp.fp_hi"), col("fp.fp_lo")))
+    val batch = byDoc(NearDup.simHash64(docs))
+    assert(native === hof, "native expression must equal the HOF reference")
+    assert(native === batch, "in-row fingerprint must equal the batch form")
+    // split semantics corner: empty text still votes one empty token
+    val e = Seq((1L, ""), (2L, "a "), (3L, " ")).toDF("doc_id", "text")
+    val ne = byDoc(e.select(col("doc_id"),
+        NearDup.simHash64Row(col("text")).as("fp"))
+      .select(col("doc_id"), col("fp.fp_hi"), col("fp.fp_lo")))
+    val he = byDoc(e.select(col("doc_id"),
+        NearDup.simHash64RowHof(col("text")).as("fp"))
+      .select(col("doc_id"), col("fp.fp_hi"), col("fp.fp_lo")))
+    assert(ne === he, "empty/trailing-token split semantics must agree")
+  }
+
   test("incremental simhash pairs ≡ the full recompute's new pairs (fixture)") {
     val all = graft.engine.Sources.table(spark, sfDir, "documents")
     val cut = all.agg(max(col("doc_id"))).head().getLong(0) * 4 / 5
