@@ -3393,11 +3393,18 @@ object SparkEntry {
         NearDup.simHash(batch),
         DedupKnobs.SimHashMaxHamming, DedupKnobs.SimHashBucketCap)
       .select(col("doc_a"), col("doc_b"))
-    val mergedCC = Graph.connectedComponents(corpusPairs.union(incPairs),
-        "doc_a", "doc_b")
-      .localCheckpoint()
-    val corpusCC = Graph.connectedComponents(corpusPairs, "doc_a", "doc_b")
-      .localCheckpoint()
+    // both cluster tables are LANDED artifacts (the q170 staging
+    // doctrine): the corpus clustering is what the corpus run already
+    // published, the merged clustering is this increment's output —
+    // re-benching the query scans the landed tables instead of
+    // re-running two iterative CCs
+    val mergedCC = graft.engine.Staging.stagedParquet(s,
+        s"inc_merged_cc|$dir", Seq(dir))(
+      Graph.connectedComponents(corpusPairs.union(incPairs),
+        "doc_a", "doc_b"))
+    val corpusCC = graft.engine.Staging.stagedParquet(s,
+        s"inc_corpus_cc|$dir", Seq(dir))(
+      Graph.connectedComponents(corpusPairs, "doc_a", "doc_b"))
     // the census correction set: corpus docs whose cluster id the
     // increment CHANGED (a batch doc bridged their cluster to a
     // smaller-min one). Their stale census rows retract and their
