@@ -71,9 +71,6 @@ object NearDupStream {
     * its doc_id rank within the bucket, which is what the oracle's
     * row_number() ≤ cap mirror computes. */
   def onlineDedup(docs: DataFrame, maxHamming: Int, cap: Int): Dataset[BandMatch] = {
-    require(maxHamming < NearDup.SimHashBands,
-      s"band recall guarantee needs maxHamming < ${NearDup.SimHashBands}")
-    require(cap >= 1, "cap must be at least 1")
     val spark = docs.sparkSession
     import spark.implicits._
     val banded = docs
@@ -88,6 +85,49 @@ object NearDupStream {
       .select(col("x.band").as("band"), col("x.bv").as("bv"),
         col("doc_id"), col("fp_hi"), col("fp_lo"))
       .as[BandDoc]
+    onlineDedupBanded(banded, maxHamming, cap)
+  }
+
+  /** The AUDIO member of the online dedup family (the round-11
+    * deferred candidate (c), composed exactly as predicted from
+    * existing parts): every arriving document's recording is decoded
+    * and fingerprinted per partition (the REAL WAV codec path —
+    * [[graft.operators.Multimodal.wavPayloads]] →
+    * [[graft.operators.Multimodal.audioFingerprintsMultiBand]], both
+    * legal upstream of a stateful operator because they are
+    * deterministic per-row/partition maps), banded with the SAME
+    * 4×16-bit layout as every 64-bit batch generator, and judged
+    * against the SAME bounded per-(band, bv) bucket state as the text
+    * stream — first-seen survives, later arrivals within
+    * hamming ≤ maxHamming of a retained member are duplicates of
+    * their earliest match. The multi-band fingerprint is what makes
+    * this arm meaningful online: the ≤31-bit envelope saturates at
+    * corpus scale (q215), so identity on it would flood every bucket
+    * past the cap. */
+  def onlineAudioDedup(docs: DataFrame, maxHamming: Int,
+                       cap: Int): Dataset[BandMatch] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fps = graft.operators.Multimodal.audioFingerprintsMultiBand(spark,
+      graft.operators.Multimodal.wavPayloads(spark, docs),
+      graft.DedupKnobs.AudioFpSubWindows, graft.DedupKnobs.AudioFpBands)
+    val banded = fps
+      .select(col("doc_id"), col("fp_hi"), col("fp_lo"),
+        explode(NearDup.band64(col("fp_hi"), col("fp_lo"))).as("x"))
+      .select(col("x.band").as("band"), col("x.bv").as("bv"),
+        col("doc_id"), col("fp_hi"), col("fp_lo"))
+      .as[BandDoc]
+    onlineDedupBanded(banded, maxHamming, cap)
+  }
+
+  /** The shared stateful core over any banded fingerprint stream. */
+  private def onlineDedupBanded(banded: Dataset[BandDoc], maxHamming: Int,
+                                cap: Int): Dataset[BandMatch] = {
+    require(maxHamming < NearDup.SimHashBands,
+      s"band recall guarantee needs maxHamming < ${NearDup.SimHashBands}")
+    require(cap >= 1, "cap must be at least 1")
+    val spark = banded.sparkSession
+    import spark.implicits._
     banded.groupByKey(d => (d.band, d.bv))
       .flatMapGroupsWithState[BucketState, BandMatch](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -130,8 +170,23 @@ object NearDupStream {
     * micro-batch-split independence via maxFilesPerTrigger). */
   def runOnlineDedupOn(docStream: DataFrame, maxHamming: Int,
                        cap: Int): DataFrame =
-    EventStream.runToMemory(docStream.sparkSession, "odq_", "append",
-        onlineDedup(docStream, maxHamming, cap).toDF()) { t =>
+    summarize(docStream.sparkSession,
+      onlineDedup(docStream, maxHamming, cap).toDF())
+
+  /** Run the AUDIO online dedup to completion over the fixture corpus
+    * — the audio twin of [[runOnlineDedupOnce]]. */
+  def runOnlineAudioDedupOnce(spark: SparkSession, sfDir: String,
+                              maxHamming: Int, cap: Int): DataFrame =
+    runOnlineAudioDedupOn(readDocs(spark, sfDir), maxHamming, cap)
+
+  /** [[runOnlineAudioDedupOnce]] over a caller-supplied stream. */
+  def runOnlineAudioDedupOn(docStream: DataFrame, maxHamming: Int,
+                            cap: Int): DataFrame =
+    summarize(docStream.sparkSession,
+      onlineAudioDedup(docStream, maxHamming, cap).toDF())
+
+  private def summarize(spark: SparkSession, matches: DataFrame): DataFrame =
+    EventStream.runToMemory(spark, "odq_", "append", matches) { t =>
       t.groupBy(col("doc_id"))
         .agg(min(col("dup_of")).as("dup_of"))
         .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),

@@ -124,6 +124,45 @@ class Round12OpsSpec extends AnyFunSuite {
       s"no non-planted edge may appear: $pairs")
   }
 
+  test("audio online dedup: stream verdicts equal the batch retained-member rule") {
+    val sfd = sfDir
+    val got = graft.streaming.NearDupStream.runOnlineAudioDedupOnce(spark,
+        sfd, DedupKnobs.AudioMbMaxHamming, DedupKnobs.AudioClassBucketCap.toInt)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    // independent batch replay of the first-cap-arrivals rule over the
+    // multi-band band table (the q220 oracle's shape, via the engine's
+    // own batch fingerprint operator)
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.engine.Sources.table(spark, sfd, "documents")
+    val fps = Multimodal.audioFingerprintsMultiBand(spark,
+      Multimodal.wavPayloads(spark, docs),
+      DedupKnobs.AudioFpSubWindows, DedupKnobs.AudioFpBands)
+    val ab = fps.select(col("doc_id"), col("fp_hi"), col("fp_lo"),
+        explode(NearDup.band64(col("fp_hi"), col("fp_lo"))).as("x"))
+      .select(col("doc_id"), col("fp_hi"), col("fp_lo"),
+        col("x.band").as("band"), col("x.bv").as("bv"))
+    val held = ab.withColumn("r", row_number().over(
+        Window.partitionBy(col("band"), col("bv")).orderBy(col("doc_id"))))
+      .filter(col("r") <= DedupKnobs.AudioClassBucketCap)
+    val expected = ab.as("x").join(held.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+        col("y.doc_id") < col("x.doc_id") &&
+        (bit_count(col("x.fp_hi").bitwiseXOR(col("y.fp_hi"))) +
+         bit_count(col("x.fp_lo").bitwiseXOR(col("y.fp_lo"))))
+          <= DedupKnobs.AudioMbMaxHamming)
+      .groupBy(col("x.doc_id")).agg(min(col("y.doc_id")).as("dup_of"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, (isDup, dupOf)) =>
+      assert(isDup === expected.contains(id), s"doc $id verdict")
+      if (isDup) assert(dupOf === expected(id), s"doc $id dup_of")
+    }
+    // the planted exact twins MUST be caught, pointing at their donors
+    val exactTwins = got.keys.filter(_ % 50 == 49)
+    assert(exactTwins.nonEmpty && exactTwins.forall(id =>
+      got(id) == ((true, id - 24))), "exact audio twins must stream-dedup")
+  }
+
   test("native simhash64 expression ≡ the HOF form ≡ the batch aggregation") {
     val docs = graft.engine.Sources.table(spark, sfDir, "documents")
       .filter(col("text").isNotNull)
