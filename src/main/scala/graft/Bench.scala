@@ -129,13 +129,18 @@ object Bench {
     // run from an unpacked jar — a run launched from an arbitrary
     // directory must not scatter BENCH_local.json files (or overwrite
     // an unrelated file of that name) into that directory.
+    // getCodeSource can be null under some classloaders (shaded jars,
+    // custom launchers) — an NPE here would discard the whole finished
+    // run before the artifact lands, so the probe is Try-wrapped and
+    // falls back to cwd (round-12 ADVICE)
     val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
-      val here = java.nio.file.Paths.get(getClass.getProtectionDomain
-        .getCodeSource.getLocation.toURI)
-      Iterator.iterate(here)(_.getParent).takeWhile(_ != null)
-        .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
-        .map(_.resolve("BENCH_local.json").toString)
-        .getOrElse("BENCH_local.json")
+      scala.util.Try {
+        val here = java.nio.file.Paths.get(getClass.getProtectionDomain
+          .getCodeSource.getLocation.toURI)
+        Iterator.iterate(here)(_.getParent).takeWhile(_ != null)
+          .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+          .map(_.resolve("BENCH_local.json").toString)
+      }.toOption.flatten.getOrElse("BENCH_local.json")
     }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(benchOut), full + "\n")

@@ -105,9 +105,55 @@ object Pipeline {
     * uncapped band join would fail the spec's linear-volume bound, not
     * just slow a 100 TB run down by 40×). */
   private[graft] def nearDupPairs(docs: DataFrame): DataFrame =
-    NearDup.simHashPairsCapped(NearDup.simHash(docs),
+    nearDupPairsFromFps(NearDup.simHash(docs))
+
+  /** [[nearDupPairs]] over an ALREADY-computed fingerprint table — the
+    * form [[curateWithArtifacts]] uses so the fingerprints it lands as
+    * an increment artifact are the very table its own pair generator
+    * consumed. */
+  private[graft] def nearDupPairsFromFps(fps: DataFrame): DataFrame =
+    NearDup.simHashPairsCapped(fps,
       maxHamming = DedupKnobs.SimHashMaxHamming,
       maxBucket = DedupKnobs.SimHashBucketCap)
+
+  /** The image dedup arm's fingerprint table over `docs` (real PNG
+    * decode → scale-normalized resampled aHash — q202's signal). */
+  private[graft] def imageFpsOf(spark: SparkSession, docs: DataFrame): DataFrame =
+    graft.operators.Multimodal.pHashesResampled(spark,
+      graft.operators.Multimodal.pngPayloads(spark, docs), DedupKnobs.PHashGrid)
+
+  /** The audio dedup arm's fingerprint table over `docs` (real WAV
+    * decode → multi-band Haitsma-Kalker fingerprint — q216's signal). */
+  private[graft] def audioFpsOf(spark: SparkSession, docs: DataFrame): DataFrame =
+    graft.operators.Multimodal.audioFingerprintsMultiBand(spark,
+      graft.operators.Multimodal.wavPayloads(spark, docs),
+      DedupKnobs.AudioFpSubWindows, DedupKnobs.AudioFpBands)
+
+  /** The image arm's document edges from its fingerprint table:
+    * saturation-guarded within-class stars plus the capped class-pair
+    * anchors (see [[multimodalPairs]] for why the guards are
+    * load-bearing). */
+  private[graft] def imageEdgesFrom(img: DataFrame): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.classMemberEdges(img, Seq("ph_hi", "ph_lo"),
+        DedupKnobs.PHashClassBucketCap)
+      .union(Multimodal.resampledClassPairsCapped(img,
+          DedupKnobs.PHashMaxHamming, DedupKnobs.PHashClassBucketCap)
+        .select(col("anchor_a").as("doc_a"), col("anchor_b").as("doc_b")))
+  }
+
+  /** The audio arm's document edges from its multi-band fingerprint
+    * table — the image arm's class machinery after a column rename. */
+  private[graft] def audioEdgesFrom(aud: DataFrame): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.classMemberEdges(aud, Seq("fp_hi", "fp_lo"),
+        DedupKnobs.AudioClassBucketCap)
+      .union(Multimodal.resampledClassPairsCapped(
+          aud.select(col("doc_id"), col("fp_hi").as("ph_hi"),
+            col("fp_lo").as("ph_lo")),
+          DedupKnobs.AudioMbMaxHamming, DedupKnobs.AudioClassBucketCap)
+        .select(col("anchor_a").as("doc_a"), col("anchor_b").as("doc_b")))
+  }
 
   /** Stage 3's MULTIMODAL pair generator: the text simhash pairs
     * unioned with the image (q203 resampled-aHash) and audio (q217
@@ -121,9 +167,7 @@ object Pipeline {
     * is the already-flood-bounded generator its gate query runs; the
     * union adds no new fan-out. */
   private[graft] def multimodalPairs(spark: SparkSession,
-                                     docs: DataFrame): DataFrame = {
-    import graft.operators.Multimodal
-    val text = nearDupPairs(docs).select(col("doc_a"), col("doc_b"))
+                                     docs: DataFrame): DataFrame =
     // both fingerprint arms project through the SATURATION-guarded
     // within-class stars (classMemberEdges doc): a class bigger than
     // the cap is birthday saturation of a small fingerprint space, not
@@ -131,31 +175,13 @@ object Pipeline {
     // corpus (114,890 → 1) through 500-member audio fp classes and
     // 4,000-member image hash classes. The caps are the arms' existing
     // bucket caps: the same "bounded evidence per bucket" contract.
-    val img = Multimodal.pHashesResampled(spark,
-      Multimodal.pngPayloads(spark, docs), DedupKnobs.PHashGrid)
-    val imgEdges = Multimodal.classMemberEdges(img, Seq("ph_hi", "ph_lo"),
-        DedupKnobs.PHashClassBucketCap)
-      .union(Multimodal.resampledClassPairsCapped(img,
-          DedupKnobs.PHashMaxHamming, DedupKnobs.PHashClassBucketCap)
-        .select(col("anchor_a").as("doc_a"), col("anchor_b").as("doc_b")))
-    // the audio arm clusters on the MULTI-BAND fingerprint (q216/q217)
+    // The audio arm clusters on the MULTI-BAND fingerprint (q216/q217)
     // — the ≤31-bit envelope saturates at corpus scale (round 11's
     // percolation; q215 measures it), so identity on it is not
-    // duplication evidence. The multi-band signal is wide enough that
-    // the saturation cap below is a true anomaly guard, not the arm's
-    // de-facto off switch.
-    val aud = Multimodal.audioFingerprintsMultiBand(spark,
-        Multimodal.wavPayloads(spark, docs),
-        DedupKnobs.AudioFpSubWindows, DedupKnobs.AudioFpBands)
-    val audEdges = Multimodal.classMemberEdges(aud, Seq("fp_hi", "fp_lo"),
-        DedupKnobs.AudioClassBucketCap)
-      .union(Multimodal.resampledClassPairsCapped(
-          aud.select(col("doc_id"), col("fp_hi").as("ph_hi"),
-            col("fp_lo").as("ph_lo")),
-          DedupKnobs.AudioMbMaxHamming, DedupKnobs.AudioClassBucketCap)
-        .select(col("anchor_a").as("doc_a"), col("anchor_b").as("doc_b")))
-    text.union(imgEdges).union(audEdges)
-  }
+    // duplication evidence.
+    nearDupPairs(docs).select(col("doc_a"), col("doc_b"))
+      .union(imageEdgesFrom(imageFpsOf(spark, docs)))
+      .union(audioEdgesFrom(audioFpsOf(spark, docs)))
 
   /** @param checkpointDir reliable checkpoint location for the
     *        connected-components rounds inside near-dup dedup (stage
@@ -175,20 +201,52 @@ object Pipeline {
     *        without a vector pass through untouched. */
   /** The staged artifacts a curate() run lands that the NEXT
     * increment consumes (the whole-corpus tables an incremental run
-    * must never recompute):
+    * must never recompute). Since round 13 these are DURABLE handles:
+    * [[writeArtifacts]] lands every frame as parquet and
+    * [[readArtifacts]] rebuilds the case class in a FRESH process, so
+    * a daily production increment reads landed tables by path instead
+    * of replaying plan-keyed staging from the corpus.
+    *
     *  - `exact`: the post-exact-dedup corpus (stage 2's output) — the
-    *    key set batch exact-dedup anti-joins and the doc set batch
-    *    near-dup compares against (the full rerun pairs over exact
-    *    output, so this — not the final survivors — is the right
-    *    comparison corpus);
+    *    doc table a compaction pass reads; [[curateIncrement]] itself
+    *    never scans it (everything it needs is in the derived handles
+    *    below — spec-pinned with a poisoned `exact` frame);
     *  - `cells`: the manifest's additive census
     *    ([[graft.operators.DataMix.manifestCells]]) — increments merge
     *    by summing and re-derive the budget half;
     *  - `published`: the mixed documents the run actually shipped (what
     *    `outDir` receives) — the frame equivalence specs slice, and
-    *    what a compaction pass reads when revocations accumulate. */
+    *    what a compaction pass reads when revocations accumulate;
+    *  - `exactKeys`: the corpus's distinct normalized-content keys
+    *    (`__key`) — the batch exact-dedup anti-joins THIS, not a
+    *    re-normalization of the corpus text;
+    *  - `textFps`: [[graft.operators.NearDup.simHash]] over `exact` —
+    *    the landed fingerprint table the incremental pair generator
+    *    probes;
+    *  - `pairs`: the stage-3 near-dup pair table (text simhash, or the
+    *    multimodal union when the corpus was curated multimodal);
+    *  - `clusters`: the landed clustering (CC over `pairs`) — the
+    *    contraction base of the incremental CC (see
+    *    [[graft.operators.Graph.contractedComponents]]);
+    *  - `maxDocId`: the corpus id boundary (the monotone-ingest
+    *    contract's left edge) — `Long.MinValue` for an empty corpus;
+    *  - `imageFps`/`audioFps` (multimodal corpora): the landed
+    *    per-arm fingerprint tables batch fingerprints join against;
+    *  - `embVecs`/`vecClusters` (embedding-bearing corpora): the
+    *    stage-3.5 vector table AFTER prototype pruning (what the
+    *    corpus's semantic dedup actually paired over) and its landed
+    *    vector clustering. */
   final case class CorpusArtifacts(exact: DataFrame, cells: DataFrame,
-                                   published: DataFrame)
+                                   published: DataFrame,
+                                   exactKeys: DataFrame,
+                                   textFps: DataFrame,
+                                   pairs: DataFrame,
+                                   clusters: DataFrame,
+                                   maxDocId: Long,
+                                   imageFps: Option[DataFrame] = None,
+                                   audioFps: Option[DataFrame] = None,
+                                   embVecs: Option[DataFrame] = None,
+                                   vecClusters: Option[DataFrame] = None)
 
   def curate(spark: SparkSession, docs: DataFrame,
              mixRates: Map[String, Double], mixSalt: String,
@@ -292,8 +350,19 @@ object Pipeline {
     // star-reduce to their anchor, which keeps genuine duplicate
     // crowds connected (the CC only needs connectivity, not every
     // pairwise edge).
-    val pairs =
-      if (multimodal) multimodalPairs(spark, exact) else nearDupPairs(exact)
+    val textFps = NearDup.simHash(exact)
+    val (imgFps, audFps) =
+      if (multimodal) (Some(imageFpsOf(spark, exact)),
+        Some(audioFpsOf(spark, exact)))
+      else (None, None)
+    val pairs = {
+      val text = nearDupPairsFromFps(textFps)
+        .select(col("doc_a"), col("doc_b"))
+      if (multimodal)
+        text.union(imageEdgesFrom(imgFps.get))
+          .union(audioEdgesFrom(audFps.get))
+      else text
+    }
     val clusters = Graph.connectedComponents(pairs, "doc_a", "doc_b",
         checkpointDir = checkpointDir)
       .localCheckpoint()
@@ -311,8 +380,8 @@ object Pipeline {
     // twin drops; docs carrying no vector pass through — the vector
     // table governs only the docs it covers. Restricted to vectors of
     // SURVIVING docs first: no compute on docs already dropped.
-    val embedded = embeddings match {
-      case None => survivors
+    val (embedded, embVecsArt, vecClustersArt) = embeddings match {
+      case None => (survivors, None, None)
       case Some(embAll) =>
         val emb = embAll
           .join(survivors.select(col("doc_id").as("vec_id")), Seq("vec_id"))
@@ -322,20 +391,21 @@ object Pipeline {
             embedKnobs.keepBp)
           .filter(col("kept")).select(col("vec_id"))
         val keptEmb = emb.join(kept, Seq("vec_id")).localCheckpoint()
-        val clusters = Graph.connectedComponents(
-          graft.operators.Similarity.nearDupPairsLsh(keptEmb,
-            embedKnobs.minCosine, embedKnobs.planes, embedKnobs.tables,
-            embedKnobs.bucketCap),
-          "vec_a", "vec_b", checkpointDir = checkpointDir)
-        val dupVecs = clusters.filter(col("n") =!= col("component"))
+        val vecCC = Graph.connectedComponents(
+            graft.operators.Similarity.nearDupPairsLsh(keptEmb,
+              embedKnobs.minCosine, embedKnobs.planes, embedKnobs.tables,
+              embedKnobs.bucketCap),
+            "vec_a", "vec_b", checkpointDir = checkpointDir)
+          .localCheckpoint()
+        val dupVecs = vecCC.filter(col("n") =!= col("component"))
           .select(col("n").as("vec_id"))
         val vecSurvivors = keptEmb.select(col("vec_id"))
           .join(dupVecs, Seq("vec_id"), "left_anti")
         val dropDocs = emb.select(col("vec_id"))
           .join(vecSurvivors, Seq("vec_id"), "left_anti")
           .select(col("vec_id").as("doc_id"))
-        survivors.join(dropDocs, Seq("doc_id"), "left_anti")
-          .localCheckpoint()
+        (survivors.join(dropDocs, Seq("doc_id"), "left_anti")
+          .localCheckpoint(), Some(keptEmb), Some(vecCC))
     }
 
     // 4. deterministic mixture
@@ -373,34 +443,69 @@ object Pipeline {
         .coalesce(1).write.mode("overwrite").parquet(dir + "_scorecard")
     }
 
+    // the id boundary the monotone-ingest contract checks — one scalar
+    // agg over the (already-checkpointed) exact table
+    val maxRow = exact.agg(max(col("doc_id"))).head()
+    val maxDocId = if (maxRow.isNullAt(0)) Long.MinValue else maxRow.getLong(0)
     (StageCounts(docs.count(), quality.count(), spanned.count(),
       exact.count(), survivors.count(), mixed.count(), manifest.count(),
       afterEmbedding = if (embeddings.isDefined) embedded.count() else -1L),
-      CorpusArtifacts(exact, cells, mixed))
+      CorpusArtifacts(exact, cells, mixed,
+        exactKeys = exact
+          .select(md5(TextAnalysis.normalizeText(col("text"))).as("__key"))
+          .distinct(),
+        textFps = textFps, pairs = pairs, clusters = clusters,
+        maxDocId = maxDocId,
+        imageFps = imgFps, audioFps = audFps,
+        embVecs = embVecsArt, vecClusters = vecClustersArt))
   }
 
   final case class IncrementCounts(input: Long, afterQuality: Long,
                                    afterExact: Long, afterNearDup: Long,
                                    afterMix: Long, manifestCells: Long,
-                                   revokedCorpusDocs: Long)
+                                   revokedCorpusDocs: Long,
+                                   afterEmbedding: Long = -1L)
 
   /** Curate a NEW batch against yesterday's curated corpus WITHOUT
     * re-curating the corpus — the shape a real 100 TB ingestion runs
-    * daily. Every whole-corpus table is a staged artifact of the prior
-    * run, probed but never rebuilt:
+    * daily. Every whole-corpus table is a LANDED artifact of the prior
+    * run ([[CorpusArtifacts]]), probed but never rebuilt — including,
+    * since round 13, the CLUSTERING: no stage here runs a job over the
+    * accumulated corpus (the corpus document table is never scanned —
+    * spec-pinned with a poisoned frame):
     *
     *   1. quality    — the per-doc signals on the batch alone;
-    *   2. exact      — batch keys anti-join the corpus post-exact key
-    *                   set ([[CorpusArtifacts.exact]]), then the
+    *   2. exact      — batch keys anti-join the corpus's landed key
+    *                   set ([[CorpusArtifacts.exactKeys]]), then the
     *                   within-batch latest-by-key;
     *   3. near-dup   — [[graft.operators.NearDup
-    *                   .incrementalSimhashPairsCapped]] (the q70/q168
-    *                   incremental shape on the pipeline's simhash
-    *                   generator: batch-vs-corpus + batch-internal
-    *                   pairs, union-exact caps) unioned with the
-    *                   corpus's LANDED pair table, CC, canonical-min
-    *                   survivors — a batch doc connected to any corpus
-    *                   doc or smaller batch doc drops;
+    *                   .incrementalSimhashPairsCapped]] over the
+    *                   landed fingerprint table (batch-vs-corpus +
+    *                   batch-internal pairs, union-exact caps) —
+    *                   multimodal corpora add the image/audio arms'
+    *                   incremental class edges
+    *                   ([[graft.operators.Multimodal
+    *                   .incrementalClassEdgesCapped]] against the
+    *                   landed per-arm fingerprint tables) — then the
+    *                   CONTRACTED incremental CC
+    *                   ([[graft.operators.Graph.contractedComponents]]
+    *                   over the landed clustering): the pointer-jumping
+    *                   rounds run over the contracted BATCH graph
+    *                   only, never the accumulated pair graph, so
+    *                   increment cost is O(batch + touched clusters)
+    *                   and stays flat as the corpus ages. A batch doc
+    *                   connected to any corpus doc or smaller batch
+    *                   doc drops;
+    *   3.5 embedding — (embedding-bearing corpora) incremental
+    *                   semantic dedup: batch vectors LSH-pair against
+    *                   the corpus's landed post-prune vector table
+    *                   ([[graft.operators.Similarity
+    *                   .incrementalNearDupPairsLsh]]), contracted CC
+    *                   against the landed vector clustering. Batch
+    *                   docs are NOT prototype-pruned — pruning is a
+    *                   corpus-relative signal (it needs the fitted
+    *                   centroids and per-cluster histograms), so like
+    *                   the perplexity tail it belongs to curate();
     *   4. mix        — the same pure-hash membership;
     *   5. manifest   — the batch's census cells MERGE into the corpus
     *                   cells by summation
@@ -415,11 +520,16 @@ object Pipeline {
     * merged manifest equals the full rerun's manifest, PROVIDED
     * (a) every batch doc_id exceeds every corpus doc_id (checked
     * here — monotone ingest ids), (b) only per-doc quality signals
-    * are on (corpus-relative knobs would be batch-relative: checked),
-    * and (c) no batch doc BRIDGES two distinct corpus clusters — a
-    * bridge means a previously published corpus survivor would lose
-    * its canonical status in a full rerun. Bridged survivors are
-    * DETECTED and reported (`revokedCorpusDocs`), never silently
+    * are on (corpus-relative knobs would be batch-relative: checked;
+    * for the embedding stage this means keepBp = 10000 — under
+    * pruning the increment's contract is the LANDED kept set, not a
+    * re-prune), and (c) no batch doc BRIDGES two distinct corpus
+    * clusters — a bridge means a previously published corpus survivor
+    * would lose its canonical status in a full rerun. Bridged
+    * survivors are DETECTED and reported (`revokedCorpusDocs` — read
+    * straight off the contracted labels: every contracted corpus node
+    * is a landed cluster's canonical survivor, and it is revoked iff
+    * the increment merged it under a smaller min), never silently
     * retracted: published data is immutable in an incremental design,
     * and a production deployment routes revocations to a compaction
     * pass.
@@ -429,17 +539,28 @@ object Pipeline {
                       batch: DataFrame,
                       mixRates: Map[String, Double], mixSalt: String,
                       knobs: QualityKnobs = QualityKnobs(),
-                      checkpointDir: Option[String] = None)
+                      checkpointDir: Option[String] = None,
+                      multimodal: Boolean = false,
+                      embeddings: Option[DataFrame] = None,
+                      embedKnobs: EmbedKnobs = EmbedKnobs())
       : (DataFrame, DataFrame, IncrementCounts) = {
     require(knobs.dropPplBuckets == 0 && knobs.maxDupFrac >= 1.0 &&
       knobs.spanDedupN == 0,
       "corpus-relative quality stages (perplexity tail, dup-span gate, " +
         "span rewrite) are whole-corpus signals — run them in curate()")
     // id-ordering contract: the union anchor of any shared bucket must
-    // be a corpus doc (see incrementalSimhashPairsCapped). Two census
-    // aggs — not data-sized collects.
-    val maxCorpusId = corpus.exact.agg(max(col("doc_id"))).head().getLong(0)
-    val minBatchId = batch.agg(min(col("doc_id"))).head().getLong(0)
+    // be a corpus doc (see incrementalSimhashPairsCapped). The corpus
+    // boundary is a LANDED scalar (no corpus job); the batch side is
+    // one census agg. An EMPTY corpus or batch fails with the real
+    // diagnosis instead of an opaque NPE (round-12 ADVICE).
+    require(corpus.maxDocId != Long.MinValue,
+      "curateIncrement needs a non-empty corpus: the artifacts carry " +
+        "an empty exact table — run curate() first and pass its artifacts")
+    val maxCorpusId = corpus.maxDocId
+    val minBatchRow = batch.agg(min(col("doc_id"))).head()
+    require(!minBatchRow.isNullAt(0),
+      "curateIncrement got an EMPTY batch — nothing to ingest")
+    val minBatchId = minBatchRow.getLong(0)
     require(minBatchId > maxCorpusId,
       s"batch ids must exceed corpus ids (monotone ingest): " +
         s"batch min $minBatchId <= corpus max $maxCorpusId")
@@ -452,61 +573,100 @@ object Pipeline {
       .join(decisions.filter(col("keep")).select(col("doc_id")), "doc_id")
       .localCheckpoint()
 
-    // 2. exact: within-batch latest-by-key, then the corpus key set
-    // anti-join (the corpus canonical always has the smaller id)
-    def keyOf(df: DataFrame) =
-      md5(TextAnalysis.normalizeText(df("text")))
-    val corpusKeys = corpus.exact.select(keyOf(corpus.exact).as("__key"))
-      .distinct()
+    // 2. exact: within-batch latest-by-key, then the anti-join against
+    // the LANDED corpus key set (the corpus canonical always has the
+    // smaller id) — the corpus text is never re-normalized
     val exactB = Dedup.latestByKey(
         quality.withColumn("__key",
           md5(TextAnalysis.normalizeText(col("text")))),
         keys = Seq("__key"), orderBy = Seq(-col("doc_id")))
-      .join(corpusKeys, Seq("__key"), "left_anti")
+      .join(corpus.exactKeys, Seq("__key"), "left_anti")
       .drop("__key")
       .localCheckpoint()
 
-    // 3. near-dup: landed corpus artifacts (fingerprints, pair table —
-    // plan-keyed staged, so in-process they build once per corpus and
-    // a durable root lands them across runs) + the incremental pairs
-    val corpusFps = graft.operators.Shingles.shared(
-      NearDup.simHash(corpus.exact))
-    val corpusPairs = graft.operators.Shingles.shared(
-      NearDup.simHashPairsCapped(corpusFps,
-          DedupKnobs.SimHashMaxHamming, DedupKnobs.SimHashBucketCap)
-        .select(col("doc_a"), col("doc_b")))
-    val incPairs = NearDup.incrementalSimhashPairsCapped(corpusFps,
+    // 3. near-dup: incremental arm pairs against the landed
+    // fingerprint tables, then the CONTRACTED incremental CC — the
+    // landed pair graph never enters a job (its edges are self-loops
+    // under the contraction; see Graph.contractedComponents' theorem)
+    val incText = NearDup.incrementalSimhashPairsCapped(corpus.textFps,
         NearDup.simHash(exactB),
         DedupKnobs.SimHashMaxHamming, DedupKnobs.SimHashBucketCap)
       .select(col("doc_a"), col("doc_b"))
-    val merged = Graph.connectedComponents(corpusPairs.union(incPairs),
+    val incPairs =
+      if (!multimodal) incText
+      else {
+        require(corpus.imageFps.isDefined && corpus.audioFps.isDefined,
+          "a multimodal increment needs a multimodal-curated corpus: " +
+            "the artifacts carry no image/audio fingerprint tables")
+        val bImg = imageFpsOf(spark, exactB)
+        val bAud = audioFpsOf(spark, exactB)
+        incText
+          .union(graft.operators.Multimodal.incrementalClassEdgesCapped(
+            corpus.imageFps.get.select(col("doc_id"), col("ph_hi"),
+              col("ph_lo")),
+            bImg.select(col("doc_id"), col("ph_hi"), col("ph_lo")),
+            DedupKnobs.PHashMaxHamming, DedupKnobs.PHashClassBucketCap))
+          .union(graft.operators.Multimodal.incrementalClassEdgesCapped(
+            corpus.audioFps.get.select(col("doc_id"),
+              col("fp_hi").as("ph_hi"), col("fp_lo").as("ph_lo")),
+            bAud.select(col("doc_id"), col("fp_hi").as("ph_hi"),
+              col("fp_lo").as("ph_lo")),
+            DedupKnobs.AudioMbMaxHamming, DedupKnobs.AudioClassBucketCap))
+      }
+    val ccInc = Graph.contractedComponents(corpus.clusters, incPairs,
         "doc_a", "doc_b", checkpointDir = checkpointDir)
       .localCheckpoint()
-    val dropIds = merged.filter(col("n") =!= col("component"))
+    val dropIds = ccInc.filter(col("n") =!= col("component"))
       .select(col("n"))
     val survivors = exactB
       .join(dropIds, exactB("doc_id") === dropIds("n"), "left_anti")
       .localCheckpoint()
-    // revocation audit: previously-published corpus survivors whose
-    // canonical status a full rerun would revoke (a batch doc bridged
-    // their cluster to a smaller-min one)
-    val corpusCC = Graph.connectedComponents(corpusPairs,
-      "doc_a", "doc_b", checkpointDir = checkpointDir)
-    val corpusSurvivorIds = corpus.exact.select(col("doc_id"))
-      .join(corpusCC.filter(col("n") =!= col("component"))
-          .select(col("n").as("doc_id")),
-        Seq("doc_id"), "left_anti")
-    val revoked = corpusSurvivorIds
-      .join(dropIds.select(col("n").as("doc_id")), Seq("doc_id"))
+    // revocation audit straight off the contracted labels: a
+    // contracted corpus node is a landed component id (or a landed
+    // singleton's own id) — i.e. exactly a corpus near-dup SURVIVOR's
+    // doc_id — and it is revoked iff the increment merged it under a
+    // smaller min. One filter over the (touched-ids-sized) contracted
+    // table; the round-12 form re-ran a full corpus CC for this count.
+    val revoked = ccInc
+      .filter(col("n") <= maxCorpusId && col("n") =!= col("component"))
       .count()
 
+    // 3.5 (embedding-bearing corpora): incremental semantic dedup —
+    // batch vectors against the landed post-prune vector table and
+    // vector clustering. Batch vectors are never pruned (see scaladoc).
+    val (embedded, afterEmbedding) = embeddings match {
+      case None => (survivors, -1L)
+      case Some(embAll) =>
+        require(corpus.embVecs.isDefined && corpus.vecClusters.isDefined,
+          "an embedding increment needs an embedding-curated corpus: " +
+            "the artifacts carry no vector table / vector clustering")
+        val bEmb = embAll
+          .join(survivors.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+          .localCheckpoint()
+        val incVecPairs = graft.operators.Similarity
+          .incrementalNearDupPairsLsh(corpus.embVecs.get, bEmb,
+            embedKnobs.minCosine, embedKnobs.planes, embedKnobs.tables,
+            embedKnobs.bucketCap)
+        val vecCC = Graph.contractedComponents(corpus.vecClusters.get,
+          incVecPairs, "vec_a", "vec_b", checkpointDir = checkpointDir)
+        val dropDocs = vecCC
+          .filter(col("n") > maxCorpusId && col("n") =!= col("component"))
+          .select(col("n").as("doc_id"))
+        val e = survivors.join(dropDocs, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        (e, e.count())
+    }
+
     // 4. mix
-    val mixed = Sampling.deterministicMix(survivors, col("doc_id"),
+    val mixed = Sampling.deterministicMix(embedded, col("doc_id"),
       col("source"), mixRates, mixSalt)
 
     // 5. manifest: sum-merge the batch's cells into the corpus cells,
-    // re-derive the budget half from the merged census
-    val deltaCells = DataMix.manifestCells(mixed, merged,
+    // re-derive the budget half from the merged census. The cluster
+    // table is the contracted one — batch survivors' merged labels are
+    // exactly what a full CC would assign (the contraction theorem),
+    // and corpus rows in it never match a batch doc_id.
+    val deltaCells = DataMix.manifestCells(mixed, ccInc,
       mixSalt + "|split", trainBp = 8000, valBp = 9000)
     val manifest = DataMix.manifestFromCells(
         DataMix.mergeCells(corpus.cells, deltaCells),
@@ -515,7 +675,47 @@ object Pipeline {
 
     (mixed, manifest,
       IncrementCounts(batch.count(), quality.count(), exactB.count(),
-        survivors.count(), mixed.count(), manifest.count(), revoked))
+        survivors.count(), mixed.count(), manifest.count(), revoked,
+        afterEmbedding))
+  }
+
+  /** Land every [[CorpusArtifacts]] frame as parquet under `dir` — the
+    * durable handles a FRESH-process increment consumes via
+    * [[readArtifacts]] (the landed-stage pattern: a daily production
+    * increment must read yesterday's pair/cluster/fingerprint tables
+    * by path, not rebuild them from the corpus). The id boundary lands
+    * as a one-row `bounds` table. */
+  def writeArtifacts(a: CorpusArtifacts, dir: String): Unit = {
+    def w(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dir/$name")
+    w(a.exact, "exact"); w(a.cells, "cells"); w(a.published, "published")
+    w(a.exactKeys, "exact_keys"); w(a.textFps, "text_fps")
+    w(a.pairs, "pairs"); w(a.clusters, "clusters")
+    a.imageFps.foreach(w(_, "image_fps"))
+    a.audioFps.foreach(w(_, "audio_fps"))
+    a.embVecs.foreach(w(_, "emb_vecs"))
+    a.vecClusters.foreach(w(_, "vec_clusters"))
+    a.exact.sparkSession.range(1)
+      .select(lit(a.maxDocId).as("max_doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/bounds")
+  }
+
+  /** Rebuild [[CorpusArtifacts]] from a [[writeArtifacts]] directory —
+    * every frame is a plain parquet scan, so a fresh process increments
+    * against landed tables with zero corpus recomputation. */
+  def readArtifacts(spark: SparkSession, dir: String): CorpusArtifacts = {
+    def r(name: String): DataFrame = spark.read.parquet(s"$dir/$name")
+    def opt(name: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+        Some(r(name))
+      else None
+    }
+    CorpusArtifacts(r("exact"), r("cells"), r("published"),
+      r("exact_keys"), r("text_fps"), r("pairs"), r("clusters"),
+      maxDocId = r("bounds").head().getLong(0),
+      imageFps = opt("image_fps"), audioFps = opt("audio_fps"),
+      embVecs = opt("emb_vecs"), vecClusters = opt("vec_clusters"))
   }
 
   def main(args: Array[String]): Unit = {

@@ -3382,10 +3382,18 @@ object SparkEntry {
     * id — the fixture really has such bridges) are handled by a
     * bounded census CORRECTION: the drifted docs' stale rows retract
     * (negative cells) and re-add under the merged clustering. The
-    * ORACLE is deliberately the batch-oblivious full-corpus manifest
-    * (q192's SQL): the gate IS the equivalence theorem — an increment
-    * plus its corrections must land exactly where a full rebuild
-    * would, unconditionally. */
+    * ORACLE ([[incrementalManifestOracle]]) mirrors the INCREMENTAL
+    * edge construction (corpus-side caps on the corpus slice, union
+    * caps on the batch side) and computes the manifest directly under
+    * the merged clustering — so what the gate pins is that the
+    * engine's cells-correction ALGEBRA (landed cells + retraction +
+    * re-census + batch cells) collapses exactly to
+    * cells-under-the-merged-clustering. It does NOT pin equivalence
+    * to a batch-oblivious full rebuild: a full rerun legitimately
+    * re-draws cap boundaries (a bucket under the cap at corpus size
+    * can exceed it at union size), so its edge set — and with bridges
+    * its survivor set — can differ from the landed-truth increment
+    * (round-12 ADVICE; the caveat q218's companion specs document). */
   private def q218(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.{DataMix, Graph}
     val d = docs(s, dir)
@@ -3403,16 +3411,19 @@ object SparkEntry {
       .select(col("doc_a"), col("doc_b"))
     // both cluster tables are LANDED artifacts (the q170 staging
     // doctrine): the corpus clustering is what the corpus run already
-    // published, the merged clustering is this increment's output —
-    // re-benching the query scans the landed tables instead of
-    // re-running two iterative CCs
-    val mergedCC = graft.engine.Staging.stagedParquet(s,
-        s"inc_merged_cc|$dir", Seq(dir))(
-      Graph.connectedComponents(corpusPairs.union(incPairs),
-        "doc_a", "doc_b"))
+    // published; the merged clustering is this increment's output,
+    // computed INCREMENTALLY since round 13 — contracted CC over the
+    // incremental edges alone, relabeled through the landed corpus
+    // clustering ([[graft.operators.Graph.incrementalComponents]]; the
+    // contraction theorem makes the labels EQUAL to a full CC over the
+    // union, so the oracle's merged clustering is unchanged) — the
+    // corpus pair graph never enters the increment's CC job.
     val corpusCC = graft.engine.Staging.stagedParquet(s,
         s"inc_corpus_cc|$dir", Seq(dir))(
       Graph.connectedComponents(corpusPairs, "doc_a", "doc_b"))
+    val mergedCC = graft.engine.Staging.stagedParquet(s,
+        s"inc_merged_cc|$dir", Seq(dir))(
+      Graph.incrementalComponents(corpusCC, incPairs, "doc_a", "doc_b"))
     // the census correction set: corpus docs whose cluster id the
     // increment CHANGED (a batch doc bridged their cluster to a
     // smaller-min one). Their stale census rows retract and their
@@ -3484,6 +3495,77 @@ object SparkEntry {
   private def q220(s: SparkSession, dir: String): DataFrame =
     graft.streaming.NearDupStream.runOnlineAudioDedupOnce(s, dir,
       DedupKnobs.AudioMbMaxHamming, AudioClassBucketCap.toInt)
+
+  /** INCREMENTAL MULTIMODAL clustering — q218's incremental machinery
+    * extended to every dedup arm (the round-13 surface): the corpus
+    * slice (doc_id ≤ ⌊4/5·max⌋) lands its text pair table AND its
+    * image/audio class-edge tables once; the batch pairs through the
+    * per-arm incremental generators
+    * ([[NearDup.incrementalSimhashPairsCapped]],
+    * [[Multimodal.incrementalClassEdgesCapped]] against the landed
+    * fingerprint tables); the merged clustering is the CONTRACTED
+    * incremental CC ([[graft.operators.Graph.incrementalComponents]]
+    * over the landed corpus clustering — the accumulated pair graph
+    * never enters the increment's CC job, and by the contraction
+    * theorem the labels equal a full CC over the edge union). Output:
+    * every batch doc with its merged component and dup verdict — a
+    * batch doc connected under ANY modality (text simhash, image
+    * resampled-aHash class, audio multi-band class) to a corpus doc
+    * or smaller batch doc is a duplicate. Oracle: the corpus-side arm
+    * edges replayed with corpus-census caps, the incremental arm
+    * edges as the union generator's batch-touching slice (the
+    * spec-pinned equivalence, Round13OpsSpec), hook+jump CC, batch
+    * tail. */
+  private def q221(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cut = d.agg(max(col("doc_id"))).head().getLong(0) * 4 / 5
+    val corpus = d.filter(col("doc_id") <= cut)
+    val batch = d.filter(col("doc_id") > cut)
+    // per-arm fingerprints are pure per-doc functions, so the corpus/
+    // batch tables are SLICES of the whole-corpus staged tables — one
+    // codec pass per corpus, shared with q202/q209/q215/q216/q217
+    val imgAll = stagedResampledHashes(s, dir)
+      .select(col("doc_id"), col("ph_hi"), col("ph_lo"))
+    val audAll = stagedAudioMbFps(s, dir)
+      .select(col("doc_id"), col("fp_hi").as("ph_hi"),
+        col("fp_lo").as("ph_lo"))
+    val corpusFps = graft.operators.Shingles.shared(NearDup.simHash(corpus))
+    val corpusEdges = graft.operators.Shingles.shared(
+      NearDup.simHashPairsCapped(corpusFps,
+          DedupKnobs.SimHashMaxHamming, DedupKnobs.SimHashBucketCap)
+        .select(col("doc_a"), col("doc_b"))
+        .union(Pipeline.imageEdgesFrom(
+          imgAll.filter(col("doc_id") <= cut)))
+        .union(Pipeline.audioEdgesFrom(
+          audAll.filter(col("doc_id") <= cut)
+            .select(col("doc_id"), col("ph_hi").as("fp_hi"),
+              col("ph_lo").as("fp_lo")))))
+    val corpusCC = graft.engine.Staging.stagedParquet(s,
+        s"inc_mm_corpus_cc|$dir", Seq(dir))(
+      graft.operators.Graph.connectedComponents(corpusEdges, "doc_a", "doc_b"))
+    val incPairs = NearDup.incrementalSimhashPairsCapped(corpusFps,
+        NearDup.simHash(batch),
+        DedupKnobs.SimHashMaxHamming, DedupKnobs.SimHashBucketCap)
+      .select(col("doc_a"), col("doc_b"))
+      .union(Multimodal.incrementalClassEdgesCapped(
+        imgAll.filter(col("doc_id") <= cut),
+        imgAll.filter(col("doc_id") > cut),
+        PHashMaxHamming, PHashClassBucketCap))
+      .union(Multimodal.incrementalClassEdgesCapped(
+        audAll.filter(col("doc_id") <= cut),
+        audAll.filter(col("doc_id") > cut),
+        DedupKnobs.AudioMbMaxHamming, AudioClassBucketCap))
+    val merged = graft.engine.Staging.stagedParquet(s,
+        s"inc_mm_merged_cc|$dir", Seq(dir))(
+      graft.operators.Graph.incrementalComponents(corpusCC, incPairs, "doc_a", "doc_b"))
+    batch.select(col("doc_id"))
+      .join(merged.select(col("n").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("is_dup", col("component") =!= col("doc_id"))
+      .orderBy(col("doc_id").asc)
+  }
 
   /** Corpus QUALITY SCORECARD — the per-source report a curation run
     * publishes, rolled up from four independent quality operators in
@@ -4654,7 +4736,12 @@ object SparkEntry {
             AND bit_count(xor(f.simhash, t.simhash)) <= $SimHashMaxHamming),
         prs AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b
               FROM (SELECT doc_a, doc_b FROM cu
-                    UNION ALL SELECT doc_a, doc_b FROM iu)),
+                    UNION ALL SELECT doc_a, doc_b FROM iu))"""
+
+  /** [[incrementalTextPairCtes]] closed into the `edges` relation
+    * [[ccUnrolledCtes]] expects — q218's text-only edge set. */
+  private lazy val incrementalEdgeCtesClosed: String =
+    s"""$incrementalEdgeCtes,
         edges AS MATERIALIZED (SELECT doc_a AS n, doc_b AS m FROM prs
                   UNION SELECT doc_b AS n, doc_a AS m FROM prs)"""
 
@@ -4666,9 +4753,113 @@ object SparkEntry {
     * algebra is exact. */
   private lazy val incrementalManifestOracle: String =
     s"""WITH $simhashCte,
-        $incrementalEdgeCtes,
+        $incrementalEdgeCtesClosed,
         ${ccUnrolledCtes()},
         $manifestTailSql"""
+
+  /** Class-edge SQL over a 64-bit class fingerprint relation
+    * `src(doc_id, <hi>, <lo>)` — the oracle mirror of
+    * [[Multimodal.classMemberEdges]] ∪
+    * [[Multimodal.resampledClassPairsCapped]] projected to doc-level
+    * (doc_a, doc_b) edges: saturation-guarded within-class member
+    * stars plus capped 4×16-band class pairs (lexicographic-min-class
+    * bucket anchors), hamming-verified. Emits CTEs prefixed `$p`
+    * ending in `${p}edges(doc_a, doc_b)`; `touch` (optional WHERE
+    * body) filters the final edge set — the incremental oracle passes
+    * the batch-touching predicate there (the spec-pinned equivalence:
+    * the union generator's batch-touching slice IS the incremental
+    * generator's output, Round13OpsSpec). */
+  private def classEdgeCtesOver(p: String, src: String, hi: String,
+                                lo: String, maxHamming: Int, cap: Long,
+                                touch: String = ""): String = {
+    val where = if (touch.isEmpty) "" else s"WHERE $touch"
+    s"""${p}cls AS MATERIALIZED (
+          SELECT $hi AS hi, $lo AS lo, count(*) AS n,
+                 min(doc_id) AS rep
+          FROM $src GROUP BY 1, 2),
+        ${p}mem AS (SELECT c.rep AS doc_a, s.doc_id AS doc_b
+                    FROM $src s JOIN ${p}cls c
+                      ON s.$hi = c.hi AND s.$lo = c.lo
+                    WHERE c.n <= $cap AND s.doc_id <> c.rep),
+        ${p}bnd AS (SELECT hi, lo, rep, j AS band,
+                      CASE j WHEN 0 THEN lo & 65535
+                             WHEN 1 THEN (lo >> 16) & 65535
+                             WHEN 2 THEN hi & 65535
+                             ELSE (hi >> 16) & 65535 END AS bv
+                    FROM ${p}cls CROSS JOIN
+                      (SELECT unnest(range(0, 4)) AS j) b),
+        ${p}st AS (SELECT band, bv, count(*) AS bn,
+                     arg_min(hi, CAST(hi AS HUGEINT) * 4294967296 + lo)
+                       AS a_hi,
+                     arg_min(lo, CAST(hi AS HUGEINT) * 4294967296 + lo)
+                       AS a_lo
+                   FROM ${p}bnd GROUP BY 1, 2),
+        ${p}tg AS (SELECT b.*, s.bn, s.a_hi, s.a_lo
+                   FROM ${p}bnd b JOIN ${p}st s USING (band, bv)),
+        ${p}cp AS (SELECT a.rep AS doc_a, b.rep AS doc_b,
+                          a.hi AS hi_a, a.lo AS lo_a,
+                          b.hi AS hi_b, b.lo AS lo_b
+                   FROM ${p}tg a JOIN ${p}tg b USING (band, bv)
+                   WHERE a.bn <= $cap
+                     AND (a.hi, a.lo) < (b.hi, b.lo)
+                   UNION ALL
+                   SELECT c.rep AS doc_a, t.rep AS doc_b,
+                          c.hi, c.lo, t.hi, t.lo
+                   FROM ${p}tg t JOIN ${p}cls c
+                     ON c.hi = t.a_hi AND c.lo = t.a_lo
+                   WHERE t.bn > $cap
+                     AND (t.hi, t.lo) <> (t.a_hi, t.a_lo)),
+        ${p}edges AS MATERIALIZED (
+          SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b FROM ${p}mem
+            UNION ALL
+            SELECT doc_a, doc_b FROM ${p}cp
+            WHERE bit_count(xor(hi_a, hi_b))
+                + bit_count(xor(lo_a, lo_b)) <= $maxHamming)
+          $where)"""
+  }
+
+  /** q221's oracle: corpus-side arm edges under corpus-census caps
+    * (text cu + image/audio class edges over the corpus slice) plus
+    * the incremental arm edges (text iu mirrored; image/audio as the
+    * union generator's batch-touching slice), hook+jump CC, batch
+    * verdicts. */
+  private lazy val incrementalMultimodalOracle: String =
+    s"""WITH $simhashCte,
+        $incrementalEdgeCtes,
+        $pHashResampleCtes,
+        $audioMbCtes,
+        imsrc AS (SELECT doc_id, ph_hi, ph_lo FROM rs),
+        imc_src AS (SELECT s.* FROM imsrc s, mx WHERE s.doc_id <= mx.cut),
+        ausrc AS (SELECT doc_id, fp_hi, fp_lo FROM fpm),
+        auc_src AS (SELECT s.* FROM ausrc s, mx WHERE s.doc_id <= mx.cut),
+        ${classEdgeCtesOver("imc_", "imc_src", "ph_hi", "ph_lo",
+          PHashMaxHamming, PHashClassBucketCap)},
+        ${classEdgeCtesOver("imu_", "imsrc", "ph_hi", "ph_lo",
+          PHashMaxHamming, PHashClassBucketCap,
+          "greatest(doc_a, doc_b) > (SELECT cut FROM mx)")},
+        ${classEdgeCtesOver("auc_", "auc_src", "fp_hi", "fp_lo",
+          DedupKnobs.AudioMbMaxHamming, AudioClassBucketCap)},
+        ${classEdgeCtesOver("auu_", "ausrc", "fp_hi", "fp_lo",
+          DedupKnobs.AudioMbMaxHamming, AudioClassBucketCap,
+          "greatest(doc_a, doc_b) > (SELECT cut FROM mx)")},
+        alle AS MATERIALIZED (
+          SELECT doc_a, doc_b FROM prs
+          UNION SELECT doc_a, doc_b FROM imc_edges
+          UNION SELECT doc_a, doc_b FROM imu_edges
+          UNION SELECT doc_a, doc_b FROM auc_edges
+          UNION SELECT doc_a, doc_b FROM auu_edges),
+        edges AS MATERIALIZED (
+          SELECT doc_a AS n, doc_b AS m FROM alle
+          UNION SELECT doc_b AS n, doc_a AS m FROM alle),
+        ${ccUnrolledCtes()}
+        SELECT d.doc_id,
+               coalesce(c.cluster_id, d.doc_id) AS component,
+               coalesce(c.cluster_id, d.doc_id) <> d.doc_id AS is_dup
+        FROM documents d CROSS JOIN mx
+          LEFT JOIN clusters c ON c.n = d.doc_id
+        WHERE d.doc_id > mx.cut
+        ORDER BY d.doc_id ASC"""
 
   private lazy val dfBandCtes: String =
     s"""dfs AS MATERIALIZED (SELECT shingle, count(*) AS df
@@ -5356,7 +5547,8 @@ object SparkEntry {
     "q217_audio_multiband_pairs" -> (q217 _),
     "q218_incremental_manifest" -> (q218 _),
     "q219_keyset_page" -> (q219 _),
-    "q220_stream_audio_neardup" -> (q220 _))
+    "q220_stream_audio_neardup" -> (q220 _),
+    "q221_inc_multimodal_cc" -> (q221 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -6606,6 +6798,11 @@ object SparkEntry {
           FROM (SELECT DISTINCT doc_id FROM ab) d
           LEFT JOIN m ON m.doc_id = d.doc_id
           ORDER BY d.doc_id ASC""",
+    // q221: incremental multimodal clustering — corpus-side arm edges
+    // under corpus caps + incremental arm edges (text mirrored; image/
+    // audio as the union generator's batch-touching slice), CC, batch
+    // verdicts
+    "q221_inc_multimodal_cc" -> incrementalMultimodalOracle,
     // q216: the multi-band fingerprint replayed from the PCM model —
     // per sub-window envelope + lag-b comb energies, sign-of-delta
     // bits at (sw + b·(S−1)) split into two non-negative halves

@@ -59,6 +59,13 @@ object Staging {
     sys.props.get("graft.staging.dir")
       .orElse(sys.env.get("GRAFT_STAGING_DIR")).filter(_.nonEmpty)
 
+  /** Whether a durable staging root is configured — exposed so tools
+    * whose MEASUREMENT depends on cold staging (graft.tools.FamilyBench)
+    * can refuse to run under a root that would silently serve them
+    * warm tables ([[clear]] deletes only per-process temp dirs; a
+    * durable stage survives it by design). */
+  private[graft] def durableRoot: Option[String] = persistentRoot
+
   // only NON-durable dirs are deleted at exit / clear(); a durable
   // stage's whole point is surviving the process
   private val tempDirs =
@@ -238,7 +245,17 @@ object Staging {
       // paths alone miss an in-place regeneration; the (len, mtime)
       // fingerprint of the concrete input files pins the CONTENT too
       val key = tag + ":" + md5(planText + "|" + files.mkString("\n"))
+      // canonicalization strips output ALIASES, so two calls whose
+      // plans differ only in column names share one key — and one
+      // landed table: the DATA is identical and positionally aligned
+      // (canonical-equal plans have identical output shapes), but the
+      // landed parquet carries the FIRST caller's names, so the scan
+      // renames back to THIS caller's columns. Found in round 13: an
+      // incremental class census (… AS __nc, … AS __ac) silently
+      // resolved to the class-pair generator's landed (n_imgs, anchor)
+      // table over the same slice and failed analysis.
       stagedParquet(df.sparkSession, key, inputs = files)(df)
+        .toDF(df.columns: _*)
     }
   }
 

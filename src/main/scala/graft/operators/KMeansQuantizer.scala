@@ -178,7 +178,12 @@ object KMeansQuantizer {
     // measurably census-sized and otherwise take the ordinary shuffle
     // equi-join on the same keys (the plan stays correct either way;
     // only the exchange strategy changes). Counting classes is itself
-    // a post-agg census read off the staged assignment.
+    // a post-agg census read off the staged assignment. NOTE: this
+    // makes the builder EAGER — it fires Spark jobs at construction
+    // time. That is not a regression: fit() above already runs its
+    // Lloyd rounds eagerly (centroids are driver state), so this
+    // builder has never returned a purely lazy plan; the count adds
+    // one scalar job over the staged class table.
     val nClasses = classes.count()
     val classesSide =
       if (nClasses <= 1000000L) broadcast(classes) else classes

@@ -800,6 +800,144 @@ object Multimodal {
     * exact survivors into ONE near-dup cluster. Over-cap classes are
     * saturation evidence, surfaced for audit (the class tables report
     * them), never collapsed. */
+  /** INCREMENTAL form of the 64-bit class dedup arm — the edges a
+    * full ([[classMemberEdges]] ∪ [[resampledClassPairsCapped]]) run
+    * over (corpus ∪ batch) would ADD, i.e. exactly its doc-level
+    * edges touching at least one batch document, WITHOUT re-pairing
+    * the corpus (the class-level twin of
+    * [[graft.operators.NearDup.incrementalSimhashPairsCapped]]):
+    *
+    *  - WITHIN-CLASS member edges: the union census per batch-touched
+    *    class (corpus count + batch count) gates the saturation
+    *    quarantine, the representative is the union-min doc (the
+    *    corpus rep whenever corpus members exist — monotone ids), and
+    *    only batch members emit their (rep, member) edge; corpus
+    *    members' edges are landed truth.
+    *  - CLASS-PAIR edges: only batch-NEW classes (no corpus member)
+    *    can add class pairs — an existing class's key set is
+    *    unchanged, so its pairs are landed. New classes band 4×16
+    *    against the corpus's (staged) banded class table plus each
+    *    other under the UNION bucket census; over-cap buckets
+    *    star-reduce to the union's lexicographic-min class exactly
+    *    like the full generator (when that anchor is itself NEW, the
+    *    full rerun's star edges from it to the bucket's CORPUS
+    *    classes are emitted too — they touch a batch doc via the new
+    *    anchor). Every edge is hamming-verified.
+    *
+    * CONTRACT: every batch doc_id must exceed every corpus doc_id
+    * (monotone ingest ids), so union class reps and min-doc anchors
+    * never migrate from corpus to batch. Input schema both sides:
+    * (doc_id, ph_hi, ph_lo) — rename audio fp_hi/fp_lo before the
+    * call, as [[graft.Pipeline.multimodalPairs]] does for the full
+    * form. Output: (doc_a, doc_b) doc-level edges, a < b. */
+  def incrementalClassEdgesCapped(corpusFps: DataFrame, batchFps: DataFrame,
+                                  maxHamming: Int, maxClass: Long): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      "4-band×16-bit pigeonhole recall needs maxHamming < 4")
+    require(maxClass >= 2, "maxClass must be at least 2")
+    val keys = Seq("ph_hi", "ph_lo")
+    // corpus class table — staged once per corpus (every batch after
+    // the first probes the landed table)
+    val cCls = Shingles.shared(
+      corpusFps.groupBy(col("ph_hi"), col("ph_lo"))
+        .agg(count(lit(1)).as("__nc"), min(col("doc_id")).as("__ac")))
+    val bCls = batchFps.groupBy(col("ph_hi"), col("ph_lo"))
+      .agg(count(lit(1)).as("__nb"), min(col("doc_id")).as("__ab"))
+    // union census per batch-touched class; rep = corpus rep when the
+    // class pre-exists (smaller ids by contract)
+    val uCls = bCls.join(cCls, keys, "left")
+      .select(col("ph_hi"), col("ph_lo"),
+        (col("__nb") + coalesce(col("__nc"), lit(0L))).as("__n"),
+        coalesce(col("__ac"), col("__ab")).as("__rep"),
+        col("__ab"),
+        (coalesce(col("__nc"), lit(0L)) === 0).as("__isNew"))
+    val member = batchFps
+      .join(uCls.filter(col("__n") <= maxClass), keys)
+      .filter(col("doc_id") =!= col("__rep"))
+      .select(col("__rep").as("doc_a"), col("doc_id").as("doc_b"))
+    // ── class-pair half: batch-new classes only ──
+    val bandCols = Seq[(Int, Column)](
+      (0, col("ph_lo").bitwiseAND(lit(65535L))),
+      (1, shiftright(col("ph_lo"), 16).bitwiseAND(lit(65535L))),
+      (2, col("ph_hi").bitwiseAND(lit(65535L))),
+      (3, shiftright(col("ph_hi"), 16).bitwiseAND(lit(65535L))))
+    def banded(cls: DataFrame): DataFrame = cls
+      .select(col("ph_hi"), col("ph_lo"), col("anchor"),
+        explode(array(bandCols.map { case (b, v) =>
+          struct(lit(b).as("band"), v.as("bv")) }: _*)).as("bb"))
+      .select(col("ph_hi"), col("ph_lo"), col("anchor"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val cBanded = Shingles.shared(
+      banded(cCls.select(col("ph_hi"), col("ph_lo"), col("__ac").as("anchor"))))
+    // per-bucket corpus census: class count + lexicographic-min class
+    // ((hi, lo) unique per class, so the struct min is the full
+    // generator's anchor-class rule)
+    val cStats = Shingles.shared(cBanded.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("__nbc"),
+        min(struct(col("ph_hi"), col("ph_lo"), col("anchor"))).as("__abc")))
+    val newCls = bCls.join(cCls, keys, "left_anti")
+      .select(col("ph_hi"), col("ph_lo"), col("__ab").as("anchor"))
+    val nBanded = banded(newCls)
+    val nStats = nBanded.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("__nbb"),
+        min(struct(col("ph_hi"), col("ph_lo"), col("anchor"))).as("__abb"))
+    // union bucket census over batch-touched buckets; the union anchor
+    // is the lexicographic min over BOTH sides' classes
+    val uStats = nStats.join(cStats, Seq("band", "bv"), "left")
+      .select(col("band"), col("bv"),
+        (col("__nbb") + coalesce(col("__nbc"), lit(0L))).as("__n"),
+        when(col("__nbc").isNotNull && col("__abc") < col("__abb"),
+          col("__abc")).otherwise(col("__abb")).as("__a"),
+        (col("__nbc").isNull || col("__abb") < col("__abc"))
+          .as("__anchorIsNew"))
+    val taggedN = nBanded.join(uStats, Seq("band", "bv"))
+    def ham(hiA: Column, loA: Column, hiB: Column, loB: Column) =
+      (bit_count(hiA.bitwiseXOR(hiB)) + bit_count(loA.bitwiseXOR(loB)))
+        .cast("long")
+    val smallN = taggedN.filter(col("__n") <= maxClass)
+    // new-vs-corpus all-pairs (bucket under the union cap)
+    val nvc = smallN
+      .select(col("band"), col("bv"), col("ph_hi").as("hi_n"),
+        col("ph_lo").as("lo_n"), col("anchor").as("an_n"))
+      .join(cBanded.select(col("band"), col("bv"), col("ph_hi").as("hi_c"),
+        col("ph_lo").as("lo_c"), col("anchor").as("an_c")), Seq("band", "bv"))
+      .filter(ham(col("hi_n"), col("lo_n"), col("hi_c"), col("lo_c"))
+        <= maxHamming)
+      .select(least(col("an_n"), col("an_c")).as("doc_a"),
+        greatest(col("an_n"), col("an_c")).as("doc_b"))
+    // new-vs-new all-pairs, lex-ordered to emit each pair once
+    val nvn = smallN
+      .select(col("band"), col("bv"), col("ph_hi").as("hi_x"),
+        col("ph_lo").as("lo_x"), col("anchor").as("an_x"))
+      .join(smallN.select(col("band"), col("bv"), col("ph_hi").as("hi_y"),
+        col("ph_lo").as("lo_y"), col("anchor").as("an_y")), Seq("band", "bv"))
+      .filter((col("hi_x") < col("hi_y")) ||
+        (col("hi_x") === col("hi_y") && col("lo_x") < col("lo_y")))
+      .filter(ham(col("hi_x"), col("lo_x"), col("hi_y"), col("lo_y"))
+        <= maxHamming)
+      .select(least(col("an_x"), col("an_y")).as("doc_a"),
+        greatest(col("an_x"), col("an_y")).as("doc_b"))
+    // over-cap buckets: star every NEW class to the union anchor …
+    val bigN = taggedN.filter(col("__n") > maxClass)
+      .filter(!(col("ph_hi") === col("__a.ph_hi") &&
+        col("ph_lo") === col("__a.ph_lo")))
+      .filter(ham(col("__a.ph_hi"), col("__a.ph_lo"),
+        col("ph_hi"), col("ph_lo")) <= maxHamming)
+      .select(least(col("__a.anchor"), col("anchor")).as("doc_a"),
+        greatest(col("__a.anchor"), col("anchor")).as("doc_b"))
+    // … and when the union anchor is itself NEW, the full rerun also
+    // stars the bucket's CORPUS classes to it — those edges touch a
+    // batch doc (the new anchor), so the increment owns them
+    val bigC = cBanded
+      .join(uStats.filter(col("__n") > maxClass && col("__anchorIsNew")),
+        Seq("band", "bv"))
+      .filter(ham(col("__a.ph_hi"), col("__a.ph_lo"),
+        col("ph_hi"), col("ph_lo")) <= maxHamming)
+      .select(least(col("__a.anchor"), col("anchor")).as("doc_a"),
+        greatest(col("__a.anchor"), col("anchor")).as("doc_b"))
+    member.union(nvc).union(nvn).union(bigN).union(bigC).distinct()
+  }
+
   def classMemberEdges(fps: DataFrame, keys: Seq[String],
                        maxClass: Long = Long.MaxValue): DataFrame = {
     require(maxClass >= 2, "a class cap below 2 admits no edges at all")

@@ -247,6 +247,100 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
+  /** INCREMENTAL [[nearDupPairsLsh]]: the pairs a full run over
+    * (corpus ∪ batch) would ADD — batch-vs-corpus plus batch-internal,
+    * i.e. exactly its pairs touching at least one batch vector —
+    * without re-pairing the corpus (the embedding twin of
+    * [[graft.operators.NearDup.incrementalSimhashPairsCapped]]). The
+    * corpus's band table and per-bucket census are plan-keyed staged,
+    * so every batch after the first probes landed tables only; cap
+    * semantics are UNION-EXACT (bucket populations counted over
+    * corpus + batch; an over-cap union bucket stars its batch members
+    * to the union anchor, which is the corpus anchor whenever corpus
+    * members exist). Every candidate is verified by the exact rounded
+    * cosine, same as the full generator.
+    *
+    * CONTRACT: every batch vec_id must exceed every corpus vec_id
+    * (monotone ingest ids) and both sides must share one embedding
+    * dimensionality. */
+  def incrementalNearDupPairsLsh(corpusEmb: DataFrame, batchEmb: DataFrame,
+                                 minCosine: Double, planes: Int,
+                                 tables: Int, maxBucket: Long): DataFrame = {
+    require(maxBucket >= 2, "maxBucket must be at least 2")
+    require(planes >= 1 && planes <= 62, "planes must fit a long signature")
+    require(tables >= 1, "at least one signature table")
+    val bd = batchEmb.agg(min(size(col("embedding"))),
+      max(size(col("embedding")))).head()
+    if (bd.isNullAt(0))
+      return batchEmb.select(col("vec_id").as("vec_a"),
+        col("vec_id").as("vec_b"), lit(0.0).as("cosine")).limit(0)
+    val cd = corpusEmb.agg(min(size(col("embedding"))),
+      max(size(col("embedding")))).head()
+    require(!cd.isNullAt(0), "incremental LSH needs a non-empty corpus")
+    require(cd.getInt(0) == cd.getInt(1) && bd.getInt(0) == bd.getInt(1) &&
+      cd.getInt(0) == bd.getInt(0),
+      s"incremental LSH needs ONE embedding dimensionality; corpus has " +
+        s"${cd.getInt(0)}..${cd.getInt(1)}, batch ${bd.getInt(0)}..${bd.getInt(1)}")
+    val dim = cd.getInt(0)
+    def sig(vec: Column, t: Int): Column = (0 until planes).map { p =>
+      val weights = array((0 until dim).map(i =>
+        lit(lshWeight(t, p, i).toDouble)): _*)
+      when(dot(vec, weights) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    def bandsOf(emb: DataFrame): DataFrame = emb
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tbl"), sig(col("v"), t).as("bucket"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.tbl").as("tbl"), col("x.bucket").as("bucket"))
+    // corpus band table + census: landed once per corpus
+    val cb = Shingles.shared(bandsOf(corpusEmb))
+    val cs = Shingles.shared(cb.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("__nc"), min(col("vec_id")).as("__ac")))
+    val bb = bandsOf(batchEmb)
+    val bs = bb.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("__nb"), min(col("vec_id")).as("__ab"))
+    val stats = bs.join(cs, Seq("tbl", "bucket"), "left")
+      .select(col("tbl"), col("bucket"),
+        (col("__nb") + coalesce(col("__nc"), lit(0L))).as("__n"),
+        coalesce(col("__ac"), col("__ab")).as("__a"))
+    val taggedB = bb.join(stats, Seq("tbl", "bucket"))
+    val smallB = taggedB.filter(col("__n") <= maxBucket)
+    val vsCorpus = smallB.select(col("tbl"), col("bucket"),
+        col("vec_id").as("vec_new"))
+      .join(cb.select(col("tbl"), col("bucket"), col("vec_id").as("vec_c")),
+        Seq("tbl", "bucket"))
+      .select(least(col("vec_new"), col("vec_c")).as("vec_a"),
+        greatest(col("vec_new"), col("vec_c")).as("vec_b"))
+    val withinB = smallB.select(col("tbl"), col("bucket"),
+        col("vec_id").as("vec_a"))
+      .join(smallB.select(col("tbl"), col("bucket"), col("vec_id").as("vec_b")),
+        Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+    val star = taggedB.filter(col("__n") > maxBucket)
+      .filter(col("vec_id") =!= col("__a"))
+      .select(least(col("__a"), col("vec_id")).as("vec_a"),
+        greatest(col("__a"), col("vec_id")).as("vec_b"))
+    val cand = vsCorpus.union(withinB).union(star).distinct()
+    // verify against the union vector table — each endpoint resolves
+    // from whichever side owns it, and every pair clears the exact
+    // rounded cosine exactly like the full generator
+    val vecs = corpusEmb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .unionByName(batchEmb.select(col("vec_id"),
+        asDouble(col("embedding")).as("v")))
+      .withColumn("nrm", l2norm(col("v")))
+    cand
+      .join(vecs.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("vec_a"))
+      .join(vecs.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("vec_b"))
+      .withColumn("cosine",
+        round(cosinePre(dot(col("va"), col("vb")), col("na"), col("nb")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥
     * threshold. Exact O(n²) form — at corpus scale, generate candidates
     * with [[nearDupPairsLsh]]/[[lshBucketedKnn]]/[[ivfKnn]] blocking

@@ -120,6 +120,67 @@ object NearDupStream {
     onlineDedupBanded(banded, maxHamming, cap)
   }
 
+  /** Per-(band, bv) micro-batch intake bound: rows buffer (for the
+    * determinism sort) at most this many at a time — round-12 verdict
+    * minor #2: the old whole-bucket `rows.toSeq.sortBy` materialized a
+    * flooded bucket's ENTIRE micro-batch slice on one task. With the
+    * chunk bound, per-key memory is O(chunk + cap) whatever the flood
+    * size. Below the bound the semantics are EXACTLY the old full-sort
+    * semantics (every gate fixture is far below it); above it the
+    * within-batch processing order degrades to sorted-within-chunk —
+    * acceptable in a flood regime where the state cap freezes the
+    * bucket after its first `cap` admissions anyway, and the
+    * first-seen invariant (dup_of < doc_id) is enforced per match, so
+    * a degraded order can only MISS a dedup, never invert one. */
+  private[graft] val IntakeChunk = 1 << 16
+
+  /** The pure chunked-judgment core — one bucket's micro-batch rows
+    * against its retained members. Pulls up to `chunk` rows at a time
+    * from the (lazy) group iterator, sorts the chunk by doc_id, judges
+    * each row against the current member set (earliest matching
+    * retained member STRICTLY BELOW the row's id), admits while the
+    * cap has room, and hands the updated member list to `onChunk`
+    * after every chunk (the stream closure forwards it to
+    * state.update; FlatMapGroupsWithStateExec commits state only after
+    * the output iterator drains, so the last update wins — the same
+    * final state the one-shot form produced). Factored out of the
+    * stream closure so the flood spec can drive it with adversarial
+    * iterator orders and tiny chunks, deterministically. */
+  private[graft] def judgeBucket(rows: Iterator[BandDoc],
+                                 members0: List[Member], cap: Int,
+                                 maxHamming: Int, chunk: Int,
+                                 onChunk: List[Member] => Unit): Iterator[BandMatch] = {
+    var members = members0
+    var nMembers = members.size
+    new Iterator[Iterator[BandMatch]] {
+      def hasNext: Boolean = rows.hasNext
+      def next(): Iterator[BandMatch] = {
+        val buf = new scala.collection.mutable.ArrayBuffer[BandDoc](
+          math.min(chunk, 1024))
+        while (rows.hasNext && buf.length < chunk) buf += rows.next()
+        buf.sortInPlaceBy(_.doc_id)
+        val out = buf.map { d =>
+          val m = members.iterator
+            .filter(mm => mm.doc_id < d.doc_id &&
+              java.lang.Long.bitCount(mm.fp_hi ^ d.fp_hi) +
+              java.lang.Long.bitCount(mm.fp_lo ^ d.fp_lo) <= maxHamming)
+            .map(_.doc_id)
+            .minOption
+          if (nMembers < cap) {
+            // membership is a SET with a first-`cap` admission rule —
+            // list order carries no meaning (matches reduce by min
+            // doc_id), so admission is an O(1) prepend
+            members = Member(d.doc_id, d.fp_hi, d.fp_lo) :: members
+            nMembers += 1
+          }
+          BandMatch(d.doc_id, m)
+        }
+        onChunk(members)
+        out.iterator
+      }
+    }.flatten
+  }
+
   /** The shared stateful core over any banded fingerprint stream. */
   private def onlineDedupBanded(banded: Dataset[BandDoc], maxHamming: Int,
                                 cap: Int): Dataset[BandMatch] = {
@@ -132,26 +193,10 @@ object NearDupStream {
       .flatMapGroupsWithState[BucketState, BandMatch](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: (Int, Long), rows: Iterator[BandDoc], state: GroupState[BucketState]) =>
-          // membership is a SET with a first-`cap` admission rule — list
-          // order carries no meaning (matches reduce by min doc_id), so
-          // admission is an O(1) prepend behind the size guard
-          var members = state.getOption.map(_.members).getOrElse(Nil)
-          var size = members.size
-          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
-            val m = members.iterator
-              .filter(mm =>
-                java.lang.Long.bitCount(mm.fp_hi ^ d.fp_hi) +
-                java.lang.Long.bitCount(mm.fp_lo ^ d.fp_lo) <= maxHamming)
-              .map(_.doc_id)
-              .minOption
-            if (size < cap) {
-              members = Member(d.doc_id, d.fp_hi, d.fp_lo) :: members
-              size += 1
-            }
-            BandMatch(d.doc_id, m)
-          }
-          state.update(BucketState(members))
-          out.iterator
+          judgeBucket(rows,
+            state.getOption.map(_.members).getOrElse(Nil),
+            cap, maxHamming, IntakeChunk,
+            ms => state.update(BucketState(ms)))
       }
   }
 

@@ -31,6 +31,19 @@ object FamilyBench {
     "incremental_manifest" -> "q218_incremental_manifest")
 
   def main(args: Array[String]): Unit = {
+    // COLD staging is the measurement; a durable staging root defeats
+    // it silently — Staging.clear() deletes only per-process temp
+    // dirs, and durableStage would reuse any landed <root>/<md5(key)>
+    // table, so single_pass_sec would report warm post-build scans
+    // while claiming build-inclusive cost. Refuse rather than emit a
+    // wrong artifact (round-12 ADVICE).
+    graft.engine.Staging.durableRoot.foreach { root =>
+      System.err.println(s"[familybench] refusing to run: durable " +
+        s"staging root '$root' is configured (GRAFT_STAGING_DIR / " +
+        "graft.staging.dir) — cold-staging numbers would be warm. " +
+        "Unset it and rerun.")
+      sys.exit(2)
+    }
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
