@@ -139,6 +139,44 @@ private[graft] object DedupKnobs {
     s"multiband fingerprint must pack 64 bits, got " +
       s"${(AudioFpSubWindows - 1) * AudioFpBands}")
 
+  /** Band count for the WIDE frame-matrix fingerprint (q222/q223):
+    * envelope + lag-1..8 comb energies → (16−1)×9 = 135 sign-of-delta
+    * bits in five 32-bit words — the ≥128-bit production-width form
+    * (Haitsma-Kalker's shape is a per-frame 32-bit matrix) for
+    * corpora where even 60 bits birthday-collides: at 10⁹–10¹⁰
+    * recordings a 2⁶⁰ space expects ~2³⁰ collisions, while 2¹³⁵
+    * expects none. The 64-bit multi-band form stays the fixture-scale
+    * pipeline arm; this is its widening path, and its first two words
+    * ARE the multi-band halves (spec-pinned), so the forms agree
+    * where they overlap. */
+  val AudioFpWideBands = 9
+
+  /** Word width of the wide fingerprint: 15 bits per word makes the
+    * word count exactly (16−1)×9 / 15 = 9 AND aligns words to whole
+    * (band, sub-window-delta) rows — so words 0..3 concatenated ARE
+    * the 60-bit multi-band fingerprint (fp_hi‖fp_lo), a spec-pinned
+    * cross-validation between the two forms. */
+  val AudioFpWideWordBits = 15
+  require((AudioFpSubWindows - 1) * AudioFpWideBands
+      % AudioFpWideWordBits == 0,
+    "wide words must tile the bit matrix exactly")
+
+  /** Words of the wide fingerprint (15 bits each — small non-negative
+    * ints, cheap band-bucket keys). */
+  val AudioFpWideWords =
+    (AudioFpSubWindows - 1) * AudioFpWideBands / AudioFpWideWordBits
+  require(AudioFpWideWords >= 2, "a wide form needs at least two words")
+
+  /** Hamming threshold for the wide class pairs: banding on the nine
+    * words is pigeonhole-exact below 9; 8 admits the planted near
+    * twins (the 60-bit form measures most at 1–3 with a ≤7 tail; the
+    * 2.25× wider matrix flips proportionally more margin-limited
+    * bits) while 135-bit entropy keeps accidental cross-class matches
+    * negligible (~2⁻⁹⁰ per pair). */
+  val AudioWideMaxHamming = 8
+  require(AudioWideMaxHamming >= 0 && AudioWideMaxHamming < AudioFpWideWords,
+    s"wide band recall needs maxHamming < $AudioFpWideWords words")
+
   /** Hamming threshold for the MULTI-BAND audio class pairs (q217 and
     * the pipeline's audio arm): the 4×16-bit band machinery is
     * pigeonhole-exact below 4, and 3 admits the planted near twins

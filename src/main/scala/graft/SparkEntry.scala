@@ -3162,6 +3162,17 @@ object SparkEntry {
         Multimodal.wavPayloads(s, docs(s, dir)), AudioFpSubWindows,
         DedupKnobs.AudioFpBands))
 
+  /** The WIDE frame-matrix audio fingerprint table (135 bits in nine
+    * 15-bit words), staged once per corpus (consumers:
+    * q222/q223/q215). */
+  private def stagedAudioWideFps(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Staging.stagedParquet(s,
+        s"audio_fp_wide|sw=$AudioFpSubWindows" +
+          s"|b=${DedupKnobs.AudioFpWideBands}|$dir", Seq(dir))(
+      Multimodal.audioFingerprintsWide(s,
+        Multimodal.wavPayloads(s, docs(s, dir)), AudioFpSubWindows,
+        DedupKnobs.AudioFpWideBands, DedupKnobs.AudioFpWideWordBits))
+
   private def q202(s: SparkSession, dir: String): DataFrame =
     stagedResampledHashes(s, dir)
       .orderBy(col("doc_id").asc)
@@ -3326,6 +3337,7 @@ object SparkEntry {
     val img = stagedResampledHashes(s, dir)
     val aud = stagedAudioFps(s, dir)
     val mb = stagedAudioMbFps(s, dir)
+    val wide = stagedAudioWideFps(s, dir)
     val sh = NearDup.simHash64(d)
     Multimodal.signalSaturation(img, Seq("ph_hi", "ph_lo"),
         "image_resampled", PHashClassBucketCap)
@@ -3333,6 +3345,9 @@ object SparkEntry {
         "audio_envelope", AudioClassBucketCap))
       .union(Multimodal.signalSaturation(mb, Seq("fp_hi", "fp_lo"),
         "audio_multiband", AudioClassBucketCap))
+      .union(Multimodal.signalSaturation(wide,
+        (0 until DedupKnobs.AudioFpWideWords).map(j => s"w$j"),
+        "audio_wide", AudioClassBucketCap))
       .union(Multimodal.signalSaturation(sh, Seq("fp_hi", "fp_lo"),
         "text_simhash64", SimHashBucketCap))
       .orderBy(col("signal").asc)
@@ -3565,6 +3580,36 @@ object SparkEntry {
         coalesce(col("component"), col("doc_id")).as("component"))
       .withColumn("is_dup", col("component") =!= col("doc_id"))
       .orderBy(col("doc_id").asc)
+  }
+
+  /** WIDE frame-matrix audio fingerprint table
+    * ([[Multimodal.audioFingerprintsWide]]): the ≥128-bit widening of
+    * q216 — envelope + lag-1..8 comb-filter band energies, (16−1)×9 =
+    * 135 sign-of-delta bits in nine 15-bit words. The width for true
+    * 100 TB audio corpora: at 10⁹–10¹⁰ recordings the 60-bit form
+    * expects ~2³⁰ birthday collisions, the 135-bit form none. Words
+    * 0..3 concatenated ARE q216's fingerprint (spec-pinned), so the
+    * forms agree where they overlap. Gated bit for bit against the
+    * PCM-model replay. */
+  private def q222(s: SparkSession, dir: String): DataFrame =
+    stagedAudioWideFps(s, dir)
+      .orderBy(col("doc_id").asc)
+
+  /** Audio near-dup CLASS pairs over the WIDE fingerprint
+    * ([[Multimodal.wideClassPairsCapped]]): the 64-bit class machinery
+    * generalized to N words — classes key on the full word tuple,
+    * candidates band per word (pigeonhole-exact for hamming < 9),
+    * lexicographic-min-class star reduction over the bucket cap,
+    * exact summed-bit_count verify. The scale path the pipeline's
+    * audio arm switches to when q215's census ever reports the 60-bit
+    * signal saturated. */
+  private def q223(s: SparkSession, dir: String): DataFrame = {
+    val wordCols = (0 until DedupKnobs.AudioFpWideWords).map(j => s"w$j")
+    val ord = (wordCols.map(c => s"${c}_a") ++ wordCols.map(c => s"${c}_b"))
+      .map(col(_).asc)
+    Multimodal.wideClassPairsCapped(stagedAudioWideFps(s, dir), wordCols,
+        DedupKnobs.AudioWideMaxHamming, AudioClassBucketCap)
+      .orderBy(ord: _*)
   }
 
   /** Corpus QUALITY SCORECARD — the per-source report a curation run
@@ -4620,6 +4665,101 @@ object SparkEntry {
           FROM bel WHERE en0 IS NOT NULL GROUP BY doc_id)"""
   }
 
+  /** The WIDE frame-matrix fingerprint replay (q222/q223; extends
+    * q215's census) — [[audioMbCtes]]' band-energy chain generalized
+    * to [[graft.DedupKnobs.AudioFpWideBands]] lag bands with 15-bit
+    * word packing. Expects `sv` from [[audioPcmCtes]] in scope
+    * (compose after audioPcmCtes or audioMbCtes); CTEs are w-prefixed
+    * so both fragments coexist in one query; ends in
+    * `fpw(doc_id, ns, w0..w8)`. */
+  private lazy val audioWideCtes: String = {
+    val sw = AudioFpSubWindows
+    val nb = DedupKnobs.AudioFpWideBands
+    val wb = DedupKnobs.AudioFpWideWordBits
+    val words = DedupKnobs.AudioFpWideWords
+    val lags = (1 until nb)
+      .map(b => s"lag(v, $b) OVER (PARTITION BY doc_id ORDER BY i) AS v$b")
+      .mkString(", ")
+    val bandSums = (1 until nb)
+      .map(b => s"sum(CASE WHEN v$b IS NULL THEN 0 ELSE abs(v - v$b) END) AS e$b")
+      .mkString(", ")
+    val leads = (0 until nb)
+      .map(b => s"e$b, lead(e$b) OVER (PARTITION BY doc_id ORDER BY sw) AS en$b")
+      .mkString(", ")
+    def word(j: Int): String = (0 until nb).map { b =>
+      val off = b * (sw - 1)
+      s"sum(CASE WHEN en$b > e$b AND (sw + $off) // $wb = $j " +
+        s"THEN (1::BIGINT << ((sw + $off) % $wb)) ELSE 0 END)"
+    }.mkString(" + ")
+    val sel = (0 until words)
+      .map(j => s"CAST(${word(j)} AS BIGINT) AS w$j").mkString(", ")
+    s"""wsvl AS (SELECT doc_id, ns, i, v, $lags FROM sv),
+        wbe AS (SELECT doc_id, any_value(ns) AS ns,
+                       (i * $sw) // ns AS sw,
+                       sum(abs(v)) AS e0, $bandSums
+                FROM wsvl GROUP BY doc_id, (i * $sw) // ns),
+        wbel AS (SELECT doc_id, ns, sw, $leads FROM wbe),
+        fpw AS MATERIALIZED (
+          SELECT doc_id, CAST(any_value(ns) AS BIGINT) AS ns, $sel
+          FROM wbel WHERE en0 IS NOT NULL GROUP BY doc_id)"""
+  }
+
+  /** q223's class-pair SQL over `fpw` — [[wideClassPairsCapped]]
+    * mirrored for nine words: classes on the word tuple, per-word
+    * bands, lexicographic-min bucket anchors (a zero-padded decimal
+    * concatenation of the 15-bit words orders exactly like the word
+    * tuple — arg_min's key), caps, star reduction, summed-bit_count
+    * verify. */
+  private lazy val wideClassPairSql: String = {
+    val words = DedupKnobs.AudioFpWideWords
+    val ws = (0 until words).map(j => s"w$j")
+    val wlist = ws.mkString(", ")
+    val wkey = ws.map(w => s"lpad(CAST($w AS VARCHAR), 5, '0')")
+      .mkString(" || ")
+    val argmins = (ws.map(w => s"arg_min($w, $wkey) AS a_$w") ++
+      Seq(s"arg_min(n_docs, $wkey) AS a_nd",
+        s"arg_min(anchor, $wkey) AS a_anchor")).mkString(", ")
+    val bvCase = "CASE j " + (0 until words)
+      .map(j => s"WHEN $j THEN w$j").mkString(" ") + " END"
+    val rowA = "(" + ws.map(w => s"a.$w").mkString(", ") + ")"
+    val rowB = "(" + ws.map(w => s"b.$w").mkString(", ") + ")"
+    val rowT = "(" + ws.map(w => s"t.$w").mkString(", ") + ")"
+    val rowAt = "(" + ws.map(w => s"t.a_$w").mkString(", ") + ")"
+    val abSel = (ws.map(w => s"a.$w AS ${w}_a") ++ ws.map(w => s"b.$w AS ${w}_b"))
+      .mkString(", ")
+    val starSel = (ws.map(w => s"t.a_$w AS ${w}_a") ++
+      ws.map(w => s"t.$w AS ${w}_b")).mkString(", ")
+    val outCols = (ws.map(w => s"${w}_a") ++ ws.map(w => s"${w}_b") ++
+      Seq("n_a", "n_b", "anchor_a", "anchor_b")).mkString(", ")
+    val ham = ws.map(w => s"bit_count(xor(${w}_a, ${w}_b))").mkString(" + ")
+    val ord = (ws.map(w => s"${w}_a ASC") ++ ws.map(w => s"${w}_b ASC"))
+      .mkString(", ")
+    s"""wcls AS (SELECT $wlist, count(*) AS n_docs, min(doc_id) AS anchor
+                 FROM fpw GROUP BY $wlist),
+        wbnd AS (SELECT *, j AS band, $bvCase AS bv
+                 FROM wcls CROSS JOIN
+                   (SELECT unnest(range(0, $words)) AS j) bands),
+        wst AS (SELECT band, bv, count(*) AS n, $argmins
+                FROM wbnd GROUP BY 1, 2),
+        wtag AS (SELECT b.*, s.n, ${ws.map(w => s"s.a_$w").mkString(", ")},
+                        s.a_nd, s.a_anchor
+                 FROM wbnd b JOIN wst s USING (band, bv)),
+        wallp AS (SELECT $abSel, a.n_docs AS n_a, b.n_docs AS n_b,
+                         a.anchor AS anchor_a, b.anchor AS anchor_b
+                  FROM wtag a JOIN wtag b USING (band, bv)
+                  WHERE a.n <= $AudioClassBucketCap AND $rowA < $rowB),
+        wstar AS (SELECT $starSel, t.a_nd AS n_a, t.n_docs AS n_b,
+                         t.a_anchor AS anchor_a, t.anchor AS anchor_b
+                  FROM wtag t
+                  WHERE t.n > $AudioClassBucketCap AND $rowT <> $rowAt),
+        wu AS (SELECT DISTINCT $outCols FROM
+                 (SELECT $outCols FROM wallp
+                  UNION ALL SELECT $outCols FROM wstar))
+        SELECT $outCols, CAST($ham AS BIGINT) AS hamming
+        FROM wu WHERE $ham <= ${DedupKnobs.AudioWideMaxHamming}
+        ORDER BY $ord"""
+  }
+
   /** The full-corpus train-manifest SQL (q192) — ALSO the oracle of
     * q218, whose engine reaches the same result through the
     * incremental pair/cells machinery (the gate is the equivalence
@@ -5548,7 +5688,9 @@ object SparkEntry {
     "q218_incremental_manifest" -> (q218 _),
     "q219_keyset_page" -> (q219 _),
     "q220_stream_audio_neardup" -> (q220 _),
-    "q221_inc_multimodal_cc" -> (q221 _))
+    "q221_inc_multimodal_cc" -> (q221 _),
+    "q222_audio_wide_fp" -> (q222 _),
+    "q223_audio_wide_pairs" -> (q223 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -6649,6 +6791,7 @@ object SparkEntry {
       s"""WITH $pHashResampleCtes,
           $simhash64Cte,
           $audioMbCtes,
+          $audioWideCtes,
           eb2 AS (SELECT doc_id, (i * $AudioFpSubWindows) // ns AS sw,
                         sum(abs(v)) AS e
                  FROM sv GROUP BY 1, 2),
@@ -6662,6 +6805,10 @@ object SparkEntry {
           imgc AS (SELECT ph_hi, ph_lo, count(*) AS n FROM rs GROUP BY 1, 2),
           audc AS (SELECT f, count(*) AS n FROM afp GROUP BY 1),
           mbc AS (SELECT fp_hi, fp_lo, count(*) AS n FROM fpm GROUP BY 1, 2),
+          widc AS (SELECT ${(0 until DedupKnobs.AudioFpWideWords)
+                     .map(j => s"w$j").mkString(", ")}, count(*) AS n
+                   FROM fpw GROUP BY ${(1 to DedupKnobs.AudioFpWideWords)
+                     .map(_.toString).mkString(", ")}),
           txtc AS (SELECT fp_hi, fp_lo, count(*) AS n FROM fpt64 GROUP BY 1, 2)
           SELECT * FROM (
             SELECT 'image_resampled' AS signal,
@@ -6677,6 +6824,10 @@ object SparkEntry {
             SELECT 'audio_multiband', CAST(sum(n) AS BIGINT), count(*),
                    CAST(max(n) AS BIGINT),
                    max(n) > $AudioClassBucketCap FROM mbc
+            UNION ALL
+            SELECT 'audio_wide', CAST(sum(n) AS BIGINT), count(*),
+                   CAST(max(n) AS BIGINT),
+                   max(n) > $AudioClassBucketCap FROM widc
             UNION ALL
             SELECT 'text_simhash64', CAST(sum(n) AS BIGINT), count(*),
                    CAST(max(n) AS BIGINT),
@@ -6803,6 +6954,23 @@ object SparkEntry {
     // audio as the union generator's batch-touching slice), CC, batch
     // verdicts
     "q221_inc_multimodal_cc" -> incrementalMultimodalOracle,
+    // q222: the wide frame-matrix fingerprint replayed from the PCM
+    // model — 9 comb-filter bands, sign-of-delta bits at
+    // (sw + b·(S−1)) packed into nine 15-bit words
+    "q222_audio_wide_fp" ->
+      s"""WITH $audioPcmCtes,
+          $audioWideCtes
+          SELECT doc_id, ns AS n_samples,
+                 ${(0 until DedupKnobs.AudioFpWideWords)
+                   .map(j => s"w$j").mkString(", ")}
+          FROM fpw ORDER BY doc_id ASC""",
+    // q223: the class-pair chain (word-tuple classes, per-word bands,
+    // lexicographic-min anchors, cap + star, summed-bit_count verify)
+    // over the wide fingerprint
+    "q223_audio_wide_pairs" ->
+      s"""WITH $audioPcmCtes,
+          $audioWideCtes,
+          $wideClassPairSql""",
     // q216: the multi-band fingerprint replayed from the PCM model —
     // per sub-window envelope + lag-b comb energies, sign-of-delta
     // bits at (sw + b·(S−1)) split into two non-negative halves

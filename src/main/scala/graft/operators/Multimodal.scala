@@ -718,6 +718,130 @@ object Multimodal {
     }.toDF()
   }
 
+  case class AudioFpWide(doc_id: Long, n_samples: Long, fp: Seq[Long])
+
+  /** WIDE frame-matrix fingerprint — the ≥128-bit widening of
+    * [[audioFingerprintsMultiBand]] for corpora where even 60 bits
+    * birthday-collides (10⁹–10¹⁰ recordings): the same comb-filter
+    * band energies, `bands` = 9 of them (envelope + lags 1..8), the
+    * same sign-of-delta bit at matrix position (k + b·(S−1)) — now
+    * 135 bits, packed into [[graft.DedupKnobs.AudioFpWideWords]]
+    * words of [[graft.DedupKnobs.AudioFpWideWordBits]] bits
+    * (doc_id, n_samples, w0..w8). The 15-bit word width tiles the
+    * matrix exactly, so words 0..3 concatenated ARE the multi-band
+    * fingerprint (fp_hi‖fp_lo) — the two forms agree bit for bit
+    * where they overlap (spec-pinned). One decode pass per doc, like
+    * every fingerprint arm. */
+  def audioFingerprintsWide(spark: SparkSession, payloads: DataFrame,
+                            subWindows: Int, bands: Int,
+                            wordBits: Int): DataFrame = {
+    require(subWindows >= 2 && subWindows <= 32,
+      s"sub-window count must be 2..32, got $subWindows")
+    require(bands >= 1 && wordBits >= 1 && wordBits <= 31,
+      "word width must leave the sign bit untouched")
+    val nBits = (subWindows - 1) * bands
+    require(nBits % wordBits == 0,
+      s"words must tile the bit matrix: $nBits bits / $wordBits per word")
+    val words = nBits / wordBits
+    import spark.implicits._
+    val packed = payloads.as[WavBlob].mapPartitions { it =>
+      it.map { b =>
+        val s = decodeSigned(b.payload)
+        val ns = s.length
+        require(ns >= subWindows,
+          s"audio fingerprint needs >= $subWindows samples, " +
+            s"doc ${b.doc_id} has $ns")
+        val e = Array.ofDim[Long](bands, subWindows)
+        var i = 0
+        while (i < ns) {
+          val sw = (i.toLong * subWindows / ns).toInt
+          e(0)(sw) += math.abs(s(i))
+          var bd = 1
+          while (bd < bands) {
+            if (i >= bd) e(bd)(sw) += math.abs(s(i) - s(i - bd))
+            bd += 1
+          }
+          i += 1
+        }
+        val wv = new Array[Long](words)
+        var bd = 0
+        while (bd < bands) {
+          var k = 0
+          while (k < subWindows - 1) {
+            if (e(bd)(k + 1) > e(bd)(k)) {
+              val bit = bd * (subWindows - 1) + k
+              wv(bit / wordBits) |= 1L << (bit % wordBits)
+            }
+            k += 1
+          }
+          bd += 1
+        }
+        AudioFpWide(b.doc_id, ns.toLong, wv.toSeq)
+      }
+    }.toDF()
+    packed.select(col("doc_id") +: col("n_samples") +:
+      (0 until words).map(j => col("fp").getItem(j).as(s"w$j")): _*)
+  }
+
+  /** CLASS pairs over an N-WORD fingerprint — the
+    * [[resampledClassPairsCapped]] machinery generalized from two
+    * 32-bit halves to any word vector: classes key on the full word
+    * tuple, candidates band per WORD (pigeonhole-exact recall for
+    * hamming < |words|), per-bucket class populations over `maxBucket`
+    * star-reduce to the bucket's lexicographic-min class, and every
+    * emitted pair passes the exact summed-bit_count hamming verify.
+    * Output: the two classes' word tuples (`<w>_a`/`<w>_b`), their
+    * populations, min-doc anchors, and hamming. */
+  def wideClassPairsCapped(fps: DataFrame, wordCols: Seq[String],
+                           maxHamming: Int, maxBucket: Long): DataFrame = {
+    require(wordCols.size >= 2, "a wide form needs at least two words")
+    require(maxHamming >= 0 && maxHamming < wordCols.size,
+      s"${wordCols.size}-word pigeonhole recall needs maxHamming < ${wordCols.size}")
+    require(maxBucket >= 2, "maxBucket must be at least 2")
+    val cls = Shingles.shared(
+      fps.groupBy(wordCols.map(col): _*)
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("anchor")))
+    val banded = cls
+      .select(wordCols.map(col) ++ Seq(col("n_docs"), col("anchor"),
+        explode(array(wordCols.zipWithIndex.map { case (c, j) =>
+          struct(lit(j).as("band"), col(c).as("bv")) }: _*)).as("bb")): _*)
+      .select(wordCols.map(col) ++ Seq(col("n_docs"), col("anchor"),
+        col("bb.band").as("band"), col("bb.bv").as("bv")): _*)
+    // the word tuple is unique per class, so the struct min is the
+    // bucket's lexicographic-min class with its counts riding along
+    val stats = banded.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(wordCols.map(col) ++ Seq(col("n_docs"),
+          col("anchor")): _*)).as("__a"))
+    val tagged = banded.join(stats, Seq("band", "bv"))
+    def side(suffix: String) = (df: DataFrame) => df.select(
+      Seq(col("band"), col("bv")) ++
+        wordCols.map(c => col(c).as(s"${c}_$suffix")) ++
+        Seq(col("n_docs").as(s"n_$suffix"),
+          col("anchor").as(s"anchor_$suffix")): _*)
+    val small = tagged.filter(col("__n") <= maxBucket)
+    val allPairs = side("a")(small).join(side("b")(small), Seq("band", "bv"))
+      .filter(struct(wordCols.map(c => col(s"${c}_a")): _*) <
+        struct(wordCols.map(c => col(s"${c}_b")): _*))
+    val star = tagged.filter(col("__n") > maxBucket)
+      .filter(struct(wordCols.map(col): _*) =!=
+        struct(wordCols.map(c => col(s"__a.$c")): _*))
+      // the anchor struct is the bucket's lexicographic min, so a < b
+      .select(wordCols.map(c => col(s"__a.$c").as(s"${c}_a")) ++
+        wordCols.map(c => col(c).as(s"${c}_b")) ++
+        Seq(col("__a.n_docs").as("n_a"), col("n_docs").as("n_b"),
+          col("__a.anchor").as("anchor_a"), col("anchor").as("anchor_b")): _*)
+    val outCols = wordCols.map(c => s"${c}_a") ++ wordCols.map(c => s"${c}_b") ++
+      Seq("n_a", "n_b", "anchor_a", "anchor_b")
+    allPairs.select(outCols.map(col): _*)
+      .union(star.select(outCols.map(col): _*))
+      .distinct()
+      .withColumn("hamming",
+        wordCols.map(c => bit_count(col(s"${c}_a").bitwiseXOR(col(s"${c}_b"))))
+          .reduce(_ + _).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Audio near-dup CLASS pairs over the envelope fingerprint, capped
     * from day one — completes the multimodal dedup family (image native
     * [[pHashClassPairs]], image resampled [[resampledClassPairsCapped]],

@@ -334,6 +334,46 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(adv.find(_.doc_id == 1L).get.dup_of.isEmpty)
   }
 
+  test("wide frame-matrix fingerprint: words 0..3 ARE the multi-band fingerprint; planted twins pair") {
+    val d = (1L to 120L).map(Tuple1(_)).toDF("doc_id")
+    val payloads = Multimodal.wavPayloads(spark, d)
+    val mb = Multimodal.audioFingerprintsMultiBand(spark, payloads,
+        DedupKnobs.AudioFpSubWindows, DedupKnobs.AudioFpBands)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val words = DedupKnobs.AudioFpWideWords
+    val wide = Multimodal.audioFingerprintsWide(spark, payloads,
+        DedupKnobs.AudioFpSubWindows, DedupKnobs.AudioFpWideBands,
+        DedupKnobs.AudioFpWideWordBits)
+      .collect().map(r => r.getLong(0) ->
+        (2 until 2 + words).map(r.getLong).toIndexedSeq).toMap
+    (1L to 120L).foreach { id =>
+      val (hi, lo) = mb(id)
+      val w = wide(id)
+      // 15-bit words tile the matrix: bands 0..3 occupy bits 0..59 =
+      // words 0..3 exactly, and those bits ARE the multi-band form
+      val v60 = w(0) | (w(1) << 15) | (w(2) << 30) | (w(3) << 45)
+      assert(v60 === ((hi << 32) | lo),
+        s"doc $id: wide words 0..3 must reproduce the 60-bit multiband form")
+      w.foreach(x => assert(x >= 0 && x < (1L << 15), "15-bit word domain"))
+    }
+    // class pairs over the fixture corpus: the planted near twins
+    // (doc ≡ 37 mod 50 carries doc−24's recording, one sample bumped)
+    // must surface as anchor pairs 24 apart within the wide threshold
+    val fps = Multimodal.audioFingerprintsWide(spark,
+      Multimodal.wavPayloads(spark,
+        graft.engine.Sources.table(spark, sfDir, "documents")),
+      DedupKnobs.AudioFpSubWindows, DedupKnobs.AudioFpWideBands,
+      DedupKnobs.AudioFpWideWordBits)
+    val pairs = Multimodal.wideClassPairsCapped(fps,
+      (0 until words).map(j => s"w$j"),
+      DedupKnobs.AudioWideMaxHamming, DedupKnobs.AudioClassBucketCap)
+    val twinPairs = pairs.filter(abs(col("anchor_b") - col("anchor_a"))
+      === 24).count()
+    assert(twinPairs > 0, "planted audio near twins must pair at the wide width")
+    assert(pairs.filter(col("hamming") > DedupKnobs.AudioWideMaxHamming)
+      .isEmpty, "verify threshold")
+  }
+
   /** The Round12 bridge-free increment fixture plus synthetic
     * embeddings: doc 13 (batch, survives text dedup) carries a vector
     * nearly parallel to doc 0's (corpus) — the semantic twin the
