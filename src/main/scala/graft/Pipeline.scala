@@ -543,11 +543,49 @@ object Pipeline {
                       multimodal: Boolean = false,
                       embeddings: Option[DataFrame] = None,
                       embedKnobs: EmbedKnobs = EmbedKnobs())
-      : (DataFrame, DataFrame, IncrementCounts) = {
+      : (DataFrame, DataFrame, IncrementCounts) =
+    curateIncrementWithArtifacts(spark, corpus, batch, mixRates, mixSalt,
+      knobs, checkpointDir, multimodal, embeddings, embedKnobs)._1
+
+  /** [[curateIncrement]] that ALSO returns the UPDATED corpus
+    * artifacts — the handle set for TOMORROW'S batch, so increments
+    * CHAIN: every artifact advances by appending the batch's
+    * contribution (union of keys/fingerprints/pairs, sum-merged
+    * cells) and the clustering advances by the contracted-CC relabel
+    * ([[graft.operators.Graph.relabelThrough]] over the labels this
+    * increment already computed — no extra CC job). The updated
+    * clustering EQUALS a from-scratch CC over the updated pair table
+    * (the contraction theorem), so day 2's contraction base is
+    * exactly what its own theorem needs; the monotone-id contract
+    * extends day over day since each batch's ids exceed the last's.
+    * Like [[curateWithArtifacts]], the returned frames are lazy views
+    * — a daily driver lands them via [[writeArtifacts]]. */
+  def curateIncrementWithArtifacts(spark: SparkSession,
+                      corpus: CorpusArtifacts, batch: DataFrame,
+                      mixRates: Map[String, Double], mixSalt: String,
+                      knobs: QualityKnobs = QualityKnobs(),
+                      checkpointDir: Option[String] = None,
+                      multimodal: Boolean = false,
+                      embeddings: Option[DataFrame] = None,
+                      embedKnobs: EmbedKnobs = EmbedKnobs())
+      : ((DataFrame, DataFrame, IncrementCounts), CorpusArtifacts) = {
     require(knobs.dropPplBuckets == 0 && knobs.maxDupFrac >= 1.0 &&
       knobs.spanDedupN == 0,
       "corpus-relative quality stages (perplexity tail, dup-span gate, " +
         "span rewrite) are whole-corpus signals — run them in curate()")
+    require(!multimodal || (corpus.imageFps.isDefined &&
+        corpus.audioFps.isDefined),
+      "a multimodal increment needs a multimodal-curated corpus: " +
+        "the artifacts carry no image/audio fingerprint tables")
+    // artifact-chaining guard: arms the corpus MAINTAINS must be
+    // maintained by every increment, or day 2 would contract against
+    // stale fingerprint/vector tables
+    require(multimodal || corpus.imageFps.isEmpty,
+      "this corpus carries multimodal fingerprint artifacts — " +
+        "increment it with multimodal = true so they stay current")
+    require(embeddings.isDefined || corpus.embVecs.isEmpty,
+      "this corpus carries embedding artifacts — increment it with " +
+        "the batch's embeddings so they stay current")
     // id-ordering contract: the union anchor of any shared bucket must
     // be a corpus doc (see incrementalSimhashPairsCapped). The corpus
     // boundary is a LANDED scalar (no corpus job); the batch side is
@@ -557,10 +595,11 @@ object Pipeline {
       "curateIncrement needs a non-empty corpus: the artifacts carry " +
         "an empty exact table — run curate() first and pass its artifacts")
     val maxCorpusId = corpus.maxDocId
-    val minBatchRow = batch.agg(min(col("doc_id"))).head()
-    require(!minBatchRow.isNullAt(0),
+    val batchBounds = batch.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    require(!batchBounds.isNullAt(0),
       "curateIncrement got an EMPTY batch — nothing to ingest")
-    val minBatchId = minBatchRow.getLong(0)
+    val minBatchId = batchBounds.getLong(0)
+    val maxBatchId = batchBounds.getLong(1)
     require(minBatchId > maxCorpusId,
       s"batch ids must exceed corpus ids (monotone ingest): " +
         s"batch min $minBatchId <= corpus max $maxCorpusId")
@@ -588,31 +627,29 @@ object Pipeline {
     // fingerprint tables, then the CONTRACTED incremental CC — the
     // landed pair graph never enters a job (its edges are self-loops
     // under the contraction; see Graph.contractedComponents' theorem)
+    val batchFps = NearDup.simHash(exactB)
     val incText = NearDup.incrementalSimhashPairsCapped(corpus.textFps,
-        NearDup.simHash(exactB),
+        batchFps,
         DedupKnobs.SimHashMaxHamming, DedupKnobs.SimHashBucketCap)
       .select(col("doc_a"), col("doc_b"))
+    val (bImg, bAud) =
+      if (multimodal) (Some(imageFpsOf(spark, exactB)),
+        Some(audioFpsOf(spark, exactB)))
+      else (None, None)
     val incPairs =
       if (!multimodal) incText
-      else {
-        require(corpus.imageFps.isDefined && corpus.audioFps.isDefined,
-          "a multimodal increment needs a multimodal-curated corpus: " +
-            "the artifacts carry no image/audio fingerprint tables")
-        val bImg = imageFpsOf(spark, exactB)
-        val bAud = audioFpsOf(spark, exactB)
-        incText
-          .union(graft.operators.Multimodal.incrementalClassEdgesCapped(
-            corpus.imageFps.get.select(col("doc_id"), col("ph_hi"),
-              col("ph_lo")),
-            bImg.select(col("doc_id"), col("ph_hi"), col("ph_lo")),
-            DedupKnobs.PHashMaxHamming, DedupKnobs.PHashClassBucketCap))
-          .union(graft.operators.Multimodal.incrementalClassEdgesCapped(
-            corpus.audioFps.get.select(col("doc_id"),
-              col("fp_hi").as("ph_hi"), col("fp_lo").as("ph_lo")),
-            bAud.select(col("doc_id"), col("fp_hi").as("ph_hi"),
-              col("fp_lo").as("ph_lo")),
-            DedupKnobs.AudioMbMaxHamming, DedupKnobs.AudioClassBucketCap))
-      }
+      else incText
+        .union(graft.operators.Multimodal.incrementalClassEdgesCapped(
+          corpus.imageFps.get.select(col("doc_id"), col("ph_hi"),
+            col("ph_lo")),
+          bImg.get.select(col("doc_id"), col("ph_hi"), col("ph_lo")),
+          DedupKnobs.PHashMaxHamming, DedupKnobs.PHashClassBucketCap))
+        .union(graft.operators.Multimodal.incrementalClassEdgesCapped(
+          corpus.audioFps.get.select(col("doc_id"),
+            col("fp_hi").as("ph_hi"), col("fp_lo").as("ph_lo")),
+          bAud.get.select(col("doc_id"), col("fp_hi").as("ph_hi"),
+            col("fp_lo").as("ph_lo")),
+          DedupKnobs.AudioMbMaxHamming, DedupKnobs.AudioClassBucketCap))
     val ccInc = Graph.contractedComponents(corpus.clusters, incPairs,
         "doc_a", "doc_b", checkpointDir = checkpointDir)
       .localCheckpoint()
@@ -634,8 +671,8 @@ object Pipeline {
     // 3.5 (embedding-bearing corpora): incremental semantic dedup —
     // batch vectors against the landed post-prune vector table and
     // vector clustering. Batch vectors are never pruned (see scaladoc).
-    val (embedded, afterEmbedding) = embeddings match {
-      case None => (survivors, -1L)
+    val (embedded, afterEmbedding, embUpdate) = embeddings match {
+      case None => (survivors, -1L, None)
       case Some(embAll) =>
         require(corpus.embVecs.isDefined && corpus.vecClusters.isDefined,
           "an embedding increment needs an embedding-curated corpus: " +
@@ -654,7 +691,7 @@ object Pipeline {
           .select(col("n").as("doc_id"))
         val e = survivors.join(dropDocs, Seq("doc_id"), "left_anti")
           .localCheckpoint()
-        (e, e.count())
+        (e, e.count(), Some((bEmb, vecCC)))
     }
 
     // 4. mix
@@ -668,15 +705,46 @@ object Pipeline {
     // and corpus rows in it never match a batch doc_id.
     val deltaCells = DataMix.manifestCells(mixed, ccInc,
       mixSalt + "|split", trainBp = 8000, valBp = 9000)
-    val manifest = DataMix.manifestFromCells(
-        DataMix.mergeCells(corpus.cells, deltaCells),
+    val mergedCells = DataMix.mergeCells(corpus.cells, deltaCells)
+    val manifest = DataMix.manifestFromCells(mergedCells,
         budgetDen = 1, capEpochs = 2)
       .localCheckpoint()
 
-    (mixed, manifest,
+    // the UPDATED artifact set — tomorrow's contraction base. Every
+    // table advances by appending the batch contribution; the merged
+    // clustering is the relabel over the labels already computed (no
+    // new CC job), and it equals a from-scratch CC over the updated
+    // pair table by the contraction theorem.
+    val updated = CorpusArtifacts(
+      exact = corpus.exact.unionByName(exactB),
+      cells = mergedCells,
+      published = corpus.published.unionByName(mixed),
+      exactKeys = corpus.exactKeys.unionByName(
+        exactB.select(md5(TextAnalysis.normalizeText(col("text")))
+          .as("__key"))).distinct(),
+      textFps = corpus.textFps.unionByName(batchFps),
+      pairs = corpus.pairs.unionByName(incPairs),
+      clusters = Graph.relabelThrough(corpus.clusters, ccInc),
+      maxDocId = maxBatchId,
+      imageFps = corpus.imageFps.map(_.unionByName(
+        bImg.get.select(corpus.imageFps.get.columns.map(col): _*))),
+      audioFps = corpus.audioFps.map(_.unionByName(
+        bAud.get.select(corpus.audioFps.get.columns.map(col): _*))),
+      embVecs = embUpdate match {
+        case Some((bEmb, _)) => corpus.embVecs.map(_.unionByName(
+          bEmb.select(corpus.embVecs.get.columns.map(col): _*)))
+        case None => corpus.embVecs
+      },
+      vecClusters = embUpdate match {
+        case Some((_, vecCC)) => corpus.vecClusters.map(
+          Graph.relabelThrough(_, vecCC))
+        case None => corpus.vecClusters
+      })
+
+    ((mixed, manifest,
       IncrementCounts(batch.count(), quality.count(), exactB.count(),
         survivors.count(), mixed.count(), manifest.count(), revoked,
-        afterEmbedding))
+        afterEmbedding)), updated)
   }
 
   /** Land every [[CorpusArtifacts]] frame as parquet under `dir` — the

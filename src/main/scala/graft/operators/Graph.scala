@@ -264,17 +264,24 @@ object Graph {
     * shuffle-light but not O(batch). */
   def incrementalComponents(landedCC: DataFrame, newEdges: DataFrame,
                             srcCol: String, dstCol: String,
-                            checkpointDir: Option[String] = None): DataFrame = {
-    val cc = contractedComponents(landedCC, newEdges, srcCol, dstCol,
-      checkpointDir)
+                            checkpointDir: Option[String] = None): DataFrame =
+    relabelThrough(landedCC,
+      contractedComponents(landedCC, newEdges, srcCol, dstCol, checkpointDir))
+
+  /** The relabel half of [[incrementalComponents]], factored out so a
+    * caller that already HOLDS the contracted labels (the pipeline
+    * increment, which needs them for survivor verdicts anyway) can
+    * compose the full merged node table without a second CC run. */
+  def relabelThrough(landedCC: DataFrame, contractedCC: DataFrame): DataFrame = {
     // a landed node's merged label: its component id, resolved one hop
     // through the contracted labels when the increment touched it
     val landed = landedCC
-      .join(cc.select(col("n").as("component"), col("component").as("__m")),
-        Seq("component"), "left")
+      .join(contractedCC.select(col("n").as("component"),
+        col("component").as("__m")), Seq("component"), "left")
       .select(col("n"), coalesce(col("__m"), col("component")).as("component"))
     // never-landed (batch) nodes: their contracted row IS their row
-    val newOnly = cc.join(landedCC.select(col("n")), Seq("n"), "left_anti")
+    val newOnly = contractedCC.join(landedCC.select(col("n")), Seq("n"),
+      "left_anti")
     landed.unionByName(newOnly)
   }
 

@@ -334,6 +334,62 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(adv.find(_.doc_id == 1L).get.dup_of.isEmpty)
   }
 
+  test("increments CHAIN: day 2 lands on day 1's updated artifacts; clustering advances exactly") {
+    def t(i: Long, words: String) = (i, s"the $words of it", "src1",
+      (s"the $words of it").length.toLong, "en")
+    val rep = (w: String) => s"the $w of it the $w of it"
+    val all = Seq(
+      t(0L, "aa ab ac ad ae"), t(1L, "ba bb bc bd be"),
+      t(2L, "ca cb cc cd ce"), t(3L, "da db dc dd de"),
+      t(4L, "ea eb ec ed ee"),
+      // day-1 batch (ids 10..14)
+      t(10L, "fa fb fc fd fe"),
+      (11L, "the da db dc dd de of it", "src1", 26L, "en"), // exact twin of 3
+      t(13L, "ga gb gc gd ge"),
+      // day-2 batch (ids 20..24): a corpus twin, a DAY-1 twin, an
+      // in-batch twin — each stage of the chained landed truth
+      (21L, "the ca cb cc cd ce of it", "src1", 26L, "en"), // exact twin of 2
+      (22L, rep("ga gb gc gd ge"), "src1",
+        rep("ga gb gc gd ge").length.toLong, "en"),         // simhash twin of 13
+      t(20L, "ha hb hc hd he"), t(23L, "ia ib ic id ie"),
+      (24L, rep("ia ib ic id ie"), "src1",
+        rep("ia ib ic id ie").length.toLong, "en"))         // simhash twin of 23
+      .toDF("doc_id", "text", "source", "n_chars", "lang")
+    val rates = Map("src1" -> 1.0)
+    val loose = Pipeline.QualityKnobs(minTokens = 1, minStopRatio = 0.0,
+      maxRepRatio = 1.0)
+    val (_, art0) = Pipeline.curateWithArtifacts(spark,
+      all.filter(col("doc_id") <= 4), rates, "inc-v8", None, knobs = loose)
+    val ((mixed1, _, _), art1) = Pipeline.curateIncrementWithArtifacts(
+      spark, art0, all.filter(col("doc_id") >= 10 && col("doc_id") <= 14),
+      rates, "inc-v8", knobs = loose)
+    assert(mixed1.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      === Set(10L, 13L))
+    assert(art1.maxDocId === 13L)
+    val ((mixed2, manifest2, _), art2) = Pipeline.curateIncrementWithArtifacts(
+      spark, art1, all.filter(col("doc_id") >= 20), rates, "inc-v8",
+      knobs = loose)
+    val ids2 = mixed2.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids2 === Set(20L, 23L),
+      s"planted day-2 fates: 21 exact-twins corpus 2, 22 near-dups " +
+        s"DAY-1's 13, 24 twins 23 in-batch: $ids2")
+    // the chained merged manifest ≡ the full-rebuild manifest
+    // (bridge-free, under-cap fixture — the regime where landed truth
+    // and a rebuild provably coincide)
+    val (_, artFull) = Pipeline.curateWithArtifacts(spark, all, rates,
+      "inc-v8", None, knobs = loose)
+    def mkey(r: Row) = (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getDouble(5))
+    val full = DataMix.manifestFromCells(artFull.cells,
+      budgetDen = 1, capEpochs = 2).collect().map(mkey).toSeq
+    assert(manifest2.collect().map(mkey).toSeq === full)
+    // artifact advance is EXACT: day-2's landed clustering equals a
+    // from-scratch CC over day-2's landed pair table (tomorrow's
+    // contraction base satisfies its own theorem's premise)
+    val fresh = Graph.connectedComponents(art2.pairs, "doc_a", "doc_b")
+    assert(labelMap(art2.clusters) === labelMap(fresh))
+  }
+
   test("wide frame-matrix fingerprint: words 0..3 ARE the multi-band fingerprint; planted twins pair") {
     val d = (1L to 120L).map(Tuple1(_)).toDF("doc_id")
     val payloads = Multimodal.wavPayloads(spark, d)
