@@ -3468,6 +3468,86 @@ object SparkEntry {
       .orderBy(col("split").asc, col("source").asc)
   }
 
+  /** CHAINED incremental train manifest — TWO increments composed,
+    * day 2 anchored on day 1's LANDED artifacts (fingerprint-table
+    * union, relabeled clustering), never on the raw corpus: the gated
+    * form of [[graft.Pipeline.curateIncrementWithArtifacts]]'s
+    * artifact algebra. Slices: corpus ≤ ⌊3/5·max⌋ < day-1 batch ≤
+    * ⌊4/5·max⌋ < day-2 batch. Each day re-runs the q218 cells algebra
+    * against the PREVIOUS day's landed clustering (retract + re-census
+    * of the drifted docs, batch cells under the day's merged
+    * clustering), and the clustering advances by
+    * [[graft.operators.Graph.incrementalComponents]] over that day's
+    * contracted incremental edges alone — by the contraction theorem,
+    * the day-2 clustering ≡ one CC over pairs0 ∪ inc1 ∪ inc2. The
+    * ORACLE ([[chainedManifestOracle]]) builds that same three-slice
+    * edge set (corpus caps on the day-0 slice, union caps anchored on
+    * the respective LANDED slice for each increment) and computes the
+    * manifest directly under the FINAL clustering: the gate pins that
+    * two rounds of cells-correction algebra collapse exactly to
+    * cells-under-the-final-clustering. Like q218 it does NOT pin
+    * equivalence to a batch-oblivious full rebuild (cap boundaries
+    * re-draw at union sizes — the documented caveat). */
+  private def q224(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{DataMix, Graph}
+    val d = docs(s, dir)
+    val mx = d.agg(max(col("doc_id"))).head().getLong(0)
+    val cut1 = mx * 3 / 5
+    val cut2 = mx * 4 / 5
+    val corpus = d.filter(col("doc_id") <= cut1)
+    val batch1 = d.filter(col("doc_id") > cut1 && col("doc_id") <= cut2)
+    val batch2 = d.filter(col("doc_id") > cut2)
+    val fps0 = graft.operators.Shingles.shared(NearDup.simHash(corpus))
+    val pairs0 = graft.operators.Shingles.shared(
+      NearDup.simHashPairsCapped(fps0,
+          DedupKnobs.SimHashMaxHamming, DedupKnobs.SimHashBucketCap)
+        .select(col("doc_a"), col("doc_b")))
+    val cc0 = graft.engine.Staging.stagedParquet(s,
+        s"chain_cc0|$dir", Seq(dir))(
+      Graph.connectedComponents(pairs0, "doc_a", "doc_b"))
+    val fps1b = NearDup.simHash(batch1)
+    val inc1 = NearDup.incrementalSimhashPairsCapped(fps0, fps1b,
+        DedupKnobs.SimHashMaxHamming, DedupKnobs.SimHashBucketCap)
+      .select(col("doc_a"), col("doc_b"))
+    val cc1 = graft.engine.Staging.stagedParquet(s,
+        s"chain_cc1|$dir", Seq(dir))(
+      Graph.incrementalComponents(cc0, inc1, "doc_a", "doc_b"))
+    // day 1 LANDS its artifacts; day 2 anchors on them, not the corpus
+    val fps1 = graft.operators.Shingles.shared(fps0.unionByName(fps1b))
+    val fps2b = NearDup.simHash(batch2)
+    val inc2 = NearDup.incrementalSimhashPairsCapped(fps1, fps2b,
+        DedupKnobs.SimHashMaxHamming, DedupKnobs.SimHashBucketCap)
+      .select(col("doc_a"), col("doc_b"))
+    val cc2 = graft.engine.Staging.stagedParquet(s,
+        s"chain_cc2|$dir", Seq(dir))(
+      Graph.incrementalComponents(cc1, inc2, "doc_a", "doc_b"))
+    def cellsOf(base: DataFrame, cc: DataFrame): DataFrame =
+      DataMix.manifestCells(base, cc, SplitSalt, SplitTrainBp, SplitValBp)
+    // docs whose cluster id the day's increment CHANGED (labels
+    // coalesce to doc_id for singleton nodes absent from a CC table)
+    def driftedOf(base: DataFrame, ccA: DataFrame,
+                  ccB: DataFrame): DataFrame =
+      base.select(col("doc_id"))
+        .join(ccA.select(col("n").as("doc_id"),
+          col("component").as("__g0")), Seq("doc_id"), "left")
+        .join(ccB.select(col("n").as("doc_id"),
+          col("component").as("__g1")), Seq("doc_id"), "left")
+        .filter(coalesce(col("__g0"), col("doc_id")) =!=
+          coalesce(col("__g1"), col("doc_id")))
+        .select(col("doc_id"))
+    val drifted1 = corpus.join(driftedOf(corpus, cc0, cc1), Seq("doc_id"))
+    val cells1 = DataMix.mergeCells(cellsOf(corpus, cc0),
+      DataMix.negateCells(cellsOf(drifted1, cc0)),
+      cellsOf(drifted1, cc1), cellsOf(batch1, cc1))
+    val landed1 = d.filter(col("doc_id") <= cut2)
+    val drifted2 = landed1.join(driftedOf(landed1, cc1, cc2), Seq("doc_id"))
+    val cellsFinal = DataMix.mergeCells(cells1,
+      DataMix.negateCells(cellsOf(drifted2, cc1)),
+      cellsOf(drifted2, cc2), cellsOf(batch2, cc2))
+    DataMix.manifestFromCells(cellsFinal, MixBudgetDen, MixCapEpochs)
+      .orderBy(col("split").asc, col("source").asc)
+  }
+
   /** KEYSET pagination — the scale path q75's LIMIT/OFFSET form only
     * documents: page 3 arrives via the previous page's last
     * (sort-key, tiebreak) CURSOR as a pushed predicate + top-k, so the
@@ -4897,6 +4977,92 @@ object SparkEntry {
         ${ccUnrolledCtes()},
         $manifestTailSql"""
 
+  /** One increment's pair CTEs — the oracle mirror of
+    * [[NearDup.incrementalSimhashPairsCapped]] between a LANDED slice
+    * (`bnd` rows satisfying `landedW`) and a batch slice (`batchW`);
+    * both predicates may reference `mx`. Union-census caps; the anchor
+    * is the landed min doc wherever the bucket has landed members
+    * (ids are monotone, so that IS the union min — the same
+    * `min(struct(doc_id, simhash))` the engine takes). Emits CTEs
+    * prefixed `p`, ending in `<p>iu(doc_a, doc_b)`; expects fpt/bnd
+    * from [[simhashCte]]. */
+  private def incPairCtesOver(p: String, landedW: String,
+                              batchW: String): String =
+    s"""${p}cb AS MATERIALIZED (SELECT b.* FROM bnd b, mx WHERE $landedW),
+        ${p}bb AS MATERIALIZED (SELECT b.* FROM bnd b, mx WHERE $batchW),
+        ${p}cs AS (SELECT band, bv, count(*) AS n, min(doc_id) AS anchor
+                   FROM ${p}cb GROUP BY 1, 2),
+        ${p}bs AS (SELECT band, bv, count(*) AS nb, min(doc_id) AS ab
+                   FROM ${p}bb GROUP BY 1, 2),
+        ${p}us AS (SELECT bs.band, bs.bv,
+                          bs.nb + coalesce(cs.n, 0) AS n,
+                          CASE WHEN coalesce(cs.n, 0) > 0 THEN cs.anchor
+                               ELSE bs.ab END AS anchor
+                   FROM ${p}bs bs LEFT JOIN ${p}cs cs
+                     ON bs.band = cs.band AND bs.bv = cs.bv),
+        ${p}ib AS (SELECT b.doc_id, b.simhash, b.band, b.bv, u.n, u.anchor
+                   FROM ${p}bb b JOIN ${p}us u
+                     ON b.band = u.band AND b.bv = u.bv),
+        ${p}iu AS (
+          SELECT least(x.doc_id, y.doc_id) AS doc_a,
+                 greatest(x.doc_id, y.doc_id) AS doc_b
+          FROM ${p}ib x JOIN ${p}cb y
+            ON x.band = y.band AND x.bv = y.bv
+          WHERE x.n <= $SimHashBucketCap
+            AND bit_count(xor(x.simhash, y.simhash)) <= $SimHashMaxHamming
+          UNION ALL
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM ${p}ib x JOIN ${p}ib y
+            ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+          WHERE x.n <= $SimHashBucketCap
+            AND bit_count(xor(x.simhash, y.simhash)) <= $SimHashMaxHamming
+          UNION ALL
+          SELECT least(t.doc_id, t.anchor) AS doc_a,
+                 greatest(t.doc_id, t.anchor) AS doc_b
+          FROM ${p}ib t JOIN fpt f ON f.doc_id = t.anchor
+          WHERE t.n > $SimHashBucketCap AND t.doc_id <> t.anchor
+            AND bit_count(xor(f.simhash, t.simhash)) <= $SimHashMaxHamming)"""
+
+  /** q224's oracle: the TWO-increment edge set — corpus-side caps on
+    * the day-0 slice, then [[incPairCtesOver]] once per day with the
+    * landed slice advancing (day 1 lands ≤ cut1, day 2 lands ≤ cut2) —
+    * fed to ONE connected-components pass, manifest computed directly
+    * under the final clustering: the collapsed form that two rounds of
+    * the engine's cells-correction algebra must equal. */
+  private lazy val chainedManifestOracle: String =
+    s"""WITH $simhashCte,
+        mx AS (SELECT max(doc_id) * 3 // 5 AS cut1,
+                      max(doc_id) * 4 // 5 AS cut2 FROM documents),
+        c0b AS MATERIALIZED (SELECT b.* FROM bnd b, mx
+               WHERE b.doc_id <= mx.cut1),
+        c0s AS (SELECT band, bv, count(*) AS n, min(doc_id) AS anchor
+                FROM c0b GROUP BY 1, 2),
+        c0t AS (SELECT b.doc_id, b.simhash, b.band, b.bv, s.n, s.anchor
+                FROM c0b b JOIN c0s s ON b.band = s.band AND b.bv = s.bv),
+        cu0 AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM c0t a JOIN c0t b
+            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+          WHERE a.n <= $SimHashBucketCap
+            AND bit_count(xor(a.simhash, b.simhash)) <= $SimHashMaxHamming
+          UNION ALL
+          SELECT t.anchor AS doc_a, t.doc_id AS doc_b
+          FROM c0t t JOIN fpt f ON f.doc_id = t.anchor
+          WHERE t.n > $SimHashBucketCap AND t.doc_id <> t.anchor
+            AND bit_count(xor(f.simhash, t.simhash)) <= $SimHashMaxHamming),
+        ${incPairCtesOver("d1", "b.doc_id <= mx.cut1",
+          "b.doc_id > mx.cut1 AND b.doc_id <= mx.cut2")},
+        ${incPairCtesOver("d2", "b.doc_id <= mx.cut2",
+          "b.doc_id > mx.cut2")},
+        prs AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b FROM (
+              SELECT doc_a, doc_b FROM cu0
+              UNION ALL SELECT doc_a, doc_b FROM d1iu
+              UNION ALL SELECT doc_a, doc_b FROM d2iu)),
+        edges AS MATERIALIZED (SELECT doc_a AS n, doc_b AS m FROM prs
+                  UNION SELECT doc_b AS n, doc_a AS m FROM prs),
+        ${ccUnrolledCtes()},
+        $manifestTailSql"""
+
   /** Class-edge SQL over a 64-bit class fingerprint relation
     * `src(doc_id, <hi>, <lo>)` — the oracle mirror of
     * [[Multimodal.classMemberEdges]] ∪
@@ -5690,7 +5856,8 @@ object SparkEntry {
     "q220_stream_audio_neardup" -> (q220 _),
     "q221_inc_multimodal_cc" -> (q221 _),
     "q222_audio_wide_fp" -> (q222 _),
-    "q223_audio_wide_pairs" -> (q223 _))
+    "q223_audio_wide_pairs" -> (q223 _),
+    "q224_chained_manifest" -> (q224 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -6383,9 +6550,12 @@ object SparkEntry {
     // CTEs, apportioned by exact integer floor division — every number
     // BIGINT until the final epochs readout
     "q192_train_manifest" -> fullManifestOracle,
-    // q218: the batch-oblivious FULL manifest — the equivalence-theorem
-    // gate for the incremental path (see the engine-side scaladoc)
+    // q218: the incremental edge set's manifest under the merged
+    // clustering — pins the cells-correction algebra (see the
+    // engine-side scaladoc for the full-rebuild caveats)
     "q218_incremental_manifest" -> incrementalManifestOracle,
+    // q224: two chained increments, manifest under the FINAL clustering
+    "q224_chained_manifest" -> chainedManifestOracle,
     // q193: the df-band derivation's cumulative histogram as a result
     // table — integers all the way (cum/cumsq narrowed HUGEINT→BIGINT
     // to match the engine's long output)
