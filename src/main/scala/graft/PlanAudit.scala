@@ -11,7 +11,10 @@ object PlanAudit {
     val names = if (args.length > 1) args(1).split(",").toSet
       else Set("q01_avg_value_by_user", "q11_star_revenue", "q12_semi_join",
         "q15_window_running", "q25_knn_cosine", "q32_clean_filter_chain")
-    val spark = SparkSession.builder().master("local[8]")
+    // the bench session installs GraftExtensions (RewriteRowNumberTopK /
+    // TopKPerGroup) — audit the plans the bench actually runs
+    val spark = SparkSession.builder().withExtensions(new GraftExtensions)
+      .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

@@ -35,7 +35,7 @@ object Staging {
     * build — exactly the failure mode that corrupts a campaign after
     * an in-campaign fix. The campaign protocol (verify skill) pins
     * this: bump on commit, or wipe the root. */
-  val AlgoVersion = "g12b"
+  val AlgoVersion = "g13a"
 
   private val staged = new ConcurrentHashMap[String, String]()
 

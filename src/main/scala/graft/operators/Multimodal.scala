@@ -112,31 +112,30 @@ object Multimodal {
   def pngPayloads(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
-      // per-partition init: ImageIO's plugin registry scan + stream
-      // buffers amortize across the partition's rows
+      // the raster builds directly in PNG scanline order; the encoder is
+      // the spec-compliant [[FastCodec.pngEncodeGray8]] (18 µs/doc vs
+      // ImageIO.write's 1661 — the write path's disk-backed stream cache
+      // and per-call plumbing dwarfed the actual codec; FastCodec
+      // scaladoc has the measurements and the pinned ImageIO round-trip)
       it.map { rowId =>
         val id = imageContentId(rowId)
         val swap = imageNearTwin(rowId)
         val w = (8 + id % 5).toInt
         val h = (8 + id % 4).toInt
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val raster = img.getRaster
+        val px = new Array[Byte](w * h)
         var y = 0
         while (y < h) {
           var x = 0
-          while (x < w) { raster.setSample(x, y, 0, pixel(id, x, y)); x += 1 }
+          while (x < w) { px(y * w + x) = pixel(id, x, y).toByte; x += 1 }
           y += 1
         }
         if (swap) {
           // the near-twin perturbation: a sum-preserving swap of the
           // first two pixels (w ≥ 8, so (0,0) and (1,0) always exist)
-          raster.setSample(0, 0, 0, pixel(id, 1, 0))
-          raster.setSample(1, 0, 0, pixel(id, 0, 0))
+          px(0) = pixel(id, 1, 0).toByte
+          px(1) = pixel(id, 0, 0).toByte
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        PngBlob(rowId, bos.toByteArray)
+        PngBlob(rowId, FastCodec.pngEncodeGray8(w, h, px))
       }
     }.toDF()
   }
@@ -147,19 +146,16 @@ object Multimodal {
   def decodePixelStats(spark: SparkSession, payloads: DataFrame): DataFrame = {
     import spark.implicits._
     payloads.as[PngBlob].mapPartitions { it =>
+      // [[FastCodec.grayDecodeAny]]: direct chunk-walk + inflate +
+      // unfilter for the supported PNG shape (2 µs/doc vs ImageIO.read's
+      // 2900 — per-call provider lookup + reader init dominated the real
+      // parse), ImageIO fallback for anything else
       it.map { b =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(b.payload))
-        val (w, h) = (img.getWidth, img.getHeight)
-        val raster = img.getRaster
+        val g = FastCodec.grayDecodeAny(b.payload)
         var s = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { s += raster.getSample(x, y, 0); x += 1 }
-          y += 1
-        }
-        PixelStats(b.doc_id, w.toLong, h.toLong, w.toLong * h, s)
+        var i = 0
+        while (i < g.px.length) { s += g.px(i); i += 1 }
+        PixelStats(b.doc_id, g.w.toLong, g.h.toLong, g.w.toLong * g.h, s)
       }
     }.toDF()
   }
@@ -185,30 +181,18 @@ object Multimodal {
     import spark.implicits._
     payloads.as[PngBlob].mapPartitions { it =>
       it.map { b =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(b.payload))
-        val (w, h) = (img.getWidth, img.getHeight)
-        val raster = img.getRaster
-        val n = (w * h).toLong
+        val g = FastCodec.grayDecodeAny(b.payload)
+        val n = (g.w * g.h).toLong
         var s = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { s += raster.getSample(x, y, 0); x += 1 }
-          y += 1
-        }
+        var i = 0
+        while (i < g.px.length) { s += g.px(i); i += 1 }
         var bits = 0L
-        y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            if (raster.getSample(x, y, 0).toLong * n >= s)
-              bits ^= 1L << ((y * w + x) % 48)
-            x += 1
-          }
-          y += 1
+        i = 0
+        while (i < g.px.length) {
+          if (g.px(i).toLong * n >= s) bits ^= 1L << (i % 48)
+          i += 1
         }
-        PHashRow(b.doc_id, w.toLong, h.toLong, bits)
+        PHashRow(b.doc_id, g.w.toLong, g.h.toLong, bits)
       }
     }.toDF()
   }
@@ -249,17 +233,11 @@ object Multimodal {
     import spark.implicits._
     payloads.as[PngBlob].mapPartitions { it =>
       it.map { b =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(b.payload))
-        val (w, h) = (img.getWidth, img.getHeight)
-        val raster = img.getRaster
+        val g = FastCodec.grayDecodeAny(b.payload)
+        val (w, h) = (g.w, g.h)
         var sImg = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { sImg += raster.getSample(x, y, 0); x += 1 }
-          y += 1
-        }
+        var i0 = 0
+        while (i0 < g.px.length) { sImg += g.px(i0); i0 += 1 }
         val nImg = w.toLong * h
         var hi = 0L
         var lo = 0L
@@ -275,7 +253,7 @@ object Multimodal {
             var yy = y0
             while (yy < y1) {
               var xx = x0
-              while (xx < x1) { sCell += raster.getSample(xx, yy, 0); xx += 1 }
+              while (xx < x1) { sCell += g.px(yy * w + xx); xx += 1 }
               yy += 1
             }
             val nCell = (x1 - x0).toLong * (y1 - y0)
@@ -536,9 +514,9 @@ object Multimodal {
   def wavPayloads(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
-      // per-partition init: one AudioFormat, reused across rows
-      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1,
-        /* signed = */ false, /* bigEndian = */ false)
+      // [[FastCodec.wavEncodePcmU8]] emits the canonical container —
+      // BYTE-IDENTICAL to AudioSystem.write's output (spec-pinned) —
+      // without the per-call AudioInputStream/provider plumbing
       it.map { id =>
         val cid = audioContentId(id)
         val ns = audioSampleCount(id)
@@ -546,26 +524,17 @@ object Multimodal {
           val u = sampleU(cid, i)
           (if (audioNearTwin(id) && i == 5) (u + 97) % 256 else u).toByte
         }
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(raw), fmt, ns.toLong)
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        WavBlob(id, bos.toByteArray)
+        WavBlob(id, FastCodec.wavEncodePcmU8(raw, 8000))
       }
     }.toDF()
   }
 
   /** DECODE: parse the actual WAV stream (header AND PCM frames) back
-    * to signed sample values. */
-  private def decodeSigned(payload: Array[Byte]): Array[Int] = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(payload))
-    val f = ais.getFormat
-    require(f.getSampleSizeInBits == 8 && f.getChannels == 1,
-      s"unexpected wav format $f")
-    ais.readAllBytes().map(b => (b & 0xff) - 128)
-  }
+    * to signed sample values — the direct RIFF chunk walk for the PCM
+    * 8-bit mono shape, `AudioSystem` (with the same format guard) for
+    * anything else ([[FastCodec.wavDecodeSignedAny]]). */
+  private def decodeSigned(payload: Array[Byte]): Array[Int] =
+    FastCodec.wavDecodeSignedAny(payload)
 
   /** Windowed audio features from the REAL WAV decode — the
     * feature-extraction stage of an audio pipeline (energy + zero
