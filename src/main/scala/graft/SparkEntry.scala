@@ -3415,12 +3415,16 @@ object SparkEntry {
     val cut = d.agg(max(col("doc_id"))).head().getLong(0) * 4 / 5
     val corpus = d.filter(col("doc_id") <= cut)
     val batch = d.filter(col("doc_id") > cut)
-    val corpusFps = graft.operators.Shingles.shared(NearDup.simHash(corpus))
-    val corpusPairs = graft.operators.Shingles.shared(
+    // lazy: these feed ONLY the two staged tables below via by-name
+    // builders, so once the artifacts are landed a steady-state run
+    // must not pay their plan construction + canonicalization (~0.5 s
+    // of pure driver time, measured with JobProbe — guide §7.3)
+    lazy val corpusFps = graft.operators.Shingles.shared(NearDup.simHash(corpus))
+    lazy val corpusPairs = graft.operators.Shingles.shared(
       NearDup.simHashPairsCapped(corpusFps,
           DedupKnobs.SimHashMaxHamming, DedupKnobs.SimHashBucketCap)
         .select(col("doc_a"), col("doc_b")))
-    val incPairs = NearDup.incrementalSimhashPairsCapped(corpusFps,
+    lazy val incPairs = NearDup.incrementalSimhashPairsCapped(corpusFps,
         NearDup.simHash(batch),
         DedupKnobs.SimHashMaxHamming, DedupKnobs.SimHashBucketCap)
       .select(col("doc_a"), col("doc_b"))
@@ -3453,7 +3457,16 @@ object SparkEntry {
       .filter(coalesce(col("__g0"), col("doc_id")) =!=
         coalesce(col("__g1"), col("doc_id")))
       .select(col("doc_id"))
-    val driftedDocs = corpus.join(drifted, Seq("doc_id"))
+    // localCheckpoint (intra-run, recomputed every execution — NOT a
+    // cross-pass cache): driftedDocs feeds retract AND correct, each of
+    // which the manifest half references again, so un-materialized it
+    // executes 4× and its subtree inflates the final plan; the merged
+    // cell table below is census-sized (|splits|×|sources| ≈ 60 rows)
+    // but manifestFromCells references it twice, and the un-truncated
+    // q218 plan was 804 physical operators / 120 parquet scans with a
+    // measured ~0.75 s silent planning gap (§3.3: materialize
+    // intermediates to truncate very wide plans)
+    val driftedDocs = corpus.join(drifted, Seq("doc_id")).localCheckpoint()
     val corpusCells = DataMix.manifestCells(corpus, corpusCC,
       SplitSalt, SplitTrainBp, SplitValBp)
     val retract = DataMix.negateCells(DataMix.manifestCells(driftedDocs,
@@ -3463,7 +3476,8 @@ object SparkEntry {
     val batchCells = DataMix.manifestCells(batch, mergedCC,
       SplitSalt, SplitTrainBp, SplitValBp)
     DataMix.manifestFromCells(
-        DataMix.mergeCells(corpusCells, retract, correct, batchCells),
+        DataMix.mergeCells(corpusCells, retract, correct, batchCells)
+          .localCheckpoint(),
         MixBudgetDen, MixCapEpochs)
       .orderBy(col("split").asc, col("source").asc)
   }
@@ -3497,25 +3511,28 @@ object SparkEntry {
     val corpus = d.filter(col("doc_id") <= cut1)
     val batch1 = d.filter(col("doc_id") > cut1 && col("doc_id") <= cut2)
     val batch2 = d.filter(col("doc_id") > cut2)
-    val fps0 = graft.operators.Shingles.shared(NearDup.simHash(corpus))
-    val pairs0 = graft.operators.Shingles.shared(
+    // lazy: each feeds only the staged artifacts below (by-name
+    // builders) — a steady-state run with the three clusterings landed
+    // must not pay their plan construction (q218's rationale)
+    lazy val fps0 = graft.operators.Shingles.shared(NearDup.simHash(corpus))
+    lazy val pairs0 = graft.operators.Shingles.shared(
       NearDup.simHashPairsCapped(fps0,
           DedupKnobs.SimHashMaxHamming, DedupKnobs.SimHashBucketCap)
         .select(col("doc_a"), col("doc_b")))
     val cc0 = graft.engine.Staging.stagedParquet(s,
         s"chain_cc0|$dir", Seq(dir))(
       Graph.connectedComponents(pairs0, "doc_a", "doc_b"))
-    val fps1b = NearDup.simHash(batch1)
-    val inc1 = NearDup.incrementalSimhashPairsCapped(fps0, fps1b,
+    lazy val fps1b = NearDup.simHash(batch1)
+    lazy val inc1 = NearDup.incrementalSimhashPairsCapped(fps0, fps1b,
         DedupKnobs.SimHashMaxHamming, DedupKnobs.SimHashBucketCap)
       .select(col("doc_a"), col("doc_b"))
     val cc1 = graft.engine.Staging.stagedParquet(s,
         s"chain_cc1|$dir", Seq(dir))(
       Graph.incrementalComponents(cc0, inc1, "doc_a", "doc_b"))
     // day 1 LANDS its artifacts; day 2 anchors on them, not the corpus
-    val fps1 = graft.operators.Shingles.shared(fps0.unionByName(fps1b))
-    val fps2b = NearDup.simHash(batch2)
-    val inc2 = NearDup.incrementalSimhashPairsCapped(fps1, fps2b,
+    lazy val fps1 = graft.operators.Shingles.shared(fps0.unionByName(fps1b))
+    lazy val fps2b = NearDup.simHash(batch2)
+    lazy val inc2 = NearDup.incrementalSimhashPairsCapped(fps1, fps2b,
         DedupKnobs.SimHashMaxHamming, DedupKnobs.SimHashBucketCap)
       .select(col("doc_a"), col("doc_b"))
     val cc2 = graft.engine.Staging.stagedParquet(s,
@@ -3535,15 +3552,23 @@ object SparkEntry {
         .filter(coalesce(col("__g0"), col("doc_id")) =!=
           coalesce(col("__g1"), col("doc_id")))
         .select(col("doc_id"))
+    // localCheckpoints (intra-run, q218's rationale): each drifted set
+    // feeds a retract + a re-census (4 references each through the
+    // manifest half), each day's cell table is census-sized (~60 rows)
+    // but re-referenced downstream — un-truncated, the chained plan
+    // reached 1,600+ physical operators and most of the query's
+    // steady-state cost was silent driver planning (§3.3)
     val drifted1 = corpus.join(driftedOf(corpus, cc0, cc1), Seq("doc_id"))
+      .localCheckpoint()
     val cells1 = DataMix.mergeCells(cellsOf(corpus, cc0),
       DataMix.negateCells(cellsOf(drifted1, cc0)),
-      cellsOf(drifted1, cc1), cellsOf(batch1, cc1))
+      cellsOf(drifted1, cc1), cellsOf(batch1, cc1)).localCheckpoint()
     val landed1 = d.filter(col("doc_id") <= cut2)
     val drifted2 = landed1.join(driftedOf(landed1, cc1, cc2), Seq("doc_id"))
+      .localCheckpoint()
     val cellsFinal = DataMix.mergeCells(cells1,
       DataMix.negateCells(cellsOf(drifted2, cc1)),
-      cellsOf(drifted2, cc2), cellsOf(batch2, cc2))
+      cellsOf(drifted2, cc2), cellsOf(batch2, cc2)).localCheckpoint()
     DataMix.manifestFromCells(cellsFinal, MixBudgetDen, MixCapEpochs)
       .orderBy(col("split").asc, col("source").asc)
   }
@@ -3618,14 +3643,19 @@ object SparkEntry {
     val batch = d.filter(col("doc_id") > cut)
     // per-arm fingerprints are pure per-doc functions, so the corpus/
     // batch tables are SLICES of the whole-corpus staged tables — one
-    // codec pass per corpus, shared with q202/q209/q215/q216/q217
-    val imgAll = stagedResampledHashes(s, dir)
+    // codec pass per corpus, shared with q202/q209/q215/q216/q217.
+    // Everything here is lazy: all of it feeds only the two staged
+    // clusterings via by-name builders, and constructing + plan-keying
+    // the three-arm edge plans measured ~1.6 s of pure driver time per
+    // steady-state run (JobProbe: construct 2.05 s vs 0.47 s of jobs)
+    // — work a run with landed artifacts must skip entirely (§7.3)
+    lazy val imgAll = stagedResampledHashes(s, dir)
       .select(col("doc_id"), col("ph_hi"), col("ph_lo"))
-    val audAll = stagedAudioMbFps(s, dir)
+    lazy val audAll = stagedAudioMbFps(s, dir)
       .select(col("doc_id"), col("fp_hi").as("ph_hi"),
         col("fp_lo").as("ph_lo"))
-    val corpusFps = graft.operators.Shingles.shared(NearDup.simHash(corpus))
-    val corpusEdges = graft.operators.Shingles.shared(
+    lazy val corpusFps = graft.operators.Shingles.shared(NearDup.simHash(corpus))
+    lazy val corpusEdges = graft.operators.Shingles.shared(
       NearDup.simHashPairsCapped(corpusFps,
           DedupKnobs.SimHashMaxHamming, DedupKnobs.SimHashBucketCap)
         .select(col("doc_a"), col("doc_b"))
@@ -3638,7 +3668,7 @@ object SparkEntry {
     val corpusCC = graft.engine.Staging.stagedParquet(s,
         s"inc_mm_corpus_cc|$dir", Seq(dir))(
       graft.operators.Graph.connectedComponents(corpusEdges, "doc_a", "doc_b"))
-    val incPairs = NearDup.incrementalSimhashPairsCapped(corpusFps,
+    lazy val incPairs = NearDup.incrementalSimhashPairsCapped(corpusFps,
         NearDup.simHash(batch),
         DedupKnobs.SimHashMaxHamming, DedupKnobs.SimHashBucketCap)
       .select(col("doc_a"), col("doc_b"))
