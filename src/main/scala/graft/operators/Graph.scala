@@ -144,12 +144,31 @@ object Graph {
     lazy val symSelf = cut(sym
       .union(labels.select(col("n"), col("n").as("m")))
       .repartition(col("m")), checkpointDir, edgeScale = true)
-    // exact decimal: monotone decreasing, overflow-free at any scale;
-    // sum over an EMPTY frame is NULL → normalize to zero so a pairless
-    // input converges to the empty result instead of an NPE
+    // exact sum: monotone decreasing, overflow-free at any scale; an
+    // EMPTY frame sums to zero so a pairless input converges to the
+    // empty result instead of an NPE. Computed as ONE shuffle-free job
+    // over the just-checkpointed blocks (per-partition fold + driver
+    // reduce of |partitions| BigIntegers) instead of a SQL decimal agg:
+    // the agg's partial/final stages cost 2–3 AQE stage-jobs PER ROUND,
+    // which at bench SFs was ~30% of the whole round's wall clock
+    // (guide §1.2 — the convergence probe is bookkeeping, not the
+    // algorithm; labels are non-negative ids, so per-partition Longs
+    // flush to BigInteger well before overflow)
     def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val s = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
-      if (s == null) java.math.BigDecimal.ZERO else s
+      val lblIdx = df.schema.fieldIndex("lbl")
+      val parts = df.queryExecution.toRdd.mapPartitions { it =>
+        var acc = 0L
+        var big = java.math.BigInteger.ZERO
+        while (it.hasNext) {
+          acc += it.next().getLong(lblIdx)
+          if (acc >= (1L << 61)) {
+            big = big.add(java.math.BigInteger.valueOf(acc)); acc = 0L
+          }
+        }
+        Iterator.single(big.add(java.math.BigInteger.valueOf(acc)))
+      }.collect()
+      new java.math.BigDecimal(
+        parts.foldLeft(java.math.BigInteger.ZERO)(_ add _))
     }
     var prevSum = labelSum(labels)
     var converged = prevSum.signum == 0 && labels.isEmpty

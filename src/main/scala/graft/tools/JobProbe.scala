@@ -16,11 +16,15 @@ object JobProbe {
     val dir = args(0)
     val name = args(1)
     val reps = if (args.length > 2) args(2).toInt else 2
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .withExtensions(new graft.GraftExtensions).master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // ad-hoc conf experiments: GRAFT_PROBE_CONF="k=v;k2=v2"
+    sys.env.get("GRAFT_PROBE_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
     val fn = graft.SparkEntry.queries(name)
