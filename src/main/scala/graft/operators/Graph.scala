@@ -134,8 +134,15 @@ object Graph {
     // symmetric relation; input pairs (a<b) are unique by convention so
     // the two directions never collide
     val sym = e1.union(e1.select(col("m").as("n"), col("n").as("m")))
-    var labels = cut(sym.select(col("n")).distinct()
-      .withColumn("lbl", col("n")), checkpointDir)
+    // seed = round 1's PROPAGATE fused into label init: lbl₀(n) =
+    // min(n, min N(n)). The node set needs a shuffle either way
+    // (distinct vs groupBy-min over the same key — identical exchange),
+    // so the seed gets the first propagation round for free and every
+    // CC invocation converges one full round (join + jump + checkpoint
+    // + probe) earlier; the monotone-sum convergence probe is unchanged
+    // (the seed only lowers the starting sum)
+    var labels = cut(sym.groupBy(col("n"))
+      .agg(least(min(col("m")), col("n")).as("lbl")), checkpointDir)
     // self-loops fold "own label" into the neighbour min; partition on
     // the join key once so rounds reuse the exchange. lazy: cut() is
     // EAGER, and with maxIter=0 (forced escalation) the loop never
