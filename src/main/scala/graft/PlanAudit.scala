@@ -13,12 +13,17 @@ object PlanAudit {
         "q15_window_running", "q25_knn_cosine", "q32_clean_filter_chain")
     // the bench session installs GraftExtensions (RewriteRowNumberTopK /
     // TopKPerGroup) — audit the plans the bench actually runs
-    val spark = SparkSession.builder().withExtensions(new GraftExtensions)
+    val builder = SparkSession.builder().withExtensions(new GraftExtensions)
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    // ad-hoc conf for before/after plan dumps (same contract as
+    // JobProbe's GRAFT_PROBE_CONF): GRAFT_PLAN_CONF="k=v;k2=v2"
+    sys.env.get("GRAFT_PLAN_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (names.contains(name)) {

@@ -183,7 +183,10 @@ object SparkEntry {
   /** Star join: fact ⋈ orders (shuffle/AQE) ⋈ broadcast dims, then grouped
     * revenue with an exact (order-independent) DECIMAL sum. */
   private def q11(s: SparkSession, dir: String): DataFrame = {
-    val li = Sources.table(s, dir, "lineitem")
+    // fact scan parallelized (Sources.tableParallel): the single-row-group
+    // fixture otherwise runs scan -> 4 BHJ probes -> decimal partial agg
+    // on ONE task (measured 8.4 s of a 9.9 s sf1 run in one job)
+    val li = Sources.tableParallel(s, dir, "lineitem")
     val o = Sources.table(s, dir, "orders")
     val joined = Joins.starBroadcast(
       li.join(o, col("l_orderkey") === col("o_orderkey")),
@@ -590,7 +593,9 @@ object SparkEntry {
   /** Exact interpolated quantiles (Spark `percentile` ≡ DuckDB
     * `quantile_cont`) + exact distinct counts per group. */
   private def q35(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
+    // parallelized scan: exact percentile's partial aggregation BUFFERS
+    // every value on the (single-split) scan task otherwise
+    Sources.tableParallel(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(expr("percentile(value, 0.5)").as("median_raw"),
         expr("percentile(value, 0.9)").as("p90_raw"),
@@ -688,7 +693,7 @@ object SparkEntry {
   /** Star-fact integrity audit (counts / distincts / missing) — the
     * check_counts analog over lineitem. */
   private def q38(s: SparkSession, dir: String): DataFrame =
-    Aggregates.integrity(Sources.table(s, dir, "lineitem"),
+    Aggregates.integrity(Sources.tableParallel(s, dir, "lineitem"),
       distinctCols = Seq("l_suppkey", "l_partkey", "l_returnflag"),
       missingCols = Seq("l_quantity", "l_extendedprice"))
 
@@ -698,7 +703,7 @@ object SparkEntry {
     * sides — Spark's asc default vs DuckDB's NULLS LAST default would
     * otherwise reorder subtotal rows. */
   private def q39(s: SparkSession, dir: String): DataFrame =
-    Aggregates.rollupReagg(Sources.table(s, dir, "lineitem"),
+    Aggregates.rollupReagg(Sources.tableParallel(s, dir, "lineitem"),
         keys = Seq(col("l_returnflag"), col("l_linestatus")),
         aggs = Seq(count(lit(1)).as("n_items"),
           Aggregates.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev")),
@@ -931,7 +936,7 @@ object SparkEntry {
     * fact scan. */
   private def q83(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val g = Sources.table(s, dir, "lineitem")
+    val g = Sources.tableParallel(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(Aggregates.exactSum(
         col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
@@ -999,7 +1004,8 @@ object SparkEntry {
     * correctness gate, because at 100 TB the one-hot-key fact table
     * is where AQE's split-by-size gives up and salting is the fix. */
   private def q87(s: SparkSession, dir: String): DataFrame = {
-    val li = Sources.table(s, dir, "lineitem")
+    // parallelized fact scan: the salted-join probe chain is scan-fused
+    val li = Sources.tableParallel(s, dir, "lineitem")
       .select(col("l_partkey"), col("l_orderkey"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
     val dim = Sources.table(s, dir, "part")
@@ -1160,7 +1166,7 @@ object SparkEntry {
     * window runs over the |flags|×|weeks| post-agg table, not the scan. */
   private def q95(s: SparkSession, dir: String): DataFrame = {
     val wk = expr("datediff(l_shipdate, DATE '1970-01-01') div 7").cast("long")
-    val g = Sources.table(s, dir, "lineitem")
+    val g = Sources.tableParallel(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), wk.as("wk"))
       .agg(Aggregates.exactSum(
         col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
@@ -1798,7 +1804,7 @@ object SparkEntry {
     * exact integer power sums — the distribution-shape audit a mixture
     * rebalance reads before deciding what to up/downsample. */
   private def q133(s: SparkSession, dir: String): DataFrame =
-    Aggregates.higherMoments(Sources.table(s, dir, "lineitem"),
+    Aggregates.higherMoments(Sources.tableParallel(s, dir, "lineitem"),
         Seq("l_returnflag"), col("l_quantity"))
       .orderBy(col("l_returnflag").asc)
 
@@ -2367,7 +2373,7 @@ object SparkEntry {
     * sized Σ share² goes through the 6-dp DECIMAL exact-sum pattern. */
   private def q152(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bySupp = Sources.table(s, dir, "lineitem")
+    val bySupp = Sources.tableParallel(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_suppkey"))
       .agg(Aggregates.exactSum(
         col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))

@@ -257,6 +257,72 @@ object Sources {
     if (name == "events") deriveTsUtc(df) else df
   }
 
+  /** (fileBytes, rowGroups) per parquet file, from one driver-side
+    * footer read — cached on (path, len, mtime) so a regenerated
+    * fixture re-probes and an unchanged one never re-reads. */
+  private val footerCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), (Long, Int)]()
+
+  private def parquetLayout(spark: SparkSession, path: String): (Long, Int) = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val st = p.getFileSystem(hconf).getFileStatus(p)
+    footerCache.computeIfAbsent((path, st.getLen, st.getModificationTime), _ => {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, hconf))
+      try (st.getLen, r.getFooter.getBlocks.size)
+      finally r.close()
+    })
+  }
+
+  /** [[table]] with a guarded parallelizing repartition for UNDER-SPLIT
+    * scans — the guide-§2.5 "one huge unsplittable file" fix. Spark can
+    * split a parquet FILE by byte ranges, but a ROW GROUP is consumed
+    * whole by the split holding its start, so a single-row-group file
+    * (the fixture layout at every SF, and any production table landed
+    * by a writer with oversized row groups) caps the scan stage — and
+    * with it everything fused into the scan's WholeStageCodegen span
+    * (join probes, exact-decimal partial aggregation) — at ONE task no
+    * matter how many cores the session has.
+    *
+    * The fix moves the bytes exactly once: a deterministic hash
+    * repartition on the table's id column (xxhash64 — guide §2.5's
+    * deterministic synthetic key, so task retries reproduce the same
+    * placement; never rand()). The map side of that exchange is the
+    * unavoidable single-threaded floor (decode + shuffle write); every
+    * operator above it runs at session parallelism. Partition count is
+    * the session's shuffle partitions — scale-parameterized, never a
+    * local constant — and EXPLICIT, because the injected exchange
+    * exists precisely to raise parallelism: AQE's advisory-size
+    * coalescing would fold ~100 MB back into 1–2 partitions.
+    *
+    * Guarded: a no-op unless the file's effective split count
+    * (min(rowGroups, ceil(bytes / maxPartitionBytes))) leaves at least
+    * half the session's cores idle AND the per-split bytes exceed
+    * `graft.scan.parallelizeMinBytes` (default 8 MB) — below that the
+    * extra hop costs more than the serialization it removes. Callers
+    * OPT IN per query: the win is measured for scan pipelines with
+    * heavy work between the scan and its first exchange (join probe
+    * chains, exact-decimal partial aggs); shapes whose first exchange
+    * immediately follows a cheap scan (windows, global top-k) only pay
+    * the hop and keep [[table]]. */
+  def tableParallel(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = table(spark, sfDir, name)
+    val (bytes, rowGroups) = parquetLayout(spark, s"$sfDir/$name.parquet")
+    val maxPB = spark.sessionState.conf.filesMaxPartitionBytes
+    val effSplits = math.min(rowGroups.toLong,
+      (bytes + maxPB - 1) / math.max(1L, maxPB)).max(1L)
+    val cores = spark.sparkContext.defaultParallelism
+    val minBytes = spark.conf.getOption("graft.scan.parallelizeMinBytes")
+      .map(_.toLong).getOrElse(8L << 20)
+    if (effSplits * 2 <= cores && bytes / effSplits >= minBytes) {
+      val key = schemas(name).fields.head.name
+      df.repartition(spark.sessionState.conf.numShufflePartitions,
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col(key)))
+    } else df
+  }
+
   /** Inference-tolerant scan — the ad-hoc-table ergonomics of the
     * reference's connector, which samples documents to discover a
     * schema (reference: src/processing/mongo_avg_laptime_by_driver

@@ -169,4 +169,31 @@ class QueriesSpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
+
+  test("tableParallel: guarded repartition fires on under-split scans, rows identical") {
+    val dir = "/root/testdata/sf0.01"
+    // default guard (8 MB/split): the ~1 MB fixture stays a plain scan
+    val off = Sources.tableParallel(spark, dir, "lineitem")
+    assert(!off.queryExecution.executedPlan.toString.contains("Exchange"),
+      "below the byte floor tableParallel must be a no-op")
+    assert(off.schema === Sources.table(spark, dir, "lineitem").schema)
+    // forced floor: the single-row-group file is under-split for 4 cores,
+    // so the deterministic hash repartition must fire at the session's
+    // shuffle-partition count — and must not change the row multiset
+    spark.conf.set("graft.scan.parallelizeMinBytes", "1")
+    try {
+      val on = Sources.tableParallel(spark, dir, "lineitem")
+      val plan = on.queryExecution.executedPlan.toString
+      assert(plan.contains("Exchange hashpartitioning(xxhash64"),
+        s"expected a deterministic hash repartition:\n$plan")
+      assert(on.rdd.getNumPartitions ===
+        spark.sessionState.conf.numShufflePartitions)
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"))
+        .count().orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("count")).collect().toSeq
+      assert(key(on) === key(Sources.table(spark, dir, "lineitem")))
+    } finally spark.conf.unset("graft.scan.parallelizeMinBytes")
+  }
 }
