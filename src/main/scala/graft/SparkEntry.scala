@@ -3789,7 +3789,8 @@ object SparkEntry {
     // sides grow linearly over a fixed date domain, so the raw join
     // output is quadratic in SF) to |days × promo window density|
     // (~20k). The 100 TB shape: the fact table never crosses the join.
-    val li = Sources.table(s, dir, "lineitem")
+    // parallelized scan: the per-day exact-decimal pre-agg is scan-fused
+    val li = Sources.tableParallel(s, dir, "lineitem")
       .select(col("l_quantity"),
         expr("datediff(l_shipdate, DATE '1970-01-01')").cast("long").as("ship_day"))
       .groupBy(col("ship_day"))
@@ -4067,7 +4068,7 @@ object SparkEntry {
     * can express (no detail level, no grand total). Runs via the same
     * hierarchical re-agg as q39/q52. */
   private def q62(s: SparkSession, dir: String): DataFrame =
-    Aggregates.groupingSetsReagg(Sources.table(s, dir, "lineitem"),
+    Aggregates.groupingSetsReagg(Sources.tableParallel(s, dir, "lineitem"),
         keys = Seq(col("l_returnflag"), col("l_linestatus")),
         sets = Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
         aggs = Seq(count(lit(1)).as("n_items"),
@@ -4164,7 +4165,7 @@ object SparkEntry {
   /** CUBE grouping sets — all 4 subtotal combinations, via hierarchical
     * re-aggregation (NULLS FIRST pinned like q39's ROLLUP). */
   private def q52(s: SparkSession, dir: String): DataFrame =
-    Aggregates.cubeReagg(Sources.table(s, dir, "lineitem"),
+    Aggregates.cubeReagg(Sources.tableParallel(s, dir, "lineitem"),
         keys = Seq(col("l_returnflag"), col("l_linestatus")),
         aggs = Seq(count(lit(1)).as("n_items"),
           Aggregates.exactSum(col("l_quantity")).as("sq")),
