@@ -299,8 +299,10 @@ object Sources {
     * Guarded: a no-op unless the file's effective split count
     * (min(rowGroups, ceil(bytes / maxPartitionBytes))) leaves at least
     * half the session's cores idle AND the per-split bytes exceed
-    * `graft.scan.parallelizeMinBytes` (default 8 MB) — below that the
-    * extra hop costs more than the serialization it removes. Callers
+    * `graft.scan.parallelizeMinBytes` (default 12 MB) — the measured
+    * boundary: at 10.8 MB/split (the sf0.1 lineitem) the hop washes
+    * against what it frees, at 15.2 MB/split (the sf1 events) and
+    * above it wins 25–67%. Callers
     * OPT IN per query: the win is measured for scan pipelines with
     * heavy work between the scan and its first exchange (join probe
     * chains, exact-decimal partial aggs); shapes whose first exchange
@@ -314,7 +316,7 @@ object Sources {
       (bytes + maxPB - 1) / math.max(1L, maxPB)).max(1L)
     val cores = spark.sparkContext.defaultParallelism
     val minBytes = spark.conf.getOption("graft.scan.parallelizeMinBytes")
-      .map(_.toLong).getOrElse(8L << 20)
+      .map(_.toLong).getOrElse(12L << 20)
     if (effSplits * 2 <= cores && bytes / effSplits >= minBytes) {
       val key = schemas(name).fields.head.name
       df.repartition(spark.sessionState.conf.numShufflePartitions,
